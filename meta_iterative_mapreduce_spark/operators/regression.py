@@ -1,0 +1,443 @@
+"""Iterative distributed linear regression — the reference's core capability.
+
+The reference (kernel.cu) trains `y = w1*x + w0` with two nested
+map-reduce levels: MPI scatter → per-GPU-block closed-form OLS on a
+contiguous sub-range (kernel.cu:42-63) → host average over blocks
+(kernel.cu:148-157) → MPI_Reduce average over processes
+(kernel.cu:165-166) → EMA smoothing across interactive data batches
+with alpha=0.2 (kernel.cu:25, 214-215).
+
+Spark-first re-expression:
+- A GPU block's fused sufficient-statistics pass (Σx, Σy, Σx², Σxy —
+  kernel.cu:53-59) is one partial hash-aggregate; the closed-form solve
+  (kernel.cu:62-63) is Spark's built-in `regr_slope`/`regr_intercept`.
+- The two reduce levels are two nested groupBys (deterministic chunk
+  keys `l_orderkey % K`, never engine hashes — SURVEY.md §2.2 rule b).
+- The interactive batch loop (kernel.cu:190-196) becomes either a
+  driver loop over cached DataFrames (`iterative_fit_loop`, faithful)
+  or — because the reference's weight "rebroadcast" is dead code
+  (SURVEY.md §1.2.2) so batches are independent — a SINGLE aggregation
+  computing every batch fit in one shuffle, with the EMA recursion
+  applied to the O(#batches) collected scalars (`iterative_ema_fit`).
+  At 100 TB the single-pass form is the right plan: one wide shuffle
+  keyed on (batch, chunk), no per-batch job launch overhead.
+
+Both `exact` (merge sufficient statistics ⇒ identical to single-machine
+OLS) and `averaged` (reference-faithful uniform model averaging,
+kernel.cu:150-157) modes are exposed (SURVEY.md §1.2.3).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from meta_iterative_mapreduce_spark.io import load_table
+from meta_iterative_mapreduce_spark.registry import register
+
+DEFAULT_ALPHA = 0.2  # kernel.cu:25
+
+
+# ---------------------------------------------------------------------------
+# Composable building blocks (R6/R7/R9/R10/R13 of SURVEY.md §2.1)
+# ---------------------------------------------------------------------------
+
+
+def sufficient_stats(df: DataFrame, x: str, y: str) -> DataFrame:
+    """Fused multi-aggregate of OLS sufficient statistics (R6).
+
+    One data pass computing n, Σx, Σy, Σx², Σxy — exactly the fused
+    loop of kernel.cu:53-59, but as a single partial+final
+    HashAggregate (map-side combine ⇒ O(partitions) shuffle rows).
+    """
+    return df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col(x)).alias("sx"),
+        F.sum(F.col(y)).alias("sy"),
+        F.sum(F.col(x) * F.col(x)).alias("sxx"),
+        F.sum(F.col(x) * F.col(y)).alias("sxy"),
+    )
+
+
+def ols_from_stats(stats: DataFrame) -> DataFrame:
+    """Closed-form OLS solve from sufficient statistics (R7).
+
+    w1 = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²); w0 = (Σy − w1·Σx) / n
+    — the same algebra as kernel.cu:62-63, evaluated on aggregated
+    scalars (constant-time, driver-free).
+    """
+    n, sx, sy, sxx, sxy = (F.col(c) for c in ("n", "sx", "sy", "sxx", "sxy"))
+    denom = n * sxx - sx * sx
+    w1 = (n * sxy - sx * sy) / denom
+    return stats.select(
+        ((sy - w1 * sx) / n).alias("w0"),
+        w1.alias("w1"),
+        n.alias("n_rows"),
+    )
+
+
+def fit_exact(df: DataFrame, x: str, y: str) -> DataFrame:
+    """Exact global OLS via Spark's built-in regression aggregates.
+
+    Algebraically identical to merging sufficient statistics across all
+    partitions — the 'done right' version of the reference's model
+    averaging (SURVEY.md §1.2.3).
+    """
+    return df.agg(
+        F.regr_intercept(F.col(y), F.col(x)).alias("w0"),
+        F.regr_slope(F.col(y), F.col(x)).alias("w1"),
+        F.regr_count(F.col(y), F.col(x)).alias("n_rows"),
+    )
+
+
+def chunked_fit(df: DataFrame, x: str, y: str, chunk: Column) -> DataFrame:
+    """Per-chunk closed-form OLS — the reference's secondary map level.
+
+    Each chunk is a GPU block's sub-range (kernel.cu:44-53), made
+    deterministic with an arithmetic bucket key instead of a physical
+    range. Returns one row per chunk with (w0, w1, n_rows).
+    """
+    return (
+        df.groupBy(chunk.alias("chunk"))
+        .agg(
+            F.regr_intercept(F.col(y), F.col(x)).alias("w0"),
+            F.regr_slope(F.col(y), F.col(x)).alias("w1"),
+            F.regr_count(F.col(y), F.col(x)).alias("n_rows"),
+        )
+    )
+
+
+def averaged_fit(df: DataFrame, x: str, y: str, chunk: Column) -> DataFrame:
+    """Chunk fits + uniform average — reference-faithful R9 semantics.
+
+    Uniform (not size-weighted) averaging matches kernel.cu:150-157;
+    see SURVEY.md §1.2.3 for why this approximates exact OLS.
+    """
+    return chunked_fit(df, x, y, chunk).agg(
+        F.avg("w0").alias("w0"), F.avg("w1").alias("w1")
+    )
+
+
+def meta_fit(df: DataFrame, x: str, y: str, chunk: Column, super_chunk: Column) -> DataFrame:
+    """Two-level (meta) averaged fit: chunk → super-chunk → global.
+
+    The reference's primary+secondary reduce tree (kernel.cu:148-157
+    block average, then kernel.cu:165-166/173-174 process average) as
+    two nested aggregations — Spark's partial/final aggregation plus an
+    explicit intermediate level (the `treeAggregate(depth=2)` shape).
+    """
+    per_chunk = (
+        df.groupBy(super_chunk.alias("super_chunk"), chunk.alias("chunk"))
+        .agg(
+            F.regr_intercept(F.col(y), F.col(x)).alias("w0"),
+            F.regr_slope(F.col(y), F.col(x)).alias("w1"),
+        )
+    )
+    per_super = per_chunk.groupBy("super_chunk").agg(
+        F.avg("w0").alias("w0"), F.avg("w1").alias("w1")
+    )
+    return per_super.agg(F.avg("w0").alias("w0"), F.avg("w1").alias("w1"))
+
+
+# ---------------------------------------------------------------------------
+# Iteration + EMA (R11-R13)
+# ---------------------------------------------------------------------------
+
+
+def ema_step(w_old: float, w_new: float, alpha: float = DEFAULT_ALPHA) -> float:
+    """w_old = α·w_old + (1−α)·w_new  (kernel.cu:214-215)."""
+    return alpha * w_old + (1.0 - alpha) * w_new
+
+
+@dataclass
+class FitResult:
+    w0: float
+    w1: float
+    n_iters: int
+    n_batches: int
+    converged: bool
+
+
+def batch_fits(
+    df: DataFrame, x: str, y: str, batch: Column, chunk: Column
+) -> DataFrame:
+    """Every batch's chunk-averaged fit, in ONE aggregation.
+
+    groupBy(batch, chunk) → per-chunk OLS → groupBy(batch) → uniform
+    average. One shuffle keyed on (batch, chunk); output is O(#batches)
+    rows, safe to collect at any scale.
+    """
+    per_chunk = (
+        df.select(batch.alias("batch"), chunk.alias("chunk"), F.col(x), F.col(y))
+        .groupBy("batch", "chunk")
+        .agg(
+            F.regr_intercept(F.col(y), F.col(x)).alias("w0"),
+            F.regr_slope(F.col(y), F.col(x)).alias("w1"),
+        )
+    )
+    return per_chunk.groupBy("batch").agg(
+        F.avg("w0").alias("f0"), F.avg("w1").alias("f1")
+    )
+
+
+def iterative_ema_fit(
+    df: DataFrame,
+    x: str,
+    y: str,
+    batch: Column,
+    chunk: Column,
+    alpha: float = DEFAULT_ALPHA,
+    eps: float = 1e-6,
+    max_iter: int | None = None,
+) -> FitResult:
+    """Iterative fit with EMA smoothing and ε-convergence (R11-R13).
+
+    Replaces the reference's interactive "optimize further? 1/0"
+    convergence decision (kernel.cu:175-188) with
+    max(|Δw0|, |Δw1|) < eps. Batch fits are computed in a single Spark
+    job (see `batch_fits`); the inherently-sequential EMA recursion
+    runs over the collected O(#batches) scalars in the driver — the
+    same place the reference keeps (w0_old, w1_old) on rank 0
+    (kernel.cu:132).
+    """
+    rows = batch_fits(df, x, y, batch, chunk).orderBy("batch").collect()
+    rows = [r for r in rows if r["f0"] is not None and r["f1"] is not None]
+    if not rows:
+        return FitResult(float("nan"), float("nan"), 0, 0, False)
+    w0, w1 = rows[0]["f0"], rows[0]["f1"]
+    n_iters, converged = 1, False
+    for r in rows[1:]:
+        if max_iter is not None and n_iters >= max_iter:
+            break
+        new_w0 = ema_step(w0, r["f0"], alpha)
+        new_w1 = ema_step(w1, r["f1"], alpha)
+        n_iters += 1
+        if max(abs(new_w0 - w0), abs(new_w1 - w1)) < eps:
+            w0, w1 = new_w0, new_w1
+            converged = True
+            break
+        w0, w1 = new_w0, new_w1
+    return FitResult(w0, w1, n_iters, len(rows), converged)
+
+
+def iterative_fit_loop(
+    df: DataFrame,
+    x: str,
+    y: str,
+    batch: Column,
+    chunk: Column,
+    alpha: float = DEFAULT_ALPHA,
+    eps: float = 1e-6,
+    max_iter: int = 100,
+    checkpoint_every: int = 10,
+) -> FitResult:
+    """Reference-faithful driver loop: one Spark job per batch (R11).
+
+    Kept for workloads where iteration t+1 genuinely depends on the
+    model from iteration t (unlike the reference, whose weight
+    rebroadcast is dead code — SURVEY.md §1.2.2). Caches the chunked
+    input once; `localCheckpoint` would cut lineage for long loops
+    (not needed here since each batch fit reads the same cached df).
+    """
+    tagged = df.select(
+        batch.alias("batch"), chunk.alias("chunk"), F.col(x), F.col(y)
+    ).cache()
+    try:
+        batches = [r["batch"] for r in tagged.select("batch").distinct().orderBy("batch").collect()]
+        w0 = w1 = None
+        n_iters, converged = 0, False
+        for b in batches:
+            if n_iters >= max_iter:
+                break
+            fit = (
+                tagged.filter(F.col("batch") == b)
+                .groupBy("chunk")
+                .agg(
+                    F.regr_intercept(F.col(y), F.col(x)).alias("w0"),
+                    F.regr_slope(F.col(y), F.col(x)).alias("w1"),
+                )
+                .agg(F.avg("w0").alias("f0"), F.avg("w1").alias("f1"))
+                .collect()[0]
+            )
+            if fit["f0"] is None or fit["f1"] is None:
+                continue
+            n_iters += 1
+            if w0 is None:
+                w0, w1 = fit["f0"], fit["f1"]
+                continue
+            new_w0, new_w1 = ema_step(w0, fit["f0"], alpha), ema_step(w1, fit["f1"], alpha)
+            if max(abs(new_w0 - w0), abs(new_w1 - w1)) < eps:
+                w0, w1 = new_w0, new_w1
+                converged = True
+                break
+            w0, w1 = new_w0, new_w1
+        return FitResult(
+            w0 if w0 is not None else float("nan"),
+            w1 if w1 is not None else float("nan"),
+            n_iters,
+            len(batches),
+            converged,
+        )
+    finally:
+        tagged.unpersist()
+
+
+# ---------------------------------------------------------------------------
+# Flagship entry (driver smoke check, t1)
+# ---------------------------------------------------------------------------
+
+FLAGSHIP_SF_DIR = "/root/testdata/sf0.001"
+
+
+def flagship(spark: SparkSession, sf_dir: str = FLAGSHIP_SF_DIR) -> DataFrame:
+    """End-to-end meta-iterative regression of l_extendedprice on
+    l_quantity: batches = l_shipdate months, chunks = l_orderkey % 8,
+    EMA α=0.2, ε-convergence. Exercises scan → deterministic chunking →
+    fused sufficient-stats agg → two-level reduce → driver iteration
+    (R1-R15 of SURVEY.md §2.1 in one query)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    res = iterative_ema_fit(
+        li,
+        "l_quantity",
+        "l_extendedprice",
+        batch=F.date_format("l_shipdate", "yyyy-MM"),
+        chunk=F.col("l_orderkey") % 8,
+    )
+    return spark.createDataFrame(
+        [(res.w0, res.w1, res.n_iters, res.n_batches, res.converged)],
+        "w0 double, w1 double, n_iters int, n_batches int, converged boolean",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Registered queries (SURVEY.md §2.2 K)
+# ---------------------------------------------------------------------------
+
+_X, _Y = "l_quantity", "l_extendedprice"
+
+
+@register(
+    "q_regression_exact",
+    oracle="""
+    SELECT ROUND(regr_intercept(l_extendedprice, l_quantity), 4) AS w0,
+           ROUND(regr_slope(l_extendedprice, l_quantity), 4) AS w1,
+           regr_count(l_extendedprice, l_quantity) AS n_rows
+    FROM lineitem
+    """,
+)
+def q_regression_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-shot exact distributed OLS (merged sufficient statistics)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return fit_exact(li, _X, _Y).select(
+        F.round("w0", 4).alias("w0"),
+        F.round("w1", 4).alias("w1"),
+        F.col("n_rows"),
+    )
+
+
+@register(
+    "q_regression_chunk_averaged",
+    oracle="""
+    WITH per_chunk AS (
+        SELECT l_orderkey % 8 AS chunk,
+               regr_intercept(l_extendedprice, l_quantity) AS w0,
+               regr_slope(l_extendedprice, l_quantity) AS w1
+        FROM lineitem GROUP BY 1
+    )
+    SELECT ROUND(AVG(w0), 4) AS w0, ROUND(AVG(w1), 4) AS w1, COUNT(*) AS n_chunks
+    FROM per_chunk
+    """,
+)
+def q_regression_chunk_averaged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference-faithful secondary level: per-chunk OLS, uniform average
+    (kernel.cu:42-63 + 148-157), deterministic chunks l_orderkey % 8."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        chunked_fit(li, _X, _Y, F.col("l_orderkey") % 8)
+        .agg(
+            F.round(F.avg("w0"), 4).alias("w0"),
+            F.round(F.avg("w1"), 4).alias("w1"),
+            F.count(F.lit(1)).alias("n_chunks"),
+        )
+    )
+
+
+@register(
+    "q_regression_meta_averaged",
+    oracle="""
+    WITH per_chunk AS (
+        SELECT l_orderkey % 2 AS super_chunk, l_orderkey % 8 AS chunk,
+               regr_intercept(l_extendedprice, l_quantity) AS w0,
+               regr_slope(l_extendedprice, l_quantity) AS w1
+        FROM lineitem GROUP BY 1, 2
+    ), per_super AS (
+        SELECT super_chunk, AVG(w0) AS w0, AVG(w1) AS w1 FROM per_chunk GROUP BY 1
+    )
+    SELECT ROUND(AVG(w0), 4) AS w0, ROUND(AVG(w1), 4) AS w1 FROM per_super
+    """,
+)
+def q_regression_meta_averaged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level meta reduce: chunk → super-chunk → global average
+    (kernel.cu:148-157 then 165-166/173-174)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return meta_fit(
+        li, _X, _Y, chunk=F.col("l_orderkey") % 8, super_chunk=F.col("l_orderkey") % 2
+    ).select(F.round("w0", 4).alias("w0"), F.round("w1", 4).alias("w1"))
+
+
+@register(
+    "q_regression_iterative_ema",
+    oracle="""
+    WITH per_chunk AS (
+        SELECT strftime(l_shipdate, '%Y-%m') AS batch, l_orderkey % 8 AS chunk,
+               regr_intercept(l_extendedprice, l_quantity) AS w0,
+               regr_slope(l_extendedprice, l_quantity) AS w1
+        FROM lineitem GROUP BY 1, 2
+    ), per_batch AS (
+        SELECT batch, AVG(w0) AS f0, AVG(w1) AS f1 FROM per_chunk GROUP BY 1
+    ), ranked AS (
+        SELECT f0, f1,
+               ROW_NUMBER() OVER (ORDER BY batch) AS rn,
+               COUNT(*) OVER () AS t_total
+        FROM per_batch
+    )
+    SELECT ROUND(SUM(POWER(0.2, t_total - rn)
+                     * (CASE WHEN rn = 1 THEN 1.0 ELSE 0.8 END) * f0), 4) AS w0,
+           ROUND(SUM(POWER(0.2, t_total - rn)
+                     * (CASE WHEN rn = 1 THEN 1.0 ELSE 0.8 END) * f1), 4) AS w1,
+           MAX(t_total) AS n_batches
+    FROM ranked
+    """,
+)
+def q_regression_iterative_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full iterative loop as ONE declarative plan: per-month averaged
+    fits + EMA α=0.2 across ordered batches (kernel.cu:135-217), using
+    the closed-form geometric expansion of the EMA recursion
+    w_T = α^(T−1)·f_1 + (1−α)·Σ_{t≥2} α^(T−t)·f_t."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per_batch = batch_fits(
+        li,
+        _X,
+        _Y,
+        batch=F.date_format("l_shipdate", "yyyy-MM"),
+        chunk=F.col("l_orderkey") % 8,
+    )
+    # The window is over O(#months) rows — a single tiny partition is fine.
+    w = W.orderBy("batch")
+    ranked = per_batch.select(
+        "f0",
+        "f1",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)).alias("t_total"),
+    )
+    weight = F.pow(F.lit(0.2), F.col("t_total") - F.col("rn")) * F.when(
+        F.col("rn") == 1, F.lit(1.0)
+    ).otherwise(F.lit(0.8))
+    return ranked.agg(
+        F.round(F.sum(weight * F.col("f0")), 4).alias("w0"),
+        F.round(F.sum(weight * F.col("f1")), 4).alias("w1"),
+        F.max("t_total").alias("n_batches"),
+    )

@@ -1,0 +1,85 @@
+"""Query registry — the contract surface the driver checks.
+
+Each operator from SURVEY.md §2.2 registers (a) a PySpark builder
+`fn(spark, sf_dir) -> DataFrame` and (b) optionally an equivalent
+ANSI-SQL string for the DuckDB oracle. `__spark_entry__.queries()` /
+`oracle_sql()` are thin views over this registry.
+
+Hash-match hygiene (SURVEY.md §2.2 rules, enforced by convention in
+every registered query):
+- ROUND(expr, 4) on every float produced by a multi-row aggregate, on
+  BOTH sides (summation order differs between engines).
+- Deterministic arithmetic bucketing (`key % K`), never engine hashes.
+- Identical aliases for every computed column on both sides.
+- Timestamps are projected as formatted strings or epoch bigints.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass(frozen=True)
+class Query:
+    name: str
+    fn: QueryFn
+    oracle: str | None  # ANSI SQL for DuckDB; None => rows-only check
+    doc: str = ""
+
+
+REGISTRY: dict[str, Query] = {}
+
+
+def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in REGISTRY:
+            raise ValueError(f"duplicate query registration: {name}")
+        REGISTRY[name] = Query(name, fn, oracle, doc=(fn.__doc__ or "").strip())
+        return fn
+
+    return deco
+
+
+def queries() -> dict[str, QueryFn]:
+    _ensure_loaded()
+    return {name: q.fn for name, q in REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    _ensure_loaded()
+    return {name: q.oracle for name, q in REGISTRY.items() if q.oracle is not None}
+
+
+_LOADED = False
+
+
+def _ensure_loaded() -> None:
+    """Import every module that registers queries (idempotent)."""
+    global _LOADED
+    if _LOADED:
+        return
+    from meta_iterative_mapreduce_spark.operators import (  # noqa: F401
+        dedup,
+        multimodal,
+        regression,
+        similarity,
+        text,
+    )
+    from meta_iterative_mapreduce_spark.plans import (  # noqa: F401
+        aggregates,
+        joins,
+        scalars,
+        scans,
+        setops,
+        sorts,
+        udfs,
+        windows,
+    )
+    from meta_iterative_mapreduce_spark.streaming import batch_analogs  # noqa: F401
+
+    _LOADED = True
