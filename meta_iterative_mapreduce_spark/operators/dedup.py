@@ -1,0 +1,259 @@
+"""Deduplication operators for LLM data pipelines (SURVEY.md §2.2 L).
+
+Four tiers, cheap→thorough, all shuffle-frugal:
+- exact dedup: one hash aggregate on the text (or a normalized form);
+- blocked exact n-gram Jaccard: cheap blocking key bounds the
+  candidate pairs, then an explode+join computes exact set overlap —
+  the "verify" stage of a production near-dup pipeline;
+- MinHash + LSH banding: the scale path for all-pairs near-dup at
+  100 TB — signature computation is embarrassingly parallel, and the
+  only shuffle is the band-bucket groupBy (candidates only, never n²);
+- SimHash: 32-bit bitwise fingerprint via token-hash bit votes.
+
+MinHash/SimHash use Spark's crc32 (engine-specific) → rows-only
+checks; the exact tiers are DuckDB-oracle-checked.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from meta_iterative_mapreduce_spark.io import load_table
+from meta_iterative_mapreduce_spark.registry import register
+
+# Deterministic MinHash permutation parameters (fixed linear-congruential
+# mixes of the shingle hash): h_i(x) = (a_i * (x mod p) + b_i) mod p.
+# p = 2^31 − 1 keeps every intermediate below 2^62 (no bigint overflow:
+# (x mod p) < 2^31 and a_i < 2^31).
+_MERSENNE_P = (1 << 31) - 1
+_N_HASHES = 32
+_N_BANDS = 8  # 8 bands × 4 rows
+_A = [(i * 2654435761 + 1) % _MERSENNE_P or 1 for i in range(1, _N_HASHES + 1)]
+_B = [(i * 40503 + 7) % _MERSENNE_P for i in range(1, _N_HASHES + 1)]
+
+
+@register(
+    "q_dedup_exact",
+    oracle="""
+    SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies, MIN(n_chars) AS n_chars
+    FROM documents
+    GROUP BY text
+    """,
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: group by full text, keep the smallest doc_id.
+    One hash aggregate; at scale, group on md5(text) instead to keep
+    shuffle keys small (same grouping, 16-byte keys)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy("text").agg(
+        F.min("doc_id").alias("keep_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+        F.min("n_chars").alias("n_chars"),
+    ).drop("text")
+
+
+@register(
+    "q_dedup_exact_norm",
+    oracle="""
+    SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY REGEXP_REPLACE(TRIM(LOWER(text)), ' +', ' ', 'g')
+    """,
+)
+def q_dedup_exact_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized exact dedup: lowercase + trim + collapse whitespace
+    before grouping (catches trivial near-dups exactly)."""
+    d = load_table(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.trim(F.lower(F.col("text"))), " +", " ")
+    return (
+        d.groupBy(norm.alias("norm_text"))
+        .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+        .drop("norm_text")
+    )
+
+
+@register(
+    "q_dedup_ngram_jaccard",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, lang, LENGTH(text) AS tlen,
+               unnest(list_distinct(string_split(text, ' '))) AS token
+        FROM documents
+    ), sizes AS (
+        SELECT doc_id, COUNT(*) AS n_tok FROM toks GROUP BY doc_id
+    ), inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+        FROM toks a JOIN toks b
+          ON a.token = b.token AND a.lang = b.lang AND a.tlen = b.tlen
+         AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT i.doc_a, i.doc_b,
+           ROUND(CAST(i.n_inter AS DOUBLE)
+                 / (sa.n_tok + sb.n_tok - i.n_inter), 4) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.doc_a
+    JOIN sizes sb ON sb.doc_id = i.doc_b
+    """,
+)
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked exact Jaccard: candidate pairs share a cheap blocking key
+    (lang, char length); exact token-set overlap via explode + equi-join.
+    The blocking key bounds the quadratic stage — the same role LSH
+    buckets play at scale."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        "lang",
+        F.length("text").alias("tlen"),
+        F.explode(F.array_distinct(F.split("text", " "))).alias("token"),
+    )
+    sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tok"))
+    a = toks.alias("a")
+    b = toks.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.token") == F.col("b.token"))
+            & (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.tlen") == F.col("b.tlen"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    return (
+        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("n_inter").cast("double")
+                / (F.col("sa.n_tok") + F.col("sb.n_tok") - F.col("n_inter")),
+                4,
+            ).alias("jaccard"),
+        )
+    )
+
+
+def minhash_signatures(d: DataFrame, shingle_width: int = 3) -> DataFrame:
+    """(doc_id, sig: array<bigint>) — MinHash over word shingles.
+
+    Shingle hash = crc32 of the joined shingle text; each of the
+    _N_HASHES permutations is a fixed linear mix mod a Mersenne prime.
+    Everything is built-in expressions over arrays — no Python, no
+    shuffle; signatures compute scan-locally.
+    """
+    toks = F.split("text", " ")
+    n = F.size(toks)
+    shingles = F.transform(
+        F.sequence(F.lit(0), n - shingle_width),
+        lambda i: F.crc32(
+            F.array_join(F.slice(toks, i + 1, shingle_width), " ").cast("binary")
+        ),
+    )
+    def perm_min(a_i: int, b_i: int):
+        # closure factory: pyspark lambdas must take exactly the
+        # higher-order-function arity, so constants bind via closure
+        return F.array_min(
+            F.transform(
+                shingles,
+                lambda h: ((h % _MERSENNE_P) * F.lit(a_i) + F.lit(b_i))
+                % F.lit(_MERSENNE_P),
+            )
+        )
+
+    sig = F.array(*[perm_min(a_i, b_i) for a_i, b_i in zip(_A, _B)])
+    return d.select("doc_id", sig.alias("sig"))
+
+
+@register("q_dedup_near_minhash")  # rows-only: crc32-based signatures
+def q_dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH banding near-dup detection, the 100 TB path:
+    shingle → 32 minhashes → 8 bands of 4 → band-bucket groupBy →
+    candidate pairs → signature-agreement estimate of Jaccard.
+
+    The only shuffle is on (band_id, band_signature); the quadratic
+    pair expansion happens strictly within buckets.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    sigs = minhash_signatures(d)
+    rows_per_band = _N_HASHES // _N_BANDS
+    banded = sigs.select(
+        "doc_id",
+        "sig",
+        F.posexplode(
+            F.array(
+                *[
+                    F.array_join(
+                        F.transform(
+                            F.slice("sig", b * rows_per_band + 1, rows_per_band),
+                            lambda x: x.cast("string"),
+                        ),
+                        "_",
+                    )
+                    for b in range(_N_BANDS)
+                ]
+            )
+        ).alias("band_id", "band_sig"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_sig") == F.col("b.band_sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    est = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+            lambda m: m,
+        )
+    ).cast("double") / F.lit(float(_N_HASHES))
+    return pairs.select(
+        "doc_a", "doc_b", F.round(est, 4).alias("jaccard_est")
+    ).orderBy("doc_a", "doc_b")
+
+
+@register("q_dedup_simhash")  # rows-only: crc32-based fingerprint
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash: 32-bit fingerprint from per-token crc32 bit votes.
+    Docs whose fingerprints agree on most bits are near-dups; grouping
+    by fingerprint prefix gives cheap candidate buckets."""
+    d = load_table(spark, sf_dir, "documents")
+    tok_hashes = F.transform(
+        F.array_distinct(F.split("text", " ")), lambda t: F.crc32(t.cast("binary"))
+    )
+    # vote_b = #tokens with bit b set − #tokens with bit b clear
+    def bit_vote(bit: int):
+        vote = F.aggregate(
+            tok_hashes,
+            F.lit(0),
+            lambda acc, h: acc
+            + F.when(F.shiftright(h, bit) % 2 == 1, F.lit(1)).otherwise(F.lit(-1)),
+        )
+        return F.when(vote > 0, F.lit(1 << bit)).otherwise(F.lit(0))
+
+    fingerprint = bit_vote(0)
+    for bit in range(1, 32):
+        fingerprint = fingerprint + bit_vote(bit)
+    return d.select(
+        "doc_id",
+        fingerprint.cast("bigint").alias("simhash"),
+    ).orderBy("doc_id")

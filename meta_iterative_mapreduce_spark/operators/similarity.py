@@ -1,0 +1,235 @@
+"""Embedding similarity search (SURVEY.md §2.2 L).
+
+Three tiers:
+- brute-force cosine top-k against a probe vector — the exactness
+  baseline; one scan, JVM-side higher-order functions (zip_with /
+  aggregate), TakeOrderedAndProject top-k (no global sort);
+- sign-LSH (random-hyperplane) bucketed ANN — the scale path: the
+  probe only scans its own bucket, so a 1000-executor cluster probes
+  1/2^n_planes of the data; bucket assignment is scan-local;
+- k-NN join between label centroids — bounded N² on the (tiny)
+  aggregated side, never on the raw vectors.
+
+The probe vector and hyperplanes are fixed literal constants embedded
+identically in the Spark plans and the oracle SQL.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from meta_iterative_mapreduce_spark.io import load_table
+from meta_iterative_mapreduce_spark.registry import register
+
+_DIM = 64
+
+# Fixed probe: 1/8 in every dimension (unit L2 norm at dim 64).
+_PROBE = [0.125] * _DIM
+
+# Deterministic "random" hyperplanes for sign-LSH, from a fixed seed.
+_N_PLANES = 6
+_rng = random.Random(42)
+_PLANES = [
+    [_rng.gauss(0.0, 1.0) for _ in range(_DIM)] for _ in range(_N_PLANES)
+]
+
+
+def _dot_sql(vec_expr: str, const: list[float]) -> str:
+    """DuckDB SQL for dot(vec, const) in double precision, sequential
+    left-to-right fold (list_sum over per-element products)."""
+    arr = "[" + ", ".join(repr(c) for c in const) + "]"
+    return (
+        f"list_sum(list_transform(list_zip({vec_expr}, {arr}), "
+        f"p -> CAST(p[1] AS DOUBLE) * p[2]))"
+    )
+
+
+def dot_probe(col, const: list[float]):
+    """Spark Column: dot(col, const) via zip_with + aggregate (JVM-side)."""
+    arr = F.array(*[F.lit(c) for c in const])
+    return F.aggregate(
+        F.zip_with(col, arr, lambda x, y: x.cast("double") * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2_norm(col):
+    return F.sqrt(
+        F.aggregate(
+            F.transform(col, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+_NORM_SQL = (
+    "sqrt(list_sum(list_transform(embedding,"
+    " x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+)
+
+
+@register(
+    "q_sim_cosine_topk",
+    oracle=f"""
+    SELECT vec_id,
+           ROUND({_dot_sql('embedding', _PROBE)} / {_NORM_SQL}, 4) AS cos_sim
+    FROM embeddings
+    ORDER BY cos_sim DESC, vec_id
+    LIMIT 10
+    """,
+)
+def q_sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 against the fixed probe vector.
+    orderBy(...).limit(k) plans as TakeOrderedAndProject: per-partition
+    heaps, no global sort — the right baseline at any scale."""
+    e = load_table(spark, sf_dir, "embeddings")
+    cos = F.round(dot_probe(F.col("embedding"), _PROBE) / l2_norm(F.col("embedding")), 4)
+    return (
+        e.select("vec_id", cos.alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), "vec_id")
+        .limit(10)
+    )
+
+
+def _bucket_sql() -> str:
+    terms = [
+        f"(CASE WHEN {_dot_sql('embedding', p)} > 0 THEN {1 << j} ELSE 0 END)"
+        for j, p in enumerate(_PLANES)
+    ]
+    return " + ".join(terms)
+
+
+def lsh_bucket(col):
+    """Sign-LSH bucket id: bit j set iff dot(embedding, plane_j) > 0."""
+    b = F.lit(0)
+    for j, p in enumerate(_PLANES):
+        b = b + F.when(dot_probe(col, p) > 0, F.lit(1 << j)).otherwise(F.lit(0))
+    return b
+
+
+def _probe_bucket() -> int:
+    bucket = 0
+    for j, p in enumerate(_PLANES):
+        if sum(a * b for a, b in zip(_PROBE, p)) > 0:
+            bucket |= 1 << j
+    return bucket
+
+
+@register(
+    "q_sim_ann_lsh",
+    oracle=f"""
+    SELECT vec_id, bucket,
+           ROUND(dot_p / {_NORM_SQL.replace('embedding', 'embedding')}, 4) AS cos_sim
+    FROM (
+        SELECT vec_id, embedding,
+               ({_bucket_sql()}) AS bucket,
+               {_dot_sql('embedding', _PROBE)} AS dot_p
+        FROM embeddings
+    )
+    WHERE bucket = {_probe_bucket()}
+    ORDER BY cos_sim DESC, vec_id
+    LIMIT 5
+    """,
+)
+def q_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate nearest neighbors via sign-LSH: score only the
+    probe's hyperplane-sign bucket (~1/2^6 of the data), then exact
+    cosine top-5 within it. Bucket assignment is scan-local; at scale
+    the table is written bucketed/partitioned by this id so the probe
+    prunes partitions."""
+    e = load_table(spark, sf_dir, "embeddings")
+    bucketed = e.select(
+        "vec_id",
+        "embedding",
+        lsh_bucket(F.col("embedding")).alias("bucket"),
+        dot_probe(F.col("embedding"), _PROBE).alias("dot_p"),
+    )
+    return (
+        bucketed.filter(F.col("bucket") == _probe_bucket())
+        .select(
+            "vec_id",
+            "bucket",
+            F.round(F.col("dot_p") / l2_norm(F.col("embedding")), 4).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), "vec_id")
+        .limit(5)
+    )
+
+
+@register(
+    "q_sim_knn_join",
+    oracle="""
+    WITH dims AS (
+        SELECT label, unnest(embedding) AS v,
+               generate_subscripts(embedding, 1) AS dim
+        FROM embeddings
+    ), cent AS (
+        SELECT label, dim, AVG(CAST(v AS DOUBLE)) AS c FROM dims GROUP BY label, dim
+    ), dots AS (
+        SELECT a.label AS label_a, b.label AS label_b,
+               SUM(a.c * b.c) AS dot,
+               SQRT(SUM(a.c * a.c)) AS na, SQRT(SUM(b.c * b.c)) AS nb
+        FROM cent a JOIN cent b ON a.dim = b.dim AND a.label <> b.label
+        GROUP BY a.label, b.label
+    ), scored AS (
+        SELECT label_a, label_b, ROUND(dot / (na * nb), 4) AS cos_sim,
+               ROW_NUMBER() OVER (PARTITION BY label_a
+                   ORDER BY ROUND(dot / (na * nb), 4) DESC, label_b) AS rn
+        FROM dots
+    )
+    SELECT label_a, label_b, cos_sim FROM scored WHERE rn <= 3
+    """,
+)
+def q_sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN join over label centroids: aggregate 64-dim centroids per
+    label (explode to (label, dim) — one shuffle on a tiny key space),
+    then pairwise cosine on the 10×10 centroid pairs and top-3 per
+    label. The N² stage only ever touches the aggregated centroids.
+
+    Summation over the dim-join is ordered identically in both engines?
+    No — but each (label_a, label_b) dot sums exactly 64 products of
+    averaged values; ROUND(...,4) absorbs association differences.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    dims = e.select(
+        "label", F.posexplode("embedding").alias("dim", "v")
+    )
+    cent = dims.groupBy("label", "dim").agg(
+        F.avg(F.col("v").cast("double")).alias("c")
+    )
+    a, b = cent.alias("a"), cent.alias("b")
+    dots = (
+        a.join(
+            b,
+            (F.col("a.dim") == F.col("b.dim"))
+            & (F.col("a.label") != F.col("b.label")),
+        )
+        .groupBy(
+            F.col("a.label").alias("label_a"), F.col("b.label").alias("label_b")
+        )
+        .agg(
+            F.sum(F.col("a.c") * F.col("b.c")).alias("dot"),
+            F.sqrt(F.sum(F.col("a.c") * F.col("a.c"))).alias("na"),
+            F.sqrt(F.sum(F.col("b.c") * F.col("b.c"))).alias("nb"),
+        )
+    )
+    cos = F.round(F.col("dot") / (F.col("na") * F.col("nb")), 4)
+    w = W.partitionBy("label_a").orderBy(cos.desc(), "label_b")
+    return (
+        dots.select("label_a", "label_b", cos.alias("cos_sim"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("label_a").orderBy(F.col("cos_sim").desc(), "label_b")
+            ),
+        )
+        .filter(F.col("rn") <= 3)
+        .select("label_a", "label_b", "cos_sim")
+    )

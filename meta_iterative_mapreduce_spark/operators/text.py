@@ -1,0 +1,262 @@
+"""Text-analysis operators for LLM data pipelines (SURVEY.md §2.2 L).
+
+Tokenization, per-document statistics, TF-IDF, heuristic language ID,
+quality scoring, and shingle fingerprinting — all as declarative
+DataFrame plans (explode/split/higher-order functions, no Python in
+the hot path). At 100 TB each of these is a scan + one keyed shuffle;
+word-level aggregates use map-side partial aggregation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from meta_iterative_mapreduce_spark.io import load_table
+from meta_iterative_mapreduce_spark.registry import register
+
+
+def tokens(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """One (doc_id, token) row per whitespace token — the canonical
+    map phase of word count."""
+    return df.select(
+        "doc_id", F.explode(F.split(F.col(text_col), " ")).alias("token")
+    )
+
+
+@register(
+    "q_text_tokens",
+    oracle="""
+    SELECT token, COUNT(*) AS cnt
+    FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+    GROUP BY token
+    """,
+)
+def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word count — the canonical MapReduce demo: explode + hash agg
+    with map-side combine."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+@register(
+    "q_text_stats",
+    oracle="""
+    SELECT doc_id, lang,
+           CAST(LENGTH(string_split(text, ' ')) AS INT) AS n_tokens,
+           LENGTH(text) AS n_chars_computed,
+           ROUND(CAST(LENGTH(REPLACE(text, ' ', '')) AS DOUBLE)
+                 / LENGTH(string_split(text, ' ')), 4) AS avg_token_len,
+           CAST(LENGTH(string_split(text, ' ')) AS INT)
+               - CAST(LENGTH(list_distinct(string_split(text, ' '))) AS INT)
+               AS n_repeated
+    FROM documents
+    """,
+)
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document statistics: token count, char count, average token
+    length, repeated-token count (token counting via whitespace split)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    return d.select(
+        "doc_id",
+        "lang",
+        F.size(toks).alias("n_tokens"),
+        F.length("text").alias("n_chars_computed"),
+        F.round(
+            F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+            .cast("double")
+            / F.size(toks),
+            4,
+        ).alias("avg_token_len"),
+        (F.size(toks) - F.size(F.array_distinct(toks))).alias("n_repeated"),
+    )
+
+
+# Tiny per-language lexicons for the n-gram/stopword language-ID
+# heuristic. The fixture vocabulary is synthetic, so these are split
+# from the observed vocab; the *mechanism* (lexicon-hit scoring with a
+# deterministic argmax) is the real operator.
+_LEXICONS = {
+    "en": ("the", "fast", "small", "key", "order"),
+    "es": ("sort", "merge", "join", "scan", "table"),
+    "de": ("hash", "batch", "stream", "spark", "window"),
+    "fr": ("dup", "part", "row", "col", "group"),
+}
+
+
+def _lex_sql(lang: str) -> str:
+    vals = ", ".join(f"'{w}'" for w in _LEXICONS[lang])
+    return (
+        f"CAST(LENGTH(list_filter(string_split(text, ' '),"
+        f" x -> list_contains([{vals}], x))) AS INT)"
+    )
+
+
+@register(
+    "q_text_langid",
+    oracle=f"""
+    WITH scored AS (
+        SELECT doc_id, lang,
+               {_lex_sql('en')} AS s_en,
+               {_lex_sql('es')} AS s_es,
+               {_lex_sql('de')} AS s_de,
+               {_lex_sql('fr')} AS s_fr
+        FROM documents
+    )
+    SELECT doc_id, lang, s_en, s_es, s_de, s_fr,
+           CASE WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+                WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+                WHEN s_es >= s_fr THEN 'es'
+                ELSE 'fr' END AS lang_pred
+    FROM scored
+    """,
+)
+def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID: lexicon-hit scores per language + a
+    deterministic argmax (ties broken in fixed order de>en>es>fr)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+
+    def score(lang: str):
+        lex = F.array(*[F.lit(w) for w in _LEXICONS[lang]])
+        return F.size(F.filter(toks, lambda x: F.array_contains(lex, x)))
+
+    scored = d.select(
+        "doc_id",
+        "lang",
+        score("en").alias("s_en"),
+        score("es").alias("s_es"),
+        score("de").alias("s_de"),
+        score("fr").alias("s_fr"),
+    )
+    s_en, s_es, s_de, s_fr = (F.col(c) for c in ("s_en", "s_es", "s_de", "s_fr"))
+    return scored.withColumn(
+        "lang_pred",
+        F.when((s_de >= s_en) & (s_de >= s_es) & (s_de >= s_fr), "de")
+        .when((s_en >= s_es) & (s_en >= s_fr), "en")
+        .when(s_es >= s_fr, "es")
+        .otherwise("fr"),
+    )
+
+
+@register(
+    "q_text_quality",
+    oracle="""
+    SELECT doc_id,
+           CAST(LENGTH(string_split(text, ' ')) AS INT) AS n_tokens,
+           ROUND(CAST(LENGTH(list_filter(string_split(text, ' '),
+                 x -> list_contains(['the','of','and','a','scan','join'], x)))
+                 AS DOUBLE)
+                 / LENGTH(string_split(text, ' ')), 4) AS stopword_ratio,
+           CAST(LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[.,!?]', '', 'g'))
+                AS INT) AS n_punct,
+           (LENGTH(string_split(text, ' ')) BETWEEN 20 AND 80) AS len_ok
+    FROM documents
+    """,
+)
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: stopword ratio, punctuation count, length gate —
+    the standard cheap filters before expensive LLM-pipeline stages."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    stop = F.array(*[F.lit(w) for w in ("the", "of", "and", "a", "scan", "join")])
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.round(
+            F.size(F.filter(toks, lambda x: F.array_contains(stop, x))).cast("double")
+            / F.size(toks),
+            4,
+        ).alias("stopword_ratio"),
+        (
+            F.length("text")
+            - F.length(F.regexp_replace(F.col("text"), "[.,!?]", ""))
+        ).alias("n_punct"),
+        F.size(toks).between(20, 80).alias("len_ok"),
+    )
+
+
+@register(
+    "q_text_tfidf",
+    oracle="""
+    WITH tf AS (
+        SELECT doc_id, token, COUNT(*) AS tf
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+              FROM documents)
+        GROUP BY doc_id, token
+    ), df AS (
+        SELECT token, COUNT(*) AS df FROM tf GROUP BY token
+    ), n AS (
+        SELECT COUNT(*) AS n_docs FROM documents
+    ), scored AS (
+        SELECT tf.doc_id, tf.token,
+               ROUND(tf.tf * LN(CAST(n.n_docs AS DOUBLE) / df.df), 4) AS tfidf
+        FROM tf JOIN df ON tf.token = df.token CROSS JOIN n
+    )
+    SELECT doc_id, token, tfidf FROM (
+        SELECT doc_id, token, tfidf,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                   ORDER BY tfidf DESC, token) AS rn
+        FROM scored
+    ) WHERE rn <= 3
+    """,
+)
+def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF: term frequency × inverse document frequency, top-3 terms
+    per document. The document-frequency side is a small aggregate —
+    broadcast-joined back to the term-frequency table (no big shuffle)."""
+    d = load_table(spark, sf_dir, "documents")
+    tf = (
+        tokens(d)
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = d.count()  # O(1) driver scalar, like the reference's m (kernel.cu:95)
+    scored = tf.join(F.broadcast(df), "token").select(
+        "doc_id",
+        "token",
+        F.round(
+            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 4
+        ).alias("tfidf"),
+    )
+    w = W.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "token")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "token", "tfidf")
+    )
+
+
+@register(
+    "q_text_fingerprint",
+    oracle="""
+    SELECT d.doc_id,
+           md5(d.text) AS doc_md5,
+           MIN(md5(SUBSTR(d.text, CAST(t.i AS INT), 8))) AS min_shingle
+    FROM documents d,
+         UNNEST(generate_series(1, LENGTH(d.text) - 7)) AS t(i)
+    GROUP BY d.doc_id, d.text
+    """,
+)
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: whole-doc md5 + rolling-window shingle
+    fingerprint (min md5 over all char 8-grams — a 1-permutation
+    MinHash). md5 is bit-identical across engines, so this is fully
+    oracle-checkable, unlike engine-native hash functions."""
+    d = load_table(spark, sf_dir, "documents")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.length("text") - 7),
+        lambda i: F.md5(F.col("text").substr(i, F.lit(8))),
+    )
+    return d.select(
+        "doc_id",
+        F.md5("text").alias("doc_md5"),
+        F.array_min(grams).alias("min_shingle"),
+    )

@@ -1,0 +1,182 @@
+"""Scalar function families (SURVEY.md §2.2 H).
+
+All expressions are built-in `pyspark.sql.functions` — JVM-side,
+inside whole-stage codegen, never Python. Transcendentals (ln, log10,
+pow) are ROUND(...,4)-ed since libm implementations may differ in the
+last ulp across engines; structural functions (substr, concat, date
+parts, array ops) are exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from meta_iterative_mapreduce_spark.io import load_table
+from meta_iterative_mapreduce_spark.registry import register
+
+
+@register(
+    "q_scalar_string",
+    oracle="""
+    SELECT p_partkey,
+           UPPER(p_name) AS name_upper,
+           LOWER(p_brand) AS brand_lower,
+           SUBSTR(p_name, 1, 5) AS name_pfx,
+           LENGTH(p_name) AS name_len,
+           CONCAT(p_brand, '/', p_type) AS brand_type,
+           TRIM(CONCAT('  ', p_name, '  ')) AS name_trim,
+           string_split(p_name, ' ')[1] AS first_word,
+           CAST(LENGTH(string_split(p_name, ' ')) AS INT) AS n_words,
+           regexp_extract(p_brand, '#([0-9]+)', 1) AS brand_num,
+           REPLACE(p_type, 'ECONOMY', 'ECON') AS type_short
+    FROM part
+    """,
+)
+def q_scalar_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String functions: case, substring, length, concat, trim, split,
+    regexp_extract, replace."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.lower("p_brand").alias("brand_lower"),
+        F.substring("p_name", 1, 5).alias("name_pfx"),
+        F.length("p_name").alias("name_len"),
+        F.concat(F.col("p_brand"), F.lit("/"), F.col("p_type")).alias("brand_type"),
+        F.trim(F.concat(F.lit("  "), F.col("p_name"), F.lit("  "))).alias("name_trim"),
+        F.split("p_name", " ").getItem(0).alias("first_word"),
+        F.size(F.split("p_name", " ")).alias("n_words"),
+        F.regexp_extract("p_brand", "#([0-9]+)", 1).alias("brand_num"),
+        F.replace(F.col("p_type"), F.lit("ECONOMY"), F.lit("ECON")).alias("type_short"),
+    )
+
+
+@register(
+    "q_scalar_date",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS INT) AS yr,
+           CAST(month(o_orderdate) AS INT) AS mo,
+           CAST(day(o_orderdate) AS INT) AS dom,
+           CAST(dayofweek(o_orderdate) AS INT) AS dow,
+           strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+           CAST(datediff('day', TIMESTAMP '1995-01-01', o_orderdate) AS INT) AS days_since_95,
+           strftime(o_orderdate + INTERVAL 30 DAY, '%Y-%m-%d') AS due_date,
+           strftime(o_orderdate, '%Y-%m-%d') AS od
+    FROM orders
+    """,
+)
+def q_scalar_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time functions: parts extraction, truncation, diff, add.
+
+    DuckDB dayofweek is 0=Sunday..6; Spark dayofweek is 1=Sunday..7,
+    so Spark subtracts 1 to align.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mo"),
+        F.dayofmonth("o_orderdate").alias("dom"),
+        (F.dayofweek("o_orderdate") - 1).alias("dow"),
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd").alias(
+            "month_start"
+        ),
+        F.datediff(
+            F.col("o_orderdate"), F.lit("1995-01-01").cast("timestamp")
+        ).alias("days_since_95"),
+        F.date_format(F.date_add(F.col("o_orderdate"), 30), "yyyy-MM-dd").alias(
+            "due_date"
+        ),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("od"),
+    )
+
+
+@register(
+    "q_scalar_math",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           ABS(l_extendedprice - 50000.0) AS abs_dev,
+           CAST(CEIL(l_extendedprice / 1000.0) AS BIGINT) AS price_kceil,
+           CAST(FLOOR(l_extendedprice / 1000.0) AS BIGINT) AS price_kfloor,
+           SQRT(l_quantity) AS qty_sqrt,
+           ROUND(LN(l_extendedprice), 4) AS price_ln,
+           ROUND(LOG10(l_extendedprice), 4) AS price_log10,
+           ROUND(POWER(l_quantity, 1.5), 4) AS qty_pow,
+           SIGN(l_extendedprice - 50000.0) AS dev_sign,
+           CAST(l_quantity AS BIGINT) % 7 AS qty_mod7
+    FROM lineitem
+    WHERE l_orderkey % 100 = 0
+    """,
+)
+def q_scalar_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math functions: abs/ceil/floor/sqrt/ln/log10/power/sign/mod.
+    sqrt is IEEE-exact (no rounding); ln/log10/power are rounded."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(F.col("l_orderkey") % 100 == 0).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.abs(F.col("l_extendedprice") - 50000.0).alias("abs_dev"),
+        F.ceil(F.col("l_extendedprice") / 1000.0).alias("price_kceil"),
+        F.floor(F.col("l_extendedprice") / 1000.0).alias("price_kfloor"),
+        F.sqrt("l_quantity").alias("qty_sqrt"),
+        F.round(F.log(F.col("l_extendedprice")), 4).alias("price_ln"),
+        F.round(F.log10("l_extendedprice"), 4).alias("price_log10"),
+        F.round(F.pow("l_quantity", F.lit(1.5)), 4).alias("qty_pow"),
+        F.signum(F.col("l_extendedprice") - 50000.0).alias("dev_sign"),
+        (F.col("l_quantity").cast("bigint") % 7).alias("qty_mod7"),
+    )
+
+
+@register(
+    "q_scalar_array",
+    oracle="""
+    SELECT vec_id,
+           CAST(LENGTH(embedding) AS INT) AS dim,
+           CAST(embedding[1] AS DOUBLE) AS e0,
+           ROUND(list_sum(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 4) AS l2sq,
+           CAST(LENGTH(list_filter(embedding, x -> x > 0)) AS INT) AS n_pos,
+           ROUND(CAST(list_max(embedding) AS DOUBLE), 4) AS emb_max
+    FROM embeddings
+    """,
+)
+def q_scalar_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array functions: size, element access, higher-order transform +
+    aggregate (squared L2 norm), filter, array_max — all JVM-side
+    (no UDF) via Spark's higher-order functions."""
+    e = load_table(spark, sf_dir, "embeddings")
+    elem_sq = F.transform(
+        "embedding", lambda x: x.cast("double") * x.cast("double")
+    )
+    return e.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.col("embedding").getItem(0).cast("double").alias("e0"),
+        F.round(
+            F.aggregate(elem_sq, F.lit(0.0), lambda acc, x: acc + x), 4
+        ).alias("l2sq"),
+        F.size(F.filter("embedding", lambda x: x > 0)).alias("n_pos"),
+        F.round(F.array_max("embedding").cast("double"), 4).alias("emb_max"),
+    )
+
+
+@register(
+    "q_scalar_json",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS INT) AS k_val,
+           (CAST(json_extract_string(props, '$.k') AS INT) >= 50) AS k_high
+    FROM events
+    """,
+)
+def q_scalar_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON field extraction from the events.props string column."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return ev.select(
+        "event_id",
+        k.alias("k_val"),
+        (k >= 50).alias("k_high"),
+    )

@@ -1,0 +1,158 @@
+"""Scans, projections, filters (SURVEY.md §2.2 A-B).
+
+The reference's only scan was an interactive stdin read into column
+arrays (kernel.cu:92-104). Here scans are columnar parquet reads where
+Catalyst pushes predicates and prunes columns down to the file reader
+— verified in tests via PushedFilters/ReadSchema in the physical plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from meta_iterative_mapreduce_spark.io import load_table
+from meta_iterative_mapreduce_spark.registry import register
+
+
+@register(
+    "q_scan_parquet",
+    oracle="""
+    SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity,
+           l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus,
+           strftime(l_shipdate, '%Y-%m-%d') AS l_shipdate
+    FROM lineitem
+    """,
+)
+def q_scan_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-table parquet scan (timestamps projected as date strings for
+    engine-neutral hashing)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_partkey",
+        "l_suppkey",
+        "l_linenumber",
+        "l_quantity",
+        "l_extendedprice",
+        "l_discount",
+        "l_tax",
+        "l_returnflag",
+        "l_linestatus",
+        F.date_format("l_shipdate", "yyyy-MM-dd").alias("l_shipdate"),
+    )
+
+
+@register(
+    "q_scan_projection_pushdown",
+    oracle="""
+    SELECT l_orderkey, l_quantity
+    FROM lineitem
+    WHERE l_shipdate < TIMESTAMP '1998-01-01'
+    """,
+)
+def q_scan_projection_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-column projection + filter; Catalyst pushes both to the parquet
+    reader (ReadSchema = 3 cols, PushedFilters = LessThan(l_shipdate))."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(
+        F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp")
+    ).select("l_orderkey", "l_quantity")
+
+
+@register(
+    "q_project_compute",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice * (1 - l_discount) AS revenue,
+           l_extendedprice * (1 - l_discount) * (1 + l_tax) AS charge,
+           CASE WHEN l_quantity >= 40 THEN 'bulk'
+                WHEN l_quantity >= 15 THEN 'mid'
+                ELSE 'small' END AS qty_class
+    FROM lineitem
+    """,
+)
+def q_project_compute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Computed columns: arithmetic expressions + CASE WHEN.
+
+    Per-row IEEE arithmetic with identical operation order is
+    bit-deterministic across engines, so no ROUND is applied (ROUND
+    itself is the hazard here: exact 5th-decimal ties round differently
+    in Spark's BigDecimal HALF_UP vs DuckDB's double rounding).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+        (
+            F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
+        ).alias("charge"),
+        F.when(F.col("l_quantity") >= 40, F.lit("bulk"))
+        .when(F.col("l_quantity") >= 15, F.lit("mid"))
+        .otherwise(F.lit("small"))
+        .alias("qty_class"),
+    )
+
+
+@register(
+    "q_filter_comparison",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity, l_discount
+    FROM lineitem
+    WHERE (l_quantity <= 5 OR l_quantity > 45)
+      AND l_discount >= 0.05
+      AND NOT (l_returnflag = 'A')
+    """,
+)
+def q_filter_comparison(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Comparison predicates composed with AND/OR/NOT."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(
+        ((F.col("l_quantity") <= 5) | (F.col("l_quantity") > 45))
+        & (F.col("l_discount") >= 0.05)
+        & ~(F.col("l_returnflag") == "A")
+    ).select("l_orderkey", "l_linenumber", "l_quantity", "l_discount")
+
+
+@register(
+    "q_filter_in_between_like",
+    oracle="""
+    SELECT o_orderkey, o_totalprice, o_orderpriority
+    FROM orders
+    WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+      AND o_totalprice BETWEEN 100000 AND 300000
+      AND o_orderstatus LIKE 'F%'
+    """,
+)
+def q_filter_in_between_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN-list, BETWEEN, and LIKE predicates."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.filter(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+        & F.col("o_totalprice").between(100000, 300000)
+        & F.col("o_orderstatus").like("F%")
+    ).select("o_orderkey", "o_totalprice", "o_orderpriority")
+
+
+@register(
+    "q_filter_null",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           (NULLIF(l_discount, 0.0) IS NULL) AS disc_is_null,
+           COALESCE(NULLIF(l_discount, 0.0), -1.0) AS disc_or_sentinel
+    FROM lineitem
+    WHERE l_quantity < 3
+    """,
+)
+def q_filter_null(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL semantics: the fixtures are null-free, so nulls are
+    synthesized with NULLIF, then tested with IS NULL / COALESCE."""
+    li = load_table(spark, sf_dir, "lineitem")
+    d = F.nullif(F.col("l_discount"), F.lit(0.0))
+    return li.filter(F.col("l_quantity") < 3).select(
+        "l_orderkey",
+        "l_linenumber",
+        d.isNull().alias("disc_is_null"),
+        F.coalesce(d, F.lit(-1.0)).alias("disc_or_sentinel"),
+    )

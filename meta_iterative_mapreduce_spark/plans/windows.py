@@ -1,0 +1,186 @@
+"""Window functions (SURVEY.md §2.2 E).
+
+Every ORDER BY inside a window carries a full tie-break key
+((l_orderkey, l_linenumber) is unique) so row_number and frame
+contents are deterministic across engines. Running sums are taken
+over integral-valued columns (cast to BIGINT) so no float summation
+order can bite; float frames (moving averages) stay on the exact
+integer grid or are ROUND(...,4)-ed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from meta_iterative_mapreduce_spark.io import load_table
+from meta_iterative_mapreduce_spark.registry import register
+
+
+@register(
+    "q_window_ranking",
+    oracle="""
+    SELECT * FROM (
+        SELECT l_returnflag, l_orderkey, l_linenumber, l_quantity,
+               ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                   ORDER BY l_quantity DESC, l_orderkey, l_linenumber) AS rn,
+               RANK() OVER (PARTITION BY l_returnflag
+                   ORDER BY l_quantity DESC) AS rnk,
+               DENSE_RANK() OVER (PARTITION BY l_returnflag
+                   ORDER BY l_quantity DESC) AS drnk
+        FROM lineitem
+    ) WHERE rn <= 1000
+    """,
+)
+def q_window_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """row_number / rank / dense_rank per group (rank windows ordered by
+    the tied value only; row_number fully tie-broken)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    w_full = W.partitionBy("l_returnflag").orderBy(
+        F.col("l_quantity").desc(), "l_orderkey", "l_linenumber"
+    )
+    w_qty = W.partitionBy("l_returnflag").orderBy(F.col("l_quantity").desc())
+    return (
+        li.select(
+            "l_returnflag",
+            "l_orderkey",
+            "l_linenumber",
+            "l_quantity",
+            F.row_number().over(w_full).alias("rn"),
+            F.rank().over(w_qty).alias("rnk"),
+            F.dense_rank().over(w_qty).alias("drnk"),
+        )
+        .filter(F.col("rn") <= 1000)
+    )
+
+
+@register(
+    "q_window_analytic",
+    oracle="""
+    SELECT l_suppkey, l_orderkey, l_linenumber, l_quantity,
+           LAG(l_quantity) OVER w AS prev_qty,
+           LEAD(l_quantity) OVER w AS next_qty,
+           FIRST_VALUE(l_quantity) OVER w AS first_qty,
+           LAST_VALUE(l_quantity) OVER
+               (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_qty
+    FROM lineitem
+    WINDOW w AS (PARTITION BY l_suppkey
+                 ORDER BY l_shipdate, l_orderkey, l_linenumber)
+    """,
+)
+def q_window_analytic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag / lead / first_value / last_value (explicit full frame for
+    last_value — the default frame ends at CURRENT ROW)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    w = W.partitionBy("l_suppkey").orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+    w_full = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return li.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        "l_quantity",
+        F.lag("l_quantity").over(w).alias("prev_qty"),
+        F.lead("l_quantity").over(w).alias("next_qty"),
+        F.first("l_quantity").over(w).alias("first_qty"),
+        F.last("l_quantity").over(w_full).alias("last_qty"),
+    )
+
+
+@register(
+    "q_window_frame_rows",
+    oracle="""
+    SELECT l_suppkey, l_orderkey, l_linenumber,
+           SUM(CAST(l_quantity AS BIGINT)) OVER
+               (PARTITION BY l_suppkey
+                ORDER BY l_shipdate, l_orderkey, l_linenumber
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_qty,
+           AVG(l_quantity) OVER
+               (PARTITION BY l_suppkey
+                ORDER BY l_shipdate, l_orderkey, l_linenumber
+                ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS qty_ma3
+    FROM lineitem
+    """,
+)
+def q_window_frame_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROWS frames: running sum (exact BIGINT — quantities are integral)
+    and a 3-row moving average (sums of ≤3 integral doubles are exact
+    in fp, so no rounding is needed)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    w = W.partitionBy("l_suppkey").orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+    return li.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        F.sum(F.col("l_quantity").cast("bigint"))
+        .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .alias("running_qty"),
+        F.avg("l_quantity").over(w.rowsBetween(-2, W.currentRow)).alias("qty_ma3"),
+    )
+
+
+@register(
+    "q_window_frame_range",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority,
+           ROUND(SUM(o_totalprice) OVER
+               (PARTITION BY o_orderpriority
+                ORDER BY CAST(epoch(o_orderdate) AS BIGINT)
+                RANGE BETWEEN 518400 PRECEDING AND CURRENT ROW), 4) AS sum_7d,
+           COUNT(*) OVER
+               (PARTITION BY o_orderpriority
+                ORDER BY CAST(epoch(o_orderdate) AS BIGINT)
+                RANGE BETWEEN 518400 PRECEDING AND CURRENT ROW) AS n_7d
+    FROM orders
+    """,
+)
+def q_window_frame_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame over epoch seconds: 7-day (6×86400 s back, value-
+    based) moving sum + count of order totals per priority.
+
+    A moving SUM of 2-decimal values stays on the 2-decimal grid, so
+    ROUND(...,4) is tie-free; a moving AVG would divide onto arbitrary
+    grids where exact 5th-decimal ties round differently per engine.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_orderpriority")
+        .orderBy(F.unix_timestamp("o_orderdate"))
+        .rangeBetween(-518400, W.currentRow)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(F.sum("o_totalprice").over(w), 4).alias("sum_7d"),
+        F.count(F.lit(1)).over(w).alias("n_7d"),
+    )
+
+
+@register(
+    "q_topk_per_group",
+    oracle="""
+    SELECT * FROM (
+        SELECT o_orderpriority, o_orderkey, o_totalprice,
+               ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                   ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        FROM orders
+    ) WHERE rn <= 3
+    """,
+)
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group via ranked-window filter (Spark pushes the rn<=k
+    limit into the window sort as a group-limit at planning time)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), "o_orderkey"
+    )
+    return (
+        o.select(
+            "o_orderpriority",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
+    )

@@ -1,0 +1,134 @@
+"""Deterministic batch forms of the streaming operators (SURVEY.md §2.2 I).
+
+Each windowed-aggregation semantics is implemented twice: the real
+Structured Streaming jobs live in `streaming.jobs`; these batch twins
+compute identical results on the same events table and are what the
+DuckDB oracle checks. Window identities are epoch-microsecond bucket
+starts (bigint) — engine-neutral, no timestamp hashing hazards.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from meta_iterative_mapreduce_spark.io import load_table
+from meta_iterative_mapreduce_spark.registry import register
+
+_5M = 300_000_000  # 5 minutes in µs
+_10M = 600_000_000
+_30M = 1_800_000_000
+
+
+@register(
+    "q_stream_tumbling",
+    oracle=f"""
+    SELECT (epoch_us(ts) // {_5M}) * {_5M} AS win_start_us,
+           event_type,
+           COUNT(*) AS n,
+           ROUND(SUM(value), 4) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 5-minute window aggregate (batch twin of
+    `F.window(ts, '5 minutes')` — same bucketing arithmetic)."""
+    e = load_table(spark, sf_dir, "events")
+    win = (F.unix_micros("ts") / _5M).cast("long") * _5M
+    return (
+        e.groupBy(win.alias("win_start_us"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+    )
+
+
+@register(
+    "q_stream_sliding",
+    oracle=f"""
+    WITH exploded AS (
+        SELECT unnest([ (epoch_us(ts) // {_5M}) * {_5M} - {_5M},
+                        (epoch_us(ts) // {_5M}) * {_5M} ]) AS win_start_us,
+               event_type, value
+        FROM events
+    )
+    SELECT win_start_us, event_type, COUNT(*) AS n,
+           ROUND(SUM(value), 4) AS sum_value
+    FROM exploded
+    GROUP BY 1, 2
+    """,
+)
+def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window (10-minute length, 5-minute slide): each event
+    belongs to exactly 2 windows, materialized by exploding the two
+    window starts (the same expansion `F.window(ts, '10m', '5m')`
+    performs internally)."""
+    e = load_table(spark, sf_dir, "events")
+    base = (F.unix_micros("ts") / _5M).cast("long") * _5M
+    return (
+        e.select(
+            F.explode(F.array(base - _5M, base)).alias("win_start_us"),
+            "event_type",
+            "value",
+        )
+        .groupBy("win_start_us", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+    )
+
+
+@register(
+    "q_stream_session",
+    oracle=f"""
+    WITH ordered AS (
+        SELECT user_id, event_id, value, epoch_us(ts) AS us,
+               LAG(epoch_us(ts)) OVER
+                   (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+                   AS prev_us
+        FROM events
+    ), flagged AS (
+        SELECT *, CASE WHEN prev_us IS NULL
+                         OR us - prev_us > {_30M} THEN 1 ELSE 0 END AS new_sess
+        FROM ordered
+    ), sessioned AS (
+        SELECT *, SUM(new_sess) OVER
+                   (PARTITION BY user_id ORDER BY us, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS sess_idx
+        FROM flagged
+    )
+    SELECT user_id, sess_idx,
+           MIN(us) AS sess_start_us,
+           MAX(us) AS sess_end_us,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 4) AS sum_value
+    FROM sessioned
+    GROUP BY user_id, sess_idx
+    """,
+)
+def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30-minute inactivity gap) per user — the
+    gaps-and-islands form: lag → new-session flag → running sum as
+    session index → per-session aggregate. Batch twin of
+    `F.session_window(ts, '30 minutes')`. Gap semantics pinned as
+    strictly-greater-than on both sides."""
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("us", "event_id")
+    ordered = e.select(
+        "user_id", "event_id", "value", F.unix_micros("ts").alias("us")
+    ).withColumn("prev_us", F.lag("us").over(w))
+    flagged = ordered.withColumn(
+        "new_sess",
+        F.when(
+            F.col("prev_us").isNull() | (F.col("us") - F.col("prev_us") > _30M), 1
+        ).otherwise(0),
+    )
+    sessioned = flagged.withColumn(
+        "sess_idx",
+        F.sum("new_sess").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)),
+    )
+    return sessioned.groupBy("user_id", "sess_idx").agg(
+        F.min("us").alias("sess_start_us"),
+        F.max("us").alias("sess_end_us"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    )
