@@ -1,0 +1,68 @@
+"""Benchmark harness: runs every registered query at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec, ...}, "sf": ...}.
+
+Each query is materialized with the no-op writer (full engine
+execution, no driver-side row transfer) so timings measure the plan,
+not pandas conversion. The flagship iterative fit is timed as
+`entry_flagship`.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+from meta_iterative_mapreduce_spark import registry
+from meta_iterative_mapreduce_spark.operators.regression import flagship
+from meta_iterative_mapreduce_spark.session import get_spark
+
+
+def materialize(df) -> None:
+    df.write.mode("overwrite").format("noop").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+    spark = get_spark("mimr-bench")
+
+    timings: dict[str, float] = {}
+    # warm the JVM/codegen path once with a trivial plan
+    spark.range(1000).count()
+
+    t0 = time.time()
+    df = flagship(spark, sf_dir)
+    df.collect()
+    timings["entry_flagship"] = round(time.time() - t0, 3)
+
+    for name, fn in registry.queries().items():
+        t0 = time.time()
+        try:
+            materialize(fn(spark, sf_dir))
+            timings[name] = round(time.time() - t0, 3)
+        except Exception as exc:  # noqa: BLE001
+            timings[name] = -1.0
+            print(f"bench error in {name}: {exc}", file=sys.stderr)
+
+    total = round(sum(t for t in timings.values() if t >= 0), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_wall_clock",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -147,30 +147,35 @@ def minhash_signatures(d: DataFrame, shingle_width: int = 3) -> DataFrame:
 
     Shingle hash = crc32 of the joined shingle text; each of the
     _N_HASHES permutations is a fixed linear mix mod a Mersenne prime.
-    Everything is built-in expressions over arrays — no Python, no
-    shuffle; signatures compute scan-locally.
+
+    Shape matters: shingle hashes are exploded to (doc_id, h) rows and
+    the 32 permutation minima are computed as 32 MIN aggregates in ONE
+    hash-aggregate pass (map-side partial agg ⇒ the shuffle carries
+    ~one row per doc per partition). The naive all-array form
+    re-evaluates the shingle subtree once per permutation — 32× the
+    work — because Catalyst's project collapse inlines it.
     """
     toks = F.split("text", " ")
     n = F.size(toks)
-    shingles = F.transform(
-        F.sequence(F.lit(0), n - shingle_width),
-        lambda i: F.crc32(
-            F.array_join(F.slice(toks, i + 1, shingle_width), " ").cast("binary")
+    shingles = F.when(
+        n >= shingle_width,
+        F.transform(
+            F.sequence(F.lit(0), n - shingle_width),
+            lambda i: F.crc32(
+                F.array_join(F.slice(toks, i + 1, shingle_width), " ").cast("binary")
+            ),
         ),
+    ).otherwise(F.array(F.crc32(F.col("text").cast("binary"))))
+    hashed = d.select("doc_id", F.explode(shingles).alias("h"))
+    h = F.col("h") % _MERSENNE_P
+    mins = [
+        F.min((h * F.lit(a_i) + F.lit(b_i)) % _MERSENNE_P).alias(f"m{j}")
+        for j, (a_i, b_i) in enumerate(zip(_A, _B))
+    ]
+    per_doc = hashed.groupBy("doc_id").agg(*mins)
+    return per_doc.select(
+        "doc_id", F.array(*[f"m{j}" for j in range(_N_HASHES)]).alias("sig")
     )
-    def perm_min(a_i: int, b_i: int):
-        # closure factory: pyspark lambdas must take exactly the
-        # higher-order-function arity, so constants bind via closure
-        return F.array_min(
-            F.transform(
-                shingles,
-                lambda h: ((h % _MERSENNE_P) * F.lit(a_i) + F.lit(b_i))
-                % F.lit(_MERSENNE_P),
-            )
-        )
-
-    sig = F.array(*[perm_min(a_i, b_i) for a_i, b_i in zip(_A, _B)])
-    return d.select("doc_id", sig.alias("sig"))
 
 
 @register("q_dedup_near_minhash")  # rows-only: crc32-based signatures
@@ -183,7 +188,12 @@ def q_dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair expansion happens strictly within buckets.
     """
     d = load_table(spark, sf_dir, "documents")
-    sigs = minhash_signatures(d)
+    # Materialize signatures once: without the persist, Catalyst's
+    # project-collapse inlines the 32-permutation shingle subtree into
+    # every downstream reference AND recomputes it for both sides of
+    # the self-join (O(64×) work). The signature table is tiny
+    # (n_docs × 32 bigints), so caching is the scale-correct plan too.
+    sigs = minhash_signatures(d).persist()
     rows_per_band = _N_HASHES // _N_BANDS
     banded = sigs.select(
         "doc_id",
@@ -237,23 +247,32 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     Docs whose fingerprints agree on most bits are near-dups; grouping
     by fingerprint prefix gives cheap candidate buckets."""
     d = load_table(spark, sf_dir, "documents")
-    tok_hashes = F.transform(
-        F.array_distinct(F.split("text", " ")), lambda t: F.crc32(t.cast("binary"))
-    )
-    # vote_b = #tokens with bit b set − #tokens with bit b clear
-    def bit_vote(bit: int):
-        vote = F.aggregate(
-            tok_hashes,
-            F.lit(0),
-            lambda acc, h: acc
-            + F.when(F.shiftright(h, bit) % 2 == 1, F.lit(1)).otherwise(F.lit(-1)),
-        )
-        return F.when(vote > 0, F.lit(1 << bit)).otherwise(F.lit(0))
-
-    fingerprint = bit_vote(0)
-    for bit in range(1, 32):
-        fingerprint = fingerprint + bit_vote(bit)
-    return d.select(
+    # one (doc_id, token-hash) row per distinct token, then all 32 bit
+    # votes as SUM aggregates in a single hash-agg pass (same shape
+    # rationale as minhash_signatures)
+    hashed = d.select(
         "doc_id",
-        fingerprint.cast("bigint").alias("simhash"),
+        F.explode(
+            F.transform(
+                F.array_distinct(F.split("text", " ")),
+                lambda t: F.crc32(t.cast("binary")),
+            )
+        ).alias("h"),
+    )
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), bit) % 2 == 1, F.lit(1)).otherwise(
+                F.lit(-1)
+            )
+        ).alias(f"v{bit}")
+        for bit in range(32)
+    ]
+    per_doc = hashed.groupBy("doc_id").agg(*votes)
+    fingerprint = F.lit(0).cast("bigint")
+    for bit in range(32):
+        fingerprint = fingerprint + F.when(
+            F.col(f"v{bit}") > 0, F.lit(1 << bit)
+        ).otherwise(F.lit(0))
+    return per_doc.select(
+        "doc_id", fingerprint.cast("bigint").alias("simhash")
     ).orderBy("doc_id")

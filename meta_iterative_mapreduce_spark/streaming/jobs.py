@@ -1,0 +1,132 @@
+"""Structured Streaming jobs (SURVEY.md §2.2 I).
+
+The reference's iteration loop consumes a *sequence of data batches*
+entered interactively (kernel.cu:190-196) — a human-driven micro-batch
+stream. Here the same semantics run under Spark's micro-batch engine:
+`readStream` on the events table → windowed/stateful transformations →
+any sink. Each job function returns an unbounded DataFrame ready for
+`writeStream`; `run_to_memory` drives one to completion on the finite
+fixture (the batch-replay harness used by tests).
+
+Watermarks bound state: a 10-minute watermark means late events older
+than the watermark are dropped instead of growing window state forever
+— the property that makes these plans viable on unbounded 100 TB/day
+streams.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # raw nanos (nanosAsLong)
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unbounded events source: file-stream over the events parquet.
+
+    In production this is Kafka/Kinesis; the file source has the same
+    incremental-execution semantics. ts arrives as raw nanos (Spark
+    cannot scan TIMESTAMP(NANOS) parquet) and is truncated to a µs
+    timestamp with integer division.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # the file-stream source monitors a DIRECTORY; stage the single
+    # fixture file into one (in production the directory is the landing
+    # zone new files arrive in)
+    stage = os.path.join(
+        tempfile.gettempdir(), "mimr_stream", sf_dir.strip("/").replace("/", "_")
+    )
+    os.makedirs(stage, exist_ok=True)
+    dst = os.path.join(stage, "events.parquet")
+    if not os.path.exists(dst):
+        shutil.copyfile(os.path.join(sf_dir, "events.parquet"), dst)
+    raw = spark.readStream.schema(EVENTS_SCHEMA).format("parquet").load(stage)
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def tumbling_counts(events: DataFrame) -> DataFrame:
+    """5-minute tumbling windows per event_type with a 10-minute
+    watermark (streaming twin of q_stream_tumbling)."""
+    return (
+        events.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "5 minutes"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .select(
+            F.unix_micros("window.start").alias("win_start_us"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def sliding_counts(events: DataFrame) -> DataFrame:
+    """10-minute windows sliding every 5 (twin of q_stream_sliding)."""
+    return (
+        events.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "10 minutes", "5 minutes"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .select(
+            F.unix_micros("window.start").alias("win_start_us"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def session_counts(events: DataFrame) -> DataFrame:
+    """Per-user session windows with a 30-minute gap (twin of
+    q_stream_session). State per (user, open session) only."""
+    return (
+        events.withWatermark("ts", "10 minutes")
+        .groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .select(
+            "user_id",
+            F.unix_micros("session_window.start").alias("sess_start_us"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def dedup_stream(events: DataFrame) -> DataFrame:
+    """Stateful cross-batch dedup on event_id within the watermark
+    horizon — the streaming form of exact dedup: state stays bounded
+    because ids older than the watermark are expired."""
+    return events.withWatermark("ts", "10 minutes").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
+def run_to_memory(
+    df: DataFrame, name: str, output_mode: str = "complete"
+) -> DataFrame:
+    """Drive a streaming DataFrame over the finite fixture to completion
+    via the in-memory sink; returns the result as a batch DataFrame."""
+    q = (
+        df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return df.sparkSession.sql(f"SELECT * FROM {name}")

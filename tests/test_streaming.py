@@ -1,0 +1,51 @@
+"""Structured Streaming jobs vs their deterministic batch twins."""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from meta_iterative_mapreduce_spark import registry
+from meta_iterative_mapreduce_spark.streaming import jobs
+
+
+def _canon(pdf: pd.DataFrame) -> pd.DataFrame:
+    pdf = pdf[sorted(pdf.columns)]
+    return pdf.sort_values(by=list(pdf.columns), ignore_index=True)
+
+
+def test_tumbling_stream_matches_batch(spark, sf_dir):
+    ev = jobs.stream_events(spark, sf_dir)
+    assert ev.isStreaming
+    got = jobs.run_to_memory(jobs.tumbling_counts(ev), "t_tumbling").toPandas()
+    want = (
+        registry.queries()["q_stream_tumbling"](spark, sf_dir)
+        .withColumnRenamed("sum_value", "sum_value")
+        .toPandas()
+    )
+    pd.testing.assert_frame_equal(_canon(got), _canon(want), check_dtype=False)
+
+
+def test_sliding_stream_matches_batch(spark, sf_dir):
+    ev = jobs.stream_events(spark, sf_dir)
+    got = jobs.run_to_memory(jobs.sliding_counts(ev), "t_sliding").toPandas()
+    want = registry.queries()["q_stream_sliding"](spark, sf_dir).toPandas()
+    pd.testing.assert_frame_equal(_canon(got), _canon(want), check_dtype=False)
+
+
+def test_session_stream_matches_batch(spark, sf_dir):
+    ev = jobs.stream_events(spark, sf_dir)
+    got = jobs.run_to_memory(jobs.session_counts(ev), "t_session").toPandas()
+    batch = registry.queries()["q_stream_session"](spark, sf_dir).toPandas()
+    want = batch[["user_id", "sess_start_us", "n_events", "sum_value"]]
+    pd.testing.assert_frame_equal(_canon(got), _canon(want), check_dtype=False)
+
+
+def test_dedup_stream_drops_repeats(spark, sf_dir):
+    ev = jobs.stream_events(spark, sf_dir)
+    doubled = ev.union(ev)  # replay the stream twice
+    got = jobs.run_to_memory(
+        jobs.dedup_stream(doubled).select("event_id"), "t_dedup", output_mode="append"
+    ).toPandas()
+    n_events = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    assert len(got) == n_events
+    assert got["event_id"].is_unique
