@@ -41,11 +41,16 @@ def main() -> None:
     df.collect()
     timings["entry_flagship"] = round(time.time() - t0, 3)
 
+    trials = int(os.environ.get("MIMR_BENCH_TRIALS", "2"))
     for name, fn in registry.queries().items():
-        t0 = time.time()
+        best = None
         try:
-            materialize(fn(spark, sf_dir))
-            timings[name] = round(time.time() - t0, 3)
+            for _ in range(trials):
+                t0 = time.time()
+                materialize(fn(spark, sf_dir))
+                dt = time.time() - t0
+                best = dt if best is None else min(best, dt)
+            timings[name] = round(best, 3)
         except Exception as exc:  # noqa: BLE001
             timings[name] = -1.0
             print(f"bench error in {name}: {exc}", file=sys.stderr)

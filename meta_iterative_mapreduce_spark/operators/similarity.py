@@ -16,13 +16,18 @@ identically in the Spark plans and the oracle SQL.
 
 from __future__ import annotations
 
-import math
 import random
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from meta_iterative_mapreduce_spark.functions.vectors import (
+    dot_const,
+    dot_pair,
+    l2_norm,
+    sign_lsh_bucket,
+)
 from meta_iterative_mapreduce_spark.io import load_table
 from meta_iterative_mapreduce_spark.registry import register
 
@@ -49,26 +54,6 @@ def _dot_sql(vec_expr: str, const: list[float]) -> str:
     )
 
 
-def dot_probe(col, const: list[float]):
-    """Spark Column: dot(col, const) via zip_with + aggregate (JVM-side)."""
-    arr = F.array(*[F.lit(c) for c in const])
-    return F.aggregate(
-        F.zip_with(col, arr, lambda x, y: x.cast("double") * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-
-
-def l2_norm(col):
-    return F.sqrt(
-        F.aggregate(
-            F.transform(col, lambda x: x.cast("double") * x.cast("double")),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-    )
-
-
 _NORM_SQL = (
     "sqrt(list_sum(list_transform(embedding,"
     " x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
@@ -90,7 +75,7 @@ def q_sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     orderBy(...).limit(k) plans as TakeOrderedAndProject: per-partition
     heaps, no global sort — the right baseline at any scale."""
     e = load_table(spark, sf_dir, "embeddings")
-    cos = F.round(dot_probe(F.col("embedding"), _PROBE) / l2_norm(F.col("embedding")), 4)
+    cos = F.round(dot_const(F.col("embedding"), _PROBE) / l2_norm(F.col("embedding")), 4)
     return (
         e.select("vec_id", cos.alias("cos_sim"))
         .orderBy(F.col("cos_sim").desc(), "vec_id")
@@ -104,14 +89,6 @@ def _bucket_sql() -> str:
         for j, p in enumerate(_PLANES)
     ]
     return " + ".join(terms)
-
-
-def lsh_bucket(col):
-    """Sign-LSH bucket id: bit j set iff dot(embedding, plane_j) > 0."""
-    b = F.lit(0)
-    for j, p in enumerate(_PLANES):
-        b = b + F.when(dot_probe(col, p) > 0, F.lit(1 << j)).otherwise(F.lit(0))
-    return b
 
 
 def _probe_bucket() -> int:
@@ -148,8 +125,8 @@ def q_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucketed = e.select(
         "vec_id",
         "embedding",
-        lsh_bucket(F.col("embedding")).alias("bucket"),
-        dot_probe(F.col("embedding"), _PROBE).alias("dot_p"),
+        sign_lsh_bucket(F.col("embedding"), _PLANES).alias("bucket"),
+        dot_const(F.col("embedding"), _PROBE).alias("dot_p"),
     )
     return (
         bucketed.filter(F.col("bucket") == _probe_bucket())
@@ -232,4 +209,58 @@ def q_sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rn") <= 3)
         .select("label_a", "label_b", "cos_sim")
+    )
+
+
+@register(
+    "q_sim_near_dup_pairs",
+    oracle=f"""
+    WITH bucketed AS (
+        SELECT vec_id, embedding,
+               ({_bucket_sql()}) AS bucket,
+               {_NORM_SQL} AS nrm
+        FROM embeddings
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                 p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+                 / (a.nrm * b.nrm), 4) AS cos_sim
+    FROM bucketed a JOIN bucketed b
+      ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    WHERE list_sum(list_transform(list_zip(a.embedding, b.embedding),
+          p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+          / (a.nrm * b.nrm) >= 0.4
+    """,
+)
+def q_sim_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, the scale path: sign-LSH
+    bucket join (same-bucket candidates only — never the n² cross
+    product), exact cosine verification within buckets, threshold 0.4.
+
+    The bucketed projection is persisted so the plane dot products
+    compute once, not once per join side."""
+    e = load_table(spark, sf_dir, "embeddings")
+    bucketed = e.select(
+        "vec_id",
+        "embedding",
+        sign_lsh_bucket(F.col("embedding"), _PLANES).alias("bucket"),
+        l2_norm(F.col("embedding")).alias("nrm"),
+    ).persist()
+    a, b = bucketed.alias("a"), bucketed.alias("b")
+    cos = dot_pair(F.col("a.embedding"), F.col("b.embedding")) / (
+        F.col("a.nrm") * F.col("b.nrm")
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            cos.alias("cos_raw"),
+        )
+        .filter(F.col("cos_raw") >= 0.4)
+        .select("id_a", "id_b", F.round("cos_raw", 4).alias("cos_sim"))
     )

@@ -260,3 +260,27 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5("text").alias("doc_md5"),
         F.array_min(grams).alias("min_shingle"),
     )
+
+
+@register(
+    "q_text_token_bpe",
+    oracle="""
+    SELECT doc_id,
+           CAST(LENGTH(string_split(text, ' ')) AS INT) AS n_ws_tokens,
+           CAST(LENGTH(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))
+                AS INT) AS n_bpe_tokens
+    FROM documents
+    """,
+)
+def q_text_token_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: whitespace split and a BPE-ish regex
+    pre-tokenizer (letter runs / digit runs / single symbols) — the
+    cheap proxy for LLM token budgeting over a corpus."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("n_ws_tokens"),
+        F.size(
+            F.regexp_extract_all(F.col("text"), F.lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), 0)
+        ).alias("n_bpe_tokens"),
+    )

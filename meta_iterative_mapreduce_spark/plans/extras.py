@@ -1,0 +1,220 @@
+"""Additional relational surface: pivot/unpivot, subqueries, CTEs,
+distinct, histogram, full regression-aggregate alias.
+
+These round out SURVEY.md §2.2 (D/K and SQL-API coverage): the
+subquery/CTE queries deliberately go through `spark.sql` to exercise
+the SQL front-end → Catalyst path (identical plans to the DataFrame
+API, including scalar-subquery decorrelation).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from meta_iterative_mapreduce_spark.io import load_table
+from meta_iterative_mapreduce_spark.registry import register
+
+
+@register(
+    "q_agg_pivot",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(SUM(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 4) AS qty_O,
+           ROUND(SUM(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 4) AS qty_F,
+           ROUND(AVG(CASE WHEN l_linestatus = 'O' THEN l_discount END), 4) AS disc_O,
+           ROUND(AVG(CASE WHEN l_linestatus = 'F' THEN l_discount END), 4) AS disc_F
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot with explicit value list (explicit values keep the plan a
+    single pass — omitting them costs an extra distinct-scan job)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("qty"),
+            F.round(F.avg("l_discount"), 4).alias("disc"),
+        )
+    )
+    return p.select(
+        "l_returnflag",
+        F.col("O_qty").alias("qty_O"),
+        F.col("F_qty").alias("qty_F"),
+        F.col("O_disc").alias("disc_O"),
+        F.col("F_disc").alias("disc_F"),
+    )
+
+
+@register(
+    "q_unpivot",
+    oracle="""
+    SELECT measure, ROUND(SUM(value), 4) AS total, COUNT(*) AS n
+    FROM (
+        SELECT 'quantity' AS measure, l_quantity AS value FROM lineitem
+        UNION ALL
+        SELECT 'discount' AS measure, l_discount AS value FROM lineitem
+        UNION ALL
+        SELECT 'tax' AS measure, l_tax AS value FROM lineitem
+    )
+    GROUP BY measure
+    """,
+)
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (wide → long) via stack(), then aggregate per measure."""
+    li = load_table(spark, sf_dir, "lineitem")
+    long = li.selectExpr(
+        "stack(3, 'quantity', l_quantity, 'discount', l_discount, 'tax', l_tax)"
+        " AS (measure, value)"
+    )
+    return long.groupBy("measure").agg(
+        F.round(F.sum("value"), 4).alias("total"), F.count(F.lit(1)).alias("n")
+    )
+
+
+@register(
+    "q_subquery_scalar",
+    oracle="""
+    SELECT c_custkey, c_acctbal
+    FROM customer
+    WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer)
+    """,
+)
+def q_subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncorrelated scalar subquery (SQL front-end path)."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("v_customer")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_acctbal
+        FROM v_customer
+        WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM v_customer)
+        """
+    )
+
+
+@register(
+    "q_subquery_correlated",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders o
+    WHERE o_totalprice > 1.5 * (
+        SELECT AVG(o2.o_totalprice) FROM orders o2
+        WHERE o2.o_custkey = o.o_custkey
+    )
+    """,
+)
+def q_subquery_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery — Catalyst decorrelates it into an
+    aggregate + join (RewriteCorrelatedScalarSubquery), so the executed
+    plan is one shuffle, not a per-row loop."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("v_orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM v_orders o
+        WHERE o_totalprice > 1.5 * (
+            SELECT AVG(o2.o_totalprice) FROM v_orders o2
+            WHERE o2.o_custkey = o.o_custkey
+        )
+        """
+    )
+
+
+@register(
+    "q_cte_multi",
+    oracle="""
+    WITH cust_orders AS (
+        SELECT o_custkey, COUNT(*) AS n_orders,
+               ROUND(SUM(o_totalprice), 4) AS spend
+        FROM orders GROUP BY o_custkey
+    ), big AS (
+        SELECT * FROM cust_orders WHERE n_orders >= 2
+    )
+    SELECT c.c_mktsegment,
+           COUNT(*) AS n_cust,
+           ROUND(SUM(b.spend), 4) AS segment_spend
+    FROM big b JOIN customer c ON b.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def q_cte_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chained CTEs + join + re-aggregation through the SQL front-end."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("v_orders")
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("v_customer")
+    return spark.sql(
+        """
+        WITH cust_orders AS (
+            SELECT o_custkey, COUNT(*) AS n_orders,
+                   ROUND(SUM(o_totalprice), 4) AS spend
+            FROM v_orders GROUP BY o_custkey
+        ), big AS (
+            SELECT * FROM cust_orders WHERE n_orders >= 2
+        )
+        SELECT c.c_mktsegment,
+               COUNT(*) AS n_cust,
+               ROUND(SUM(b.spend), 4) AS segment_spend
+        FROM big b JOIN v_customer c ON b.o_custkey = c.c_custkey
+        GROUP BY c.c_mktsegment
+        """
+    )
+
+
+@register(
+    "q_distinct_projection",
+    oracle="""
+    SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+    """,
+)
+def q_distinct_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT on a projection (hash aggregate without agg functions)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select("l_returnflag", "l_linestatus").distinct()
+
+
+@register(
+    "q_agg_histogram",
+    oracle="""
+    SELECT CAST(FLOOR(l_extendedprice / 10000.0) AS BIGINT) AS bin,
+           COUNT(*) AS n,
+           ROUND(SUM(l_quantity), 4) AS qty
+    FROM lineitem
+    GROUP BY 1
+    """,
+)
+def q_agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram by arithmetic binning (engine-neutral floor-division
+    bins; the distributed GROUP BY histogram pattern)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy(
+            F.floor(F.col("l_extendedprice") / 10000.0).alias("bin")
+        )
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("l_quantity"), 4).alias("qty"))
+    )
+
+
+@register(
+    "q_agg_regression_exact",
+    oracle="""
+    SELECT ROUND(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+           ROUND(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
+           ROUND(POWER(corr(l_quantity, l_extendedprice), 2), 4) AS r2,
+           regr_count(l_extendedprice, l_quantity) AS n
+    FROM lineitem
+    WHERE l_returnflag = 'N'
+    """,
+)
+def q_agg_regression_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regression aggregate family over a filtered slice: slope,
+    intercept, r² (= corr²), count — R6+R7 as one fused aggregate."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "N")
+    y, x = F.col("l_extendedprice"), F.col("l_quantity")
+    return li.agg(
+        F.round(F.regr_slope(y, x), 4).alias("slope"),
+        F.round(F.regr_intercept(y, x), 4).alias("intercept"),
+        F.round(F.pow(F.corr(x, y), 2), 4).alias("r2"),
+        F.regr_count(y, x).alias("n"),
+    )
