@@ -1,0 +1,201 @@
+"""Iterative clustering + IVF approximate nearest neighbors.
+
+K-means is the second iterative workload (after regression) expressed
+in the reference's loop shape (R11): per-iteration model state — the
+centroids — lives in the DRIVER as plain constants, exactly like the
+reference keeps (w0_old, w1_old) on rank 0 (kernel.cu:132), and is
+folded into the next iteration's assignment expression as literals.
+That design has two scale properties:
+- no lineage growth across iterations (each iteration is a fresh plan
+  over the cached input — nothing to checkpoint), and
+- no join for assignment: k×dim constants ride into every task inside
+  the codegen'd expression (the broadcast-variable pattern, R14 done
+  right).
+
+IVF-ANN uses the same machinery with fixed coarse centers: assignment
+builds the inverted lists; a probe searches only its nProbe nearest
+lists.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from meta_iterative_mapreduce_spark.functions.vectors import dot_const, l2_norm
+from meta_iterative_mapreduce_spark.io import load_table
+from meta_iterative_mapreduce_spark.registry import register
+
+
+def _dist_sq(col: Column | str, center: list[float]) -> Column:
+    """Squared L2 distance to a constant center, expanded as
+    ||v||² − 2·v·c + ||c||² (one pass over the array; ||c||² folds to a
+    literal)."""
+    c_norm_sq = sum(x * x for x in center)
+    v_norm_sq = F.aggregate(
+        F.transform(col, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return v_norm_sq - 2.0 * dot_const(col, center) + F.lit(c_norm_sq)
+
+
+def assign_clusters(df: DataFrame, vec_col: str, centers: list[list[float]]) -> DataFrame:
+    """Add `cluster` = argmin over centers of squared L2 distance
+    (deterministic tie-break: lowest center id wins)."""
+    best_id = F.lit(0)
+    best_d = _dist_sq(F.col(vec_col), centers[0])
+    for j, c in enumerate(centers[1:], start=1):
+        d = _dist_sq(F.col(vec_col), c)
+        improved = d < best_d
+        best_id = F.when(improved, F.lit(j)).otherwise(best_id)
+        best_d = F.when(improved, d).otherwise(best_d)
+    return df.withColumn("cluster", best_id)
+
+
+def _update_centers(assigned: DataFrame, vec_col: str, k: int) -> list[list[float]]:
+    """New centroids = per-(cluster, dim) mean; O(k·dim) rows collected."""
+    dims = assigned.select(
+        "cluster", F.posexplode(vec_col).alias("dim", "v")
+    )
+    rows = (
+        dims.groupBy("cluster", "dim")
+        .agg(F.avg(F.col("v").cast("double")).alias("c"))
+        .collect()
+    )
+    by_cluster: dict[int, dict[int, float]] = {}
+    for r in rows:
+        by_cluster.setdefault(r["cluster"], {})[r["dim"]] = r["c"]
+    centers = []
+    for j in range(k):
+        d = by_cluster.get(j)
+        if d is None:
+            centers.append(None)  # empty cluster: caller keeps old center
+        else:
+            centers.append([d[i] for i in range(len(d))])
+    return centers
+
+
+@dataclass
+class KMeansResult:
+    centers: list[list[float]]
+    n_iters: int
+
+
+def kmeans(
+    df: DataFrame, vec_col: str, init_centers: list[list[float]], n_iters: int
+) -> KMeansResult:
+    """Lloyd's algorithm, reference-loop style: cache the vectors once,
+    iterate assignment (centroids as literals) + update (one shuffle on
+    (cluster, dim)); model state stays driver-side between iterations."""
+    cached = df.select(vec_col).cache()
+    try:
+        centers = [list(c) for c in init_centers]
+        for _ in range(n_iters):
+            assigned = assign_clusters(cached, vec_col, centers)
+            new = _update_centers(assigned, vec_col, len(centers))
+            centers = [n if n is not None else old for n, old in zip(new, centers)]
+        return KMeansResult(centers, n_iters)
+    finally:
+        cached.unpersist()
+
+
+def _init_centers(spark: SparkSession, sf_dir: str, k: int) -> list[list[float]]:
+    """Deterministic init: the embeddings of the k smallest vec_ids."""
+    rows = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < k)
+        .orderBy("vec_id")
+        .collect()
+    )
+    return [[float(x) for x in r["embedding"]] for r in rows]
+
+
+@register("q_cluster_kmeans")  # rows-only: driver-iterative (SQL oracle
+# would need the full Lloyd recursion; fp-boundary assignment flips
+# between engines make a hash-match fragile — see SURVEY.md §5.2.3)
+def q_cluster_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-means (k=4, 3 Lloyd iterations, deterministic init) over the
+    embeddings; returns per-cluster size and mean distance — the
+    iterative-convergence pattern on a second workload."""
+    e = load_table(spark, sf_dir, "embeddings")
+    res = kmeans(e, "embedding", _init_centers(spark, sf_dir, 4), n_iters=3)
+    assigned = assign_clusters(e, "embedding", res.centers)
+    dist_cols = None
+    for j, c in enumerate(res.centers):
+        d = _dist_sq(F.col("embedding"), c)
+        dist_cols = d if j == 0 else F.when(F.col("cluster") == j, d).otherwise(dist_cols)
+    return (
+        assigned.withColumn("dist_sq", dist_cols)
+        .groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.round(F.avg("dist_sq"), 4).alias("avg_dist_sq"),
+        )
+        .orderBy("cluster")
+    )
+
+
+_IVF_K = 8
+_N_PROBE = 2
+
+
+@register(
+    "q_sim_ivf_ann",
+    oracle=f"""
+    WITH centers AS (
+        SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+        WHERE vec_id < {_IVF_K}
+    ), assigned AS (
+        SELECT e.vec_id, e.embedding, a.cid FROM embeddings e,
+        LATERAL (
+            SELECT c.cid FROM centers c
+            ORDER BY list_sum(list_transform(list_zip(e.embedding, c.cvec),
+                     p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+                          * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))),
+                     c.cid
+            LIMIT 1
+        ) a
+    ), probe_lists AS (
+        SELECT cid FROM centers
+        ORDER BY list_sum(list_transform(cvec,
+                 x -> (CAST(x AS DOUBLE) - 0.125) * (CAST(x AS DOUBLE) - 0.125))),
+                 cid
+        LIMIT {_N_PROBE}
+    )
+    SELECT vec_id,
+           ROUND(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * 0.125))
+                 / sqrt(list_sum(list_transform(embedding,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4) AS cos_sim
+    FROM assigned
+    WHERE cid IN (SELECT cid FROM probe_lists)
+    ORDER BY cos_sim DESC, vec_id
+    LIMIT 5
+    """,
+)
+def q_sim_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate nearest neighbors: fixed coarse centers (the
+    embeddings of vec_id < 8) quantize the corpus into inverted lists;
+    the probe searches only its 2 nearest lists, then exact cosine
+    top-5. The scale path when LSH recall is insufficient: nProbe/k
+    trade recall for scan fraction."""
+    probe = [0.125] * 64
+    centers = _init_centers(spark, sf_dir, _IVF_K)
+    e = load_table(spark, sf_dir, "embeddings")
+    assigned = assign_clusters(e, "embedding", centers)
+    # probe's nProbe nearest lists, computed driver-side on k constants
+    def pdist(c: list[float]) -> float:
+        return sum((x - p) * (x - p) for x, p in zip(c, probe))
+
+    probe_lists = [
+        cid for cid, _ in sorted(enumerate(centers), key=lambda t: (pdist(t[1]), t[0]))
+    ][:_N_PROBE]
+    cos = dot_const(F.col("embedding"), probe) / l2_norm(F.col("embedding"))
+    return (
+        assigned.filter(F.col("cluster").isin(probe_lists))
+        .select("vec_id", F.round(cos, 4).alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), "vec_id")
+        .limit(5)
+    )

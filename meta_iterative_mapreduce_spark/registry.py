@@ -64,6 +64,7 @@ def _ensure_loaded() -> None:
     if _LOADED:
         return
     from meta_iterative_mapreduce_spark.operators import (  # noqa: F401
+        clustering,
         dedup,
         multimodal,
         regression,
@@ -81,6 +82,9 @@ def _ensure_loaded() -> None:
         udfs,
         windows,
     )
-    from meta_iterative_mapreduce_spark.streaming import batch_analogs  # noqa: F401
+    from meta_iterative_mapreduce_spark.streaming import (  # noqa: F401
+        batch_analogs,
+        stateful,
+    )
 
     _LOADED = True

@@ -1,0 +1,67 @@
+"""Stateful streaming EMA vs its closed-form batch twin.
+
+The stream is deliberately chopped into many micro-batches
+(maxFilesPerTrigger=1 over month-split files) so the test proves the
+state store carries the EMA across batch boundaries — not just that a
+single batch folds correctly.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from meta_iterative_mapreduce_spark import registry
+from meta_iterative_mapreduce_spark.io import load_table
+from meta_iterative_mapreduce_spark.streaming import jobs, stateful
+
+
+@pytest.fixture(scope="module")
+def chopped_events_dir(spark, sf_dir, tmp_path_factory):
+    """Events re-written as one parquet file per 6-hour chunk — a
+    multi-file landing zone the file stream consumes one file per
+    micro-batch (~3-4 micro-batches; enough to prove state carries
+    across batches while keeping the test fast)."""
+    out = str(tmp_path_factory.mktemp("events_by_hour"))
+    ev = load_table(spark, sf_dir, "events")
+    (
+        ev.withColumn("hour", F.concat(F.date_format("ts", "yyyy-MM-dd"), F.lit("-"), F.floor(F.hour("ts") / 6)))
+        .repartition("hour")
+        .write.mode("overwrite")
+        .partitionBy("hour")
+        .parquet(out)
+    )
+    return out
+
+
+def test_stateful_ema_across_microbatches(spark, sf_dir, chopped_events_dir, tmp_path):
+    schema = spark.read.parquet(chopped_events_dir).schema
+    src = (
+        spark.readStream.option("maxFilesPerTrigger", "1")
+        .schema(schema)
+        .parquet(chopped_events_dir)
+    )
+    result = jobs.run_to_memory(
+        stateful.ema_stateful(src), "t_ema", output_mode="update"
+    ).toPandas()
+    assert len(result) > 0
+    # final state per user = the row with the max n_seen
+    final = result.sort_values("n_seen").groupby("user_id").tail(1)
+
+    batch = registry.queries()["q_stream_ema"](spark, sf_dir).toPandas()
+    merged = final.merge(batch, on="user_id", suffixes=("_stream", "_batch"))
+    assert len(merged) == len(batch)
+    assert (merged["n_seen_stream"] == merged["n_seen_batch"]).all()
+    assert (merged["ema_stream"] - merged["ema_batch"]).abs().max() < 1e-3
+
+
+def test_stateful_ema_more_batches_than_one(spark, chopped_events_dir):
+    n_files = sum(
+        1
+        for root, _, files in os.walk(chopped_events_dir)
+        for f in files
+        if f.endswith(".parquet")
+    )
+    assert n_files > 2  # the stream genuinely ran multiple micro-batches
