@@ -1,0 +1,128 @@
+"""Event-sequence analytics: funnel conversion and cohort retention.
+
+The bread-and-butter queries of a production event pipeline, expressed
+as window/aggregate plans over the events table (SURVEY.md §2.2 I
+extension). Both are single-shuffle-per-stage shapes: sessions of a
+key are colocated by the window partition, and the cohort matrix is a
+(cohort, offset) hash aggregate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from meta_iterative_mapreduce_spark.io import load_table
+from meta_iterative_mapreduce_spark.registry import register
+
+_1H = 3_600_000_000  # µs
+
+
+@register(
+    "q_events_funnel",
+    oracle=f"""
+    WITH signups AS (
+        SELECT user_id, MIN(epoch_us(ts)) AS signup_us
+        FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ), converted AS (
+        SELECT s.user_id,
+               MIN(epoch_us(p.ts)) AS first_purchase_us
+        FROM signups s JOIN events p
+          ON p.user_id = s.user_id
+         AND p.event_type = 'purchase'
+         AND epoch_us(p.ts) > s.signup_us
+         AND epoch_us(p.ts) <= s.signup_us + {_1H}
+        GROUP BY s.user_id
+    )
+    SELECT (SELECT COUNT(*) FROM signups) AS n_signed_up,
+           COUNT(*) AS n_converted_1h,
+           ROUND(COUNT(*) * 1.0 / (SELECT COUNT(*) FROM signups), 4)
+               AS conversion_rate
+    FROM converted
+    """,
+)
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel: users whose first signup is followed by a purchase
+    within 1 hour. Join is keyed on user_id (one shuffle); the time
+    predicate rides along as a join condition."""
+    ev = load_table(spark, sf_dir, "events")
+    signups = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min(F.unix_micros("ts")).alias("signup_us"))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.unix_micros("ts").alias("p_us")
+    )
+    converted = (
+        signups.join(
+            purchases,
+            (F.col("p_user") == F.col("user_id"))
+            & (F.col("p_us") > F.col("signup_us"))
+            & (F.col("p_us") <= F.col("signup_us") + _1H),
+        )
+        .groupBy("user_id")
+        .agg(F.min("p_us").alias("first_purchase_us"))
+    )
+    n_signed = signups.count()  # O(1) driver scalar
+    return converted.agg(
+        F.lit(n_signed).alias("n_signed_up"),
+        F.count(F.lit(1)).alias("n_converted_1h"),
+        F.round(F.count(F.lit(1)) / F.lit(float(n_signed)), 4).alias(
+            "conversion_rate"
+        ),
+    )
+
+
+@register(
+    "q_events_cohort",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id, MIN(epoch_us(ts) // 3600000000) AS cohort_hour
+        FROM events GROUP BY user_id
+    ), activity AS (
+        SELECT DISTINCT e.user_id,
+               f.cohort_hour,
+               (epoch_us(e.ts) // 3600000000) - f.cohort_hour AS offset_h
+        FROM events e JOIN firsts f ON e.user_id = f.user_id
+    )
+    SELECT cohort_hour, offset_h, COUNT(*) AS n_active
+    FROM activity
+    WHERE offset_h <= 6
+    GROUP BY cohort_hour, offset_h
+    """,
+)
+def q_events_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-seen hour,
+    counted as active per hour offset (0..6). First-seen is a keyed
+    aggregate broadcast back onto the activity stream."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", (F.unix_micros("ts") / _1H).cast("long").alias("hour")
+    )
+    firsts = ev.groupBy("user_id").agg(F.min("hour").alias("cohort_hour"))
+    activity = (
+        ev.join(F.broadcast(firsts), "user_id")
+        .select(
+            "user_id",
+            "cohort_hour",
+            (F.col("hour") - F.col("cohort_hour")).alias("offset_h"),
+        )
+        .distinct()
+    )
+    return (
+        activity.filter(F.col("offset_h") <= 6)
+        .groupBy("cohort_hour", "offset_h")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
+
+
+@register("q_agg_approx_quantile")  # rows-only: sketch algorithms differ
+def q_agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate quantiles (Greenwald-Khanna sketch) — the mergeable-
+    sketch path for percentiles at scale (exact percentile sorts)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("median_approx"),
+        F.percentile_approx("l_extendedprice", 0.99, 10000).alias("p99_approx"),
+    )

@@ -66,6 +66,7 @@ def _ensure_loaded() -> None:
     from meta_iterative_mapreduce_spark.operators import (  # noqa: F401
         clustering,
         dedup,
+        events_analytics,
         multimodal,
         regression,
         similarity,
