@@ -441,3 +441,46 @@ def q_regression_iterative_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum(weight * F.col("f1")), 4).alias("w1"),
         F.max("t_total").alias("n_batches"),
     )
+
+
+# ---------------------------------------------------------------------------
+# RDD-layer meta reduce (SURVEY.md §4.2: treeAggregate depth=2)
+# ---------------------------------------------------------------------------
+
+
+def tree_aggregate_fit(df: DataFrame, x: str, y: str, depth: int = 2) -> tuple:
+    """Exact OLS via RDD `treeAggregate(depth=2)` — the reference's
+    two-level reduce tree (GPU blocks → process → root,
+    kernel.cu:148-166) expressed literally: partition-local sufficient
+    statistics, then a multi-level merge so no single reducer receives
+    all partition results (at 10k partitions the depth-2 tree keeps
+    fan-in ~100).
+
+    This is the one deliberate RDD drop-down in the engine (per-
+    partition imperative merge); the DataFrame path (`fit_exact`)
+    compiles to the same partial/final shape and is preferred.
+    Returns (w0, w1, n).
+    """
+
+    def seq(acc, row):
+        xv, yv = row[0], row[1]
+        return (
+            acc[0] + 1,
+            acc[1] + xv,
+            acc[2] + yv,
+            acc[3] + xv * xv,
+            acc[4] + xv * yv,
+        )
+
+    def comb(a, b):
+        return tuple(ai + bi for ai, bi in zip(a, b))
+
+    n, sx, sy, sxx, sxy = (
+        df.select(x, y)
+        .rdd.map(tuple)
+        .treeAggregate((0, 0.0, 0.0, 0.0, 0.0), seq, comb, depth=depth)
+    )
+    denom = n * sxx - sx * sx
+    w1 = (n * sxy - sx * sy) / denom
+    w0 = (sy - w1 * sx) / n
+    return (w0, w1, n)
