@@ -187,3 +187,23 @@ def q_agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile("l_extendedprice", 0.9), 4).alias("p90_price"),
         F.round(F.percentile("l_quantity", 0.25), 4).alias("p25_qty"),
     )
+
+
+@register(
+    "q_agg_string_agg",
+    oracle="""
+    SELECT n_regionkey,
+           string_agg(n_name, ',' ORDER BY n_name) AS names,
+           COUNT(*) AS n
+    FROM nation
+    GROUP BY n_regionkey
+    """,
+)
+def q_agg_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (collect_list → sort_array →
+    concat_ws: deterministic despite shuffle row order)."""
+    n = load_table(spark, sf_dir, "nation")
+    return n.groupBy("n_regionkey").agg(
+        F.concat_ws(",", F.sort_array(F.collect_list("n_name"))).alias("names"),
+        F.count(F.lit(1)).alias("n"),
+    )

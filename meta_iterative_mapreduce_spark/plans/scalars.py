@@ -180,3 +180,32 @@ def q_scalar_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         k.alias("k_val"),
         (k >= 50).alias("k_high"),
     )
+
+
+@register(
+    "q_scalar_conditional",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           GREATEST(l_quantity, l_discount * 100.0) AS g,
+           LEAST(l_quantity, l_tax * 100.0) AS l,
+           IFNULL(NULLIF(l_discount, 0.0), 0.99) AS dflt,
+           CASE WHEN l_quantity > 25 THEN 'H' WHEN l_quantity > 10 THEN 'M'
+                ELSE 'L' END AS bucket3
+    FROM lineitem
+    WHERE l_orderkey % 50 = 0
+    """,
+)
+def q_scalar_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional scalar functions: greatest/least/ifnull + 3-way CASE."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(F.col("l_orderkey") % 50 == 0).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.greatest(F.col("l_quantity"), F.col("l_discount") * 100.0).alias("g"),
+        F.least(F.col("l_quantity"), F.col("l_tax") * 100.0).alias("l"),
+        F.ifnull(F.nullif(F.col("l_discount"), F.lit(0.0)), F.lit(0.99)).alias("dflt"),
+        F.when(F.col("l_quantity") > 25, "H")
+        .when(F.col("l_quantity") > 10, "M")
+        .otherwise("L")
+        .alias("bucket3"),
+    )

@@ -184,3 +184,30 @@ def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rn") <= 3)
     )
+
+
+@register(
+    "q_window_ntile",
+    oracle="""
+    SELECT o_orderkey,
+           NTILE(4) OVER (ORDER BY o_totalprice, o_orderkey) AS price_quartile,
+           ROUND(PERCENT_RANK() OVER (ORDER BY o_totalprice), 4) AS pct_rank,
+           ROUND(CUME_DIST() OVER (ORDER BY o_totalprice), 4) AS cume,
+           ROW_NUMBER() OVER (ORDER BY o_totalprice, o_orderkey) AS rn
+    FROM orders
+    """,
+)
+def q_window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution windows: ntile quartiles, percent_rank, cume_dist
+    (ntile/row_number fully tie-broken; rank-based functions ordered by
+    the value alone so ties are deterministic)."""
+    o = load_table(spark, sf_dir, "orders")
+    w_full = W.orderBy("o_totalprice", "o_orderkey")
+    w_val = W.orderBy("o_totalprice")
+    return o.select(
+        "o_orderkey",
+        F.ntile(4).over(w_full).alias("price_quartile"),
+        F.round(F.percent_rank().over(w_val), 4).alias("pct_rank"),
+        F.round(F.cume_dist().over(w_val), 4).alias("cume"),
+        F.row_number().over(w_full).alias("rn"),
+    )
