@@ -10,7 +10,6 @@ key are colocated by the window partition, and the cohort matrix is a
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from meta_iterative_mapreduce_spark.io import load_table
