@@ -66,7 +66,7 @@ def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n_signed = signups.count()  # O(1) driver scalar
     return converted.agg(
-        F.lit(n_signed).alias("n_signed_up"),
+        F.lit(n_signed).cast("long").alias("n_signed_up"),
         F.count(F.lit(1)).alias("n_converted_1h"),
         F.round(F.count(F.lit(1)) / F.lit(float(n_signed)), 4).alias(
             "conversion_rate"

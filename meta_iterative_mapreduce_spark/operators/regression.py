@@ -324,7 +324,7 @@ _X, _Y = "l_quantity", "l_extendedprice"
     oracle="""
     SELECT ROUND(regr_intercept(l_extendedprice, l_quantity), 4) AS w0,
            ROUND(regr_slope(l_extendedprice, l_quantity), 4) AS w1,
-           regr_count(l_extendedprice, l_quantity) AS n_rows
+           CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n_rows
     FROM lineitem
     """,
 )

@@ -49,7 +49,7 @@ def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT doc_id, lang,
            CAST(LENGTH(string_split(text, ' ')) AS INT) AS n_tokens,
-           LENGTH(text) AS n_chars_computed,
+           CAST(LENGTH(text) AS INT) AS n_chars_computed,
            ROUND(CAST(LENGTH(REPLACE(text, ' ', '')) AS DOUBLE)
                  / LENGTH(string_split(text, ' ')), 4) AS avg_token_len,
            CAST(LENGTH(string_split(text, ' ')) AS INT)

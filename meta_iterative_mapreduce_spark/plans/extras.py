@@ -202,7 +202,7 @@ def q_agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT ROUND(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
            ROUND(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
            ROUND(POWER(corr(l_quantity, l_extendedprice), 2), 4) AS r2,
-           regr_count(l_extendedprice, l_quantity) AS n
+           CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n
     FROM lineitem
     WHERE l_returnflag = 'N'
     """,

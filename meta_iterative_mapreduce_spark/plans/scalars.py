@@ -23,7 +23,7 @@ from meta_iterative_mapreduce_spark.registry import register
            UPPER(p_name) AS name_upper,
            LOWER(p_brand) AS brand_lower,
            SUBSTR(p_name, 1, 5) AS name_pfx,
-           LENGTH(p_name) AS name_len,
+           CAST(LENGTH(p_name) AS INT) AS name_len,
            CONCAT(p_brand, '/', p_type) AS brand_type,
            TRIM(CONCAT('  ', p_name, '  ')) AS name_trim,
            string_split(p_name, ' ')[1] AS first_word,
@@ -104,7 +104,7 @@ def q_scalar_date(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(LN(l_extendedprice), 4) AS price_ln,
            ROUND(LOG10(l_extendedprice), 4) AS price_log10,
            ROUND(POWER(l_quantity, 1.5), 4) AS qty_pow,
-           SIGN(l_extendedprice - 50000.0) AS dev_sign,
+           CAST(SIGN(l_extendedprice - 50000.0) AS DOUBLE) AS dev_sign,
            CAST(l_quantity AS BIGINT) % 7 AS qty_mod7
     FROM lineitem
     WHERE l_orderkey % 100 = 0

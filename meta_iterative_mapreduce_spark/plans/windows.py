@@ -47,9 +47,9 @@ def q_window_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
             "l_orderkey",
             "l_linenumber",
             "l_quantity",
-            F.row_number().over(w_full).alias("rn"),
-            F.rank().over(w_qty).alias("rnk"),
-            F.dense_rank().over(w_qty).alias("drnk"),
+            F.row_number().over(w_full).cast("long").alias("rn"),
+            F.rank().over(w_qty).cast("long").alias("rnk"),
+            F.dense_rank().over(w_qty).cast("long").alias("drnk"),
         )
         .filter(F.col("rn") <= 1000)
     )
@@ -92,10 +92,11 @@ def q_window_analytic(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_window_frame_rows",
     oracle="""
     SELECT l_suppkey, l_orderkey, l_linenumber,
-           SUM(CAST(l_quantity AS BIGINT)) OVER
+           CAST(SUM(CAST(l_quantity AS BIGINT)) OVER
                (PARTITION BY l_suppkey
                 ORDER BY l_shipdate, l_orderkey, l_linenumber
-                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_qty,
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS running_qty,
            AVG(l_quantity) OVER
                (PARTITION BY l_suppkey
                 ORDER BY l_shipdate, l_orderkey, l_linenumber
@@ -180,7 +181,7 @@ def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderpriority",
             "o_orderkey",
             "o_totalprice",
-            F.row_number().over(w).alias("rn"),
+            F.row_number().over(w).cast("long").alias("rn"),
         )
         .filter(F.col("rn") <= 3)
     )
@@ -206,8 +207,8 @@ def q_window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     w_val = W.orderBy("o_totalprice")
     return o.select(
         "o_orderkey",
-        F.ntile(4).over(w_full).alias("price_quartile"),
+        F.ntile(4).over(w_full).cast("long").alias("price_quartile"),
         F.round(F.percent_rank().over(w_val), 4).alias("pct_rank"),
         F.round(F.cume_dist().over(w_val), 4).alias("cume"),
-        F.row_number().over(w_full).alias("rn"),
+        F.row_number().over(w_full).cast("long").alias("rn"),
     )

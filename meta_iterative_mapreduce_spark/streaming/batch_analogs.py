@@ -90,10 +90,10 @@ def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
                          OR us - prev_us > {_30M} THEN 1 ELSE 0 END AS new_sess
         FROM ordered
     ), sessioned AS (
-        SELECT *, SUM(new_sess) OVER
+        SELECT *, CAST(SUM(new_sess) OVER
                    (PARTITION BY user_id ORDER BY us, event_id
                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                   AS sess_idx
+                   AS BIGINT) AS sess_idx
         FROM flagged
     )
     SELECT user_id, sess_idx,
