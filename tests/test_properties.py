@@ -1,0 +1,79 @@
+"""Hypothesis property tests for driver-side algebra and dedup laws.
+
+These pin the math that the Spark plans encode, independent of any
+fixture: the EMA fold/closed-form identity (the algebra behind
+q_regression_iterative_ema and q_stream_ema), uniform-average
+collapse, and dedup idempotence (SURVEY.md §5.2.4).
+"""
+
+from __future__ import annotations
+
+import math
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from meta_iterative_mapreduce_spark.operators.regression import ema_step
+
+_values = st.lists(
+    st.floats(min_value=-1e6, max_value=1e6, allow_nan=False, width=64),
+    min_size=1,
+    max_size=50,
+)
+_alpha = st.floats(min_value=0.01, max_value=0.99)
+
+
+@given(vals=_values, alpha=_alpha)
+@settings(max_examples=200, deadline=None)
+def test_ema_fold_equals_closed_form(vals, alpha):
+    """Sequential EMA fold == geometric expansion
+    w_T = α^(T−1)·v_1 + (1−α)·Σ_{t≥2} α^(T−t)·v_t — the identity the
+    SQL oracles rely on."""
+    w = vals[0]
+    for v in vals[1:]:
+        w = ema_step(w, v, alpha)
+    T = len(vals)
+    closed = (alpha ** (T - 1)) * vals[0] + sum(
+        (1 - alpha) * (alpha ** (T - t)) * vals[t - 1] for t in range(2, T + 1)
+    )
+    assert math.isclose(w, closed, rel_tol=1e-9, abs_tol=1e-6)
+
+
+@given(vals=_values)
+@settings(max_examples=100, deadline=None)
+def test_ema_alpha_one_keeps_first_alpha_zero_tracks_last(vals):
+    w1 = vals[0]
+    w0 = vals[0]
+    for v in vals[1:]:
+        w1 = ema_step(w1, v, alpha=1.0)
+        w0 = ema_step(w0, v, alpha=0.0)
+    assert w1 == vals[0]
+    assert w0 == vals[-1]
+
+
+@given(
+    xs=st.lists(
+        st.tuples(st.text(max_size=8), st.integers(0, 1_000_000)),
+        min_size=0,
+        max_size=100,
+    )
+)
+@settings(max_examples=100, deadline=None)
+def test_exact_dedup_idempotent_and_minimal(xs):
+    """dedup(dedup(x)) == dedup(x), and the keeper is the min id per
+    key — the keep-policy q_dedup_exact encodes (python model of the
+    groupBy(text).min(doc_id) plan)."""
+
+    def dedup(pairs):
+        best: dict[str, int] = {}
+        for k, i in pairs:
+            if k not in best or i < best[k]:
+                best[k] = i
+        return sorted(best.items())
+
+    once = dedup(xs)
+    assert dedup(once) == once
+    keys = {k for k, _ in xs}
+    assert {k for k, _ in once} == keys
+    for k, i in once:
+        assert i == min(j for kk, j in xs if kk == k)

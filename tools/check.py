@@ -58,6 +58,14 @@ def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[
         return problems
     s, d = canon(spark_pdf), canon(duck_pdf)
     for c in s.columns:
+        # enforce identical result dtypes: a value-equal but
+        # width-different column (int32 vs int64, HUGEINT fallout)
+        # could still fail a dtype-sensitive driver hash
+        if str(s[c].dtype) != str(d[c].dtype):
+            problems.append(
+                f"col {c}: dtype spark={s[c].dtype} duck={d[c].dtype}"
+            )
+    for c in s.columns:
         sv, dv = s[c], d[c]
         try:
             if pd.api.types.is_float_dtype(sv) or pd.api.types.is_float_dtype(dv):
