@@ -80,6 +80,7 @@ def _ensure_loaded() -> None:
         scans,
         setops,
         sorts,
+        tpch,
         udfs,
         windows,
     )
