@@ -127,28 +127,33 @@ def q_window_frame_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_orderkey, o_orderpriority,
            ROUND(SUM(o_totalprice) OVER
                (PARTITION BY o_orderpriority
-                ORDER BY CAST(epoch(o_orderdate) AS BIGINT)
-                RANGE BETWEEN 518400 PRECEDING AND CURRENT ROW), 4) AS sum_7d,
+                ORDER BY CAST(datediff('day', TIMESTAMP '1995-01-01',
+                                       o_orderdate) AS INT)
+                RANGE BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS sum_7d,
            COUNT(*) OVER
                (PARTITION BY o_orderpriority
-                ORDER BY CAST(epoch(o_orderdate) AS BIGINT)
-                RANGE BETWEEN 518400 PRECEDING AND CURRENT ROW) AS n_7d
+                ORDER BY CAST(datediff('day', TIMESTAMP '1995-01-01',
+                                       o_orderdate) AS INT)
+                RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS n_7d
     FROM orders
     """,
 )
 def q_window_frame_range(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """RANGE frame over epoch seconds: 7-day (6×86400 s back, value-
-    based) moving sum + count of order totals per priority.
+    """RANGE frame over day numbers: 7-day (6 days back, value-based)
+    moving sum + count of order totals per priority.
 
-    A moving SUM of 2-decimal values stays on the 2-decimal grid, so
-    ROUND(...,4) is tie-free; a moving AVG would divide onto arbitrary
-    grids where exact 5th-decimal ties round differently per engine.
+    The range key is datediff from a fixed date — NOT unix_timestamp,
+    which interprets NTZ timestamps in the session timezone and would
+    shift frame membership under a DST-varying tz. A moving SUM of
+    2-decimal values stays on the 2-decimal grid, so ROUND(...,4) is
+    tie-free; a moving AVG would divide onto arbitrary grids where
+    exact 5th-decimal ties round differently per engine.
     """
     o = load_table(spark, sf_dir, "orders")
     w = (
         W.partitionBy("o_orderpriority")
-        .orderBy(F.unix_timestamp("o_orderdate"))
-        .rangeBetween(-518400, W.currentRow)
+        .orderBy(F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("timestamp")))
+        .rangeBetween(-6, W.currentRow)
     )
     return o.select(
         "o_orderkey",
