@@ -38,10 +38,14 @@ def main() -> None:
     spark.range(1000).count()
     spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
 
-    t0 = time.time()
-    df = flagship(spark, sf_dir)
-    df.collect()
-    timings["entry_flagship"] = round(time.time() - t0, 3)
+    trials_flagship = int(os.environ.get("MIMR_BENCH_TRIALS", "2"))
+    best = None
+    for _ in range(trials_flagship):
+        t0 = time.time()
+        flagship(spark, sf_dir).collect()
+        dt = time.time() - t0
+        best = dt if best is None else min(best, dt)
+    timings["entry_flagship"] = round(best, 3)
 
     trials = int(os.environ.get("MIMR_BENCH_TRIALS", "2"))
     for name, fn in registry.queries().items():

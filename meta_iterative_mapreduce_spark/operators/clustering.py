@@ -42,17 +42,25 @@ def _dist_sq(col: Column | str, center: list[float]) -> Column:
     return v_norm_sq - 2.0 * dot_const(col, center) + F.lit(c_norm_sq)
 
 
+def _partial_score(col: Column | str, center: list[float]) -> Column:
+    """−2·v·c + ||c||² — squared distance minus the per-row ||v||² term,
+    which is constant under argmin so it never needs computing."""
+    c_norm_sq = sum(x * x for x in center)
+    return -2.0 * dot_const(col, center) + F.lit(c_norm_sq)
+
+
 def assign_clusters(df: DataFrame, vec_col: str, centers: list[list[float]]) -> DataFrame:
     """Add `cluster` = argmin over centers of squared L2 distance
-    (deterministic tie-break: lowest center id wins)."""
-    best_id = F.lit(0)
-    best_d = _dist_sq(F.col(vec_col), centers[0])
-    for j, c in enumerate(centers[1:], start=1):
-        d = _dist_sq(F.col(vec_col), c)
-        improved = d < best_d
-        best_id = F.when(improved, F.lit(j)).otherwise(best_id)
-        best_d = F.when(improved, d).otherwise(best_d)
-    return df.withColumn("cluster", best_id)
+    (deterministic tie-break: lowest center id wins).
+
+    Shape matters: the scores go into ONE array column and the argmin
+    is array_position(arr, array_min(arr)) — a when-chain argmin would
+    re-inline every distance expression into each comparison (Catalyst
+    project-collapse), blowing the expression tree up quadratically.
+    """
+    scores = F.array(*[_partial_score(F.col(vec_col), c) for c in centers])
+    cluster = (F.array_position(scores, F.array_min(scores)) - 1).cast("int")
+    return df.withColumn("__scores", scores).withColumn("cluster", cluster)
 
 
 def _update_centers(assigned: DataFrame, vec_col: str, k: int) -> list[list[float]]:
@@ -123,12 +131,15 @@ def q_cluster_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     res = kmeans(e, "embedding", _init_centers(spark, sf_dir, 4), n_iters=3)
     assigned = assign_clusters(e, "embedding", res.centers)
-    dist_cols = None
-    for j, c in enumerate(res.centers):
-        d = _dist_sq(F.col("embedding"), c)
-        dist_cols = d if j == 0 else F.when(F.col("cluster") == j, d).otherwise(dist_cols)
+    # true squared distance = chosen partial score + ||v||² (one norm)
+    v_norm_sq = F.aggregate(
+        F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    dist_sq = F.element_at("__scores", F.col("cluster") + 1) + v_norm_sq
     return (
-        assigned.withColumn("dist_sq", dist_cols)
+        assigned.withColumn("dist_sq", dist_sq)
         .groupBy("cluster")
         .agg(
             F.count(F.lit(1)).alias("n_members"),

@@ -299,11 +299,13 @@ def flagship(spark: SparkSession, sf_dir: str = FLAGSHIP_SF_DIR) -> DataFrame:
     fused sufficient-stats agg → two-level reduce → driver iteration
     (R1-R15 of SURVEY.md §2.1 in one query)."""
     li = load_table(spark, sf_dir, "lineitem")
+    # integer month key (y*100+m): same ordering as 'yyyy-MM' strings,
+    # but no per-row date formatting and a 4-byte shuffle key
     res = iterative_ema_fit(
         li,
         "l_quantity",
         "l_extendedprice",
-        batch=F.date_format("l_shipdate", "yyyy-MM"),
+        batch=F.year("l_shipdate") * 100 + F.month("l_shipdate"),
         chunk=F.col("l_orderkey") % 8,
     )
     return spark.createDataFrame(
@@ -392,7 +394,8 @@ def q_regression_meta_averaged(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_regression_iterative_ema",
     oracle="""
     WITH per_chunk AS (
-        SELECT strftime(l_shipdate, '%Y-%m') AS batch, l_orderkey % 8 AS chunk,
+        SELECT year(l_shipdate) * 100 + month(l_shipdate) AS batch,
+               l_orderkey % 8 AS chunk,
                regr_intercept(l_extendedprice, l_quantity) AS w0,
                regr_slope(l_extendedprice, l_quantity) AS w1
         FROM lineitem GROUP BY 1, 2
@@ -422,7 +425,7 @@ def q_regression_iterative_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
         li,
         _X,
         _Y,
-        batch=F.date_format("l_shipdate", "yyyy-MM"),
+        batch=F.year("l_shipdate") * 100 + F.month("l_shipdate"),
         chunk=F.col("l_orderkey") % 8,
     )
     # The window is over O(#months) rows — a single tiny partition is fine.
