@@ -284,3 +284,35 @@ def q_text_token_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.regexp_extract_all(F.col("text"), F.lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), 0)
         ).alias("n_bpe_tokens"),
     )
+
+
+@register(
+    "q_text_ngram_freq",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS token,
+               generate_subscripts(string_split(text, ' '), 1) AS pos
+        FROM documents
+    ), bigrams AS (
+        SELECT token || ' ' || LEAD(token) OVER
+                   (PARTITION BY doc_id ORDER BY pos) AS bigram
+        FROM toks
+    )
+    SELECT bigram, COUNT(*) AS cnt
+    FROM bigrams WHERE bigram IS NOT NULL
+    GROUP BY bigram
+    """,
+)
+def q_text_ngram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram frequencies (the n-gram LM counting pattern):
+    positional explode → lead within document → hash agg with map-side
+    combine. || with a NULL lead yields NULL, dropping each document's
+    final token on both engines identically."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.posexplode(F.split("text", " ")).alias("pos", "token"))
+    w = W.partitionBy("doc_id").orderBy("pos")
+    bigrams = toks.select(
+        F.concat_ws(" ", "token", F.lead("token").over(w)).alias("bigram"),
+        F.lead("token").over(w).alias("nxt"),
+    ).filter(F.col("nxt").isNotNull())
+    return bigrams.groupBy("bigram").agg(F.count(F.lit(1)).alias("cnt"))

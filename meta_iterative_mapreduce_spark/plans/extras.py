@@ -218,3 +218,98 @@ def q_agg_regression_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.pow(F.corr(x, y), 2), 4).alias("r2"),
         F.regr_count(y, x).alias("n"),
     )
+
+
+@register(
+    "q_agg_bitwise",
+    oracle="""
+    SELECT l_returnflag,
+           BIT_AND(CAST(l_quantity AS BIGINT)) AS qty_and,
+           BIT_OR(CAST(l_quantity AS BIGINT)) AS qty_or,
+           BIT_XOR(CAST(l_quantity AS BIGINT)) AS qty_xor
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_agg_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise aggregates (order-insensitive by construction — no float
+    hygiene needed)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity").cast("bigint")
+    return li.groupBy("l_returnflag").agg(
+        F.bit_and(q).alias("qty_and"),
+        F.bit_or(q).alias("qty_or"),
+        F.bit_xor(q).alias("qty_xor"),
+    )
+
+
+@register(
+    "q_agg_arg_minmax",
+    oracle="""
+    SELECT o_orderpriority,
+           arg_max(o_orderkey, o_totalprice) AS key_of_max,
+           arg_min(o_orderkey, o_totalprice) AS key_of_min,
+           MAX(o_totalprice) AS max_price,
+           MIN(o_totalprice) AS min_price
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def q_agg_arg_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """arg_max/arg_min (max_by/min_by): the key attaining the extreme
+    value per group (o_totalprice is tie-free per priority group at the
+    checked scale, so the selected key is deterministic)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.max_by("o_orderkey", "o_totalprice").alias("key_of_max"),
+        F.min_by("o_orderkey", "o_totalprice").alias("key_of_min"),
+        F.max("o_totalprice").alias("max_price"),
+        F.min("o_totalprice").alias("min_price"),
+    )
+
+
+@register(
+    "q_scalar_hash",
+    oracle="""
+    SELECT doc_id,
+           md5(text) AS h_md5,
+           sha256(text) AS h_sha256
+    FROM documents
+    WHERE doc_id < 100
+    """,
+)
+def q_scalar_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cryptographic hash scalars — md5/sha256 hex digests are
+    bit-identical across engines (unlike engine-native hash()), which
+    is why they anchor the dedup fingerprints."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return d.select(
+        "doc_id",
+        F.md5("text").alias("h_md5"),
+        F.sha2("text", 256).alias("h_sha256"),
+    )
+
+
+@register(
+    "q_join_cross",
+    oracle="""
+    SELECT r1.r_name AS name_a, r2.r_name AS name_b
+    FROM region r1 CROSS JOIN region r2
+    WHERE r1.r_regionkey < r2.r_regionkey
+    """,
+)
+def q_join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit (bounded) cross join — unordered pairs of regions.
+    Cartesian products are only ever sane on O(1)-size inputs; the
+    filter halves the 25 pairs to the 10 unordered ones."""
+    r1 = load_table(spark, sf_dir, "region").select(
+        F.col("r_regionkey").alias("k1"), F.col("r_name").alias("name_a")
+    )
+    r2 = load_table(spark, sf_dir, "region").select(
+        F.col("r_regionkey").alias("k2"), F.col("r_name").alias("name_b")
+    )
+    return (
+        r1.crossJoin(r2)
+        .filter(F.col("k1") < F.col("k2"))
+        .select("name_a", "name_b")
+    )
