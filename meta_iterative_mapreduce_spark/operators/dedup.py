@@ -276,3 +276,30 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_doc.select(
         "doc_id", fingerprint.cast("bigint").alias("simhash")
     ).orderBy("doc_id")
+
+
+@register("q_dedup_simhash_pairs")  # rows-only: crc32-based fingerprints
+def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup candidates: documents whose 32-bit fingerprints
+    are within Hamming distance 3, blocked on the fingerprint's high
+    16 bits (a near-dup pair almost always agrees on one of the halves,
+    so the block join sees candidates, never all pairs)."""
+    fp = q_dedup_simhash(spark, sf_dir).select("doc_id", "simhash")
+    blocked = fp.withColumn("block", F.shiftright(F.col("simhash"), 16)).persist()
+    a, b = blocked.alias("a"), blocked.alias("b")
+    xor = F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    hamming = F.bit_count(xor)
+    return (
+        a.join(
+            b,
+            (F.col("a.block") == F.col("b.block"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            hamming.cast("int").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 3)
+        .orderBy("doc_a", "doc_b")
+    )

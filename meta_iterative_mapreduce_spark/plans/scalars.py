@@ -209,3 +209,38 @@ def q_scalar_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("L")
         .alias("bucket3"),
     )
+
+
+@register(
+    "q_scalar_array_setops",
+    oracle="""
+    SELECT d1.doc_id AS doc_a, d2.doc_id AS doc_b,
+           CAST(LENGTH(list_intersect(list_distinct(string_split(d1.text, ' ')),
+                                      list_distinct(string_split(d2.text, ' '))))
+                AS INT) AS n_common,
+           CAST(LENGTH(list_distinct(string_split(d1.text, ' ')
+                                     || string_split(d2.text, ' ')))
+                AS INT) AS n_union
+    FROM documents d1 JOIN documents d2 ON d2.doc_id = d1.doc_id + 1
+    WHERE d1.doc_id < 50
+    """,
+)
+def q_scalar_array_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array set operations (intersect / union cardinalities of token
+    sets for adjacent doc pairs) — the JVM-side primitives under
+    set-similarity measures."""
+    d = load_table(spark, sf_dir, "documents")
+    d1 = d.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("t1"))
+    d2 = d.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("t2"))
+    toks1 = F.array_distinct(F.split("t1", " "))
+    toks2 = F.array_distinct(F.split("t2", " "))
+    return (
+        d1.filter(F.col("doc_a") < 50)
+        .join(d2, F.col("doc_b") == F.col("doc_a") + 1)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect(toks1, toks2)).alias("n_common"),
+            F.size(F.array_distinct(F.concat(F.split("t1", " "), F.split("t2", " ")))).alias("n_union"),
+        )
+    )
