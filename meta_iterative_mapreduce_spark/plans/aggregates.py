@@ -207,3 +207,25 @@ def q_agg_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws(",", F.sort_array(F.collect_list("n_name"))).alias("names"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@register(
+    "q_agg_bool",
+    oracle="""
+    SELECT o_orderpriority,
+           bool_and(o_totalprice > 10000) AS all_over_10k,
+           bool_or(o_totalprice > 450000) AS any_over_450k,
+           COUNT(*) AS n
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def q_agg_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean aggregates (every/any): grouped universally/existentially
+    quantified predicates."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.bool_and(F.col("o_totalprice") > 10000).alias("all_over_10k"),
+        F.bool_or(F.col("o_totalprice") > 450000).alias("any_over_450k"),
+        F.count(F.lit(1)).alias("n"),
+    )

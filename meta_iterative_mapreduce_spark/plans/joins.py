@@ -275,3 +275,30 @@ def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.unix_micros("s_ts").alias("signup_us"),
         )
     )
+
+
+@register(
+    "q_join_null_safe",
+    oracle="""
+    SELECT l.l_orderkey, l.l_linenumber, r.r_cnt
+    FROM (SELECT l_orderkey, l_linenumber,
+                 NULLIF(l_discount, 0.0) AS d FROM lineitem
+          WHERE l_quantity < 3) l
+    JOIN (SELECT NULLIF(l_discount, 0.0) AS d, COUNT(*) AS r_cnt
+          FROM lineitem GROUP BY 1) r
+      ON l.d IS NOT DISTINCT FROM r.d
+    """,
+)
+def q_join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (<=> / IS NOT DISTINCT FROM): NULL keys
+    match each other instead of vanishing — the semantics regular
+    equi-joins silently drop."""
+    li = load_table(spark, sf_dir, "lineitem")
+    d = F.nullif(F.col("l_discount"), F.lit(0.0))
+    left = li.filter(F.col("l_quantity") < 3).select(
+        "l_orderkey", "l_linenumber", d.alias("d")
+    )
+    right = li.groupBy(d.alias("rd")).agg(F.count(F.lit(1)).alias("r_cnt"))
+    return left.join(right, left.d.eqNullSafe(right.rd)).select(
+        "l_orderkey", "l_linenumber", "r_cnt"
+    )

@@ -244,3 +244,26 @@ def q_scalar_array_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size(F.array_distinct(F.concat(F.split("t1", " "), F.split("t2", " ")))).alias("n_union"),
         )
     )
+
+
+@register(
+    "q_scalar_map",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS INT) AS k_from_map,
+           1 AS map_size
+    FROM events
+    WHERE event_id < 1000
+    """,
+)
+def q_scalar_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType round-trip: parse the JSON props into a typed
+    map<string,int>, then element access + cardinality. (The fixture
+    maps all have exactly one key, which the oracle states literally.)"""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 1000)
+    m = F.from_json("props", "map<string,int>")
+    return ev.select(
+        "event_id",
+        F.element_at(m, "k").alias("k_from_map"),
+        F.size(m).alias("map_size"),
+    )
