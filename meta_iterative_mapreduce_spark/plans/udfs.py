@@ -133,3 +133,36 @@ def q_udtf_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id", F.posexplode(bigrams("text")).alias("pos", "bigram")
     )
+
+
+@register(
+    "q_udf_grouped_map",
+    oracle="""
+    SELECT vec_id, label,
+           CAST(ROW_NUMBER() OVER (PARTITION BY label
+               ORDER BY list_sum(list_transform(embedding,
+                   x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) DESC,
+               vec_id) AS INT) AS norm_rank
+    FROM embeddings
+    """,
+)
+def q_udf_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map applyInPandas: each label's vectors arrive as one
+    pandas DataFrame; python ranks them by squared norm (desc, vec_id
+    tie-break) and returns a transformed frame — the per-group custom
+    transform tier between scalar UDFs and full mapInPandas."""
+    import numpy as np
+
+    def rank_by_norm(pdf: pd.DataFrame) -> pd.DataFrame:
+        m = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        norms = (m * m).sum(axis=1)
+        order = pd.DataFrame(
+            {"vec_id": pdf["vec_id"], "label": pdf["label"], "norm": norms}
+        ).sort_values(["norm", "vec_id"], ascending=[False, True])
+        order["norm_rank"] = range(1, len(order) + 1)
+        return order[["vec_id", "label", "norm_rank"]]
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return e.groupBy("label").applyInPandas(
+        rank_by_norm, schema="vec_id long, label int, norm_rank int"
+    )

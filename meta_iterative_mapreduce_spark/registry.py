@@ -67,6 +67,7 @@ def _ensure_loaded() -> None:
         clustering,
         dedup,
         events_analytics,
+        merge,
         multimodal,
         regression,
         similarity,
