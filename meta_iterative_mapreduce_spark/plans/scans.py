@@ -156,3 +156,56 @@ def q_filter_null(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.isNull().alias("disc_is_null"),
         F.coalesce(d, F.lit(-1.0)).alias("disc_or_sentinel"),
     )
+
+
+def _roundtrip_dir(spark: SparkSession, sf_dir: str, fmt: str) -> str:
+    """Materialize nation in the given text format once per (sf, fmt)."""
+    import os
+    import tempfile
+
+    out = os.path.join(
+        tempfile.gettempdir(),
+        "mimr_fmt",
+        f"{sf_dir.strip('/').replace('/', '_')}_{fmt}",
+    )
+    marker = os.path.join(out, "_SUCCESS")
+    if not os.path.exists(marker):
+        n = load_table(spark, sf_dir, "nation")
+        if fmt == "csv":
+            n.write.mode("overwrite").option("header", True).csv(out)
+        else:
+            n.write.mode("overwrite").json(out)
+    return out
+
+
+@register(
+    "q_scan_csv",
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
+)
+def q_scan_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV source with explicit schema (no inferSchema — that's an
+    extra full pass at scale): write-once round-trip of nation, read
+    back and checked against the parquet-backed oracle."""
+    n = load_table(spark, sf_dir, "nation")
+    path = _roundtrip_dir(spark, sf_dir, "csv")
+    return (
+        spark.read.schema(n.schema)
+        .option("header", True)
+        .csv(path)
+        .select("n_nationkey", "n_name", "n_regionkey")
+    )
+
+
+@register(
+    "q_scan_json",
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
+)
+def q_scan_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines source with explicit schema, same round-trip check."""
+    n = load_table(spark, sf_dir, "nation")
+    path = _roundtrip_dir(spark, sf_dir, "json")
+    return (
+        spark.read.schema(n.schema)
+        .json(path)
+        .select("n_nationkey", "n_name", "n_regionkey")
+    )
