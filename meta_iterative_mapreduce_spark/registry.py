@@ -71,6 +71,7 @@ def _ensure_loaded() -> None:
         multimodal,
         regression,
         similarity,
+        sketches,
         text,
     )
     from meta_iterative_mapreduce_spark.plans import (  # noqa: F401
