@@ -73,13 +73,33 @@ def q_dedup_exact_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "q_dedup_ngram_jaccard",
-    oracle="""
-    WITH toks AS (
+# Document-frequency cutoff for the Jaccard token self-join: a token
+# shared by >64 docs of the same (lang, length) block would alone emit
+# up to 64² candidate rows per block key; beyond that it is a stopword
+# for the block and carries negligible Jaccard signal. Bounds the
+# per-key join fan-out at 100 TB (the hot-key bomb) while leaving the
+# fixtures untouched (their max block-key df is 10 at sf0.1).
+_JACCARD_DF_CUTOFF = 64
+
+
+# Shared CTE text for the blocked-Jaccard pair set (ends with jpairs:
+# doc_a, doc_b, j — j UNROUNDED: n_inter/(|a|+|b|-n_inter) is one IEEE
+# division of exact integers, identical in both engines, so thresholds
+# on the raw value are engine-safe while ROUND output hygiene stays in
+# the leaf queries).
+_JACCARD_PAIRS_CTE = f"""
+    toks0 AS (
         SELECT doc_id, lang, LENGTH(text) AS tlen,
                unnest(list_distinct(string_split(text, ' '))) AS token
         FROM documents
+    ), keydf AS (
+        SELECT token, lang, tlen FROM toks0
+        GROUP BY token, lang, tlen
+        HAVING COUNT(*) <= {_JACCARD_DF_CUTOFF}
+    ), toks AS (
+        SELECT t.* FROM toks0 t
+        JOIN keydf k ON t.token = k.token AND t.lang = k.lang
+                    AND t.tlen = k.tlen
     ), sizes AS (
         SELECT doc_id, COUNT(*) AS n_tok FROM toks GROUP BY doc_id
     ), inter AS (
@@ -88,27 +108,69 @@ def q_dedup_exact_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
           ON a.token = b.token AND a.lang = b.lang AND a.tlen = b.tlen
          AND a.doc_id < b.doc_id
         GROUP BY a.doc_id, b.doc_id
+    ), jpairs AS (
+        SELECT i.doc_a, i.doc_b,
+               CAST(i.n_inter AS DOUBLE)
+                   / (sa.n_tok + sb.n_tok - i.n_inter) AS j
+        FROM inter i
+        JOIN sizes sa ON sa.doc_id = i.doc_a
+        JOIN sizes sb ON sb.doc_id = i.doc_b
     )
-    SELECT i.doc_a, i.doc_b,
-           ROUND(CAST(i.n_inter AS DOUBLE)
-                 / (sa.n_tok + sb.n_tok - i.n_inter), 4) AS jaccard
-    FROM inter i
-    JOIN sizes sa ON sa.doc_id = i.doc_a
-    JOIN sizes sb ON sb.doc_id = i.doc_b
+"""
+
+
+@register(
+    "q_dedup_ngram_jaccard",
+    oracle=f"""
+    WITH {_JACCARD_PAIRS_CTE}
+    SELECT doc_a, doc_b, ROUND(j, 4) AS jaccard FROM jpairs
     """,
 )
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocked exact Jaccard: candidate pairs share a cheap blocking key
     (lang, char length); exact token-set overlap via explode + equi-join.
     The blocking key bounds the quadratic stage — the same role LSH
-    buckets play at scale."""
+    buckets play at scale.
+
+    Two deliberate scale/recall trade-offs, mirrored in the oracle:
+    - tokens whose document frequency within a block key exceeds
+      _JACCARD_DF_CUTOFF are dropped from the token universe (both
+      intersection and sizes) before the self-join — a per-block
+      stopword filter that caps the hot-key fan-out at cutoff² rows
+      while barely moving the Jaccard of any real near-dup pair;
+    - the exact-`tlen` blocking key means two near-dups differing by
+      even one character are never compared. That is the declared
+      "blocked exact" semantics (the verify stage of a pipeline whose
+      candidate generation is MinHash/SimHash); use
+      q_dedup_near_minhash for recall across length changes.
+    """
+    return jaccard_pairs(spark, sf_dir).select(
+        "doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard")
+    )
+
+
+def jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_a, doc_b, jaccard) with the UNROUNDED jaccard double — the
+    shared pair builder behind q_dedup_ngram_jaccard (which rounds for
+    output hygiene) and q_dedup_components (which thresholds the raw
+    value; one IEEE division of exact ints is engine-deterministic)."""
     d = load_table(spark, sf_dir, "documents")
-    toks = d.select(
+    toks0 = d.select(
         "doc_id",
         "lang",
         F.length("text").alias("tlen"),
         F.explode(F.array_distinct(F.split("text", " "))).alias("token"),
     )
+    # df cutoff: keep only block keys shared by <= cutoff docs. The key
+    # table is ~|vocab| rows of 3 small columns — broadcastable at most
+    # scales; Spark picks broadcast vs shuffle semi-join via AQE.
+    keep_keys = (
+        toks0.groupBy("token", "lang", "tlen")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= _JACCARD_DF_CUTOFF)
+        .drop("df")
+    )
+    toks = toks0.join(keep_keys, ["token", "lang", "tlen"], "left_semi")
     sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tok"))
     a = toks.alias("a")
     b = toks.alias("b")
@@ -133,10 +195,9 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_a",
             "doc_b",
-            F.round(
+            (
                 F.col("n_inter").cast("double")
-                / (F.col("sa.n_tok") + F.col("sb.n_tok") - F.col("n_inter")),
-                4,
+                / (F.col("sa.n_tok") + F.col("sb.n_tok") - F.col("n_inter"))
             ).alias("jaccard"),
         )
     )
@@ -278,21 +339,47 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
-@register("q_dedup_simhash_pairs")  # rows-only: crc32-based fingerprints
-def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup candidates: documents whose 32-bit fingerprints
-    are within Hamming distance 3, blocked on the fingerprint's high
-    16 bits (a near-dup pair almost always agrees on one of the halves,
-    so the block join sees candidates, never all pairs)."""
-    fp = q_dedup_simhash(spark, sf_dir).select("doc_id", "simhash")
-    blocked = fp.withColumn("block", F.shiftright(F.col("simhash"), 16)).persist()
+_SIMHASH_MAX_HAMMING = 3
+_SIMHASH_N_BLOCKS = 4  # 4 blocks of 8 bits each over the 32-bit fingerprint
+
+
+def simhash_hamming_pairs(
+    fp: DataFrame, max_hamming: int = _SIMHASH_MAX_HAMMING
+) -> DataFrame:
+    """EXACT-recall blocked Hamming join over (doc_id, simhash).
+
+    Pigeonhole blocking: split the 32-bit fingerprint into 4 blocks of
+    8 bits. Two fingerprints within Hamming distance d ≤ 3 differ in at
+    most 3 of the 4 blocks, so they AGREE EXACTLY on at least one block
+    — joining per (block_id, block_value) and unioning the four block
+    joins therefore finds every qualifying pair (2 half-blocks would
+    NOT: 3 bits can split 2+1 across the halves, matching neither).
+    Cost is ~4× the candidate rows of a single-block scheme and still
+    never all-pairs; the shuffle key is (block_id, block_value), so a
+    hot 8-bit block value is the skew bound, not n².
+
+    Requires max_hamming < n_blocks for the pigeonhole guarantee.
+    """
+    assert max_hamming < _SIMHASH_N_BLOCKS
+    blocked = fp.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    (F.shiftright(F.col("simhash"), 8 * b) % 256).cast("int")
+                    for b in range(_SIMHASH_N_BLOCKS)
+                ]
+            )
+        ).alias("block_id", "block_val"),
+    ).persist()
     a, b = blocked.alias("a"), blocked.alias("b")
-    xor = F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
-    hamming = F.bit_count(xor)
+    hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
     return (
         a.join(
             b,
-            (F.col("a.block") == F.col("b.block"))
+            (F.col("a.block_id") == F.col("b.block_id"))
+            & (F.col("a.block_val") == F.col("b.block_val"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .select(
@@ -300,6 +387,18 @@ def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.doc_id").alias("doc_b"),
             hamming.cast("int").alias("hamming"),
         )
-        .filter(F.col("hamming") <= 3)
-        .orderBy("doc_a", "doc_b")
+        .filter(F.col("hamming") <= max_hamming)
+        # a pair agreeing on k blocks appears k times — one exchange on
+        # the (doc_a, doc_b) key dedups
+        .dropDuplicates(["doc_a", "doc_b"])
     )
+
+
+@register("q_dedup_simhash_pairs")  # rows-only: crc32-based fingerprints
+def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup candidates: ALL document pairs whose 32-bit
+    fingerprints are within Hamming distance 3, via exact-recall
+    pigeonhole blocking on 4×8-bit fingerprint blocks (see
+    simhash_hamming_pairs; property-tested against brute force)."""
+    fp = q_dedup_simhash(spark, sf_dir).select("doc_id", "simhash")
+    return simhash_hamming_pairs(fp).orderBy("doc_a", "doc_b")

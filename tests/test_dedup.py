@@ -1,0 +1,82 @@
+"""Dedup-operator guarantees that the DuckDB oracle can't express:
+exact recall of the pigeonhole-blocked SimHash Hamming join, on both a
+synthetic clustered fingerprint set and the real documents fixture.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+from meta_iterative_mapreduce_spark.operators.dedup import (
+    _SIMHASH_MAX_HAMMING,
+    q_dedup_simhash,
+    q_dedup_simhash_pairs,
+    simhash_hamming_pairs,
+)
+
+
+def _brute_force_pairs(fps: list[tuple[int, int]], max_d: int) -> set:
+    out = set()
+    for i in range(len(fps)):
+        for j in range(i + 1, len(fps)):
+            (id_a, fp_a), (id_b, fp_b) = fps[i], fps[j]
+            if bin(fp_a ^ fp_b).count("1") <= max_d:
+                lo, hi = min(id_a, id_b), max(id_a, id_b)
+                out.add((lo, hi))
+    return out
+
+
+def test_simhash_pairs_exact_recall_synthetic(spark):
+    """Clustered synthetic fingerprints: 30 base values, each with 6
+    perturbations flipping 0-5 random bits — the blocked join must find
+    EXACTLY the brute-force Hamming<=3 pair set (flips of 4-5 bits give
+    must-NOT-match pairs; the old 2-half-block scheme missed 2+1 splits).
+    """
+    rng = random.Random(42)
+    fps: list[tuple[int, int]] = []
+    doc_id = 0
+    for _ in range(30):
+        base = rng.getrandbits(32)
+        fps.append((doc_id, base))
+        doc_id += 1
+        for _ in range(6):
+            v = base
+            for bit in rng.sample(range(32), rng.randint(0, 5)):
+                v ^= 1 << bit
+            fps.append((doc_id, v))
+            doc_id += 1
+
+    expected = _brute_force_pairs(fps, _SIMHASH_MAX_HAMMING)
+    df = spark.createDataFrame(fps, "doc_id long, simhash long")
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in simhash_hamming_pairs(df).collect()
+    }
+    assert got == expected
+    assert expected, "fixture must exercise at least one matching pair"
+
+
+def test_simhash_pairs_exact_recall_on_documents(spark, sf_dir):
+    """End-to-end on the real fixture: the registered query's pair set
+    equals brute force over the actual document fingerprints."""
+    fps = [
+        (r.doc_id, r.simhash)
+        for r in q_dedup_simhash(spark, sf_dir).collect()
+    ]
+    expected = _brute_force_pairs(fps, _SIMHASH_MAX_HAMMING)
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in q_dedup_simhash_pairs(spark, sf_dir).collect()
+    }
+    assert got == expected
+
+
+def test_simhash_pairs_hamming_column_is_true_distance(spark):
+    fps = [(1, 0b1011), (2, 0b1010), (3, 0b1011 ^ (1 << 31))]
+    df = spark.createDataFrame(fps, "doc_id long, simhash long")
+    rows = {(r.doc_a, r.doc_b): r.hamming for r in simhash_hamming_pairs(df).collect()}
+    assert rows[(1, 2)] == 1
+    assert rows[(1, 3)] == 1
+    assert rows[(2, 3)] == 2
