@@ -1,0 +1,162 @@
+"""Connected components over the near-dup pair graph — the last stage
+of a production dedup pipeline (pairs → components → keep one canonical
+doc per component).
+
+Algorithm: alternating large-star / small-star (Kiveris et al. 2014,
+"Connected Components in MapReduce and Beyond"), the standard
+shuffle-frugal CC for massive graphs: each round touches every edge
+once (two groupBy-min shuffles), converges in O(log² n) rounds without
+the long-chain blowup of naive label propagation, and never
+materializes anything bigger than the (shrinking) edge set. This is
+the engine's third iterative workload in the reference's loop shape
+(kernel.cu:135-217: distributed phase per round + tiny driver-side
+convergence scalar), alongside the meta-averaged regression and
+k-means.
+
+Per-round lineage is truncated with localCheckpoint — an iterative
+DataFrame loop otherwise grows an unbounded plan tree.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from meta_iterative_mapreduce_spark.io import load_table
+from meta_iterative_mapreduce_spark.operators.dedup import (
+    _JACCARD_PAIRS_CTE,
+    jaccard_pairs,
+)
+from meta_iterative_mapreduce_spark.registry import register
+
+# Edge threshold for the component graph: near-dup pairs with raw
+# jaccard >= this are edges. The raw (unrounded) value is one IEEE
+# division of exact integers — engine-deterministic, so Spark and the
+# DuckDB oracle threshold identically.
+_COMPONENT_JACCARD_THRESHOLD = 0.4
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """Large-star round: for every node u, connect every LARGER
+    neighbor v > u to m = min(Γ(u) ∪ {u})."""
+    sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    mins = (
+        sym.groupBy("u")
+        .agg(F.min("v").alias("mn"))
+        .select("u", F.least("mn", F.col("u")).alias("m"))
+    )
+    return (
+        sym.join(mins, "u")
+        .where(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """Small-star round: orient edges large→small; for every node u,
+    connect its smaller neighbors N(u) and u itself to m = min(N(u))."""
+    oriented = e.select(
+        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+    ).where(F.col("u") != F.col("v"))
+    mins = oriented.groupBy("u").agg(F.min("v").alias("m"))  # m < u
+    members = oriented.select("u", "v").union(
+        oriented.select("u", F.col("u").alias("v")).distinct()
+    )
+    return (
+        members.join(mins, "u")
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
+    """(node, component_id) for every node incident to an edge, where
+    component_id = min node id in the connected component.
+
+    `edges` must have two numeric columns (u, v); self-loops are
+    ignored. Iterates large-star/small-star to fixpoint (edge set
+    stable). Each round shuffles only the current edge set — which
+    shrinks toward one star edge per non-root node — and the fixpoint
+    test is a count + one subtract on that same small set.
+    """
+    e = (
+        edges.select(F.col(edges.columns[0]).alias("u"), F.col(edges.columns[1]).alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    prev_count = e.count()
+    for _ in range(max_iter):
+        if prev_count == 0:
+            break
+        e_new = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        new_count = e_new.count()
+        converged = new_count == prev_count and e_new.subtract(e).isEmpty()
+        old = e
+        e, prev_count = e_new, new_count
+        old.unpersist()
+        if converged:
+            break
+    else:
+        raise RuntimeError(f"connected_components: no fixpoint in {max_iter} rounds")
+    # stars point members at roots (the root itself never appears on
+    # the member side, so add root→root rows); groupBy-min is
+    # belt-and-braces
+    members = e.groupBy(F.col("u").alias("node")).agg(
+        F.min("v").alias("component_id")
+    )
+    roots = (
+        e.select(F.col("v").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("component_id"))
+    )
+    return members.unionByName(roots).groupBy("node").agg(
+        F.min("component_id").alias("component_id")
+    )
+
+
+@register(
+    "q_dedup_components",
+    oracle=f"""
+    WITH RECURSIVE {_JACCARD_PAIRS_CTE},
+    edges AS (
+        SELECT doc_a AS u, doc_b AS v FROM jpairs
+        WHERE j >= {_COMPONENT_JACCARD_THRESHOLD}
+    ),
+    undir AS (
+        SELECT u, v FROM edges UNION SELECT v AS u, u AS v FROM edges
+    ),
+    reach(node, r) AS (
+        SELECT u AS node, v AS r FROM undir
+        UNION
+        SELECT undir.u AS node, reach.r
+        FROM undir JOIN reach ON undir.v = reach.node
+    ),
+    comp AS (
+        SELECT node AS doc_id, MIN(r) AS m FROM reach GROUP BY node
+    )
+    SELECT d.doc_id,
+           COALESCE(LEAST(c.m, d.doc_id), d.doc_id) AS component_id,
+           COALESCE(LEAST(c.m, d.doc_id), d.doc_id) = d.doc_id AS keep
+    FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+    """,
+)
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters + canonical-doc pick: connected components
+    (large-star/small-star to fixpoint) over the blocked-Jaccard pair
+    graph at jaccard >= 0.4, every document labeled with its
+    component's min doc_id, keep = "this is the canonical copy".
+    The oracle is the same closure as a DuckDB recursive CTE."""
+    edges = jaccard_pairs(spark, sf_dir).where(
+        F.col("jaccard") >= _COMPONENT_JACCARD_THRESHOLD
+    ).select("doc_a", "doc_b")
+    labels = connected_components(edges)
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    return d.join(labels, d.doc_id == labels.node, "left").select(
+        "doc_id",
+        F.coalesce("component_id", "doc_id").alias("component_id"),
+        (F.coalesce("component_id", "doc_id") == F.col("doc_id")).alias("keep"),
+    )

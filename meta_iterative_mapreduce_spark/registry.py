@@ -86,8 +86,8 @@ def _ensure_loaded() -> None:
         udfs,
     )
     from meta_iterative_mapreduce_spark.streaming import (  # noqa: F401
+        stateful,  # first: q_stream_ema is the stateful path's hash-checked twin
         batch_analogs,
-        stateful,
     )
     from meta_iterative_mapreduce_spark.plans import (  # noqa: F401
         aggregates,
@@ -95,6 +95,7 @@ def _ensure_loaded() -> None:
     )
     from meta_iterative_mapreduce_spark.operators import (  # noqa: F401
         clustering,
+        components,
         dedup,
         events_analytics,
         merge,

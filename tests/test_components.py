@@ -1,0 +1,83 @@
+"""connected_components (large-star/small-star) vs a union-find model
+on randomized graphs, plus shape checks on the registered query."""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+from meta_iterative_mapreduce_spark.operators.components import (
+    connected_components,
+    q_dedup_components,
+)
+
+
+def _union_find_components(n_nodes: int, edges: list[tuple[int, int]]) -> dict:
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {x: find(x) for x in parent}
+
+
+def test_connected_components_matches_union_find(spark):
+    """Random sparse graphs of several shapes (chains force multi-round
+    convergence; dense pockets force the star collapse)."""
+    rng = random.Random(7)
+    for trial in range(4):
+        n = rng.choice([30, 80, 150])
+        edges = []
+        # random edges
+        for _ in range(int(n * rng.uniform(0.3, 1.2))):
+            edges.append((rng.randrange(n), rng.randrange(n)))
+        # one long chain — worst case for naive propagation
+        chain = rng.sample(range(n), min(20, n))
+        edges += list(zip(chain, chain[1:]))
+        expected = _union_find_components(n, edges)
+
+        df = spark.createDataFrame(edges, "u long, v long")
+        got = {
+            r.node: r.component_id
+            for r in connected_components(df).collect()
+        }
+        # model covers every node incident to an edge incl. self-loops;
+        # spark result covers nodes incident to a non-self-loop edge
+        for node, comp in got.items():
+            assert expected[node] == comp, (trial, node)
+        missing = {
+            x for x, c in expected.items() if x != c or any(
+                (a == x or b == x) and a != b for a, b in edges
+            )
+        } - set(got)
+        assert not missing, (trial, missing)
+
+
+def test_dedup_components_partition_properties(spark, sf_dir):
+    out = q_dedup_components(spark, sf_dir)
+    rows = out.collect()
+    n_docs = len(rows)
+    assert n_docs > 0
+    assert len({r.doc_id for r in rows}) == n_docs  # one label per doc
+    by_comp = {}
+    for r in rows:
+        by_comp.setdefault(r.component_id, []).append(r)
+    for comp_id, members in by_comp.items():
+        assert comp_id == min(m.doc_id for m in members)  # min-id root
+        keeps = [m for m in members if m.keep]
+        assert len(keeps) == 1 and keeps[0].doc_id == comp_id
+    # the fixture graph must contain at least one multi-doc component
+    assert any(len(m) > 1 for m in by_comp.values())
+    # idempotence of the keep-set: rerunning on kept docs only yields
+    # all-singleton components is NOT asserted here (costly); covered
+    # by the union-find property above.
+    assert out.schema["keep"].dataType.typeName() == "boolean"
