@@ -74,17 +74,137 @@ def decode_features(
     return df.mapInPandas(op, schema="doc_id long, n_bytes long, mean32 double")
 
 
+# ---------------------------------------------------------------------------
+# Real decode path over a deterministic synthetic image format
+# ---------------------------------------------------------------------------
+#
+# Wire format (big-endian): 4-byte magic "MIMG" | u16 width | u16 height
+# | width*height pixel bytes. The encoder runs JVM-side (hex/unhex/
+# concat — no Python in the encode hot path); the decoder is a REAL
+# byte-level parser (struct.unpack + validation) running Arrow-batched
+# in mapInPandas — exactly the shape a JPEG/PNG decode takes at 100 TB,
+# with the codec swapped for a dependency-free format the oracle can
+# recompute in SQL.
+
+_MAGIC = b"MIMG"
+_MAX_HEIGHT = 64
+
+
+def synthetic_image_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, payload binary) — documents packed into the synthetic
+    image format. width = doc_id%13+4 (4..16), height = min(n_bytes
+    div width, 64); pixel bytes are the leading width*height UTF-8
+    bytes of the text. All header math is JVM-side: u16be(x) =
+    unhex(lpad(hex(x), 4, '0'))."""
+    d = load_table(spark, sf_dir, "documents")
+    nb = F.length(F.encode("text", "UTF-8"))
+    width = (F.col("doc_id") % 13 + 4).cast("int")
+    height = F.least(F.floor(nb / width), F.lit(_MAX_HEIGHT)).cast("int")
+
+    def u16be(c):
+        return F.unhex(F.lpad(F.hex(c), 4, "0"))
+
+    payload = F.concat(
+        F.lit(_MAGIC),
+        u16be(width),
+        u16be(height),
+        F.encode("text", "UTF-8"),
+    )
+    return d.select("doc_id", payload.alias("payload"))
+
+
+def decode_synthetic_image(payload: bytes) -> dict:
+    """Parse the MIMG wire format: validate magic, read u16be dims,
+    slice the pixel plane, compute mean intensity. Raises on corrupt
+    payloads (bad magic / truncated pixel plane) like a real codec."""
+    import struct
+
+    magic, w, h = struct.unpack(">4sHH", bytes(payload[:8]))
+    if magic != _MAGIC:
+        raise ValueError(f"bad magic {magic!r}")
+    pix = bytes(payload[8 : 8 + w * h])
+    if len(pix) != w * h:
+        raise ValueError(f"truncated pixel plane: {len(pix)} < {w * h}")
+    return {
+        "width": w,
+        "height": h,
+        "n_pixels": len(pix),
+        "mean_intensity": (sum(pix) / len(pix)) if pix else 0.0,
+    }
+
+
+def decode_synthetic_features(df: DataFrame) -> DataFrame:
+    """Arrow-batched mapInPandas over (doc_id, payload) running the
+    real byte-level decoder per payload."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [decode_synthetic_image(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": pd.Series([f["width"] for f in feats], dtype="int32"),
+                    "height": pd.Series([f["height"] for f in feats], dtype="int32"),
+                    "n_pixels": pd.Series(
+                        [f["n_pixels"] for f in feats], dtype="int64"
+                    ),
+                    "mean_intensity": pd.Series(
+                        [f["mean_intensity"] for f in feats], dtype="float64"
+                    ),
+                }
+            )
+
+    return df.mapInPandas(
+        op,
+        schema="doc_id long, width int, height int, n_pixels long, "
+        "mean_intensity double",
+    )
+
+
+@register(
+    "q_multimodal_decode",
+    oracle="""
+    WITH dims AS (
+        SELECT doc_id, text,
+               CAST(doc_id % 13 + 4 AS INT) AS width,
+               CAST(LEAST(octet_length(encode(text)) // (doc_id % 13 + 4),
+                          64) AS INT) AS height
+        FROM documents
+    )
+    SELECT d.doc_id, d.width, d.height,
+           CAST(d.width * d.height AS BIGINT) AS n_pixels,
+           SUM(ascii(SUBSTR(d.text, CAST(t.i AS INT), 1)))
+               / CAST(d.width * d.height AS DOUBLE) AS mean_intensity
+    FROM dims d,
+         UNNEST(generate_series(1, d.width * d.height)) AS t(i)
+    GROUP BY d.doc_id, d.width, d.height
+    """,
+)
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL decode path: JVM-side encode into the MIMG synthetic image
+    format, then byte-level struct parse + pixel-plane stats in
+    Arrow-batched mapInPandas. The oracle recomputes the identical
+    features from the source text in SQL (texts are ASCII, so
+    ascii(char) == pixel byte; the single sum/count division is
+    engine-deterministic)."""
+    return decode_synthetic_features(synthetic_image_payloads(spark, sf_dir))
+
+
 def decode_image_features(payload: bytes) -> dict:
-    """Real image decode — NOT AVAILABLE in this container (no imaging
-    libraries are installed). Kept as the injection point."""
+    """Injection point for a real raster decoder (PIL/libav): absent in
+    this container, so delegate to the synthetic-format parser when the
+    payload carries the MIMG magic and fail loudly otherwise."""
+    if bytes(payload[:4]) == _MAGIC:
+        return decode_synthetic_image(payload)
     try:
         import PIL.Image  # noqa: F401
     except ImportError as exc:  # pragma: no cover - environment-dependent
         raise NotImplementedError(
-            "image decoding requires an imaging library (e.g. Pillow); "
-            "inject a decoder via decode_features(df, decoder=...)"
+            "non-MIMG image decoding requires an imaging library "
+            "(e.g. Pillow); inject a decoder via decode_features(df, "
+            "decoder=...)"
         ) from exc
-    raise NotImplementedError("wire a real decoder here when available")
+    raise NotImplementedError("wire a real raster decoder here when available")
 
 
 @register(
