@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from meta_iterative_mapreduce_spark.io import load_table
@@ -22,6 +23,30 @@ def test_salted_join_matches_plain_join(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n"), F.sum("l_quantity").alias("q"))
     )
     assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_salted_join_left_keeps_unmatched_big_rows(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .select("c_custkey", "c_mktsegment")
+        .filter(F.col("c_custkey") % 2 == 0)  # force unmatched big rows
+    )
+    plain = o.join(c, o.o_custkey == c.c_custkey, "left")
+    salted = salted_join(o, c, "o_custkey", "c_custkey", n_salts=4, how="left")
+    assert salted.count() == plain.count()
+    assert (
+        salted.filter(F.col("c_custkey").isNull()).count()
+        == plain.filter(F.col("c_custkey").isNull()).count()
+    )
+
+
+def test_salted_join_rejects_outer_forms(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    for how in ("right", "full", "outer"):
+        with pytest.raises(ValueError, match="salted_join supports"):
+            salted_join(o, c, "o_custkey", "c_custkey", how=how)
 
 
 def test_two_phase_agg_matches_plain_agg(spark, sf_dir):
