@@ -1,12 +1,19 @@
 """Benchmark harness: runs every registered query at $SPARK_GRAFT_SF_DIR
-(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
-ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec, ...}, "sf": ...}.
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Output contract (the external driver keeps only the LAST ~2000 chars of
+stdout and parses the final line):
+- full per-query timings are written to BENCH_local.json;
+- the LAST stdout line is ONE compact JSON object — total wall-clock,
+  sf, query count, and a fixed headline subset of per-query timings —
+  guaranteed to fit the driver's capture window.
 
 Each query is materialized with the no-op writer (full engine
 execution, no driver-side row transfer) so timings measure the plan,
 not pandas conversion. The flagship iterative fit is timed as
-`entry_flagship`.
+`entry_flagship`; the RDD treeAggregate(depth=2) variant of the exact
+fit (the reference's two-level reduce tree, kernel.cu:148-166) as
+`flagship_rdd_tree`.
 """
 
 from __future__ import annotations
@@ -18,12 +25,56 @@ import sys
 import time
 
 from meta_iterative_mapreduce_spark import registry
-from meta_iterative_mapreduce_spark.operators.regression import flagship
+from meta_iterative_mapreduce_spark.operators.regression import (
+    flagship,
+    tree_aggregate_fit,
+)
+from meta_iterative_mapreduce_spark.io import load_table
 from meta_iterative_mapreduce_spark.session import get_spark
+
+# Fixed headline subset for the compact driver-parseable summary line.
+# One representative per family plus every iterative / scale-sensitive
+# workload; full timings always land in BENCH_local.json.
+HEADLINE = [
+    "entry_flagship",
+    "flagship_rdd_tree",
+    "q_regression_iterative_ema",
+    "q_cluster_kmeans",
+    "q_tpch_q3_shape",
+    "q_tpch_q18_shape",
+    "q_join_sort_merge",
+    "q_join_broadcast",
+    "q_window_ranking",
+    "q_agg_groupby",
+    "q_agg_count_distinct",
+    "q_agg_percentile",
+    "q_sort_limit",
+    "q_scan_parquet",
+    "q_dedup_exact",
+    "q_dedup_near_minhash",
+    "q_dedup_simhash_pairs",
+    "q_dedup_components",
+    "q_dedup_ngram_jaccard",
+    "q_sim_cosine_topk",
+    "q_sim_ann_lsh",
+    "q_text_tfidf",
+    "q_multimodal_decode",
+    "q_stream_tumbling",
+]
 
 
 def materialize(df) -> None:
     df.write.mode("overwrite").format("noop").save()
+
+
+def _best_of(trials: int, fn) -> float:
+    best = None
+    for _ in range(trials):
+        t0 = time.time()
+        fn()
+        dt = time.time() - t0
+        best = dt if best is None else min(best, dt)
+    return round(best, 3)
 
 
 def main() -> None:
@@ -38,41 +89,47 @@ def main() -> None:
     spark.range(1000).count()
     spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
 
-    trials_flagship = int(os.environ.get("MIMR_BENCH_TRIALS", "2"))
-    best = None
-    for _ in range(trials_flagship):
-        t0 = time.time()
-        flagship(spark, sf_dir).collect()
-        dt = time.time() - t0
-        best = dt if best is None else min(best, dt)
-    timings["entry_flagship"] = round(best, 3)
-
     trials = int(os.environ.get("MIMR_BENCH_TRIALS", "2"))
+    timings["entry_flagship"] = _best_of(
+        trials, lambda: flagship(spark, sf_dir).collect()
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    timings["flagship_rdd_tree"] = _best_of(
+        trials,
+        lambda: tree_aggregate_fit(li, "l_quantity", "l_extendedprice", depth=2),
+    )
+
     for name, fn in registry.queries().items():
-        best = None
         try:
-            for _ in range(trials):
-                t0 = time.time()
-                materialize(fn(spark, sf_dir))
-                dt = time.time() - t0
-                best = dt if best is None else min(best, dt)
-            timings[name] = round(best, 3)
+            timings[name] = _best_of(trials, lambda: materialize(fn(spark, sf_dir)))
         except Exception as exc:  # noqa: BLE001
             timings[name] = -1.0
             print(f"bench error in {name}: {exc}", file=sys.stderr)
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_wall_clock",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    full = {
+        "metric": "total_query_wall_clock",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    with open(os.path.join(os.path.dirname(__file__) or ".", "BENCH_local.json"), "w") as f:
+        json.dump(full, f, indent=1, sort_keys=True)
+
+    summary = {
+        "metric": "total_query_wall_clock",
+        "value": total,
+        "unit": "sec",
+        "queries": {k: timings[k] for k in HEADLINE if k in timings},
+        "sf": sf,
+        "n_queries": len(timings),
+        "n_errors": sum(1 for t in timings.values() if t < 0),
+        "full_timings": "BENCH_local.json",
+    }
+    line = json.dumps(summary)
+    assert len(line) < 1800, f"summary line too long ({len(line)} chars)"
+    print(line)
 
 
 if __name__ == "__main__":

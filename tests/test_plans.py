@@ -66,6 +66,50 @@ def test_agg_uses_partial_aggregation(spark, sf_dir):
     assert plan.count("HashAggregate") >= 2
 
 
+def test_tpch_q18_broadcasts_big_order_keyset(spark, sf_dir):
+    """Q18's aggregate-then-rejoin: the HAVING-filtered key set must
+    come back to the fact as a BROADCAST hash join (the keyset is tiny
+    at any scale — orders with >150 total qty), and lineitem must be
+    scanned exactly twice (once to build the keyset, once as the
+    rejoined fact) — a third scan would mean the keyset subtree was
+    inlined into a downstream reference."""
+    plan = _plan(registry.queries()["q_tpch_q18_shape"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("lineitem.parquet") == 2
+    # top-20 by totalprice must not globally sort the joined fact
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_minhash_banding_single_data_exchange(spark, sf_dir):
+    """q_dedup_near_minhash: the signature build must shuffle document
+    data exactly once (the doc_id hash-agg of the 32 MIN permutations).
+    Every other exchange operates on the tiny signature/band side. The
+    persist() means the self-join reads the cached signatures, so the
+    documents parquet appears exactly once in the plan."""
+    import re
+
+    # earlier tests may have materialized this query's persist(); a
+    # stale cache entry adds a second InMemoryRelation to the printout
+    spark.catalog.clearCache()
+    q = registry.queries()["q_dedup_near_minhash"]
+    plan = _plan(q(spark, sf_dir))
+    # both self-join sides must read the persisted signatures (the
+    # cached subtree's FileScan text reprints under each reference, so
+    # count InMemoryTableScans, not parquet mentions)
+    assert plan.count("InMemoryTableScan") == 2
+    # exactly ONE distinct data-proportional exchange (the doc_id
+    # hash-agg building signatures); identical plan_ids are reprints
+    doc_exchanges = {
+        m.group(1)
+        for m in re.finditer(
+            r"Exchange hashpartitioning\(doc_id[^\n]*\[plan_id=(\d+)\]", plan
+        )
+    }
+    assert len(doc_exchanges) == 1, plan
+    # the band-bucket self-join broadcasts the tiny signature side
+    assert "BroadcastExchange" in plan
+
+
 def test_events_ts_normalized(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events")
     assert dict(ev.dtypes)["ts"] == "timestamp"

@@ -87,5 +87,10 @@ def test_watermark_drops_late_rows_across_restart(spark, wm_env):
     dropped2 = _run(spark, wm_env, schema)
     assert dropped2 > 0  # the restored watermark rejected late rows
     out = spark.read.parquet(wm_env["out"])
-    assert out.filter(F.col("w") < wm_env["split"]).count() == 0  # no late windows
+    # window starts are floored to the 5-minute grid, so a legitimate
+    # on-time window containing the split instant starts up to one
+    # window width BEFORE split — compare against the floored boundary,
+    # not the raw split, or the assertion is off by up to one window
+    split_floor = wm_env["split"] - (wm_env["split"] % 300_000_000)
+    assert out.filter(F.col("w") < split_floor).count() == 0  # no late windows
     assert out.agg(F.sum("n")).collect()[0][0] > 0  # on-time windows emitted
