@@ -118,10 +118,10 @@ def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
     )
 
 
-@register(
-    "q_dedup_components",
-    oracle=f"""
-    WITH RECURSIVE {_JACCARD_PAIRS_CTE},
+# Reusable oracle text: recursive closure over the thresholded pair
+# graph, ending with comp(doc_id, m) = per-node min reachable id.
+# Compose as: WITH RECURSIVE {_JACCARD_PAIRS_CTE}, {_COMPONENTS_CTE} ...
+_COMPONENTS_CTE = f"""
     edges AS (
         SELECT doc_a AS u, doc_b AS v FROM jpairs
         WHERE j >= {_COMPONENT_JACCARD_THRESHOLD}
@@ -138,6 +138,13 @@ def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
     comp AS (
         SELECT node AS doc_id, MIN(r) AS m FROM reach GROUP BY node
     )
+"""
+
+
+@register(
+    "q_dedup_components",
+    oracle=f"""
+    WITH RECURSIVE {_JACCARD_PAIRS_CTE}, {_COMPONENTS_CTE}
     SELECT d.doc_id,
            COALESCE(LEAST(c.m, d.doc_id), d.doc_id) AS component_id,
            COALESCE(LEAST(c.m, d.doc_id), d.doc_id) = d.doc_id AS keep

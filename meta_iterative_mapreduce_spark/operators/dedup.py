@@ -170,7 +170,14 @@ def jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("df") <= _JACCARD_DF_CUTOFF)
         .drop("df")
     )
-    toks = toks0.join(keep_keys, ["token", "lang", "tlen"], "left_semi")
+    # The filtered token table feeds FOUR consumers (sizes, both
+    # self-join sides — and toks0 additionally feeds keep_keys): without
+    # a persist Catalyst re-runs the corpus explode per consumer.
+    # Persisting trades memory ~O(corpus tokens) for a single explode
+    # pass — the same call the minhash signature build makes; at 100 TB
+    # MEMORY_AND_DISK spills gracefully and is still far cheaper than
+    # 4 corpus re-scans.
+    toks = toks0.join(keep_keys, ["token", "lang", "tlen"], "left_semi").persist()
     sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tok"))
     a = toks.alias("a")
     b = toks.alias("b")
@@ -302,13 +309,27 @@ def q_dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_a", "doc_b")
 
 
-@register("q_dedup_simhash")  # rows-only: crc32-based fingerprint
+# 60-bit fingerprint: wide enough that 15-bit pigeonhole blocks give
+# 32768 bucket values each (a 32-bit/8-bit-block scheme has only 256 —
+# at millions of docs every bucket holds thousands of fingerprints and
+# the "blocked" join degenerates toward all-pairs). 60 = 4×15 keeps
+# every value positive in a bigint (no sign-bit hazards in shiftright/
+# %/bit_count).
+_SIMHASH_BITS = 60
+_SIMHASH_MAX_HAMMING = 3
+_SIMHASH_N_BLOCKS = 4
+_SIMHASH_BLOCK_BITS = _SIMHASH_BITS // _SIMHASH_N_BLOCKS  # 15
+_SIMHASH_MASK = (1 << _SIMHASH_BITS) - 1
+
+
+@register("q_dedup_simhash")  # rows-only: xxhash64-based fingerprint
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash: 32-bit fingerprint from per-token crc32 bit votes.
-    Docs whose fingerprints agree on most bits are near-dups; grouping
-    by fingerprint prefix gives cheap candidate buckets."""
+    """SimHash: 60-bit fingerprint from per-token hash bit votes
+    (xxhash64 masked to 60 bits so all arithmetic stays in positive
+    bigint range). Docs whose fingerprints agree on most bits are
+    near-dups; q_dedup_simhash_pairs blocks them for the join."""
     d = load_table(spark, sf_dir, "documents")
-    # one (doc_id, token-hash) row per distinct token, then all 32 bit
+    # one (doc_id, token-hash) row per distinct token, then all 60 bit
     # votes as SUM aggregates in a single hash-agg pass (same shape
     # rationale as minhash_signatures)
     hashed = d.select(
@@ -316,7 +337,7 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(
             F.transform(
                 F.array_distinct(F.split("text", " ")),
-                lambda t: F.crc32(t.cast("binary")),
+                lambda t: F.xxhash64(t).bitwiseAND(F.lit(_SIMHASH_MASK)),
             )
         ).alias("h"),
     )
@@ -326,11 +347,11 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(-1)
             )
         ).alias(f"v{bit}")
-        for bit in range(32)
+        for bit in range(_SIMHASH_BITS)
     ]
     per_doc = hashed.groupBy("doc_id").agg(*votes)
     fingerprint = F.lit(0).cast("bigint")
-    for bit in range(32):
+    for bit in range(_SIMHASH_BITS):
         fingerprint = fingerprint + F.when(
             F.col(f"v{bit}") > 0, F.lit(1 << bit)
         ).otherwise(F.lit(0))
@@ -339,35 +360,35 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
-_SIMHASH_MAX_HAMMING = 3
-_SIMHASH_N_BLOCKS = 4  # 4 blocks of 8 bits each over the 32-bit fingerprint
-
-
 def simhash_hamming_pairs(
     fp: DataFrame, max_hamming: int = _SIMHASH_MAX_HAMMING
 ) -> DataFrame:
     """EXACT-recall blocked Hamming join over (doc_id, simhash).
 
-    Pigeonhole blocking: split the 32-bit fingerprint into 4 blocks of
-    8 bits. Two fingerprints within Hamming distance d ≤ 3 differ in at
-    most 3 of the 4 blocks, so they AGREE EXACTLY on at least one block
-    — joining per (block_id, block_value) and unioning the four block
-    joins therefore finds every qualifying pair (2 half-blocks would
-    NOT: 3 bits can split 2+1 across the halves, matching neither).
-    Cost is ~4× the candidate rows of a single-block scheme and still
-    never all-pairs; the shuffle key is (block_id, block_value), so a
-    hot 8-bit block value is the skew bound, not n².
+    Pigeonhole blocking: split the 60-bit fingerprint into 4 blocks of
+    15 bits. Two fingerprints within Hamming distance d ≤ 3 differ in
+    at most 3 of the 4 blocks, so they AGREE EXACTLY on at least one
+    block — joining per (block_id, block_value) and unioning the four
+    block joins therefore finds every qualifying pair (2 half-blocks
+    would NOT: 3 bits can split 2+1 across the halves, matching
+    neither). Cost is ~4× the candidate rows of a single-block scheme
+    and still never all-pairs; the shuffle key is (block_id,
+    block_value) with 32768 values per block, so expected bucket size
+    is n/32768 and a hot block value is the skew bound, not n².
 
     Requires max_hamming < n_blocks for the pigeonhole guarantee.
     """
     assert max_hamming < _SIMHASH_N_BLOCKS
+    block_mask = (1 << _SIMHASH_BLOCK_BITS) - 1
     blocked = fp.select(
         "doc_id",
         "simhash",
         F.posexplode(
             F.array(
                 *[
-                    (F.shiftright(F.col("simhash"), 8 * b) % 256).cast("int")
+                    F.shiftright(F.col("simhash"), _SIMHASH_BLOCK_BITS * b)
+                    .bitwiseAND(F.lit(block_mask))
+                    .cast("int")
                     for b in range(_SIMHASH_N_BLOCKS)
                 ]
             )
@@ -394,11 +415,11 @@ def simhash_hamming_pairs(
     )
 
 
-@register("q_dedup_simhash_pairs")  # rows-only: crc32-based fingerprints
+@register("q_dedup_simhash_pairs")  # rows-only: xxhash64-based fingerprints
 def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup candidates: ALL document pairs whose 32-bit
+    """SimHash near-dup candidates: ALL document pairs whose 60-bit
     fingerprints are within Hamming distance 3, via exact-recall
-    pigeonhole blocking on 4×8-bit fingerprint blocks (see
+    pigeonhole blocking on 4×15-bit fingerprint blocks (see
     simhash_hamming_pairs; property-tested against brute force)."""
     fp = q_dedup_simhash(spark, sf_dir).select("doc_id", "simhash")
     return simhash_hamming_pairs(fp).orderBy("doc_a", "doc_b")

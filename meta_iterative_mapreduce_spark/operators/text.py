@@ -316,3 +316,98 @@ def q_text_ngram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("token").over(w).alias("nxt"),
     ).filter(F.col("nxt").isNotNull())
     return bigrams.groupBy("bigram").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+# PII patterns kept to constructs RE2 (DuckDB) and java.util.regex
+# (Spark) interpret identically: character classes, +, alternation —
+# no backrefs, no lookaround.
+_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]+"
+_PHONE_RE = "[+][0-9][0-9-]{6,}"
+
+
+@register(
+    "q_text_pii_redact",
+    oracle=f"""
+    WITH aug AS (
+        SELECT doc_id,
+               'Contact user' || CAST(doc_id AS VARCHAR)
+                   || '@mail.example or +1-555-'
+                   || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                   || ': ' || text AS raw
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(LENGTH(regexp_extract_all(raw, '{_EMAIL_RE}')) AS INT)
+               AS n_emails,
+           CAST(LENGTH(regexp_extract_all(raw, '{_PHONE_RE}')) AS INT)
+               AS n_phones,
+           SUBSTR(regexp_replace(regexp_replace(raw, '{_EMAIL_RE}',
+                      '[EMAIL]', 'g'), '{_PHONE_RE}', '[PHONE]', 'g'),
+                  1, 80) AS redacted_head
+    FROM aug
+    """,
+)
+def q_text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction over a corpus: match + replace email/phone
+    patterns, count hits per document — the compliance scrub stage of
+    a training-data pipeline. The fixture text carries no PII, so a
+    deterministic contact line (derived from doc_id) is prepended
+    before redaction; the operator itself is pure JVM regexp."""
+    d = load_table(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.lit("Contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail.example or +1-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(": "),
+        F.col("text"),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(raw, _EMAIL_RE, "[EMAIL]"), _PHONE_RE, "[PHONE]"
+    )
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(raw, F.lit(_EMAIL_RE), 0)).alias("n_emails"),
+        F.size(F.regexp_extract_all(raw, F.lit(_PHONE_RE), 0)).alias("n_phones"),
+        redacted.substr(1, 80).alias("redacted_head"),
+    )
+
+
+@register(
+    "q_text_html_strip",
+    oracle="""
+    WITH aug AS (
+        SELECT doc_id,
+               '<p class="doc"><b>' || SUBSTR(text, 1, 40)
+                   || '</b><br/>' || SUBSTR(text, 41, 10000)
+                   || '</p>' AS html
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(LENGTH(regexp_extract_all(html, '<[^>]+>')) AS INT) AS n_tags,
+           TRIM(regexp_replace(regexp_replace(html, '<[^>]+>', ' ', 'g'),
+                ' +', ' ', 'g')) AS stripped
+    FROM aug
+    """,
+)
+def q_text_html_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markup stripping (web-scrape cleaning): drop every <...> tag,
+    collapse whitespace, count removed tags. Fixture text is plain, so
+    a deterministic HTML wrapper is applied first; the strip itself is
+    the real operator (two JVM regexp passes, no Python)."""
+    d = load_table(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit('<p class="doc"><b>'),
+        F.col("text").substr(1, 40),
+        F.lit("</b><br/>"),
+        F.col("text").substr(F.lit(41), F.lit(10000)),
+        F.lit("</p>"),
+    )
+    stripped = F.trim(
+        F.regexp_replace(F.regexp_replace(html, "<[^>]+>", " "), " +", " ")
+    )
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(html, F.lit("<[^>]+>"), 0)).alias("n_tags"),
+        stripped.alias("stripped"),
+    )

@@ -100,6 +100,7 @@ def _ensure_loaded() -> None:
         events_analytics,
         merge,
         multimodal,
+        pipeline,
         regression,
         similarity,
         sketches,

@@ -10,6 +10,7 @@ import random
 from pyspark.sql import functions as F
 
 from meta_iterative_mapreduce_spark.operators.dedup import (
+    _SIMHASH_BITS,
     _SIMHASH_MAX_HAMMING,
     q_dedup_simhash,
     q_dedup_simhash_pairs,
@@ -38,12 +39,12 @@ def test_simhash_pairs_exact_recall_synthetic(spark):
     fps: list[tuple[int, int]] = []
     doc_id = 0
     for _ in range(30):
-        base = rng.getrandbits(32)
+        base = rng.getrandbits(_SIMHASH_BITS)
         fps.append((doc_id, base))
         doc_id += 1
         for _ in range(6):
             v = base
-            for bit in rng.sample(range(32), rng.randint(0, 5)):
+            for bit in rng.sample(range(_SIMHASH_BITS), rng.randint(0, 5)):
                 v ^= 1 << bit
             fps.append((doc_id, v))
             doc_id += 1
@@ -74,7 +75,7 @@ def test_simhash_pairs_exact_recall_on_documents(spark, sf_dir):
 
 
 def test_simhash_pairs_hamming_column_is_true_distance(spark):
-    fps = [(1, 0b1011), (2, 0b1010), (3, 0b1011 ^ (1 << 31))]
+    fps = [(1, 0b1011), (2, 0b1010), (3, 0b1011 ^ (1 << (_SIMHASH_BITS - 1)))]
     df = spark.createDataFrame(fps, "doc_id long, simhash long")
     rows = {(r.doc_a, r.doc_b): r.hamming for r in simhash_hamming_pairs(df).collect()}
     assert rows[(1, 2)] == 1

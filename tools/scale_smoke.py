@@ -1,11 +1,16 @@
-"""Scale smoke: the flagship aggregation shape at 100M+ rows.
+"""Scale smoke: the iterative/blocked operator shapes far beyond
+fixture size.
 
-Generates synthetic (batch, chunk, x, y) data with spark.range —
-purely in-memory, no files — and runs the same batch_fits plan the
-flagship uses, plus the exact OLS aggregate. The point is evidence
-that the partition strategy and single-shuffle plan hold far beyond
-the sf0.1 fixtures: row count scales ~170× over sf0.1's lineitem
-while the shuffle stays O(#batches × #chunks) rows.
+Generates synthetic data with spark.range — purely in-memory, no
+files — and runs the same plans the registered queries use. The point
+is evidence that the partition strategies hold far beyond the sf0.1
+fixtures:
+- flagship regression at 100M rows (shuffle stays O(batches×chunks));
+- RDD treeAggregate exact fit at the same scale (depth-2 merge tree);
+- connected components on a 5M-edge graph with long chains
+  (rounds stay O(log² n), per-round shuffle is the shrinking edge set);
+- SimHash pigeonhole pair join on 2M synthetic fingerprints
+  (candidates come from 4 block buckets, never all pairs).
 
 Usage: python tools/scale_smoke.py [n_rows]   (default 100_000_000)
 """
@@ -58,6 +63,75 @@ def main() -> None:
     # recover 2.5 to high precision
     assert abs(res.w1 - 2.5) < 1e-6, res.w1
     assert abs(exact["w1"] - 2.5) < 1e-6
+
+    t0 = time.time()
+    w0, w1, n_tree = R.tree_aggregate_fit(df, "x", "y", depth=2)
+    print(
+        f"tree_aggregate_fit over {n:,} rows: {time.time()-t0:.1f}s -> "
+        f"w0={w0:.4f} w1={w1:.4f}"
+    )
+    assert n_tree == n and abs(w1 - 2.5) < 1e-6
+
+    # --- connected components: 5M edges, ~2.5M nodes, mixed shapes ---
+    from meta_iterative_mapreduce_spark.operators.components import (
+        connected_components,
+    )
+
+    n_edges = max(n // 20, 1_000_000)
+    # cluster edges (id -> id - id%4: stars of 4) plus chain edges
+    # among the group leaders within runs of 256 leaders — components
+    # of 1024 nodes with chain diameter ~256, the long-chain case that
+    # kills naive propagation
+    base = spark.range(n_edges)
+    stars = base.select(
+        F.col("id").alias("u"), (F.col("id") - F.col("id") % 4).alias("v")
+    )
+    n_leaders = n_edges // 4
+    leaders = spark.range(n_leaders).select(
+        (F.col("id") * 4).alias("u"),
+        F.when(F.col("id") % 256 == 0, F.col("id") * 4)
+        .otherwise(F.col("id") * 4 - 4)
+        .alias("v"),
+    )
+    edges = stars.union(leaders)
+    t0 = time.time()
+    comps = connected_components(edges, max_iter=30)
+    n_comp = comps.select("component_id").distinct().count()
+    expected_comp = (n_leaders + 255) // 256
+    print(
+        f"connected_components over {n_edges:,} edges: {time.time()-t0:.1f}s "
+        f"-> {n_comp:,} components (expected {expected_comp:,})"
+    )
+    assert n_comp == expected_comp, (n_comp, expected_comp)
+
+    # --- simhash pigeonhole pair join on 2M synthetic fingerprints ---
+    from meta_iterative_mapreduce_spark.operators.dedup import (
+        _SIMHASH_MASK,
+        simhash_hamming_pairs,
+    )
+
+    n_docs = max(n // 50, 100_000)
+    # pairs of near-identical fingerprints (doc 2k and 2k+1 differ in
+    # exactly one bit) scattered uniformly over the 60-bit space
+    fp = spark.range(n_docs).select(
+        F.col("id").alias("doc_id"),
+        F.xxhash64((F.col("id") / 2).cast("long"))
+        .bitwiseAND(F.lit(_SIMHASH_MASK))
+        .bitwiseXOR(
+            F.when(F.col("id") % 2 == 1, F.lit(1)).otherwise(F.lit(0))
+        )
+        .alias("simhash"),
+    )
+    t0 = time.time()
+    n_pairs = simhash_hamming_pairs(fp).count()
+    print(
+        f"simhash_hamming_pairs over {n_docs:,} fingerprints: "
+        f"{time.time()-t0:.1f}s -> {n_pairs:,} pairs"
+    )
+    # every planted (2k, 2k+1) pair MUST be found (exact recall);
+    # random mixes may add a few extra sub-distance-3 collisions
+    assert n_pairs >= n_docs // 2, (n_pairs, n_docs // 2)
+
     print("scale smoke OK")
 
 
