@@ -159,7 +159,7 @@ def q_filter_null(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _roundtrip_dir(spark: SparkSession, sf_dir: str, fmt: str) -> str:
-    """Materialize nation in the given text format once per (sf, fmt)."""
+    """Materialize nation in the given format once per (sf, fmt)."""
     import os
     import tempfile
 
@@ -173,6 +173,8 @@ def _roundtrip_dir(spark: SparkSession, sf_dir: str, fmt: str) -> str:
         n = load_table(spark, sf_dir, "nation")
         if fmt == "csv":
             n.write.mode("overwrite").option("header", True).csv(out)
+        elif fmt == "orc":
+            n.write.mode("overwrite").orc(out)
         else:
             n.write.mode("overwrite").json(out)
     return out
@@ -209,3 +211,16 @@ def q_scan_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         .json(path)
         .select("n_nationkey", "n_name", "n_regionkey")
     )
+
+
+@register(
+    "q_scan_orc",
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
+)
+def q_scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC source (the other columnar format Spark ships natively, with
+    the same predicate-pushdown/column-pruning machinery as parquet):
+    write-once round-trip of nation, read back against the
+    parquet-backed oracle."""
+    path = _roundtrip_dir(spark, sf_dir, "orc")
+    return spark.read.orc(path).select("n_nationkey", "n_name", "n_regionkey")

@@ -23,9 +23,20 @@ def read_json(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame
     return spark.read.schema(schema).json(path)
 
 
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC source (schema comes from the ORC footer, like parquet)."""
+    return spark.read.orc(path)
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    df.write.mode(mode).orc(path)
+
+
 def read_jdbc(spark: SparkSession, url: str, table: str, **options) -> DataFrame:
-    """JDBC source — requires the driver jar on the classpath (not
-    present in this container; import-try gated at call time)."""
+    """JDBC source — requires the database's driver jar on the
+    classpath (none is present in this container, so calls here fail
+    with the JVM's 'No suitable driver' error; tests pin that failure
+    mode to prove the wiring reaches the JDBC code path)."""
     reader = spark.read.format("jdbc").option("url", url).option("dbtable", table)
     for k, v in options.items():
         reader = reader.option(k, v)

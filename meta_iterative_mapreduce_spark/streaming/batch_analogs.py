@@ -132,3 +132,52 @@ def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.round(F.sum("value"), 4).alias("sum_value"),
     )
+
+
+@register(
+    "q_stream_join",
+    oracle=f"""
+    WITH c AS (
+        SELECT user_id, event_id AS click_id, epoch_us(ts) AS us_c
+        FROM events WHERE event_type = 'click'
+    ), p AS (
+        SELECT user_id, event_id AS purchase_id, epoch_us(ts) AS us_p
+        FROM events WHERE event_type = 'purchase'
+    )
+    SELECT c.user_id, c.click_id, p.purchase_id,
+           p.us_p - c.us_c AS gap_us
+    FROM c JOIN p ON c.user_id = p.user_id
+       AND c.us_c >= p.us_p - {_30M} AND c.us_c <= p.us_p
+    """,
+)
+def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the stream-stream interval join
+    (streaming.jobs.click_purchase_join): purchases attributed to the
+    same user's clicks within the preceding 30 minutes. The range
+    predicate rides on the user_id equi-join, so the shuffle is keyed
+    and the interval filter is evaluated join-local."""
+    e = load_table(spark, sf_dir, "events")
+    c = e.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.unix_micros("ts").alias("us_c"),
+    )
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.unix_micros("ts").alias("us_p"),
+    )
+    return (
+        c.join(
+            p,
+            (F.col("user_id") == F.col("p_user"))
+            & (F.col("us_c") >= F.col("us_p") - _30M)
+            & (F.col("us_c") <= F.col("us_p")),
+        )
+        .select(
+            "user_id",
+            "click_id",
+            "purchase_id",
+            (F.col("us_p") - F.col("us_c")).alias("gap_us"),
+        )
+    )

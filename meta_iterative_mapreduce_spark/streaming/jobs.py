@@ -115,6 +115,89 @@ def dedup_stream(events: DataFrame) -> DataFrame:
     )
 
 
+def click_purchase_join(events: DataFrame) -> DataFrame:
+    """Stream-stream interval join: attribute each purchase to the same
+    user's clicks in the preceding 30 minutes. Both sides carry
+    watermarks and the join condition carries the time bound, so state
+    for either side expires once the other side's watermark passes —
+    the only viable stream-stream join shape on unbounded input."""
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("ts_c"),
+        )
+        .withWatermark("ts_c", "10 minutes")
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("ts_p"),
+        )
+        .withWatermark("ts_p", "10 minutes")
+    )
+    joined = clicks.join(
+        purchases,
+        F.expr(
+            "c_user = p_user AND "
+            "ts_c >= ts_p - INTERVAL 30 MINUTES AND ts_c <= ts_p"
+        ),
+    )
+    return joined.select(
+        F.col("c_user").alias("user_id"),
+        "click_id",
+        "purchase_id",
+        (F.unix_micros("ts_p") - F.unix_micros("ts_c")).alias("gap_us"),
+    )
+
+
+def foreach_batch_mor_upsert(
+    events: DataFrame, path: str
+) -> None:
+    """foreachBatch sink: merge-on-read upsert. Each micro-batch
+    APPENDS its rows stamped with a monotonically increasing version
+    (the batch id); `read_mor_upserted` compacts at read time by
+    keeping the highest-version row per key — the MOR half of the
+    MERGE pattern (the CoW half is operators/merge.py). Append-only
+    writes mean the sink never rewrites history, which is what keeps a
+    100 TB/day stream's sink pressure sequential."""
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.withColumn("__version", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(path)
+        )
+
+    q = (
+        events.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", path + "_ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+
+def read_mor_upserted(
+    spark: SparkSession, path: str, key: str = "event_id"
+) -> DataFrame:
+    """Read-side compaction for the MOR upsert sink: latest version per
+    key wins (ties broken deterministically by the version stamp)."""
+    from pyspark.sql import Window as W
+
+    raw = spark.read.parquet(path)
+    w = W.partitionBy(key).orderBy(F.col("__version").desc())
+    return (
+        raw.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "__version")
+    )
+
+
 def run_to_memory(
     df: DataFrame, name: str, output_mode: str = "complete"
 ) -> DataFrame:

@@ -40,6 +40,28 @@ def test_session_stream_matches_batch(spark, sf_dir):
     pd.testing.assert_frame_equal(_canon(got), _canon(want), check_dtype=False)
 
 
+def test_stream_stream_join_matches_batch(spark, sf_dir):
+    ev = jobs.stream_events(spark, sf_dir)
+    got = jobs.run_to_memory(
+        jobs.click_purchase_join(ev), "t_ssjoin", output_mode="append"
+    ).toPandas()
+    want = registry.queries()["q_stream_join"](spark, sf_dir).toPandas()
+    pd.testing.assert_frame_equal(_canon(got), _canon(want), check_dtype=False)
+
+
+def test_foreach_batch_mor_upsert_keeps_latest(spark, sf_dir, tmp_path):
+    path = str(tmp_path / "mor")
+    ev = jobs.stream_events(spark, sf_dir)
+    # replay the stream twice: every key arrives in two versions
+    jobs.foreach_batch_mor_upsert(ev.union(ev), path)
+    merged = jobs.read_mor_upserted(spark, path, key="event_id")
+    n_events = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    assert merged.count() == n_events
+    raw = spark.read.parquet(path)
+    assert raw.count() >= 2 * n_events  # sink appended, never rewrote
+    assert merged.select("event_id").distinct().count() == n_events
+
+
 def test_dedup_stream_drops_repeats(spark, sf_dir):
     ev = jobs.stream_events(spark, sf_dir)
     doubled = ev.union(ev)  # replay the stream twice
