@@ -318,6 +318,109 @@ def q_text_ngram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigrams.groupBy("bigram").agg(F.count(F.lit(1)).alias("cnt"))
 
 
+_CHUNK_WIDTH = 32  # tokens per training chunk
+_CHUNK_STRIDE = 24  # 8-token overlap between consecutive chunks
+
+
+@register(
+    "q_text_chunk",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t,
+               LENGTH(string_split(text, ' ')) AS n
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST((s.start - 1) / {_CHUNK_STRIDE} AS INT) AS chunk_idx,
+           CAST(LENGTH(list_slice(t, CAST(s.start AS INT),
+                CAST(LEAST(s.start + {_CHUNK_WIDTH} - 1, n) AS INT)))
+                AS INT) AS chunk_n_tokens,
+           array_to_string(list_slice(t, CAST(s.start AS INT),
+                CAST(LEAST(s.start + {_CHUNK_WIDTH} - 1, n) AS INT)), ' ')
+               AS chunk_text
+    FROM toks,
+         UNNEST(generate_series(1, GREATEST(n - {_CHUNK_WIDTH} + 1, 1),
+                {_CHUNK_STRIDE})) AS s(start)
+    """,
+)
+def q_text_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document chunking for training: overlapping {width}-token
+    windows at stride {stride} (the sliding-context split an LLM data
+    pipeline feeds to tokenization). Windows are generated as a
+    sequence of start offsets and sliced JVM-side — one explode, no
+    Python, no shuffle; the final partial window is kept (truncated
+    slice) so every token lands in at least one chunk."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n = F.size(toks)
+    starts = F.sequence(
+        F.lit(1), F.greatest(n - _CHUNK_WIDTH + 1, F.lit(1)), F.lit(_CHUNK_STRIDE)
+    )
+    chunked = d.select(
+        "doc_id",
+        toks.alias("t"),
+        F.explode(starts).alias("start"),
+    )
+    piece = F.slice("t", F.col("start"), F.lit(_CHUNK_WIDTH))
+    return chunked.select(
+        "doc_id",
+        ((F.col("start") - 1) / _CHUNK_STRIDE).cast("int").alias("chunk_idx"),
+        F.size(piece).alias("chunk_n_tokens"),
+        F.array_join(piece, " ").alias("chunk_text"),
+    )
+
+
+_PACK_BUDGET = 512  # tokens per packed training sequence
+
+
+@register(
+    "q_text_pack",
+    oracle=f"""
+    WITH sized AS (
+        SELECT doc_id, source,
+               LENGTH(string_split(text, ' ')) AS n_tok
+        FROM documents
+    ), placed AS (
+        SELECT source, n_tok,
+               COALESCE(SUM(n_tok) OVER (
+                   PARTITION BY source ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS offset_tok
+        FROM sized
+    )
+    SELECT source,
+           CAST(offset_tok // {_PACK_BUDGET} AS BIGINT) AS bin_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS sum_tokens
+    FROM placed
+    GROUP BY source, offset_tok // {_PACK_BUDGET}
+    """,
+)
+def q_text_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for training: assign documents (in stable
+    doc_id order per source) to {budget}-token context bins by their
+    exclusive running-token offset — the deterministic streaming
+    packer. One window over (source ORDER BY doc_id) + one rollup;
+    at scale the window partitions by source, so no global sort."""
+    d = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(F.split("text", " "))
+    w = W.partitionBy("source").orderBy("doc_id")
+    placed = d.select("doc_id", "source", n_tok.alias("n_tok")).withColumn(
+        "offset_tok",
+        F.coalesce(
+            F.sum("n_tok").over(w.rowsBetween(W.unboundedPreceding, -1)),
+            F.lit(0),
+        ),
+    )
+    return placed.groupBy(
+        "source",
+        F.expr(f"offset_tok div {_PACK_BUDGET}").alias("bin_id"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("sum_tokens"),
+    )
+
+
 # PII patterns kept to constructs RE2 (DuckDB) and java.util.regex
 # (Spark) interpret identically: character classes, +, alternation —
 # no backrefs, no lookaround.
