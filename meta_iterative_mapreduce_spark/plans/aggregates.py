@@ -143,6 +143,58 @@ def q_agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_agg_cube",
+    oracle="""
+    SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+           COALESCE(l_linestatus, 'ALL') AS ls,
+           ROUND(SUM(l_extendedprice), 4) AS sum_price,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE (all 2^k grouping combinations, incl. the per-linestatus
+    margin ROLLUP omits); one Expand + one hash aggregate, cube nulls
+    made hash-stable via COALESCE sentinels (the group columns are
+    never null in the data)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_price"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("rf"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("ls"),
+            "sum_price",
+            "n",
+        )
+    )
+
+
+@register(
+    "q_sample_hash",
+    oracle="""
+    SELECT doc_id, lang, n_chars
+    FROM documents
+    WHERE SUBSTR(md5(text), 1, 1) IN ('0', '1', '2', '3')
+    """,
+)
+def q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~25% sample by content hash (md5 prefix bucket) —
+    the reproducible sampling pattern for experiments over a mutable
+    100 TB corpus: membership depends only on row content, never on
+    partitioning, row order, or a seed's engine-specific RNG (md5 is
+    bit-identical across engines, unlike TABLESAMPLE)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.filter(
+        F.substring(F.md5("text"), 1, 1).isin("0", "1", "2", "3")
+    ).select("doc_id", "lang", "n_chars")
+
+
+@register(
     "q_agg_stats",
     oracle="""
     SELECT ROUND(var_pop(l_quantity), 4) AS var_pop_qty,
