@@ -58,8 +58,11 @@ HEADLINE = [
     "q_sim_cosine_topk",
     "q_sim_ann_lsh",
     "q_text_tfidf",
+    "q_text_pack",
+    "q_pipeline_corpus_clean",
     "q_multimodal_decode",
     "q_stream_tumbling",
+    "q_source_python_ds",
 ]
 
 
