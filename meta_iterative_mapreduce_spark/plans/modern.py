@@ -15,7 +15,59 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from meta_iterative_mapreduce_spark.io import load_table
+from meta_iterative_mapreduce_spark.operators.dedup import (
+    _JACCARD_PAIRS_CTE,
+    jaccard_pairs,
+)
 from meta_iterative_mapreduce_spark.registry import register
+
+
+@register(
+    "q_cte_recursive",
+    oracle=f"""
+    WITH RECURSIVE {_JACCARD_PAIRS_CTE},
+    e AS (
+        SELECT doc_a, doc_b FROM jpairs WHERE j >= 0.4
+    ),
+    walk(root, node) AS (
+        SELECT doc_a AS root, doc_b AS node FROM e
+        UNION ALL
+        SELECT w.root, e.doc_b FROM walk w JOIN e ON e.doc_a = w.node
+    )
+    SELECT root, COUNT(DISTINCT node) AS n_desc, MAX(node) AS max_node
+    FROM walk GROUP BY root
+    """,
+)
+def q_cte_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RECURSIVE CTE (Spark 4): transitive-descendant closure over the
+    near-dup pair DAG (edges oriented doc_a < doc_b, so UNION ALL
+    recursion terminates; multi-path duplicates collapse in the final
+    COUNT(DISTINCT)). The identical recursive SQL runs on DuckDB as
+    the oracle — and the fixpoint it computes cross-checks the
+    DataFrame-loop connected components (q_dedup_components) from a
+    third, engine-native direction."""
+    # persist: the recursive executor joins this view once per
+    # recursion level — unpersisted, each level re-runs the whole
+    # token-explode pair pipeline
+    pairs = (
+        jaccard_pairs(spark, sf_dir)
+        .where(F.col("jaccard") >= 0.4)
+        .select("doc_a", "doc_b")
+        .persist()
+    )
+    pairs.createOrReplaceTempView("mimr_pair_edges")
+    return spark.sql(
+        """
+        WITH RECURSIVE walk(root, node) AS (
+            SELECT doc_a AS root, doc_b AS node FROM mimr_pair_edges
+            UNION ALL
+            SELECT w.root, e.doc_b
+            FROM walk w JOIN mimr_pair_edges e ON e.doc_a = w.node
+        )
+        SELECT root, COUNT(DISTINCT node) AS n_desc, MAX(node) AS max_node
+        FROM walk GROUP BY root
+        """
+    )
 
 
 @register(

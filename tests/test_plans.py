@@ -110,6 +110,25 @@ def test_minhash_banding_single_data_exchange(spark, sf_dir):
     assert "BroadcastExchange" in plan
 
 
+def test_training_data_ops_shuffle_posture(spark, sf_dir):
+    """Chunking and hash-sampling are pure per-row mappers (ZERO
+    exchanges — they pipeline inside the scan stage at any scale);
+    sequence packing shuffles exactly once, on the window's source key
+    (the (source, bin) rollup reuses that partitioning because source
+    functionally covers it)."""
+    qs = registry.queries()
+    for name in ("q_text_chunk", "q_sample_hash"):
+        plan = _plan(qs[name](spark, sf_dir))
+        assert "Exchange" not in plan, name
+    pack_plan = _plan(qs["q_text_pack"](spark, sf_dir))
+    import re
+
+    exchanges = re.findall(r"Exchange (\w+)\(([^,)]+)", pack_plan)
+    assert len(exchanges) == 1, pack_plan
+    assert exchanges[0][0] == "hashpartitioning"
+    assert exchanges[0][1].startswith("source")
+
+
 def test_events_ts_normalized(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events")
     assert dict(ev.dtypes)["ts"] == "timestamp"
