@@ -190,6 +190,140 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_synthetic_features(synthetic_image_payloads(spark, sf_dir))
 
 
+def resize_2x2_pool(payload: bytes) -> dict:
+    """2×2 mean-pool downsample of the MIMG pixel plane (odd edge rows/
+    cols cropped) — the numpy reshape-pool every real thumbnailing
+    pipeline runs, on the dependency-free codec."""
+    import struct
+
+    import numpy as np
+
+    magic, w, h = struct.unpack(">4sHH", bytes(payload[:8]))
+    if magic != _MAGIC:
+        raise ValueError(f"bad magic {magic!r}")
+    pix = np.frombuffer(bytes(payload[8 : 8 + w * h]), dtype=np.uint8)
+    if pix.size != w * h:
+        raise ValueError("truncated pixel plane")
+    w2, h2 = w // 2, h // 2
+    plane = pix.reshape(h, w)[: 2 * h2, : 2 * w2].astype(np.float64)
+    pooled = plane.reshape(h2, 2, w2, 2).mean(axis=(1, 3))
+    return {
+        "new_w": w2,
+        "new_h": h2,
+        "pooled_sum": float(pooled.sum()),
+    }
+
+
+@register(
+    "q_multimodal_resize",
+    oracle="""
+    WITH dims AS (
+        SELECT doc_id, text,
+               CAST(doc_id % 13 + 4 AS INT) AS w,
+               CAST(LEAST(octet_length(encode(text)) // (doc_id % 13 + 4),
+                          64) AS INT) AS h
+        FROM documents
+    )
+    SELECT d.doc_id,
+           CAST(d.w // 2 AS INT) AS new_w,
+           CAST(d.h // 2 AS INT) AS new_h,
+           ROUND(SUM(CASE WHEN ((t.i - 1) // d.w) < 2 * (d.h // 2)
+                           AND ((t.i - 1) % d.w) < 2 * (d.w // 2)
+                          THEN ascii(SUBSTR(d.text, CAST(t.i AS INT), 1))
+                          ELSE 0 END) / 4.0, 4) AS pooled_sum
+    FROM dims d,
+         UNNEST(generate_series(1, d.w * d.h)) AS t(i)
+    GROUP BY d.doc_id, d.w, d.h
+    """,
+)
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image resize (2×2 mean pooling) over MIMG payloads in
+    Arrow-batched mapInPandas. The oracle recomputes the pooled-plane
+    sum from the source bytes: every kept pixel lands in exactly one
+    2×2 block, so Σ pooled = Σ cropped-pixels / 4 (cropping is
+    position arithmetic on the flat index)."""
+    src = synthetic_image_payloads(spark, sf_dir)
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [resize_2x2_pool(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "new_w": pd.Series([f["new_w"] for f in feats], dtype="int32"),
+                    "new_h": pd.Series([f["new_h"] for f in feats], dtype="int32"),
+                    "pooled_sum": pd.Series(
+                        [round(f["pooled_sum"], 4) for f in feats],
+                        dtype="float64",
+                    ),
+                }
+            )
+
+    return src.mapInPandas(
+        op, schema="doc_id long, new_w int, new_h int, pooled_sum double"
+    )
+
+
+_FRAME_BYTES = 32  # bytes per "video frame" in the frame-sample op
+_FRAME_STRIDE = 4  # keep every 4th frame
+
+
+@register(
+    "q_multimodal_frame_sample",
+    oracle=f"""
+    WITH framed AS (
+        SELECT doc_id, text,
+               octet_length(encode(text)) // {_FRAME_BYTES} AS n_frames
+        FROM documents
+    )
+    SELECT d.doc_id,
+           CAST(s.f AS INT) AS frame_idx,
+           SUM(ascii(SUBSTR(d.text,
+                     CAST(s.f * {_FRAME_BYTES} + t.i AS INT), 1)))
+                 / {_FRAME_BYTES}.0 AS frame_mean
+    FROM framed d,
+         UNNEST(generate_series(0, d.n_frames - 1, {_FRAME_STRIDE})) AS s(f),
+         UNNEST(generate_series(1, {_FRAME_BYTES})) AS t(i)
+    WHERE d.n_frames > 0
+    GROUP BY d.doc_id, s.f
+    """,
+)
+def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling: treat each document's byte stream as
+    fixed-size frames, keep every {stride}-th frame, and emit a
+    per-frame mean intensity — one input row fanning out to its
+    sampled frames inside mapInPandas (the decode-side shape of a
+    frame-subsampling video pipeline)."""
+    d = load_table(spark, sf_dir, "documents")
+    src = d.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_doc, out_idx, out_mean = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                data = bytes(payload)
+                n_frames = len(data) // _FRAME_BYTES
+                for f in range(0, n_frames, _FRAME_STRIDE):
+                    frame = data[f * _FRAME_BYTES : (f + 1) * _FRAME_BYTES]
+                    out_doc.append(doc_id)
+                    out_idx.append(f)
+                    # int-sum / 32 is an exact dyadic rational — emit
+                    # RAW (bit-identical across engines); rounding it
+                    # would reintroduce banker's-vs-half-up tie skew
+                    out_mean.append(sum(frame) / _FRAME_BYTES)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(out_doc, dtype="int64"),
+                    "frame_idx": pd.Series(out_idx, dtype="int32"),
+                    "frame_mean": pd.Series(out_mean, dtype="float64"),
+                }
+            )
+
+    return src.mapInPandas(
+        op, schema="doc_id long, frame_idx int, frame_mean double"
+    )
+
+
 def decode_image_features(payload: bytes) -> dict:
     """Injection point for a real raster decoder (PIL/libav): absent in
     this container, so delegate to the synthetic-format parser when the

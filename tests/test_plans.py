@@ -51,7 +51,16 @@ def test_relational_plans_stay_jvm_side(spark, sf_dir):
     qs = registry.queries()
     offenders = []
     for name, fn in qs.items():
-        if name.startswith(("q_udf", "q_udaf", "q_udtf", "q_multimodal_decode")):
+        if name.startswith(
+            (
+                "q_udf",
+                "q_udaf",
+                "q_udtf",
+                "q_multimodal_decode",
+                "q_multimodal_resize",  # numpy pool runs in mapInPandas by design
+                "q_multimodal_frame_sample",  # frame slicing in mapInPandas
+            )
+        ):
             continue
         plan = _plan(fn(spark, sf_dir))
         if "BatchEvalPython" in plan or "ArrowEvalPython" in plan or "MapInPandas" in plan:
