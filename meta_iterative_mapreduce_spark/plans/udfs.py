@@ -119,10 +119,27 @@ def q_udaf_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_udtf_explode")  # rows-only: UDTF output not naturally SQL-portable
+@register(
+    "q_udtf_explode",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS token,
+               generate_subscripts(string_split(text, ' '), 1) AS p
+        FROM documents WHERE doc_id < 100
+    )
+    SELECT doc_id,
+           CAST(p - 1 AS INT) AS pos,
+           token || ' ' || LEAD(token) OVER
+               (PARTITION BY doc_id ORDER BY p) AS bigram
+    FROM toks QUALIFY bigram IS NOT NULL
+    """,
+)
 def q_udtf_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UDTF (one row → many): word bigrams per document, via a UDF
-    returning an array + posexplode (the classic lateral-view shape)."""
+    returning an array + posexplode (the classic lateral-view shape).
+    The Python logic is deterministic, so despite being a UDF surface
+    the output is fully oracle-checked against the SQL lead-window
+    form."""
 
     @F.udf(T.ArrayType(T.StringType()))
     def bigrams(text: str) -> list[str]:
