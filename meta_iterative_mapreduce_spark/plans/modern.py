@@ -71,6 +71,39 @@ def q_cte_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_join_lateral",
+    oracle="""
+    SELECT n.n_name, c.c_name, c.c_acctbal
+    FROM nation n, LATERAL (
+        SELECT c_name, c_acctbal FROM customer
+        WHERE c_nationkey = n.n_nationkey
+        ORDER BY c_acctbal DESC, c_name LIMIT 2
+    ) c
+    """,
+)
+def q_join_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery: top-2 customers by balance PER
+    nation, expressed as a per-row dependent subquery rather than a
+    window + filter. Catalyst decorrelates this into the same
+    ranked-window plan q_topk_per_group builds by hand — the point is
+    the SQL surface; identical LATERAL SQL runs on DuckDB."""
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("mimr_nation")
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView(
+        "mimr_customer"
+    )
+    return spark.sql(
+        """
+        SELECT n.n_name, c.c_name, c.c_acctbal
+        FROM mimr_nation n, LATERAL (
+            SELECT c_name, c_acctbal FROM mimr_customer
+            WHERE c_nationkey = n.n_nationkey
+            ORDER BY c_acctbal DESC, c_name LIMIT 2
+        ) c
+        """
+    )
+
+
+@register(
     "q_scalar_variant",
     oracle="""
     SELECT event_id,
