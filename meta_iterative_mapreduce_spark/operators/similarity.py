@@ -264,3 +264,53 @@ def q_sim_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cos_raw") >= 0.4)
         .select("id_a", "id_b", F.round("cos_raw", 4).alias("cos_sim"))
     )
+
+
+@register(
+    "q_embed_quantize",
+    oracle="""
+    WITH scaled AS (
+        SELECT vec_id, label, embedding,
+               list_max(list_transform(embedding,
+                        x -> abs(CAST(x AS DOUBLE)))) AS scale
+        FROM embeddings
+    )
+    SELECT vec_id, label, scale,
+           array_to_string(
+               CASE WHEN scale = 0
+                    THEN list_transform(embedding, x -> CAST(0 AS INT))
+                    ELSE list_transform(embedding,
+                         x -> CAST(floor(CAST(x AS DOUBLE) / scale * 127 + 0.5)
+                                   AS INT))
+               END, ',') AS q_str
+    FROM scaled
+    """,
+)
+def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of the embedding column: per-vector
+    scale = max(|x|), q_i = round_half_up(x_i / scale * 127). A pure
+    map-side plan (no shuffle, no Python): array_max/transform are JVM
+    higher-order functions, so at 100 TB this is a single pass that
+    shrinks ANN working sets ~4x. Rounding is floor(x + 0.5) — not
+    ROUND() — because IEEE floor is bit-identical across engines while
+    half-even ties are not; max(|x|) needs no ROUND hygiene since max
+    is order-independent (unlike sums). The int8 vector is projected
+    as a comma-joined string only for the oracle hash (the checker
+    cannot sort raw array cells); downstream ANN keeps the array."""
+    e = load_table(spark, sf_dir, "embeddings")
+    scale = F.array_max(F.transform("embedding", lambda x: F.abs(x.cast("double"))))
+    scaled = e.select("vec_id", "label", "embedding", scale.alias("scale"))
+    q = F.when(
+        F.col("scale") == 0,
+        F.transform("embedding", lambda x: F.lit(0).cast("int")),
+    ).otherwise(
+        F.transform(
+            "embedding",
+            lambda x: F.floor(x.cast("double") / F.col("scale") * 127 + 0.5).cast(
+                "int"
+            ),
+        )
+    )
+    return scaled.select(
+        "vec_id", "label", "scale", F.array_join(q, ",").alias("q_str")
+    )

@@ -99,6 +99,7 @@ def _ensure_loaded() -> None:
         components,
         dedup,
         events_analytics,
+        incremental,
         merge,
         multimodal,
         pipeline,

@@ -1,0 +1,55 @@
+"""Invariants for incremental view maintenance and CDC snapshot diff."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from meta_iterative_mapreduce_spark.io import load_table
+from meta_iterative_mapreduce_spark.operators.incremental import (
+    q_agg_incremental,
+    q_cdc_snapshot_diff,
+)
+
+def test_incremental_equals_full_recompute(spark, sf_dir):
+    """The partial-merge refresh must be exactly the full recompute."""
+    inc = q_agg_incremental(spark, sf_dir)
+    full = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.round(F.sum("o_totalprice"), 4).alias("sum_price"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    assert inc.exceptAll(full).count() == 0
+    assert full.exceptAll(inc).count() == 0
+
+
+def test_cdc_diff_classification(spark, sf_dir):
+    """Every emitted op agrees with the snapshot-construction rules."""
+    diff = q_cdc_snapshot_diff(spark, sf_dir).cache()
+    rows = {r["o_orderkey"]: r for r in diff.collect()}
+    assert rows, "diff must be non-empty"
+    for k, r in rows.items():
+        if r["op"] == "I":
+            # in B only: key was dropped from A (div by 3) but kept in B
+            assert k % 3 == 0 and k % 5 != 0
+            assert r["old_price"] is None and r["new_price"] is not None
+        elif r["op"] == "D":
+            assert k % 5 == 0 and k % 3 != 0
+            assert r["new_price"] is None and r["old_price"] is not None
+        else:
+            assert r["op"] == "U"
+            # updates are exactly the re-priced keys present in both
+            assert k % 7 == 0 and k % 3 != 0 and k % 5 != 0
+            assert r["new_price"] == pytest.approx(round(r["old_price"] * 1.05, 4))
+    # unchanged keys never appear
+    o = load_table(spark, sf_dir, "orders")
+    unchanged = o.filter(
+        (F.col("o_orderkey") % 3 != 0)
+        & (F.col("o_orderkey") % 5 != 0)
+        & (F.col("o_orderkey") % 7 != 0)
+    ).select("o_orderkey")
+    assert diff.join(unchanged, "o_orderkey", "semi").count() == 0
+    diff.unpersist()

@@ -77,3 +77,37 @@ def test_exact_dedup_idempotent_and_minimal(xs):
     assert {k for k, _ in once} == keys
     for k, i in once:
         assert i == min(j for kk, j in xs if kk == k)
+
+
+def test_embed_quantize_error_bound(spark, sf_dir):
+    """int8 dequantization error is bounded by scale/254 per element
+    (half a quantization step), and q stays within [-127, 127]."""
+    from meta_iterative_mapreduce_spark.operators.similarity import q_embed_quantize
+    from meta_iterative_mapreduce_spark.io import load_table
+    import pyspark.sql.functions as F
+
+    out = q_embed_quantize(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    j = out.join(emb, "vec_id").select(
+        "scale",
+        F.split("q_str", ",").cast("array<int>").alias("q"),
+        "embedding",
+    )
+    checked = j.select(
+        F.array_max(F.transform("q", lambda x: F.abs(x))).alias("q_max"),
+        F.array_max(
+            F.zip_with(
+                "q",
+                "embedding",
+                lambda qi, xi: F.abs(
+                    qi.cast("double") * F.col("scale") / 127.0 - xi.cast("double")
+                ),
+            )
+        ).alias("max_err"),
+        "scale",
+    )
+    bad = checked.filter(
+        (F.col("q_max") > 127)
+        | (F.col("max_err") > F.col("scale") / 254.0 + 1e-12)
+    )
+    assert bad.count() == 0
