@@ -167,3 +167,56 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("component_id", "doc_id").alias("component_id"),
         (F.coalesce("component_id", "doc_id") == F.col("doc_id")).alias("keep"),
     )
+
+
+@register(
+    "q_graph_degree",
+    oracle="""
+    WITH items AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), edges AS (
+        SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+        FROM items a JOIN items b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ), deg AS (
+        SELECT p, COUNT(*) AS degree
+        FROM (SELECT pa AS p FROM edges
+              UNION ALL SELECT pb AS p FROM edges)
+        GROUP BY p
+    )
+    SELECT degree, COUNT(*) AS n_parts FROM deg GROUP BY degree
+    """,
+)
+def q_graph_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the part co-purchase graph (parts are
+    adjacent iff they appear in the same order). The pair generation
+    is a same-key self-join on l_orderkey — bounded fanout (an order
+    has at most a handful of lines, so <=C(13,2) pairs per key), never
+    a global cross product; the distinct-edge aggregate is the only
+    data-proportional shuffle, and the two degree/histogram aggregates
+    collapse monotonically. All-integer output: no float hygiene
+    needed."""
+    items = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = items.alias("a"), items.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
+        )
+        .distinct()
+    )
+    deg = (
+        edges.select(F.col("pa").alias("p"))
+        .unionAll(edges.select(F.col("pb").alias("p")))
+        .groupBy("p")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    return deg.groupBy("degree").agg(F.count(F.lit(1)).alias("n_parts"))

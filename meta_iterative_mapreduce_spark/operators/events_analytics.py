@@ -10,6 +10,7 @@ key are colocated by the window partition, and the cohort matrix is a
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from meta_iterative_mapreduce_spark.io import load_table
@@ -124,4 +125,71 @@ def q_agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.groupBy("l_returnflag").agg(
         F.percentile_approx("l_extendedprice", 0.5, 10000).alias("median_approx"),
         F.percentile_approx("l_extendedprice", 0.99, 10000).alias("p99_approx"),
+    )
+
+
+@register(
+    "q_ts_gapfill",
+    oracle="""
+    WITH daily AS (
+        SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+               COUNT(*) AS n, ROUND(SUM(value), 4) AS day_sum
+        FROM events GROUP BY 1, 2
+    ), spans AS (
+        SELECT user_id, MIN(day) AS d0, MAX(day) AS d1 FROM daily GROUP BY 1
+    ), spine AS (
+        SELECT user_id,
+               CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE)
+                   AS day
+        FROM spans
+    ), joined AS (
+        SELECT s.user_id, s.day, d.n, d.day_sum
+        FROM spine s LEFT JOIN daily d USING (user_id, day)
+    )
+    SELECT user_id,
+           strftime(day, '%Y-%m-%d') AS day,
+           COALESCE(n, 0) AS n,
+           last_value(day_sum IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS filled_sum,
+           (n IS NULL) AS gap
+    FROM joined
+    """,
+)
+def q_ts_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style gap fill + forward fill (locf): densify each
+    user's daily series over its own [min_day, max_day] span with
+    sequence()+explode, left-join the real daily aggregates onto the
+    spine, and carry the last observed daily sum across gaps with an
+    ignore-nulls running last_value. Day-sums are ROUNDed *before* the
+    fill so both engines forward-copy identical values. The spine is
+    generated per-key (no driver loop, no cross join); the whole plan
+    is two hash shuffles (daily agg, span agg) + one window — the
+    partitioning on user_id is reused by the join and the window."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "user_id", F.to_date(F.date_trunc("day", "ts")).alias("day")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 4).alias("day_sum"),
+    )
+    spans = daily.groupBy("user_id").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    spine = spans.select(
+        "user_id", F.explode(F.sequence("d0", "d1")).alias("day")
+    )
+    joined = spine.join(daily, ["user_id", "day"], "left")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return joined.select(
+        "user_id",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.coalesce("n", F.lit(0)).alias("n"),
+        F.last("day_sum", ignorenulls=True).over(w).alias("filled_sum"),
+        F.col("n").isNull().alias("gap"),
     )

@@ -514,3 +514,39 @@ def q_text_html_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.regexp_extract_all(html, F.lit("<[^>]+>"), 0)).alias("n_tags"),
         stripped.alias("stripped"),
     )
+
+
+@register(
+    "q_text_inverted_index",
+    oracle="""
+    SELECT token,
+           COUNT(DISTINCT doc_id) AS df,
+           CASE WHEN COUNT(DISTINCT doc_id) <= 32
+                THEN array_to_string(list_sort(list(DISTINCT doc_id)), ',')
+                ELSE NULL END AS postings
+    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+          FROM documents)
+    GROUP BY token
+    """,
+)
+def q_text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted index build: token -> document frequency + sorted
+    posting list. One explode + one hash aggregate (collect_set is the
+    map-side-combinable set union). Posting lists are materialized
+    only for tokens with df <= 32 — at corpus scale the high-df tail
+    (stopwords) would dominate storage while carrying no retrieval
+    signal, the same df-cutoff rationale as q_dedup_ngram_jaccard;
+    their df survives so nothing is silently dropped. Postings are
+    projected as a comma-joined string (sorted, so deterministic) for
+    the oracle hash."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    )
+    return toks.groupBy("token").agg(
+        F.countDistinct("doc_id").alias("df"),
+        F.when(
+            F.countDistinct("doc_id") <= 32,
+            F.array_join(F.array_sort(F.collect_set("doc_id")), ","),
+        ).alias("postings"),
+    )

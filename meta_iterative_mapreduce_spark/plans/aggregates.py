@@ -11,6 +11,7 @@ pattern. Every float aggregate is ROUND(...,4)-ed on both engines
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from meta_iterative_mapreduce_spark.io import load_table
@@ -280,4 +281,64 @@ def q_agg_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bool_and(F.col("o_totalprice") > 10000).alias("all_over_10k"),
         F.bool_or(F.col("o_totalprice") > 450000).alias("any_over_450k"),
         F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "q_agg_rollup",
+    oracle="""
+    SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+           COALESCE(l_linestatus, 'ALL') AS ls,
+           ROUND(SUM(l_extendedprice), 4) AS sum_price,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP (hierarchical margins only — completes the GROUPING
+    SETS / CUBE / ROLLUP trio): one Expand + one hash aggregate, same
+    COALESCE sentinel hygiene as q_agg_cube."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_price"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("rf"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("ls"),
+            "sum_price",
+            "n",
+        )
+    )
+
+
+@register(
+    "q_sample_stratified",
+    oracle="""
+    SELECT doc_id, lang, n_chars FROM (
+        SELECT doc_id, lang, n_chars,
+               ROW_NUMBER() OVER (PARTITION BY lang
+                                  ORDER BY md5(text), doc_id) AS rn
+        FROM documents
+    ) WHERE rn <= 20
+    """,
+)
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified sampling: exactly min(20, |stratum|) documents per
+    language, chosen by content-hash order (md5 is bit-identical
+    across engines; doc_id breaks ties) — the equal-representation
+    companion to q_sample_hash's uniform content-hash sample. One
+    window over the stratum key; at 100 TB a rank-based stratified
+    sample is a single shuffle on the stratum, with no RNG state to
+    coordinate across executors and full reproducibility under
+    re-partitioning and retries."""
+    d = load_table(spark, sf_dir, "documents")
+    w = W.partitionBy("lang").orderBy(F.md5("text"), "doc_id")
+    return (
+        d.select("doc_id", "lang", "n_chars", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 20)
+        .select("doc_id", "lang", "n_chars")
     )
