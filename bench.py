@@ -63,6 +63,9 @@ HEADLINE = [
     "q_multimodal_decode",
     "q_stream_tumbling",
     "q_source_python_ds",
+    "q_agg_incremental",
+    "q_cdc_snapshot_diff",
+    "q_ts_gapfill",
 ]
 
 

@@ -23,18 +23,22 @@ def get_spark(
     shuffle_partitions = int(
         shuffle_partitions or os.environ.get("MIMR_SHUFFLE_PARTITIONS", cpus)
     )
+    # Robustness-matrix overrides (tools/robustness.py): session tz and
+    # AQE are varied to prove query results don't depend on them.
+    tz = os.environ.get("MIMR_TZ", "UTC")
+    aqe = os.environ.get("MIMR_AQE", "true")
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
-        .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", aqe)
+        .config("spark.sql.adaptive.coalescePartitions.enabled", aqe)
+        .config("spark.sql.adaptive.skewJoin.enabled", aqe)
+        .config("spark.sql.session.timeZone", tz)
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("MIMR_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.extraJavaOptions", "-Duser.timezone=UTC")
+        .config("spark.driver.extraJavaOptions", f"-Duser.timezone={tz}")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -144,3 +144,24 @@ def test_events_ts_normalized(spark, sf_dir):
     # sanity: values are 2024-era, not 1970 (unit bug guard)
     row = ev.agg(F.min("ts").alias("lo"), F.max("ts").alias("hi")).collect()[0]
     assert row["lo"].year == 2024 and row["hi"].year == 2024
+
+
+def test_quantize_is_map_only(spark, sf_dir):
+    """int8 quantization must compile to a shuffle-free single scan."""
+    plan = _plan(registry.queries()["q_embed_quantize"](spark, sf_dir))
+    assert "Exchange" not in plan
+    assert plan.count("Scan parquet") == 1
+
+
+def test_incremental_merge_reuses_partial_partitioning(spark, sf_dir):
+    """Base and delta partials each shuffle once on the key; the merge
+    aggregate must ride their hash partitioning, adding NO third
+    data exchange."""
+    plan = _plan(registry.queries()["q_agg_incremental"](spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 2
+
+
+def test_cdc_diff_is_single_full_outer_join(spark, sf_dir):
+    plan = _plan(registry.queries()["q_cdc_snapshot_diff"](spark, sf_dir))
+    assert plan.count("FullOuter") == 1
+    assert plan.count("Exchange hashpartitioning") == 2
