@@ -1,0 +1,226 @@
+"""Time-series operators over the events stream: sessionization,
+OHLC downsampling, and rolling-window anomaly detection.
+
+These are the batch time-series workloads a training-data/event
+pipeline runs daily. All three are single-exchange-per-key shapes:
+every window partitions on `user_id` (or `user_id, bucket`), so one
+hash exchange colocates a user's history and the windows + final
+aggregates ride that partitioning. The reference's only notion of
+time was iteration count (kernel.cu:135-217); these give the engine
+real event-time semantics on the batch side, complementing the
+streaming tumbling/sliding/session analogs.
+
+Determinism hygiene (SURVEY.md §2.2): rows inside a user's series are
+totally ordered by (epoch_us, event_id) — event_id breaks equal-µs
+ties identically in both engines; floats that cross a multi-row
+aggregate are ROUNDed at the final projection only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from meta_iterative_mapreduce_spark.io import load_table
+from meta_iterative_mapreduce_spark.registry import register
+
+_GAP_US = 30 * 60 * 1_000_000  # 30-minute session gap
+_HOUR_US = 3_600_000_000
+
+
+@register(
+    "q_events_sessionize",
+    oracle=f"""
+    WITH ordered AS (
+        SELECT user_id, event_id, epoch_us(ts) AS ts_us, value,
+               LAG(epoch_us(ts)) OVER (
+                   PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+               ) AS prev_us
+        FROM events
+    ), marked AS (
+        SELECT *,
+               CASE WHEN prev_us IS NULL
+                         OR ts_us - prev_us > {_GAP_US}
+                    THEN 1 ELSE 0 END AS is_new
+        FROM ordered
+    ), sessions AS (
+        SELECT *,
+               CAST(SUM(is_new) OVER (
+                   PARTITION BY user_id ORDER BY ts_us, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS session_idx
+        FROM marked
+    )
+    SELECT user_id, session_idx,
+           COUNT(*) AS n_events,
+           MIN(ts_us) AS start_us,
+           MAX(ts_us) AS end_us,
+           MAX(ts_us) - MIN(ts_us) AS duration_us,
+           ROUND(SUM(value), 4) AS session_value
+    FROM sessions
+    GROUP BY user_id, session_idx
+    """,
+)
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization: split each user's event stream into
+    sessions at >30-minute inactivity gaps (lag-gap mark + running sum
+    of marks = session index), then aggregate per session. The batch
+    twin of the streaming session_window analog (q_stream_session),
+    expressed purely with windows so it scales as ONE exchange on
+    user_id: lag, the running sum, and the final (user_id, session_idx)
+    aggregate all reuse the same hash partitioning. Session count per
+    user is bounded by event count; no state store, no driver loop."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_micros("ts").alias("ts_us"), "value"
+    )
+    order = W.partitionBy("user_id").orderBy("ts_us", "event_id")
+    marked = ev.withColumn(
+        "is_new",
+        F.when(
+            F.lag("ts_us").over(order).isNull()
+            | (F.col("ts_us") - F.lag("ts_us").over(order) > _GAP_US),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    sessions = marked.withColumn(
+        "session_idx",
+        F.sum("is_new").over(order.rowsBetween(W.unboundedPreceding, W.currentRow)),
+    )
+    return sessions.groupBy("user_id", "session_idx").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts_us").alias("start_us"),
+        F.max("ts_us").alias("end_us"),
+        (F.max("ts_us") - F.min("ts_us")).alias("duration_us"),
+        F.round(F.sum("value"), 4).alias("session_value"),
+    )
+
+
+@register(
+    "q_ts_downsample",
+    oracle=f"""
+    WITH pts AS (
+        SELECT user_id, event_id, value,
+               epoch_us(ts) AS ts_us,
+               epoch_us(ts) // {_HOUR_US} AS hr
+        FROM events
+    ), rn AS (
+        SELECT *,
+               ROW_NUMBER() OVER (PARTITION BY user_id, hr
+                                  ORDER BY ts_us, event_id) AS rn_a,
+               ROW_NUMBER() OVER (PARTITION BY user_id, hr
+                                  ORDER BY ts_us DESC, event_id DESC) AS rn_d
+        FROM pts
+    )
+    SELECT user_id, hr,
+           COUNT(*) AS n,
+           MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
+           MAX(value) AS high,
+           MIN(value) AS low,
+           MAX(CASE WHEN rn_d = 1 THEN value END) AS close,
+           ROUND(SUM(value), 4) AS volume
+    FROM rn
+    GROUP BY user_id, hr
+    """,
+)
+def q_ts_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC downsampling (hypertable rollup): resample each user's
+    value series into hourly open/high/low/close/volume bars. First
+    and last points are picked with row_number over the total order
+    (ts_us, event_id) — identical tie-breaking in both engines —
+    rather than engine-specific arg_min/arg_max. One exchange on
+    (user_id, hr): both window specs share the partitioning (two
+    sort-only WindowExecs, no second shuffle) and the bar aggregate
+    rides it too. open/high/low/close are per-row doubles copied
+    through exactly; only the SUM crosses rows and gets ROUNDed."""
+    pts = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "value",
+        F.unix_micros("ts").alias("ts_us"),
+        F.expr(f"unix_micros(ts) div {_HOUR_US}").alias("hr"),
+    )
+    part = ["user_id", "hr"]
+    rn = pts.withColumns(
+        {
+            "rn_a": F.row_number().over(
+                W.partitionBy(*part).orderBy("ts_us", "event_id")
+            ),
+            "rn_d": F.row_number().over(
+                W.partitionBy(*part).orderBy(
+                    F.col("ts_us").desc(), F.col("event_id").desc()
+                )
+            ),
+        }
+    )
+    return rn.groupBy(*part).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max(F.when(F.col("rn_a") == 1, F.col("value"))).alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max(F.when(F.col("rn_d") == 1, F.col("value"))).alias("close"),
+        F.round(F.sum("value"), 4).alias("volume"),
+    )
+
+
+@register(
+    "q_ts_anomaly",
+    oracle="""
+    WITH pts AS (
+        SELECT user_id, event_id, value, epoch_us(ts) AS ts_us
+        FROM events
+    ), stats AS (
+        SELECT *,
+               AVG(value) OVER w AS mu,
+               STDDEV_SAMP(value) OVER w AS sigma,
+               COUNT(*) OVER w AS n_hist
+        FROM pts
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id
+                     ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT user_id, event_id, ts_us, value,
+           ROUND((value - mu) / sigma, 4) AS z
+    FROM stats
+    WHERE n_hist >= 10 AND sigma > 1e-9
+      AND ABS((value - mu) / sigma) > 2.5
+    """,
+)
+def q_ts_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly detection: score each point against the
+    trailing 20-point window of the SAME user (frame excludes the
+    current row so the point can't mask itself), flag |z| > 2.5 with
+    at least 10 points of history. One exchange on user_id; the frame
+    is rows-based over the (ts_us, event_id) total order so both
+    engines aggregate the exact same point set. Output is only the
+    anomalies — bounded by the tail of the z distribution, not by the
+    event count."""
+    pts = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_micros("ts").alias("ts_us"), "value"
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(-20, -1)
+    )
+    stats = pts.withColumns(
+        {
+            "mu": F.avg("value").over(w),
+            "sigma": F.stddev_samp("value").over(w),
+            "n_hist": F.count(F.lit(1)).over(w),
+        }
+    )
+    z = (F.col("value") - F.col("mu")) / F.col("sigma")
+    return (
+        stats.where(
+            (F.col("n_hist") >= 10)
+            & (F.col("sigma") > 1e-9)
+            & (F.abs(z) > 2.5)
+        )
+        .select(
+            "user_id",
+            "event_id",
+            "ts_us",
+            "value",
+            F.round(z, 4).alias("z"),
+        )
+    )

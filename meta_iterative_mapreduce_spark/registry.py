@@ -108,6 +108,7 @@ def _ensure_loaded() -> None:
         sketches,
         skew,
         text,
+        timeseries,
     )
 
     _LOADED = True

@@ -165,3 +165,12 @@ def test_cdc_diff_is_single_full_outer_join(spark, sf_dir):
     plan = _plan(registry.queries()["q_cdc_snapshot_diff"](spark, sf_dir))
     assert plan.count("FullOuter") == 1
     assert plan.count("Exchange hashpartitioning") == 2
+
+
+def test_timeseries_single_exchange(spark, sf_dir):
+    """Sessionize, OHLC downsample, and rolling anomaly each colocate a
+    user's series ONCE: lag/running-sum/row_number windows and the
+    final per-key aggregate must all ride one hash partitioning."""
+    for q in ("q_events_sessionize", "q_ts_downsample", "q_ts_anomaly"):
+        plan = _plan(registry.queries()[q](spark, sf_dir))
+        assert plan.count("Exchange hashpartitioning") == 1, q
