@@ -220,3 +220,116 @@ def q_graph_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("degree"))
     )
     return deg.groupBy("degree").agg(F.count(F.lit(1)).alias("n_parts"))
+
+
+# Shared oracle text: the part co-purchase graph (parts adjacent iff
+# they ever appear in the same order), symmetrized, with out-degrees.
+_COPURCHASE_GRAPH_CTE = """
+    items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    pairs AS (
+        SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        FROM items a JOIN items b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    edges AS (
+        SELECT u, v FROM pairs UNION ALL SELECT v AS u, u AS v FROM pairs
+    ),
+    deg AS (SELECT u, COUNT(*) AS d FROM edges GROUP BY u),
+    nn AS (SELECT COUNT(*) AS n FROM deg)
+"""
+
+_PR_ITER_SQL = """
+    pr{next} AS (
+        SELECT e.v AS u,
+               0.15 / (SELECT n FROM nn) + 0.85 * SUM(p.pr / d.d) AS pr
+        FROM edges e JOIN pr{cur} p ON p.u = e.u JOIN deg d ON d.u = e.u
+        GROUP BY e.v
+    )"""
+
+
+def copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric (u, v) edge set of the part co-purchase graph. The
+    pair generation is the same bounded same-key self-join as
+    q_graph_degree — per-order fanout is C(#lines, 2), never global."""
+    items = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = items.alias("a"), items.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .distinct()
+    )
+    return pairs.unionAll(pairs.select(F.col("v").alias("u"), F.col("u").alias("v")))
+
+
+def pagerank(edges_sym: DataFrame, n_iter: int = 3, damping: float = 0.85) -> DataFrame:
+    """Fixed-iteration PageRank over a symmetric edge list — the
+    engine's fourth workload in the reference's iterative map-reduce
+    shape (kernel.cu:135-217: per-round distributed pass + tiny global
+    state), after meta-averaged regression, k-means, and connected
+    components. With a FIXED iteration count the whole computation is
+    one declarative unrolled plan Catalyst can see end-to-end (and the
+    DuckDB oracle can express as chained CTEs); an open-ended
+    convergence loop would instead localCheckpoint per round like
+    connected_components. Per iteration: ranks (node-sized) join deg
+    on u, join edges on u, one contribution shuffle on v — edge-linear
+    work, no N² anywhere. `edges_sym` and its degree table are
+    persisted: each feeds every iteration, and Catalyst would
+    otherwise re-inline the distinct self-join n_iter times.
+
+    Returns (ranks, n): ranks is (u, pr) with SUM(pr) = 1 over nodes
+    incident to an edge; n is the node count (an O(1) driver scalar —
+    the same exact integer both engines derive, mirroring the rank-0
+    convergence scalars of the reference loop).
+    """
+    edges_sym = edges_sym.persist()
+    deg = edges_sym.groupBy("u").agg(F.count(F.lit(1)).alias("d")).persist()
+    n = deg.count()
+    ranks = deg.select("u", F.lit(1.0 / n).alias("pr"))
+    for _ in range(n_iter):
+        contribs = (
+            ranks.join(deg, "u")
+            .join(edges_sym, "u")
+            .select(F.col("v").alias("u"), (F.col("pr") / F.col("d")).alias("c"))
+        )
+        ranks = contribs.groupBy("u").agg(
+            (F.lit(0.15) / n + F.lit(damping) * F.sum("c")).alias("pr")
+        )
+    return ranks, n
+
+
+@register(
+    "q_graph_pagerank",
+    oracle=f"""
+    WITH {_COPURCHASE_GRAPH_CTE},
+    pr0 AS (SELECT u, 1.0 / (SELECT n FROM nn) AS pr FROM deg),
+    {_PR_ITER_SQL.format(next=1, cur=0)},
+    {_PR_ITER_SQL.format(next=2, cur=1)},
+    {_PR_ITER_SQL.format(next=3, cur=2)}
+    SELECT u AS part,
+           ROUND(pr * (SELECT n FROM nn), 4) AS pr_scaled
+    FROM pr3
+    """,
+)
+def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-iteration PageRank (damping 0.85) over the part co-purchase
+    graph; scores are scaled by N (mean 1.0) before ROUND so the
+    4-decimal hygiene keeps real signal — raw pr ~ 1/N would round to
+    zero. The symmetric graph has no dangling nodes by construction,
+    so the (1-d)/N teleport plus in-neighbor sum is the complete
+    update. Oracle: the identical three iterations as chained CTEs."""
+    edges = copurchase_edges(spark, sf_dir)
+    ranks, n = pagerank(edges, n_iter=3)
+    return ranks.select(
+        F.col("u").alias("part"),
+        F.round(F.col("pr") * n, 4).alias("pr_scaled"),
+    )

@@ -81,3 +81,41 @@ def test_dedup_components_partition_properties(spark, sf_dir):
     # all-singleton components is NOT asserted here (costly); covered
     # by the union-find property above.
     assert out.schema["keep"].dataType.typeName() == "boolean"
+
+
+def test_pagerank_matches_power_iteration(spark):
+    """3-round PageRank on random symmetric graphs vs a plain numpy
+    power iteration with the identical update (teleport + damped
+    in-neighbor sum over out-degree)."""
+    import numpy as np
+
+    rng = random.Random(11)
+    for trial in range(3):
+        n = rng.choice([12, 25, 40])
+        und = set()
+        for _ in range(n * 2):
+            a, b = rng.randrange(n), rng.randrange(n)
+            if a != b:
+                und.add((min(a, b), max(a, b)))
+        # keep every node incident to an edge (pagerank's node set)
+        sym = [(a, b) for a, b in und] + [(b, a) for a, b in und]
+        nodes = sorted({u for u, _ in sym})
+        idx = {u: i for i, u in enumerate(nodes)}
+        m = len(nodes)
+        adj = np.zeros((m, m))
+        for u, v in sym:
+            adj[idx[v], idx[u]] = 1.0  # contribution u -> v
+        deg = adj.sum(axis=0)
+        pr = np.full(m, 1.0 / m)
+        for _ in range(3):
+            pr = 0.15 / m + 0.85 * (adj @ (pr / deg))
+
+        from meta_iterative_mapreduce_spark.operators.components import pagerank
+
+        df = spark.createDataFrame(sym, "u long, v long")
+        ranks, got_n = pagerank(df, n_iter=3)
+        assert got_n == m
+        got = {r.u: r.pr for r in ranks.collect()}
+        assert set(got) == set(nodes), trial
+        for u in nodes:
+            assert abs(got[u] - pr[idx[u]]) < 1e-9, (trial, u)
