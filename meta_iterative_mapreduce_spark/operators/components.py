@@ -333,3 +333,88 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("u").alias("part"),
         F.round(F.col("pr") * n, 4).alias("pr_scaled"),
     )
+
+
+@register(
+    "q_graph_triangles",
+    oracle=f"""
+    WITH {_COPURCHASE_GRAPH_CTE},
+    oriented AS (
+        SELECT CASE WHEN du.d < dv.d OR (du.d = dv.d AND p.u < p.v)
+                    THEN p.u ELSE p.v END AS s,
+               CASE WHEN du.d < dv.d OR (du.d = dv.d AND p.u < p.v)
+                    THEN p.v ELSE p.u END AS t
+        FROM pairs p
+        JOIN deg du ON du.u = p.u
+        JOIN deg dv ON dv.u = p.v
+    ),
+    tri AS (
+        SELECT COUNT(*) AS n_triangles
+        FROM oriented e1
+        JOIN oriented e2 ON e2.s = e1.t
+        JOIN oriented e3 ON e3.s = e1.s AND e3.t = e2.t
+    ),
+    wedges AS (
+        SELECT CAST(SUM(d * (d - 1)) / 2 AS BIGINT) AS n_wedges FROM deg
+    )
+    SELECT n_triangles, n_wedges,
+           ROUND(3.0 * n_triangles / n_wedges, 4) AS clustering_coeff
+    FROM tri, wedges
+    """,
+)
+def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count + global clustering coefficient of the part
+    co-purchase graph, with DEGREE-ORIENTED edges: each undirected
+    edge points from its lower-(degree, id) endpoint to the higher
+    one, so every directed out-neighborhood has O(sqrt(|E|)) size and
+    the wedge join never explodes on a hub node — the classic
+    MapReduce triangle-counting fix, vs the naive u<v orientation
+    whose highest-degree node produces a quadratic wedge set. Each
+    triangle has exactly one vertex with two out-edges under this
+    acyclic orientation, so COUNT is exact with no deduplication.
+    The wedge build and closure check are two shuffles on node id;
+    `oriented` is persisted because it feeds all three join legs
+    (Catalyst would re-inline the distinct+join pipeline 3x)."""
+    pairs = (
+        copurchase_edges(spark, sf_dir)
+        .filter(F.col("u") < F.col("v"))
+        .persist()
+    )
+    deg = (
+        pairs.select(F.col("u").alias("x"))
+        .unionAll(pairs.select(F.col("v").alias("x")))
+        .groupBy("x")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    with_deg = (
+        pairs.join(deg.withColumnRenamed("x", "u").withColumnRenamed("d", "du"), "u")
+        .join(deg.withColumnRenamed("x", "v").withColumnRenamed("d", "dv"), "v")
+    )
+    fwd = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = with_deg.select(
+        F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("s"),
+        F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("t"),
+    ).persist()
+    n_wedges = (
+        deg.agg(F.sum(F.col("d") * (F.col("d") - 1)).alias("w2"))
+        .collect()[0]["w2"]
+        // 2
+    )
+    e1, e2, e3 = oriented.alias("e1"), oriented.alias("e2"), oriented.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e2.s") == F.col("e1.t"))
+        .join(
+            e3,
+            (F.col("e3.s") == F.col("e1.s")) & (F.col("e3.t") == F.col("e2.t")),
+        )
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    return tri.select(
+        "n_triangles",
+        F.lit(n_wedges).cast("long").alias("n_wedges"),
+        F.round(3.0 * F.col("n_triangles") / F.lit(float(n_wedges)), 4).alias(
+            "clustering_coeff"
+        ),
+    )

@@ -193,3 +193,114 @@ def q_ts_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("day_sum", ignorenulls=True).over(w).alias("filled_sum"),
         F.col("n").isNull().alias("gap"),
     )
+
+
+@register(
+    "q_events_transition",
+    oracle="""
+    WITH seq AS (
+        SELECT event_type,
+               LEAD(event_type) OVER (
+                   PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+               ) AS next_type
+        FROM events
+    ), counts AS (
+        SELECT event_type AS src_type, next_type AS dst_type,
+               COUNT(*) AS n_transitions
+        FROM seq WHERE next_type IS NOT NULL
+        GROUP BY event_type, next_type
+    )
+    SELECT src_type, dst_type, n_transitions,
+           ROUND(n_transitions * 1.0 / SUM(n_transitions) OVER (
+               PARTITION BY src_type), 4) AS p_transition
+    FROM counts
+    """,
+)
+def q_events_transition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over each user's event
+    sequence: count and row-normalized probability of (src → dst)
+    event-type bigrams. One exchange on user_id feeds the LEAD
+    window; the bigram count is a partial-aggregated hash agg, and
+    the normalizing window runs over the tiny |types|² count table —
+    exchanges after the first are count-table-sized, not data-sized.
+    Ties at equal µs are ordered by event_id on both engines
+    (SURVEY.md §2.2 determinism hygiene)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(F.unix_micros("ts"), "event_id")
+    seq = ev.select(
+        F.col("event_type"),
+        F.lead("event_type").over(w).alias("next_type"),
+    )
+    counts = (
+        seq.filter(F.col("next_type").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("src_type"),
+            F.col("next_type").alias("dst_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
+    wn = W.partitionBy("src_type")
+    return counts.select(
+        "src_type",
+        "dst_type",
+        "n_transitions",
+        F.round(
+            F.col("n_transitions") / F.sum("n_transitions").over(wn), 4
+        ).alias("p_transition"),
+    )
+
+
+@register(
+    "q_events_attribution",
+    oracle="""
+    WITH touched AS (
+        SELECT event_type, value,
+               LAST_VALUE(
+                   CASE WHEN event_type <> 'purchase'
+                        THEN event_type END IGNORE NULLS
+               ) OVER (
+                   PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS channel
+        FROM events
+    )
+    SELECT COALESCE(channel, 'direct') AS channel,
+           COUNT(*) AS n_purchases,
+           ROUND(SUM(value), 4) AS revenue
+    FROM touched
+    WHERE event_type = 'purchase'
+    GROUP BY COALESCE(channel, 'direct')
+    """,
+)
+def q_events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: each purchase is credited to the most
+    recent preceding non-purchase event of the same user ('direct'
+    when none exists). The ignore-nulls LAST_VALUE over the per-user
+    sequence is the single data-sized exchange; the revenue rollup is
+    a |channels|-row hash agg. This is the scalable shape for
+    attribution — no per-purchase point lookups, no self-join of
+    purchases against the full history."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"), "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    touched = ev.select(
+        "event_type",
+        "value",
+        F.last(
+            F.when(F.col("event_type") != "purchase", F.col("event_type")),
+            ignorenulls=True,
+        )
+        .over(w)
+        .alias("channel"),
+    )
+    return (
+        touched.filter(F.col("event_type") == "purchase")
+        .groupBy(F.coalesce("channel", F.lit("direct")).alias("channel"))
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.round(F.sum("value"), 4).alias("revenue"),
+        )
+    )

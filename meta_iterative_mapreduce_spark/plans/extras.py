@@ -313,3 +313,79 @@ def q_join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("k1") < F.col("k2"))
         .select("name_a", "name_b")
     )
+
+
+@register(
+    "q_agg_mode",
+    oracle="""
+    WITH counts AS (
+        SELECT c_nationkey, c_mktsegment, COUNT(*) AS n
+        FROM customer GROUP BY c_nationkey, c_mktsegment
+    ), ranked AS (
+        SELECT c_nationkey, c_mktsegment, n,
+               ROW_NUMBER() OVER (
+                   PARTITION BY c_nationkey ORDER BY n DESC, c_mktsegment
+               ) AS rn
+        FROM counts
+    )
+    SELECT c_nationkey, c_mktsegment AS mode_segment, n AS n_customers
+    FROM ranked WHERE rn = 1
+    """,
+)
+def q_agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group mode with a deterministic tiebreak (highest count,
+    then lexicographically smallest value): the most common market
+    segment per nation. Shape: one data-sized partial-aggregated
+    hash agg to the (nation, segment) count table, then a window +
+    filter over that tiny table — the second exchange moves |groups|
+    rows, never data."""
+    cust = load_table(spark, sf_dir, "customer")
+    counts = cust.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("c_nationkey").orderBy(
+        F.col("n").desc(), F.col("c_mktsegment")
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "c_nationkey",
+            F.col("c_mktsegment").alias("mode_segment"),
+            F.col("n").alias("n_customers"),
+        )
+    )
+
+
+@register(
+    "q_window_distribution",
+    oracle="""
+    SELECT c_custkey, c_nationkey,
+           ROUND(PERCENT_RANK() OVER (
+               PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey
+           ), 4) AS pct_rank,
+           ROUND(CUME_DIST() OVER (
+               PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey
+           ), 4) AS cume
+    FROM customer
+    """,
+)
+def q_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions (PERCENT_RANK, CUME_DIST) over
+    account balance within each nation — completes the ranking-family
+    coverage (row_number/rank/dense_rank/ntile already registered).
+    The c_custkey ordering tiebreak makes both functions
+    deterministic even under duplicate balances. One exchange on
+    c_nationkey; both functions ride the same sort."""
+    from pyspark.sql import Window as W
+
+    cust = load_table(spark, sf_dir, "customer")
+    w = W.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    return cust.select(
+        "c_custkey",
+        "c_nationkey",
+        F.round(F.percent_rank().over(w), 4).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 4).alias("cume"),
+    )
