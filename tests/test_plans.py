@@ -174,3 +174,56 @@ def test_timeseries_single_exchange(spark, sf_dir):
     for q in ("q_events_sessionize", "q_ts_downsample", "q_ts_anomaly"):
         plan = _plan(registry.queries()[q](spark, sf_dir))
         assert plan.count("Exchange hashpartitioning") == 1, q
+
+
+def test_events_analytics_shuffle_posture(spark, sf_dir):
+    """Transition matrix: one data-sized exchange (user_id window);
+    the bigram count and row-normalizing window exchanges move only
+    the |types|^2 count table. Attribution: user_id window + a
+    |channels|-row rollup — exactly two exchanges, no purchase-vs-
+    history self-join anywhere."""
+    import re
+
+    qs = registry.queries()
+    tr = _plan(qs["q_events_transition"](spark, sf_dir))
+    ex = re.findall(r"Exchange hashpartitioning\((\w+)", tr)
+    assert len(ex) == 3, ex
+    assert ex.count("user_id") == 1  # the only data-sized one
+    at = _plan(qs["q_events_attribution"](spark, sf_dir))
+    assert at.count("Exchange hashpartitioning") == 2
+    assert "user_id" in at and "Join" not in at
+
+
+def test_mode_and_distribution_single_key_exchange(spark, sf_dir):
+    """Mode: data-sized hash agg then a groups-sized window — two
+    exchanges, both keyed on the group column. Distribution windows:
+    percent_rank and cume_dist ride ONE exchange + one sort."""
+    import re
+
+    qs = registry.queries()
+    mode = _plan(qs["q_agg_mode"](spark, sf_dir))
+    ex = re.findall(r"Exchange hashpartitioning\((\w+)", mode)
+    assert ex == ["c_nationkey", "c_nationkey"], ex
+    dist = _plan(qs["q_window_distribution"](spark, sf_dir))
+    assert dist.count("Exchange hashpartitioning") == 1
+    assert dist.count("Sort ") <= 2  # the window sort (+AQE variance)
+
+
+def test_graph_iteratives_reuse_cached_subtrees(spark, sf_dir):
+    """PageRank and triangle counting re-read their edge subtree many
+    times (3 iterations x 3 joins; 3 join legs): every re-read must be
+    an InMemoryTableScan of the persisted edge/degree tables, never a
+    re-inlined lineitem self-join, and the whole pipeline stays
+    JVM-side."""
+    qs = registry.queries()
+    for name, min_scans in (("q_graph_pagerank", 6), ("q_graph_triangles", 3)):
+        plan = _plan(qs[name](spark, sf_dir))
+        assert plan.count("InMemoryTableScan") >= min_scans, name
+        # no Python evaluation outside cached-plan descriptions
+        top = [
+            line
+            for line in plan.splitlines()
+            if "InMemoryRelation" not in line
+        ]
+        assert not any("Python" in line for line in top), name
+        spark.catalog.clearCache()
