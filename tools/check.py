@@ -105,6 +105,9 @@ def main() -> int:
         try:
             sdf = fn(spark, sf_dir)
             spdf = sdf.toPandas()
+            # drop per-query persisted subtrees so caches don't pile up
+            # (and skew timings) across the shared session
+            spark.catalog.clearCache()
         except Exception:
             print(f"FAIL  {name}: spark error\n{traceback.format_exc()}")
             n_fail += 1
