@@ -30,15 +30,24 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-        # reader rejects; read it as raw nanos and truncate to a µs
-        # timestamp (matching DuckDB's epoch_us semantics).
+        # events.ts arrives in whatever flavor the fixture generator
+        # used: TIMESTAMP(NANOS) (which Spark's vectorized reader
+        # rejects — read as raw nanos via nanosAsLong), tz-naive
+        # TIMESTAMP(MICROS) (read as TIMESTAMP_NTZ), or tz-aware
+        # micros. Normalize every flavor to a plain µs TIMESTAMP whose
+        # epoch micros equal DuckDB's epoch_us on the same file, so
+        # downstream plans see one stable type.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-        if dict(df.dtypes).get("ts") == "bigint":
+        t = dict(df.dtypes).get("ts")
+        if t == "bigint":
             # integer `div`, NOT `/`: float division of epoch-nanos loses
             # precision past 2^53 and truncates to the wrong microsecond
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif t == "timestamp_ntz":
+            # naive wall clock interpreted as UTC — identical to
+            # DuckDB's epoch_us; independent of the session time zone
+            df = df.withColumn("ts", F.to_utc_timestamp("ts", "UTC"))
         return df
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 

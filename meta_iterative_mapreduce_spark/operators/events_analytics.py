@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from meta_iterative_mapreduce_spark.io import load_table
 from meta_iterative_mapreduce_spark.registry import register
+from meta_iterative_mapreduce_spark.functions.time import ts_us
 
 _1H = 3_600_000_000  # µs
 
@@ -50,10 +51,10 @@ def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     signups = (
         ev.filter(F.col("event_type") == "signup")
         .groupBy("user_id")
-        .agg(F.min(F.unix_micros("ts")).alias("signup_us"))
+        .agg(F.min(ts_us("ts")).alias("signup_us"))
     )
     purchases = ev.filter(F.col("event_type") == "purchase").select(
-        F.col("user_id").alias("p_user"), F.unix_micros("ts").alias("p_us")
+        F.col("user_id").alias("p_user"), ts_us("ts").alias("p_us")
     )
     converted = (
         signups.join(
@@ -98,7 +99,7 @@ def q_events_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
     counted as active per hour offset (0..6). First-seen is a keyed
     aggregate broadcast back onto the activity stream."""
     ev = load_table(spark, sf_dir, "events").select(
-        "user_id", (F.unix_micros("ts") / _1H).cast("long").alias("hour")
+        "user_id", (ts_us("ts") / _1H).cast("long").alias("hour")
     )
     firsts = ev.groupBy("user_id").agg(F.min("hour").alias("cohort_hour"))
     activity = (
@@ -226,7 +227,7 @@ def q_events_transition(spark: SparkSession, sf_dir: str) -> DataFrame:
     Ties at equal µs are ordered by event_id on both engines
     (SURVEY.md §2.2 determinism hygiene)."""
     ev = load_table(spark, sf_dir, "events")
-    w = W.partitionBy("user_id").orderBy(F.unix_micros("ts"), "event_id")
+    w = W.partitionBy("user_id").orderBy(ts_us("ts"), "event_id")
     seq = ev.select(
         F.col("event_type"),
         F.lead("event_type").over(w).alias("next_type"),
@@ -283,7 +284,7 @@ def q_events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     w = (
         W.partitionBy("user_id")
-        .orderBy(F.unix_micros("ts"), "event_id")
+        .orderBy(ts_us("ts"), "event_id")
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     touched = ev.select(

@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 
 from meta_iterative_mapreduce_spark.io import load_table
 from meta_iterative_mapreduce_spark.registry import register
+from meta_iterative_mapreduce_spark.functions.time import ts_us
 
 _GAP_US = 30 * 60 * 1_000_000  # 30-minute session gap
 _HOUR_US = 3_600_000_000
@@ -72,7 +73,7 @@ def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate all reuse the same hash partitioning. Session count per
     user is bounded by event count; no state store, no driver loop."""
     ev = load_table(spark, sf_dir, "events").select(
-        "user_id", "event_id", F.unix_micros("ts").alias("ts_us"), "value"
+        "user_id", "event_id", ts_us("ts").alias("ts_us"), "value"
     )
     order = W.partitionBy("user_id").orderBy("ts_us", "event_id")
     marked = ev.withColumn(
@@ -137,8 +138,8 @@ def q_ts_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "event_id",
         "value",
-        F.unix_micros("ts").alias("ts_us"),
-        F.expr(f"unix_micros(ts) div {_HOUR_US}").alias("hr"),
+        ts_us("ts").alias("ts_us"),
+        (ts_us("ts") / _HOUR_US).cast("long").alias("hr"),
     )
     part = ["user_id", "hr"]
     rn = pts.withColumns(
@@ -195,7 +196,7 @@ def q_ts_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     anomalies — bounded by the tail of the z distribution, not by the
     event count."""
     pts = load_table(spark, sf_dir, "events").select(
-        "user_id", "event_id", F.unix_micros("ts").alias("ts_us"), "value"
+        "user_id", "event_id", ts_us("ts").alias("ts_us"), "value"
     )
     w = (
         W.partitionBy("user_id")

@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 
 from meta_iterative_mapreduce_spark.io import load_table
 from meta_iterative_mapreduce_spark.registry import register
+from meta_iterative_mapreduce_spark.functions.time import ts_us
 
 
 @register(
@@ -204,7 +205,7 @@ def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     BUCKET_US = 300_000_000  # 5 minutes in microseconds
     e = load_table(spark, sf_dir, "events").select(
-        "event_id", F.unix_micros("ts").alias("us")
+        "event_id", ts_us("ts").alias("us")
     )
     e1 = e.select(
         F.col("event_id"),
@@ -271,8 +272,8 @@ def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "event_id",
             "user_id",
-            F.unix_micros("p_ts").alias("purchase_us"),
-            F.unix_micros("s_ts").alias("signup_us"),
+            ts_us("p_ts").alias("purchase_us"),
+            ts_us("s_ts").alias("signup_us"),
         )
     )
 

@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from meta_iterative_mapreduce_spark.io import load_table
 from meta_iterative_mapreduce_spark.registry import register
+from meta_iterative_mapreduce_spark.functions.time import ts_us
 
 _5M = 300_000_000  # 5 minutes in µs
 _10M = 600_000_000
@@ -36,7 +37,7 @@ def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 5-minute window aggregate (batch twin of
     `F.window(ts, '5 minutes')` — same bucketing arithmetic)."""
     e = load_table(spark, sf_dir, "events")
-    win = (F.unix_micros("ts") / _5M).cast("long") * _5M
+    win = (ts_us("ts") / _5M).cast("long") * _5M
     return (
         e.groupBy(win.alias("win_start_us"), "event_type")
         .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
@@ -64,7 +65,7 @@ def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     window starts (the same expansion `F.window(ts, '10m', '5m')`
     performs internally)."""
     e = load_table(spark, sf_dir, "events")
-    base = (F.unix_micros("ts") / _5M).cast("long") * _5M
+    base = (ts_us("ts") / _5M).cast("long") * _5M
     return (
         e.select(
             F.explode(F.array(base - _5M, base)).alias("win_start_us"),
@@ -114,7 +115,7 @@ def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
     w = W.partitionBy("user_id").orderBy("us", "event_id")
     ordered = e.select(
-        "user_id", "event_id", "value", F.unix_micros("ts").alias("us")
+        "user_id", "event_id", "value", ts_us("ts").alias("us")
     ).withColumn("prev_us", F.lag("us").over(w))
     flagged = ordered.withColumn(
         "new_sess",
@@ -160,12 +161,12 @@ def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = e.filter(F.col("event_type") == "click").select(
         "user_id",
         F.col("event_id").alias("click_id"),
-        F.unix_micros("ts").alias("us_c"),
+        ts_us("ts").alias("us_c"),
     )
     p = e.filter(F.col("event_type") == "purchase").select(
         F.col("user_id").alias("p_user"),
         F.col("event_id").alias("purchase_id"),
-        F.unix_micros("ts").alias("us_p"),
+        ts_us("ts").alias("us_p"),
     )
     return (
         c.join(

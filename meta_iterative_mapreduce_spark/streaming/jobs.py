@@ -24,26 +24,33 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-EVENTS_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # raw nanos (nanosAsLong)
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+from meta_iterative_mapreduce_spark.functions.time import ts_us
+
+def _events_schema(ts_type: T.DataType) -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", ts_type),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
 
 
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unbounded events source: file-stream over the events parquet.
 
     In production this is Kafka/Kinesis; the file source has the same
-    incremental-execution semantics. ts arrives as raw nanos (Spark
-    cannot scan TIMESTAMP(NANOS) parquet) and is truncated to a µs
-    timestamp with integer division.
+    incremental-execution semantics. A file stream needs its schema up
+    front, so sniff the parquet footer's physical ts type (pyarrow)
+    and normalize every flavor — TIMESTAMP(NANOS) read as raw longs,
+    tz-naive micros read as TIMESTAMP_NTZ, tz-aware micros — to the
+    same µs TIMESTAMP `load_table` produces for the batch twin.
     """
+    import pyarrow.parquet as pq
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # the file-stream source monitors a DIRECTORY; stage the single
     # fixture file into one (in production the directory is the landing
@@ -53,10 +60,28 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     os.makedirs(stage, exist_ok=True)
     dst = os.path.join(stage, "events.parquet")
-    if not os.path.exists(dst):
-        shutil.copyfile(os.path.join(sf_dir, "events.parquet"), dst)
-    raw = spark.readStream.schema(EVENTS_SCHEMA).format("parquet").load(stage)
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    src = os.path.join(sf_dir, "events.parquet")
+    # re-stage when the fixture was regenerated (size or mtime drift),
+    # not just when the copy is missing — a stale copy silently feeds
+    # the stream different data than the batch twin reads
+    if (
+        not os.path.exists(dst)
+        or os.path.getsize(dst) != os.path.getsize(src)
+        or os.path.getmtime(dst) < os.path.getmtime(src)
+    ):
+        shutil.copyfile(src, dst)
+    ptype = str(pq.read_schema(dst).field("ts").type)
+    if ptype == "timestamp[ns]":
+        raw = spark.readStream.schema(_events_schema(T.LongType())).parquet(stage)
+        # integer `div`, NOT `/`: float division of epoch-nanos loses
+        # precision past 2^53 (see load_table)
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if "tz=" in ptype:
+        return spark.readStream.schema(_events_schema(T.TimestampType())).parquet(
+            stage
+        )
+    raw = spark.readStream.schema(_events_schema(T.TimestampNTZType())).parquet(stage)
+    return raw.withColumn("ts", F.to_utc_timestamp("ts", "UTC"))
 
 
 def tumbling_counts(events: DataFrame) -> DataFrame:
@@ -67,7 +92,7 @@ def tumbling_counts(events: DataFrame) -> DataFrame:
         .groupBy(F.window("ts", "5 minutes"), "event_type")
         .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
         .select(
-            F.unix_micros("window.start").alias("win_start_us"),
+            ts_us("window.start").alias("win_start_us"),
             "event_type",
             "n",
             "sum_value",
@@ -82,7 +107,7 @@ def sliding_counts(events: DataFrame) -> DataFrame:
         .groupBy(F.window("ts", "10 minutes", "5 minutes"), "event_type")
         .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
         .select(
-            F.unix_micros("window.start").alias("win_start_us"),
+            ts_us("window.start").alias("win_start_us"),
             "event_type",
             "n",
             "sum_value",
@@ -99,7 +124,7 @@ def session_counts(events: DataFrame) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 4).alias("sum_value"))
         .select(
             "user_id",
-            F.unix_micros("session_window.start").alias("sess_start_us"),
+            ts_us("session_window.start").alias("sess_start_us"),
             "n_events",
             "sum_value",
         )
@@ -150,7 +175,7 @@ def click_purchase_join(events: DataFrame) -> DataFrame:
         F.col("c_user").alias("user_id"),
         "click_id",
         "purchase_id",
-        (F.unix_micros("ts_p") - F.unix_micros("ts_c")).alias("gap_us"),
+        (ts_us("ts_p") - ts_us("ts_c")).alias("gap_us"),
     )
 
 

@@ -26,6 +26,7 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from meta_iterative_mapreduce_spark.io import load_table
 from meta_iterative_mapreduce_spark.registry import register
+from meta_iterative_mapreduce_spark.functions.time import ts_us
 
 ALPHA = 0.2  # kernel.cu:25
 
@@ -57,7 +58,7 @@ def ema_stateful(events: DataFrame) -> DataFrame:
         )
 
     prepared = events.select(
-        "user_id", "event_id", "value", F.unix_micros("ts").alias("us")
+        "user_id", "event_id", "value", ts_us("ts").alias("us")
     )
     return prepared.groupBy("user_id").applyInPandasWithState(
         update,
@@ -93,7 +94,7 @@ def q_stream_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same algebra as the regression EMA (kernel.cu:214-215), applied
     to a value stream."""
     e = load_table(spark, sf_dir, "events")
-    w = W.partitionBy("user_id").orderBy(F.unix_micros("ts"), "event_id")
+    w = W.partitionBy("user_id").orderBy(ts_us("ts"), "event_id")
     ranked = e.select(
         "user_id",
         "value",
