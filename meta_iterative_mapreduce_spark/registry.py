@@ -97,6 +97,7 @@ def _ensure_loaded() -> None:
     from meta_iterative_mapreduce_spark.operators import (  # noqa: F401
         clustering,
         components,
+        corpus,
         dedup,
         events_analytics,
         incremental,
