@@ -92,6 +92,7 @@ def _ensure_loaded() -> None:
     from meta_iterative_mapreduce_spark.plans import (  # noqa: F401
         aggregates,
         extras,
+        layout,
         modern,
     )
     from meta_iterative_mapreduce_spark.operators import (  # noqa: F401
