@@ -33,21 +33,23 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # events.ts arrives in whatever flavor the fixture generator
         # used: TIMESTAMP(NANOS) (which Spark's vectorized reader
         # rejects — read as raw nanos via nanosAsLong), tz-naive
-        # TIMESTAMP(MICROS) (read as TIMESTAMP_NTZ), or tz-aware
-        # micros. Normalize every flavor to a plain µs TIMESTAMP whose
-        # epoch micros equal DuckDB's epoch_us on the same file, so
-        # downstream plans see one stable type.
+        # TIMESTAMP(MICROS) (read natively as TIMESTAMP_NTZ), or
+        # tz-aware micros. Normalize every flavor to TIMESTAMP_NTZ —
+        # the engine's event-time house type (functions/time.py):
+        # naive walls make every wall-clock function match the DuckDB
+        # oracle under ANY session time zone, and ts_us() extracts
+        # epoch micros without session-tz detours.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
         t = dict(df.dtypes).get("ts")
         if t == "bigint":
             # integer `div`, NOT `/`: float division of epoch-nanos loses
-            # precision past 2^53 and truncates to the wrong microsecond
+            # precision past 2^53 and truncates to the wrong microsecond.
+            # timestamp_micros yields TIMESTAMP; the NTZ cast below is
+            # wall-preserving in session tz (UTC sessions: epoch walls).
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        elif t == "timestamp_ntz":
-            # naive wall clock interpreted as UTC — identical to
-            # DuckDB's epoch_us; independent of the session time zone
-            df = df.withColumn("ts", F.to_utc_timestamp("ts", "UTC"))
+        if dict(df.dtypes).get("ts") == "timestamp":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
         return df
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 

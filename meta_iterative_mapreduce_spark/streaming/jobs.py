@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from meta_iterative_mapreduce_spark.functions.time import ts_us
+from meta_iterative_mapreduce_spark.functions.time import ts_ltz, ts_us
 
 def _events_schema(ts_type: T.DataType) -> T.StructType:
     return T.StructType(
@@ -46,8 +46,11 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     incremental-execution semantics. A file stream needs its schema up
     front, so sniff the parquet footer's physical ts type (pyarrow)
     and normalize every flavor — TIMESTAMP(NANOS) read as raw longs,
-    tz-naive micros read as TIMESTAMP_NTZ, tz-aware micros — to the
-    same µs TIMESTAMP `load_table` produces for the batch twin.
+    tz-naive micros read as TIMESTAMP_NTZ, tz-aware micros — to a µs
+    TIMESTAMP whose epoch equals the batch twin's ts_us(). Streaming
+    is the one surface that CANNOT stay on the NTZ house type:
+    watermarks reject it, so event time converts to ltz here at
+    ingest (epoch-preserving; see functions/time.py).
     """
     import pyarrow.parquet as pq
 
@@ -80,8 +83,10 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.readStream.schema(_events_schema(T.TimestampType())).parquet(
             stage
         )
+    # watermarks demand TIMESTAMP, not TIMESTAMP_NTZ — convert naive
+    # walls epoch-preserving (walls-as-UTC) at ingest (functions/time.py)
     raw = spark.readStream.schema(_events_schema(T.TimestampNTZType())).parquet(stage)
-    return raw.withColumn("ts", F.to_utc_timestamp("ts", "UTC"))
+    return raw.withColumn("ts", ts_ltz("ts"))
 
 
 def tumbling_counts(events: DataFrame) -> DataFrame:

@@ -140,7 +140,9 @@ def test_training_data_ops_shuffle_posture(spark, sf_dir):
 
 def test_events_ts_normalized(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events")
-    assert dict(ev.dtypes)["ts"] == "timestamp"
+    # TIMESTAMP_NTZ is the engine's event-time house type: naive walls
+    # match the DuckDB oracle under any session tz (functions/time.py)
+    assert dict(ev.dtypes)["ts"] == "timestamp_ntz"
     # sanity: values are 2024-era, not 1970 (unit bug guard)
     row = ev.agg(F.min("ts").alias("lo"), F.max("ts").alias("hi")).collect()[0]
     assert row["lo"].year == 2024 and row["hi"].year == 2024

@@ -16,12 +16,13 @@ import os
 import pytest
 from pyspark.sql import functions as F
 
+from meta_iterative_mapreduce_spark.functions.time import ts_ltz, ts_us
 from meta_iterative_mapreduce_spark.io import load_table
 
 
 @pytest.fixture()
 def wm_env(spark, sf_dir, tmp_path):
-    ev = load_table(spark, sf_dir, "events").withColumn("ts_us", F.unix_micros("ts"))
+    ev = load_table(spark, sf_dir, "events").withColumn("ts_us", ts_us("ts"))
     split = int(ev.agg(F.percentile("ts_us", 0.5)).collect()[0][0])
     landing = str(tmp_path / "landing")
     os.makedirs(landing)
@@ -48,12 +49,14 @@ def _run(spark, env, schema):
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1")
         .parquet(env["landing"])
+        # watermarks demand TIMESTAMP: epoch-preserving NTZ->ltz ingest
+        .withColumn("ts", ts_ltz("ts"))
     )
     agg = (
         src.withWatermark("ts", "10 minutes")
         .groupBy(F.window("ts", "5 minutes"))
         .agg(F.count(F.lit(1)).alias("n"))
-        .select(F.unix_micros("window.start").alias("w"), "n")
+        .select(ts_us("window.start").alias("w"), "n")
     )
     q = (
         agg.writeStream.outputMode("append")
