@@ -63,18 +63,24 @@ def q_window_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
            LEAD(l_quantity) OVER w AS next_qty,
            FIRST_VALUE(l_quantity) OVER w AS first_qty,
            LAST_VALUE(l_quantity) OVER
-               (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+               (PARTITION BY l_suppkey
+                ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity
                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_qty
     FROM lineitem
     WINDOW w AS (PARTITION BY l_suppkey
-                 ORDER BY l_shipdate, l_orderkey, l_linenumber)
+                 ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity)
     """,
 )
 def q_window_analytic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """lag / lead / first_value / last_value (explicit full frame for
     last_value — the default frame ends at CURRENT ROW)."""
     li = load_table(spark, sf_dir, "lineitem")
-    w = W.partitionBy("l_suppkey").orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+    # l_quantity tiebreak: the fixture generator emits occasional full
+    # key collisions (same suppkey/shipdate/orderkey/linenumber, two
+    # quantities), so the natural key alone is not a total order
+    w = W.partitionBy("l_suppkey").orderBy(
+        "l_shipdate", "l_orderkey", "l_linenumber", "l_quantity"
+    )
     w_full = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
     return li.select(
         "l_suppkey",
@@ -94,12 +100,12 @@ def q_window_analytic(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_suppkey, l_orderkey, l_linenumber,
            CAST(SUM(CAST(l_quantity AS BIGINT)) OVER
                (PARTITION BY l_suppkey
-                ORDER BY l_shipdate, l_orderkey, l_linenumber
+                ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity
                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                AS BIGINT) AS running_qty,
            AVG(l_quantity) OVER
                (PARTITION BY l_suppkey
-                ORDER BY l_shipdate, l_orderkey, l_linenumber
+                ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity
                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS qty_ma3
     FROM lineitem
     """,
@@ -107,9 +113,13 @@ def q_window_analytic(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_window_frame_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROWS frames: running sum (exact BIGINT — quantities are integral)
     and a 3-row moving average (sums of ≤3 integral doubles are exact
-    in fp, so no rounding is needed)."""
+    in fp, so no rounding is needed). l_quantity tiebreak: the fixture
+    emits occasional full natural-key collisions, so ROWS frames need
+    it for a total (engine-agreed) order."""
     li = load_table(spark, sf_dir, "lineitem")
-    w = W.partitionBy("l_suppkey").orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+    w = W.partitionBy("l_suppkey").orderBy(
+        "l_shipdate", "l_orderkey", "l_linenumber", "l_quantity"
+    )
     return li.select(
         "l_suppkey",
         "l_orderkey",
