@@ -229,3 +229,44 @@ def test_graph_iteratives_reuse_cached_subtrees(spark, sf_dir):
         ]
         assert not any("Python" in line for line in top), name
         spark.catalog.clearCache()
+
+
+def test_tpch_q1_single_exchange(spark, sf_dir):
+    """Full-scan pricing summary: partial aggregation map-side, then
+    exactly ONE exchange on the tiny group key space."""
+    plan = _plan(registry.queries()["q_tpch_q1_shape"](spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("Scan parquet") == 1
+
+
+def test_tpch_q6_pure_scan(spark, sf_dir):
+    """Filter-and-sum: predicates pushed to the reader, no keyed
+    shuffle at all (global agg exchanges one partial row per task)."""
+    plan = _plan(registry.queries()["q_tpch_q6_shape"](spark, sf_dir))
+    # the PushedFilters list prints truncated, so pin an early entry
+    assert "PushedFilters: [IsNotNull(l_shipdate), IsNotNull(l_discount)" in plan
+    # 4-column pruned scan
+    assert "ReadSchema: struct<l_quantity:double,l_extendedprice:double" in plan
+    assert plan.count("Exchange hashpartitioning") == 0
+
+
+def test_decontaminate_broadcasts_benchmark_grams(spark, sf_dir):
+    """The benchmark gram set (~1% of docs) must broadcast — the
+    training-side scan joins it without a data-proportional shuffle."""
+    plan = _plan(registry.queries()["q_text_decontaminate"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_zorder_is_codegen_arithmetic(spark, sf_dir):
+    """Morton interleave must stay in whole-stage codegen: no Python
+    eval, and the only keyed exchange is the zone-map aggregation."""
+    plan = _plan(registry.queries()["q_zorder_layout"](spark, sf_dir))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_corpus_mix_single_window_shuffle(spark, sf_dir):
+    """Rank-within-source then per-source agg: the aggregation must
+    reuse the window's hash partitioning on source (one exchange)."""
+    plan = _plan(registry.queries()["q_corpus_mix"](spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1
