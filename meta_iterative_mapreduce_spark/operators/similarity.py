@@ -314,3 +314,45 @@ def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scaled.select(
         "vec_id", "label", "scale", F.array_join(q, ",").alias("q_str")
     )
+
+
+@register(
+    "q_embed_gram",
+    oracle="""
+    SELECT i, j,
+           ROUND(SUM(CAST(list_extract(embedding, i) AS DOUBLE)
+                     * CAST(list_extract(embedding, j) AS DOUBLE)), 4)
+               AS gram
+    FROM read_parquet_embeddings, range(1, 65) a(i), range(1, 65) b(j)
+    WHERE j >= i
+    GROUP BY i, j
+    """.replace("read_parquet_embeddings", "embeddings"),
+)
+def q_embed_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Gram matrix X^T X over the embedding column — the
+    d-dimensional generalization of the reference's OLS sufficient
+    statistics (kernel.cu:56-62 accumulates sum_x/sum_y/sum_xy/sum_xx;
+    the Gram matrix is exactly those sums for every feature pair), and
+    the one distributed pass behind normal-equation regression and
+    covariance/PCA. Each row expands to its upper-triangle outer
+    product inside the scan stage (JVM higher-order functions, no
+    Python, no join); partial aggregation collapses the 2080 (i, j)
+    cells per task BEFORE the single tiny exchange — at 100 TB the
+    shuffle is O(tasks x d^2), independent of row count."""
+    e = load_table(spark, sf_dir, "embeddings")
+    cells = e.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(sequence(0, size(embedding) - 1), i -> "
+                "transform(sequence(i, size(embedding) - 1), j -> "
+                "struct(CAST(i + 1 AS BIGINT) AS i, CAST(j + 1 AS BIGINT) AS j, "
+                "CAST(embedding[i] AS DOUBLE) * CAST(embedding[j] AS DOUBLE)"
+                " AS p))))"
+            )
+        ).alias("c")
+    )
+    return (
+        cells.select("c.i", "c.j", "c.p")
+        .groupBy("i", "j")
+        .agg(F.round(F.sum("p"), 4).alias("gram"))
+    )

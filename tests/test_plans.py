@@ -270,3 +270,12 @@ def test_corpus_mix_single_window_shuffle(spark, sf_dir):
     reuse the window's hash partitioning on source (one exchange)."""
     plan = _plan(registry.queries()["q_corpus_mix"](spark, sf_dir))
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_gram_matrix_partial_agg_no_python(spark, sf_dir):
+    """Outer-product cells must collapse map-side (two-phase hash agg)
+    with no Python eval; the only exchange carries O(tasks*d^2) partials."""
+    plan = _plan(registry.queries()["q_embed_gram"](spark, sf_dir))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert plan.count("HashAggregate") >= 2
+    assert plan.count("Exchange hashpartitioning") == 1
