@@ -356,3 +356,48 @@ def q_embed_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("i", "j")
         .agg(F.round(F.sum("p"), 4).alias("gram"))
     )
+
+
+def _gram_matrix(spark: SparkSession, sf_dir: str) -> list[list[float]]:
+    """Collect the d x d Gram matrix (O(d^2) driver scalars — the same
+    budget as k-means centroids; the data-sized work stays
+    distributed in the q_embed_gram plan)."""
+    rows = q_embed_gram(spark, sf_dir).collect()
+    d = max(r["j"] for r in rows)
+    g = [[0.0] * d for _ in range(d)]
+    for r in rows:
+        i, j = r["i"] - 1, r["j"] - 1
+        g[i][j] = g[j][i] = float(r["gram"])
+    return g
+
+
+@register("q_embed_pca_power")  # rows-only: eigen-iteration has no SQL
+# oracle; the distributed pass underneath (the Gram matrix) IS
+# hash-checked as q_embed_gram
+def q_embed_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal direction of the embedding cloud by POWER
+    ITERATION over the distributed Gram matrix — the engine's fifth
+    workload in the reference's iterative shape (kernel.cu:135-217:
+    distributed pass producing a small state, tiny driver-side update,
+    repeat): ONE distributed O(n*d^2) pass builds X^T X, then the
+    iteration v <- normalize(G v) runs on the driver over O(d^2)
+    scalars — no per-iteration cluster round-trips, unlike a naive
+    matvec-per-iteration design whose 50 iterations would mean 50
+    scans. Deterministic: fixed all-ones start, fixed 50 iterations,
+    sign pinned by the largest component."""
+    g = _gram_matrix(spark, sf_dir)
+    d = len(g)
+    v = [1.0] * d
+    for _ in range(50):
+        w = [sum(g[i][k] * v[k] for k in range(d)) for i in range(d)]
+        norm = sum(x * x for x in w) ** 0.5
+        v = [x / norm for x in w]
+    eigval = sum(v[i] * sum(g[i][k] * v[k] for k in range(d)) for i in range(d))
+    pivot = max(range(d), key=lambda i: abs(v[i]))
+    if v[pivot] < 0:
+        v = [-x for x in v]
+    out = [(i + 1, round(v[i], 4)) for i in range(d)]
+    return spark.createDataFrame(
+        [(round(eigval, 2), i, c) for i, c in out],
+        "eigval double, component int, loading double",
+    )

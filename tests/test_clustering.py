@@ -36,3 +36,25 @@ def test_assignment_covers_all_rows_once(spark, sf_dir):
     assert assigned.count() == e.count()
     clusters = {r["cluster"] for r in assigned.select("cluster").distinct().collect()}
     assert clusters.issubset(set(range(4)))
+
+
+def test_pca_power_is_eigenpair(spark, sf_dir):
+    """The returned (eigval, v) must satisfy G v ~= eigval * v — the
+    fixpoint property of power iteration, checked against an
+    independently recollected Gram matrix."""
+    from meta_iterative_mapreduce_spark.operators.similarity import (
+        _gram_matrix,
+        q_embed_pca_power,
+    )
+
+    rows = q_embed_pca_power(spark, sf_dir).collect()
+    eigval = rows[0]["eigval"]
+    v = [r["loading"] for r in sorted(rows, key=lambda r: r["component"])]
+    g = _gram_matrix(spark, sf_dir)
+    d = len(v)
+    gv = [sum(g[i][k] * v[k] for k in range(d)) for i in range(d)]
+    for i in range(d):
+        assert abs(gv[i] - eigval * v[i]) <= max(1e-2, 2e-3 * abs(eigval)), i
+    # unit norm, sign pinned positive on the largest component
+    assert abs(sum(x * x for x in v) - 1.0) < 1e-2
+    assert max(v, key=abs) > 0
