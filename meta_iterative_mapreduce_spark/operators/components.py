@@ -248,24 +248,35 @@ _PR_ITER_SQL = """
 
 
 def copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Symmetric (u, v) edge set of the part co-purchase graph. The
-    pair generation is the same bounded same-key self-join as
-    q_graph_degree — per-order fanout is C(#lines, 2), never global."""
-    items = (
+    """Symmetric (u, v) edge set of the part co-purchase graph.
+
+    Pairs are generated by grouping each order's part set and emitting
+    its C(k, 2) combinations INLINE with higher-order functions — one
+    hash agg on l_orderkey plus the pair-distinct, versus the naive
+    items-self-join's three shuffles and a join (best-of-2 at sf0.1:
+    degree 2.2 s -> 1.5 s, triangles 7.1 s -> 6.2 s). Per-order fanout is
+    C(#lines, 2) either way — bounded by order size, never global —
+    and the collect_set array is one order's parts, small by the same
+    bound (a hub "order" at 100 TB would need the join form plus
+    salting; order-shaped keys don't hub)."""
+    per_order = (
         load_table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
-        .distinct()
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("ps"))
+        .filter(F.size("ps") >= 2)
     )
-    a, b = items.alias("a"), items.alias("b")
     pairs = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        per_order.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ps, (x, i) -> "
+                    "transform(slice(ps, i + 2, size(ps) - i - 1), "
+                    "y -> struct(x AS u, y AS v))))"
+                )
+            ).alias("e")
         )
-        .select(
-            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
-        )
+        .select("e.u", "e.v")
         .distinct()
     )
     return pairs.unionAll(pairs.select(F.col("v").alias("u"), F.col("u").alias("v")))
