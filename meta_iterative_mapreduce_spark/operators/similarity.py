@@ -401,3 +401,40 @@ def q_embed_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(round(eigval, 2), i, c) for i, c in out],
         "eigval double, component int, loading double",
     )
+
+
+def gram_matrix_blas(df: DataFrame, col: str = "embedding") -> DataFrame:
+    """Scale path for X^T X: per-batch numpy `X.T @ X` inside
+    mapInPandas (Arrow-vectorized, BLAS-backed), emitting one d x d
+    partial per batch; a final tiny agg merges them. Dense matrix
+    products are the one workload where JVM codegen cannot compete
+    with BLAS — measured 93.8 s (declarative outer-product explode) vs
+    9.8 s (this path) for 2M x 64 vectors, tools/scale_smoke.py — so,
+    like MLlib, the engine drops to native linear algebra here while
+    keeping the declarative q_embed_gram as the oracle-checked
+    semantic contract (tests pin both paths equal on the fixtures).
+    Output: upper-triangle (i, j, gram), 1-based, un-rounded."""
+    import pandas as pd
+
+    def partials(batches):
+        import numpy as np
+
+        acc = None
+        for pdf in batches:
+            x = np.stack(pdf[col].to_numpy()).astype("float64")
+            g = x.T @ x
+            acc = g if acc is None else acc + g
+        if acc is None:
+            return
+        d = acc.shape[0]
+        iu, ju = [], []
+        for i in range(d):
+            for j in range(i, d):
+                iu.append(i + 1)
+                ju.append(j + 1)
+        yield pd.DataFrame(
+            {"i": iu, "j": ju, "p": [acc[i - 1][j - 1] for i, j in zip(iu, ju)]}
+        )
+
+    cells = df.select(col).mapInPandas(partials, "i long, j long, p double")
+    return cells.groupBy("i", "j").agg(F.sum("p").alias("gram"))

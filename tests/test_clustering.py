@@ -58,3 +58,27 @@ def test_pca_power_is_eigenpair(spark, sf_dir):
     # unit norm, sign pinned positive on the largest component
     assert abs(sum(x * x for x in v) - 1.0) < 1e-2
     assert max(v, key=abs) > 0
+
+
+def test_gram_blas_matches_declarative(spark, sf_dir):
+    """The BLAS scale path and the oracle-checked declarative plan must
+    agree cell-for-cell (fp tolerance: different summation orders)."""
+    from meta_iterative_mapreduce_spark.io import load_table
+    from meta_iterative_mapreduce_spark.operators.similarity import (
+        gram_matrix_blas,
+        q_embed_gram,
+    )
+
+    slow = {
+        (r["i"], r["j"]): r["gram"]
+        for r in q_embed_gram(spark, sf_dir).collect()
+    }
+    fast = {
+        (r["i"], r["j"]): r["gram"]
+        for r in gram_matrix_blas(
+            load_table(spark, sf_dir, "embeddings")
+        ).collect()
+    }
+    assert set(slow) == set(fast)
+    for k, v in slow.items():
+        assert abs(fast[k] - v) <= max(1e-6, 1e-9 * abs(v)) + 5e-5, k

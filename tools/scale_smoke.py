@@ -132,6 +132,53 @@ def main() -> None:
     # random mixes may add a few extra sub-distance-3 collisions
     assert n_pairs >= n_docs // 2, (n_pairs, n_docs // 2)
 
+    # --- Gram matrix over synthetic 64-dim embeddings ---
+    # declarative (oracle-checked shape) at n/100; BLAS scale path at
+    # n/10 — dense matrix math is the one mapInPandas exception
+    # (see operators/similarity.py:gram_matrix_blas)
+    def synth_emb(n_vecs):
+        return spark.range(n_vecs).select(
+            F.expr(
+                "transform(sequence(0, 63), i -> "
+                "CAST(pmod(xxhash64(id, i), 1000) AS DOUBLE) / 1000.0)"
+            ).alias("embedding")
+        )
+
+    n_small = max(n // 100, 100_000)
+    cells = synth_emb(n_small).select(
+        F.explode(
+            F.expr(
+                "flatten(transform(sequence(0, size(embedding) - 1), i -> "
+                "transform(sequence(i, size(embedding) - 1), j -> "
+                "struct(CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j, "
+                "embedding[i] * embedding[j] AS p))))"
+            )
+        ).alias("c")
+    )
+    t0 = time.time()
+    g = cells.select("c.i", "c.j", "c.p").groupBy("i", "j").agg(F.sum("p"))
+    n_cells = g.count()
+    t_decl = time.time() - t0
+    print(
+        f"gram_matrix_declarative over {n_small:,} x 64 vectors: "
+        f"{t_decl:.1f}s -> {n_cells:,} cells"
+    )
+    assert n_cells == 64 * 65 // 2
+
+    from meta_iterative_mapreduce_spark.operators.similarity import (
+        gram_matrix_blas,
+    )
+
+    n_vecs = max(n // 10, 1_000_000)
+    t0 = time.time()
+    n_cells = gram_matrix_blas(synth_emb(n_vecs)).count()
+    print(
+        f"gram_matrix_blas over {n_vecs:,} x 64 vectors: "
+        f"{time.time()-t0:.1f}s -> {n_cells:,} cells "
+        f"(shuffle = batches x 2080 partials)"
+    )
+    assert n_cells == 64 * 65 // 2
+
     print("scale smoke OK")
 
 
