@@ -253,8 +253,10 @@ def copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     Pairs are generated by grouping each order's part set and emitting
     its C(k, 2) combinations INLINE with higher-order functions — one
     hash agg on l_orderkey plus the pair-distinct, versus the naive
-    items-self-join's three shuffles and a join (best-of-2 at sf0.1:
-    degree 2.2 s -> 1.5 s, triangles 7.1 s -> 6.2 s). Per-order fanout is
+    items-self-join's three shuffles and a join (sf0.1 bench:
+    triangles 7.1 s -> 5.3 s; degree/pagerank within run-to-run
+    noise — the win is the removed join + shuffle, which is what
+    matters at 100 TB). Per-order fanout is
     C(#lines, 2) either way — bounded by order size, never global —
     and the collect_set array is one order's parts, small by the same
     bound (a hub "order" at 100 TB would need the join form plus
