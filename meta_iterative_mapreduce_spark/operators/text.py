@@ -550,3 +550,89 @@ def q_text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_join(F.array_sort(F.collect_set("doc_id")), ","),
         ).alias("postings"),
     )
+
+
+_BM25_TERMS = ("spark", "vector", "merge")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+def _bm25_oracle() -> str:
+    tf = "LENGTH(list_filter(toks, x -> x = '{t}'))"
+    dfs = ",\n               ".join(
+        f"COUNT(CASE WHEN list_contains(toks, '{t}') THEN 1 END) AS df_{t}"
+        for t in _BM25_TERMS
+    )
+    terms = " + ".join(
+        f"""LN((s.n_docs - s.df_{t} + 0.5) / (s.df_{t} + 0.5) + 1)
+             * ({tf.format(t=t)} * ({_BM25_K1} + 1))
+             / ({tf.format(t=t)} + {_BM25_K1}
+                * (1 - {_BM25_B} + {_BM25_B} * b.dl / s.avgdl))"""
+        for t in _BM25_TERMS
+    )
+    return f"""
+    WITH base AS (
+        SELECT doc_id, string_split(text, ' ') AS toks,
+               LENGTH(string_split(text, ' ')) AS dl
+        FROM documents
+    ), stats AS (
+        SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl,
+               {dfs}
+        FROM base
+    )
+    SELECT doc_id, ROUND({terms}, 4) AS bm25
+    FROM base b CROSS JOIN stats s
+    ORDER BY bm25 DESC, doc_id
+    LIMIT 10
+    """
+
+
+@register("q_text_bm25", oracle=_bm25_oracle())
+def q_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval (k1=1.2, b=0.75) for a fixed query term
+    set over the documents corpus: top-10 docs by Robertson/Sparck
+    Jones BM25 with the +1 idf floor.
+
+    Shuffle posture at 100 TB: per-term tf is a scan-local
+    higher-order-function expression (no explode, no per-token
+    shuffle); corpus stats (N, avgdl, per-term df) are ONE single-row
+    global aggregate broadcast back via a 1-row nested-loop join; the
+    final top-10 is TakeOrderedAndProject (no global sort). The only
+    data-proportional exchange is the partial-agg reduction of the
+    stats row."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    base = d.select(
+        "doc_id", toks.alias("toks"), F.size(toks).alias("dl")
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+        *[
+            F.count(F.when(F.array_contains("toks", t), 1)).alias(f"df_{t}")
+            for t in _BM25_TERMS
+        ],
+    )
+
+    def term_score(t: str):
+        tf = F.size(F.filter(F.col("toks"), lambda x: x == F.lit(t)))
+        tf = tf.cast("double")
+        idf = F.log(
+            (F.col("n_docs") - F.col(f"df_{t}") + 0.5)
+            / (F.col(f"df_{t}") + 0.5)
+            + 1
+        )
+        norm = tf + _BM25_K1 * (
+            1 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl")
+        )
+        return idf * (tf * (_BM25_K1 + 1)) / norm
+
+    score = term_score(_BM25_TERMS[0])
+    for t in _BM25_TERMS[1:]:
+        score = score + term_score(t)
+    return (
+        base.crossJoin(F.broadcast(stats))
+        .select("doc_id", F.round(score, 4).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(10)
+    )
