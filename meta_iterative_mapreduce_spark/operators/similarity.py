@@ -438,3 +438,65 @@ def gram_matrix_blas(df: DataFrame, col: str = "embedding") -> DataFrame:
 
     cells = df.select(col).mapInPandas(partials, "i long, j long, p double")
     return cells.groupBy("i", "j").agg(F.sum("p").alias("gram"))
+
+
+@register(
+    "q_sim_recall_at_k",
+    oracle=f"""
+    WITH exact AS (
+        SELECT vec_id FROM (
+            SELECT vec_id,
+                   ROUND({_dot_sql('embedding', _PROBE)} / {_NORM_SQL}, 4)
+                       AS cos_sim
+            FROM embeddings
+            ORDER BY cos_sim DESC, vec_id LIMIT 10)
+    ), ann AS (
+        SELECT vec_id FROM (
+            SELECT vec_id,
+                   ROUND(dot_p / {_NORM_SQL}, 4) AS cos_sim
+            FROM (SELECT vec_id, embedding,
+                         ({_bucket_sql()}) AS bucket,
+                         {_dot_sql('embedding', _PROBE)} AS dot_p
+                  FROM embeddings)
+            WHERE bucket = {_probe_bucket()}
+            ORDER BY cos_sim DESC, vec_id LIMIT 10)
+    )
+    SELECT 10 AS k, CAST(COUNT(*) AS BIGINT) AS n_hits,
+           ROUND(COUNT(*) / 10.0, 4) AS recall
+    FROM exact WHERE vec_id IN (SELECT vec_id FROM ann)
+    """,
+)
+def q_sim_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality evaluation: recall@10 of the sign-LSH bucket search
+    against the exact brute-force cosine top-10 for the fixed probe —
+    the measurement loop that tunes n_planes/nProbe instead of
+    guessing. Both arms are TakeOrderedAndProject top-10s over one
+    scan each; the overlap is a 10-row broadcast semi-join and a
+    single-row count — nothing here grows with corpus size except the
+    two scans."""
+    e = load_table(spark, sf_dir, "embeddings")
+    cos = F.round(
+        dot_const(F.col("embedding"), _PROBE) / l2_norm(F.col("embedding")), 4
+    )
+    exact = (
+        e.select("vec_id", cos.alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), "vec_id")
+        .limit(10)
+        .select("vec_id")
+    )
+    ann = (
+        e.select(
+            "vec_id",
+            cos.alias("cos_sim"),
+            sign_lsh_bucket(F.col("embedding"), _PLANES).alias("bucket"),
+        )
+        .filter(F.col("bucket") == _probe_bucket())
+        .orderBy(F.col("cos_sim").desc(), "vec_id")
+        .limit(10)
+        .select("vec_id")
+    )
+    return exact.join(F.broadcast(ann), "vec_id", "left_semi").agg(
+        F.lit(10).alias("k"),
+        F.count(F.lit(1)).alias("n_hits"),
+        F.round(F.count(F.lit(1)) / 10.0, 4).alias("recall"),
+    )
