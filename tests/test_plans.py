@@ -279,3 +279,23 @@ def test_gram_matrix_partial_agg_no_python(spark, sf_dir):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert plan.count("HashAggregate") >= 2
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_bm25_scan_local_scoring_topk(spark, sf_dir):
+    """BM25: corpus stats reduce to ONE single-partition row broadcast
+    back (no per-token shuffle anywhere — no explode in the plan), and
+    the top-10 is TakeOrderedAndProject, not a global sort."""
+    plan = _plan(registry.queries()["q_text_bm25"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "Explode" not in plan and "Generate" not in plan
+    assert plan.count("Exchange SinglePartition") == 1
+
+
+def test_recall_at_k_broadcasts_ann_arm(spark, sf_dir):
+    """recall@10: both arms are TakeOrderedAndProject top-10s and the
+    overlap is a broadcast (10-row) join — nothing data-proportional
+    past the two scans."""
+    plan = _plan(registry.queries()["q_sim_recall_at_k"](spark, sf_dir))
+    assert plan.count("TakeOrderedAndProject") == 2
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
