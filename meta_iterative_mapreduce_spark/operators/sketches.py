@@ -73,3 +73,53 @@ def q_sketch_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketch = cms_build(toks)
     probes = toks.distinct()
     return cms_estimate(sketch, probes).orderBy("token")
+
+
+@register(
+    "q_sketch_hll",
+    oracle="""
+    SELECT event_type AS scope,
+           COUNT(DISTINCT user_id) AS n_exact, TRUE AS est_ok
+    FROM events GROUP BY event_type
+    UNION ALL
+    SELECT 'ALL' AS scope,
+           COUNT(DISTINCT user_id) AS n_exact, TRUE AS est_ok
+    FROM events
+    """,
+)
+def q_sketch_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HLL distinct-count sketches (Apache DataSketches via
+    hll_sketch_agg): per-event-type user sketches, plus a global 'ALL'
+    row whose sketch is hll_union_agg over the per-type PARTIALS — the
+    merge path that lets 1000 executors (or 1000 daily partitions)
+    combine distinct counts without rescanning, which exact
+    countDistinct cannot do.
+
+    Oracle-checkable despite the engine-specific sketch: the query
+    outputs the EXACT distinct count plus an `est_ok` flag asserting
+    the HLL estimate lands within 5% of it (lgConfigK=12 gives ~1.6%
+    RSE, so the bound has margin). HLL state depends only on the SET
+    of hashed values — order- and partitioning-independent — so the
+    flag is deterministic; the oracle computes the same exact counts
+    and TRUE. A silent sketch regression flips est_ok and fails the
+    hash gate."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+    per = ev.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.countDistinct("user_id").alias("n_exact"),
+    )
+    est_ok = (
+        F.abs(F.hll_sketch_estimate("sk") - F.col("n_exact"))
+        / F.col("n_exact")
+        <= 0.05
+    )
+    per_out = per.select(
+        F.col("event_type").alias("scope"), "n_exact", est_ok.alias("est_ok")
+    )
+    glob = per.agg(F.hll_union_agg("sk").alias("sk")).crossJoin(
+        F.broadcast(ev.agg(F.countDistinct("user_id").alias("n_exact")))
+    )
+    glob_out = glob.select(
+        F.lit("ALL").alias("scope"), "n_exact", est_ok.alias("est_ok")
+    )
+    return per_out.unionAll(glob_out)
