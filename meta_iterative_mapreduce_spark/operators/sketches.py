@@ -123,3 +123,58 @@ def q_sketch_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("ALL").alias("scope"), "n_exact", est_ok.alias("est_ok")
     )
     return per_out.unionAll(glob_out)
+
+
+@register(
+    "q_sketch_kll",
+    oracle="""
+    SELECT 'ALL' AS scope, COUNT(*) AS n_rows,
+           TRUE AS median_ok, TRUE AS p99_ok
+    FROM lineitem
+    """,
+)
+def q_sketch_kll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable KLL quantile sketches (Apache DataSketches): per-
+    returnflag partials over l_extendedprice merged into one global
+    sketch — the quantile analog of q_sketch_hll's union path, and the
+    scale alternative to exact percentile (global sort) and
+    percentile_approx (GK, merge degrades): KLL partials merge with
+    bounded rank error, so 1000 executors' sketches combine without
+    rescan.
+
+    Oracle pattern as q_sketch_hll: emit exact row count plus flags
+    asserting the sketch's median lands inside the exact (p40, p60)
+    value window and its p99 inside (p97, max) — >=10x the sketch's
+    ~1% rank error, so the flags are deterministically TRUE unless the
+    sketch path regresses; the oracle emits the same exact count and
+    TRUE."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice"
+    )
+    per = li.groupBy("l_returnflag").agg(
+        F.kll_sketch_agg_double("l_extendedprice").alias("sk")
+    )
+    # kll_sketch_merge_double is a BINARY merge (sketch × sketch), so
+    # the global sketch is a fold over the per-group partials — the
+    # partial list is group-count-sized (3 flags), never data-sized.
+    glob = per.agg(F.collect_list("sk").alias("sks")).select(
+        F.expr(
+            "aggregate(slice(sks, 2, size(sks) - 1), sks[0],"
+            " (a, x) -> kll_sketch_merge_double(a, x))"
+        ).alias("sk")
+    )
+    bounds = li.agg(
+        F.expr("percentile(l_extendedprice, 0.40D)").alias("lo50"),
+        F.expr("percentile(l_extendedprice, 0.60D)").alias("hi50"),
+        F.expr("percentile(l_extendedprice, 0.97D)").alias("lo99"),
+        F.max("l_extendedprice").alias("hi99"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    est50 = F.kll_sketch_get_quantile_double("sk", F.lit(0.5))
+    est99 = F.kll_sketch_get_quantile_double("sk", F.lit(0.99))
+    return glob.crossJoin(F.broadcast(bounds)).select(
+        F.lit("ALL").alias("scope"),
+        "n_rows",
+        est50.between(F.col("lo50"), F.col("hi50")).alias("median_ok"),
+        est99.between(F.col("lo99"), F.col("hi99")).alias("p99_ok"),
+    )
