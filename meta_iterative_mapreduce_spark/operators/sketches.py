@@ -163,12 +163,21 @@ def q_sketch_kll(spark: SparkSession, sf_dir: str) -> DataFrame:
             " (a, x) -> kll_sketch_merge_double(a, x))"
         ).alias("sk")
     )
+    # one percentile(array(...)) buffer, not three separate aggregates
+    # (each percentile agg buffers the column independently: 6.6 s vs
+    # 2.7 s at sf0.1 for the bounds pass)
     bounds = li.agg(
-        F.expr("percentile(l_extendedprice, 0.40D)").alias("lo50"),
-        F.expr("percentile(l_extendedprice, 0.60D)").alias("hi50"),
-        F.expr("percentile(l_extendedprice, 0.97D)").alias("lo99"),
+        F.expr(
+            "percentile(l_extendedprice, array(0.40D, 0.60D, 0.97D))"
+        ).alias("ps"),
         F.max("l_extendedprice").alias("hi99"),
         F.count(F.lit(1)).alias("n_rows"),
+    ).select(
+        F.element_at("ps", 1).alias("lo50"),
+        F.element_at("ps", 2).alias("hi50"),
+        F.element_at("ps", 3).alias("lo99"),
+        "hi99",
+        "n_rows",
     )
     est50 = F.kll_sketch_get_quantile_double("sk", F.lit(0.5))
     est99 = F.kll_sketch_get_quantile_double("sk", F.lit(0.99))
