@@ -299,3 +299,18 @@ def test_recall_at_k_broadcasts_ann_arm(spark, sf_dir):
     plan = _plan(registry.queries()["q_sim_recall_at_k"](spark, sf_dir))
     assert plan.count("TakeOrderedAndProject") == 2
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+
+def test_sketch_queries_shuffle_posture(spark, sf_dir):
+    """Mergeable-sketch plans: KLL's sketch arm moves ONE
+    data-proportional exchange (per-flag partials; the audit bounds
+    reduce to SinglePartition rows). HLL's sketch arm is likewise one
+    exchange — the other three belong to the two exact-countDistinct
+    AUDIT arms (each a distinct expansion), which a production run
+    would drop along with the flags. Fold/union stages run over
+    group-count-sized lists, pinned JVM-side by
+    test_relational_plans_stay_jvm_side."""
+    kll = _plan(registry.queries()["q_sketch_kll"](spark, sf_dir))
+    assert kll.count("Exchange hashpartitioning") == 1
+    hll = _plan(registry.queries()["q_sketch_hll"](spark, sf_dir))
+    assert hll.count("Exchange hashpartitioning") <= 4
