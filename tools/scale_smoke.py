@@ -179,6 +179,52 @@ def main() -> None:
     )
     assert n_cells == 64 * 65 // 2
 
+    # --- mergeable sketches: 512 HLL partials union / KLL fold ---
+    # the q_sketch_hll/q_sketch_kll merge paths at partition scale:
+    # 512 group partials over n/2 rows combine into one global
+    # estimate without rescan; known ground truth checks the error.
+    n_sk = max(n // 2, 1_000_000)
+    n_distinct = n_sk // 10  # each user id appears ~10x
+    skewed = spark.range(n_sk).select(
+        (F.col("id") % 512).alias("g"),
+        (F.col("id") % n_distinct).alias("uid"),
+        (F.col("id") % 1000).cast("double").alias("x"),
+    )
+    t0 = time.time()
+    est = (
+        skewed.groupBy("g")
+        .agg(F.hll_sketch_agg("uid").alias("sk"))
+        .agg(F.hll_union_agg("sk").alias("sk"))
+        .select(F.hll_sketch_estimate("sk").alias("est"))
+        .collect()[0]["est"]
+    )
+    print(
+        f"hll 512-partial union over {n_sk:,} rows: {time.time()-t0:.1f}s "
+        f"-> est {est:,} vs true {n_distinct:,} "
+        f"({abs(est - n_distinct) / n_distinct:.2%} err)"
+    )
+    assert abs(est - n_distinct) / n_distinct < 0.05
+    t0 = time.time()
+    med = (
+        skewed.groupBy("g")
+        .agg(F.kll_sketch_agg_double("x").alias("sk"))
+        .agg(F.collect_list("sk").alias("sks"))
+        .select(
+            F.expr(
+                "kll_sketch_get_quantile_double("
+                "aggregate(slice(sks, 2, size(sks) - 1), sks[0],"
+                " (a, b) -> kll_sketch_merge_double(a, b)), 0.5D)"
+            ).alias("med")
+        )
+        .collect()[0]["med"]
+    )
+    print(
+        f"kll 512-partial fold over {n_sk:,} rows: {time.time()-t0:.1f}s "
+        f"-> median est {med:.1f} (true ~499.5)"
+    )
+    # uniform 0..999 -> true median 499.5; 5% rank error = +/-50
+    assert abs(med - 499.5) <= 50.0, med
+
     print("scale smoke OK")
 
 
