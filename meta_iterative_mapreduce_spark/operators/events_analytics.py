@@ -305,3 +305,73 @@ def q_events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 4).alias("revenue"),
         )
     )
+
+
+@register(
+    "q_events_funnel_staged",
+    oracle="""
+    WITH v AS (
+        SELECT user_id, MIN(epoch_us(ts)) AS t
+        FROM events WHERE event_type = 'view' GROUP BY user_id
+    ), c AS (
+        SELECT e.user_id, MIN(epoch_us(e.ts)) AS t
+        FROM events e JOIN v ON v.user_id = e.user_id
+        WHERE e.event_type = 'click' AND epoch_us(e.ts) > v.t
+        GROUP BY e.user_id
+    ), p AS (
+        SELECT e.user_id, MIN(epoch_us(e.ts)) AS t
+        FROM events e JOIN c ON c.user_id = e.user_id
+        WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > c.t
+        GROUP BY e.user_id
+    )
+    SELECT (SELECT COUNT(*) FROM v) AS n_view,
+           (SELECT COUNT(*) FROM c) AS n_view_click,
+           (SELECT COUNT(*) FROM p) AS n_view_click_purchase
+    """,
+)
+def q_events_funnel_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strictly-ordered 3-stage funnel (view -> click -> purchase, each
+    stage strictly after the previous) — the sequential-pattern niche
+    MATCH_RECOGNIZE serves, expressed as ONE user-keyed shuffle: each
+    user's (ts, type) events collect and sort scan-locally, and a
+    higher-order fold walks the sorted list advancing a stage counter
+    (greedy earliest-chain, which equals the chained-min semantics the
+    oracle states, since progression depends only on timestamps).
+
+    At 100 TB the stage count never multiplies shuffles — a join-chain
+    funnel pays one shuffled join per stage, this plan pays one
+    groupBy(user_id) total; per-user lists are bounded (user-keyed
+    activity, no hub keys), and the type filter is pushed to the
+    scan."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = (
+        ev.filter(F.col("event_type").isin("view", "click", "purchase"))
+        .select("user_id", ts_us("ts").alias("t"), "event_type")
+        .groupBy("user_id")
+        .agg(
+            F.expr(
+                """
+                aggregate(
+                    array_sort(collect_list(struct(t, event_type))),
+                    named_struct('stage', 0, 'ts', CAST(-1 AS BIGINT)),
+                    (acc, e) -> CASE
+                        WHEN acc.stage = 0 AND e.event_type = 'view'
+                            THEN named_struct('stage', 1, 'ts', e.t)
+                        WHEN acc.stage = 1 AND e.event_type = 'click'
+                             AND e.t > acc.ts
+                            THEN named_struct('stage', 2, 'ts', e.t)
+                        WHEN acc.stage = 2 AND e.event_type = 'purchase'
+                             AND e.t > acc.ts
+                            THEN named_struct('stage', 3, 'ts', e.t)
+                        ELSE acc END).stage
+                """
+            ).alias("stage")
+        )
+    )
+    return per_user.agg(
+        F.count(F.when(F.col("stage") >= 1, 1)).alias("n_view"),
+        F.count(F.when(F.col("stage") >= 2, 1)).alias("n_view_click"),
+        F.count(F.when(F.col("stage") >= 3, 1)).alias(
+            "n_view_click_purchase"
+        ),
+    )
