@@ -39,6 +39,16 @@ def ts_us(col: str) -> Column:
     return F.expr(f"timestampdiff(MICROSECOND, {_NTZ_EPOCH}, {col})")
 
 
+def ts_us_ltz(col: str) -> Column:
+    """Epoch microseconds of a TIMESTAMP (ltz) column — the streaming
+    surface's extractor. Streaming event time is ltz (watermarks reject
+    NTZ), so `unix_micros` is the session-tz-independent extraction
+    there; routing ltz through ts_us()'s NTZ arithmetic would coerce
+    wall-preserving through the session tz and shift epochs by the
+    zone offset under a non-UTC session."""
+    return F.expr(f"unix_micros({col})")
+
+
 def ts_ltz(col: str) -> Column:
     """TIMESTAMP (ltz) with the same epoch micros ts_us() extracts —
     naive walls read as UTC, under any session tz. Structured

@@ -45,11 +45,28 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         if t == "bigint":
             # integer `div`, NOT `/`: float division of epoch-nanos loses
             # precision past 2^53 and truncates to the wrong microsecond.
-            # timestamp_micros yields TIMESTAMP; the NTZ cast below is
-            # wall-preserving in session tz (UTC sessions: epoch walls).
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            # Build NTZ directly from the epoch offset — session-tz
+            # INDEPENDENT (a timestamp_micros(...).cast('ntz') detour
+            # would render walls in spark.sql.session.timeZone and
+            # shift every wall 8h under an LA session).
+            df = df.withColumn(
+                "ts",
+                F.expr(
+                    "timestampadd(MICROSECOND, ts div 1000,"
+                    " TIMESTAMP_NTZ'1970-01-01 00:00:00')"
+                ),
+            )
         if dict(df.dtypes).get("ts") == "timestamp":
-            df = df.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+            # tz-aware micros: take the instant's epoch micros and lay it
+            # down as UTC walls in NTZ — again bypassing the session tz
+            # (a plain cast would preserve session-local walls instead).
+            df = df.withColumn(
+                "ts",
+                F.expr(
+                    "timestampadd(MICROSECOND, unix_micros(ts),"
+                    " TIMESTAMP_NTZ'1970-01-01 00:00:00')"
+                ),
+            )
         return df
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 

@@ -332,41 +332,21 @@ def q_events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_events_funnel_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Strictly-ordered 3-stage funnel (view -> click -> purchase, each
     stage strictly after the previous) — the sequential-pattern niche
-    MATCH_RECOGNIZE serves, expressed as ONE user-keyed shuffle: each
-    user's (ts, type) events collect and sort scan-locally, and a
-    higher-order fold walks the sorted list advancing a stage counter
-    (greedy earliest-chain, which equals the chained-min semantics the
-    oracle states, since progression depends only on timestamps).
-
-    At 100 TB the stage count never multiplies shuffles — a join-chain
-    funnel pays one shuffled join per stage, this plan pays one
-    groupBy(user_id) total; per-user lists are bounded (user-keyed
-    activity, no hub keys), and the type filter is pushed to the
-    scan."""
+    MATCH_RECOGNIZE serves. Hybrid, skew-proof plan: users below a
+    per-key event threshold take the ONE-shuffle fold path (collect +
+    sort + higher-order fold, scan-local per user); the rare hub keys
+    above it (bots with 10^6+ events would otherwise build one giant
+    in-task array) route through the chained-min aggregate path, whose
+    min-aggs partial-combine map-side and are therefore immune to key
+    skew. Both paths compute the identical greedy earliest-chain
+    (progression depends only on timestamps), so the split is exact —
+    property-pinned by tests/test_properties.py's hub-user fixture."""
     ev = load_table(spark, sf_dir, "events")
-    per_user = (
-        ev.filter(F.col("event_type").isin("view", "click", "purchase"))
-        .select("user_id", ts_us("ts").alias("t"), "event_type")
-        .groupBy("user_id")
-        .agg(
-            F.expr(
-                """
-                aggregate(
-                    array_sort(collect_list(struct(t, event_type))),
-                    named_struct('stage', 0, 'ts', CAST(-1 AS BIGINT)),
-                    (acc, e) -> CASE
-                        WHEN acc.stage = 0 AND e.event_type = 'view'
-                            THEN named_struct('stage', 1, 'ts', e.t)
-                        WHEN acc.stage = 1 AND e.event_type = 'click'
-                             AND e.t > acc.ts
-                            THEN named_struct('stage', 2, 'ts', e.t)
-                        WHEN acc.stage = 2 AND e.event_type = 'purchase'
-                             AND e.t > acc.ts
-                            THEN named_struct('stage', 3, 'ts', e.t)
-                        ELSE acc END).stage
-                """
-            ).alias("stage")
-        )
+    ev_f = ev.filter(
+        F.col("event_type").isin("view", "click", "purchase")
+    ).select("user_id", ts_us("ts").alias("t"), "event_type")
+    per_user = per_user_funnel_stage(
+        ev_f, ["view", "click", "purchase"], hub_threshold=4096
     )
     return per_user.agg(
         F.count(F.when(F.col("stage") >= 1, 1)).alias("n_view"),
@@ -375,3 +355,129 @@ def q_events_funnel_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_view_click_purchase"
         ),
     )
+
+
+def _fold_stage_expr(stages: list[str]) -> str:
+    """SQL higher-order fold advancing a stage counter over the sorted
+    per-user (t, event_type) list — generated for any stage chain."""
+    arms = "\n".join(
+        f"""WHEN acc.stage = {i} AND e.event_type = '{s}'
+                 {"AND e.t > acc.ts" if i else ""}
+                THEN named_struct('stage', {i + 1}, 'ts', e.t)"""
+        for i, s in enumerate(stages)
+    )
+    return f"""
+        aggregate(
+            array_sort(collect_list(struct(t, event_type))),
+            named_struct('stage', 0, 'ts', CAST(-1 AS BIGINT)),
+            (acc, e) -> CASE
+                {arms}
+                ELSE acc END).stage
+    """
+
+
+def funnel_chain_stage(ev_f: DataFrame, stages: list[str]) -> DataFrame:
+    """(user_id, stage) via chained-min aggregates: stage_1 = earliest
+    stages[0] event; stage_i = earliest stages[i-1] event strictly
+    after the user's stage_{i-1} time. Every operator is a user-keyed
+    min-agg or equi-join on shrinking stage tables — partial
+    aggregation makes it skew-proof, and each stage table is ≤ #users
+    rows (broadcastable when the funnel narrows)."""
+    prev = (
+        ev_f.filter(F.col("event_type") == stages[0])
+        .groupBy("user_id")
+        .agg(F.min("t").alias("t"))
+    )
+    members = [prev.select("user_id", F.lit(1).alias("stage"))]
+    for i, s in enumerate(stages[1:], start=2):
+        nxt = (
+            ev_f.filter(F.col("event_type") == s)
+            .alias("e")
+            .join(prev.select("user_id", F.col("t").alias("pt")), "user_id")
+            .filter(F.col("t") > F.col("pt"))
+            .groupBy("user_id")
+            .agg(F.min("t").alias("t"))
+        )
+        members.append(nxt.select("user_id", F.lit(i).alias("stage")))
+        prev = nxt
+    out = members[0]
+    for m in members[1:]:
+        out = out.unionAll(m)
+    # memberships nest (s_k ⊆ s_{k-1}), so max = deepest stage reached
+    return out.groupBy("user_id").agg(F.max("stage").alias("stage"))
+
+
+def per_user_funnel_stage(
+    ev_f: DataFrame, stages: list[str], hub_threshold: int = 4096
+) -> DataFrame:
+    """(user_id, stage) for every user with ≥1 stage event — fold path
+    for normal users, chained-min path for hub users past the per-key
+    event-count threshold."""
+    counts = ev_f.groupBy("user_id").agg(F.count(F.lit(1)).alias("__n"))
+    tagged = ev_f.join(counts, "user_id")
+    small = (
+        tagged.filter(F.col("__n") <= hub_threshold)
+        .groupBy("user_id")
+        .agg(F.expr(_fold_stage_expr(stages)).alias("stage"))
+    )
+    big = funnel_chain_stage(
+        tagged.filter(F.col("__n") > hub_threshold), stages
+    )
+    # chain-path users with events but no stage-1 event drop out of
+    # `big`; re-admit them at stage 0 so both paths cover every user
+    big_all = (
+        counts.filter(F.col("__n") > hub_threshold)
+        .select("user_id")
+        .join(big, "user_id", "left")
+        .select("user_id", F.coalesce("stage", F.lit(0)).alias("stage"))
+    )
+    return small.select("user_id", "stage").unionAll(big_all)
+
+
+_FUNNEL_K_STAGES = ["signup", "view", "click", "purchase"]
+
+
+def _funnel_k_oracle(stages: list[str]) -> str:
+    """Programmatically generated chained-CTE oracle for a k-stage
+    funnel — one CTE per stage, each the chained-min of the previous."""
+    ctes = [
+        f"""s1 AS (
+        SELECT user_id, MIN(epoch_us(ts)) AS t
+        FROM events WHERE event_type = '{stages[0]}' GROUP BY user_id
+    )"""
+    ]
+    for i, s in enumerate(stages[1:], start=2):
+        ctes.append(
+            f"""s{i} AS (
+        SELECT e.user_id, MIN(epoch_us(e.ts)) AS t
+        FROM events e JOIN s{i - 1} p ON p.user_id = e.user_id
+        WHERE e.event_type = '{s}' AND epoch_us(e.ts) > p.t
+        GROUP BY e.user_id
+    )"""
+        )
+    selects = ", ".join(
+        f"(SELECT COUNT(*) FROM s{i}) AS n_s{i}"
+        for i in range(1, len(stages) + 1)
+    )
+    return f"WITH {', '.join(ctes)} SELECT {selects}"
+
+
+@register("q_events_funnel_k", oracle=_funnel_k_oracle(_FUNNEL_K_STAGES))
+def q_events_funnel_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parameterized k-stage strictly-ordered funnel (here k=4:
+    signup -> view -> click -> purchase) — the general sequential-
+    pattern API (`funnel_chain_stage(ev, stages)` takes any chain).
+    Pure chained-min plan: k user-keyed min-aggs over monotonically
+    shrinking stage tables, skew-proof via map-side partial
+    aggregation; the oracle is the programmatically generated
+    chained-CTE form for the same stage list."""
+    ev = load_table(spark, sf_dir, "events")
+    ev_f = ev.filter(F.col("event_type").isin(_FUNNEL_K_STAGES)).select(
+        "user_id", ts_us("ts").alias("t"), "event_type"
+    )
+    per_user = funnel_chain_stage(ev_f, _FUNNEL_K_STAGES)
+    aggs = [
+        F.count(F.when(F.col("stage") >= i, 1)).alias(f"n_s{i}")
+        for i in range(1, len(_FUNNEL_K_STAGES) + 1)
+    ]
+    return per_user.agg(*aggs)

@@ -97,21 +97,23 @@ def q_sketch_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Oracle-checkable despite the engine-specific sketch: the query
     outputs the EXACT distinct count plus an `est_ok` flag asserting
-    the HLL estimate lands within 5% of it (lgConfigK=12 gives ~1.6%
-    RSE, so the bound has margin). HLL state depends only on the SET
+    the HLL estimate lands within 10% of it (lgConfigK=14 gives ~0.8%
+    RSE, so the bound is >12 sigma — insensitive to fixture
+    regeneration, not just to the current draw). HLL state depends
+    only on the SET
     of hashed values — order- and partitioning-independent — so the
     flag is deterministic; the oracle computes the same exact counts
     and TRUE. A silent sketch regression flips est_ok and fails the
     hash gate."""
     ev = load_table(spark, sf_dir, "events").select("event_type", "user_id")
     per = ev.groupBy("event_type").agg(
-        F.hll_sketch_agg("user_id").alias("sk"),
+        F.hll_sketch_agg("user_id", 14).alias("sk"),
         F.countDistinct("user_id").alias("n_exact"),
     )
     est_ok = (
         F.abs(F.hll_sketch_estimate("sk") - F.col("n_exact"))
         / F.col("n_exact")
-        <= 0.05
+        <= 0.10
     )
     per_out = per.select(
         F.col("event_type").alias("scope"), "n_exact", est_ok.alias("est_ok")

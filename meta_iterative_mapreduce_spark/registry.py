@@ -45,14 +45,86 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
     return deco
 
 
-def queries() -> dict[str, QueryFn]:
+# The external verification window records the FIRST 50 queries in the
+# order queries() yields them; round 1 certified the operator families,
+# round 2 the relational plan families. Round 3's explicit priority
+# list below is exactly the set never yet externally certified
+# (registered minus CORRECTNESS_r01 ∪ r02 keys, plus this round's new
+# queries), riskiest families first per VERDICT.md r2 item 1: streams/
+# stateful, UDF surface, Spark-4 surface, sketches, graph, events,
+# timeseries, multimodal, corpus/text, incremental/CDC, skew, embed,
+# layout. Nine plain-relational leftovers (cube/rollup/mode/cross/
+# scalar_hash/window_distribution/samples/cte_recursive — all green in
+# the identical in-repo harness) are deferred to round 4's window.
+WINDOW_PRIORITY: tuple[str, ...] = (
+    "q_stream_ema",
+    "q_stream_tumbling",
+    "q_stream_sliding",
+    "q_stream_session",
+    "q_stream_join",
+    "q_udf_python",
+    "q_udf_pandas",
+    "q_udaf_grouped",
+    "q_udf_grouped_map",
+    "q_udtf_explode",
+    "q_udtf_python",
+    "q_source_python_ds",
+    "q_scalar_variant",
+    "q_sketch_hll",
+    "q_sketch_kll",
+    "q_dedup_components",
+    "q_graph_degree",
+    "q_graph_pagerank",
+    "q_graph_triangles",
+    "q_events_sessionize",
+    "q_events_transition",
+    "q_events_attribution",
+    "q_events_funnel_staged",
+    "q_events_funnel_k",
+    "q_ts_gapfill",
+    "q_ts_downsample",
+    "q_ts_anomaly",
+    "q_multimodal_decode",
+    "q_multimodal_decode_png",
+    "q_multimodal_resize",
+    "q_multimodal_frame_sample",
+    "q_text_decontaminate",
+    "q_text_repetition",
+    "q_corpus_mix",
+    "q_text_chunk",
+    "q_text_pack",
+    "q_text_pii_redact",
+    "q_text_html_strip",
+    "q_text_inverted_index",
+    "q_text_bm25",
+    "q_pipeline_corpus_clean",
+    "q_agg_incremental",
+    "q_cdc_snapshot_diff",
+    "q_join_skew_salted",
+    "q_embed_quantize",
+    "q_embed_gram",
+    "q_embed_pca_power",
+    "q_sim_recall_at_k",
+    "q_zorder_layout",
+    "q_join_lateral",
+)
+
+
+def _ordered() -> dict[str, Query]:
     _ensure_loaded()
-    return {name: q.fn for name, q in REGISTRY.items()}
+    pri = [n for n in WINDOW_PRIORITY if n in REGISTRY]
+    rest = [n for n in REGISTRY if n not in set(pri)]
+    return {n: REGISTRY[n] for n in [*pri, *rest]}
+
+
+def queries() -> dict[str, QueryFn]:
+    return {name: q.fn for name, q in _ordered().items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    _ensure_loaded()
-    return {name: q.oracle for name, q in REGISTRY.items() if q.oracle is not None}
+    return {
+        name: q.oracle for name, q in _ordered().items() if q.oracle is not None
+    }
 
 
 _LOADED = False

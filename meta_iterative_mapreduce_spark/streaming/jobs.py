@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from meta_iterative_mapreduce_spark.functions.time import ts_ltz, ts_us
+from meta_iterative_mapreduce_spark.functions.time import ts_ltz, ts_us_ltz
 
 def _events_schema(ts_type: T.DataType) -> T.StructType:
     return T.StructType(
@@ -74,7 +74,11 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ):
         shutil.copyfile(src, dst)
     ptype = str(pq.read_schema(dst).field("ts").type)
-    if ptype == "timestamp[ns]":
+    # nanos test FIRST: tz-aware nanos ("timestamp[ns, tz=UTC]") must
+    # route through the raw-long branch too — nanosAsLong makes Spark
+    # read ANY nanos column as long, so declaring TimestampType for it
+    # would be a schema mismatch at read time
+    if ptype.startswith("timestamp[ns"):
         raw = spark.readStream.schema(_events_schema(T.LongType())).parquet(stage)
         # integer `div`, NOT `/`: float division of epoch-nanos loses
         # precision past 2^53 (see load_table)
@@ -97,7 +101,7 @@ def tumbling_counts(events: DataFrame) -> DataFrame:
         .groupBy(F.window("ts", "5 minutes"), "event_type")
         .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
         .select(
-            ts_us("window.start").alias("win_start_us"),
+            ts_us_ltz("window.start").alias("win_start_us"),
             "event_type",
             "n",
             "sum_value",
@@ -112,7 +116,7 @@ def sliding_counts(events: DataFrame) -> DataFrame:
         .groupBy(F.window("ts", "10 minutes", "5 minutes"), "event_type")
         .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
         .select(
-            ts_us("window.start").alias("win_start_us"),
+            ts_us_ltz("window.start").alias("win_start_us"),
             "event_type",
             "n",
             "sum_value",
@@ -129,7 +133,7 @@ def session_counts(events: DataFrame) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 4).alias("sum_value"))
         .select(
             "user_id",
-            ts_us("session_window.start").alias("sess_start_us"),
+            ts_us_ltz("session_window.start").alias("sess_start_us"),
             "n_events",
             "sum_value",
         )
@@ -180,7 +184,7 @@ def click_purchase_join(events: DataFrame) -> DataFrame:
         F.col("c_user").alias("user_id"),
         "click_id",
         "purchase_id",
-        (ts_us("ts_p") - ts_us("ts_c")).alias("gap_us"),
+        (ts_us_ltz("ts_p") - ts_us_ltz("ts_c")).alias("gap_us"),
     )
 
 

@@ -16,7 +16,7 @@ import os
 import pytest
 from pyspark.sql import functions as F
 
-from meta_iterative_mapreduce_spark.functions.time import ts_ltz, ts_us
+from meta_iterative_mapreduce_spark.functions.time import ts_ltz, ts_us, ts_us_ltz
 from meta_iterative_mapreduce_spark.io import load_table
 
 
@@ -56,7 +56,8 @@ def _run(spark, env, schema):
         src.withWatermark("ts", "10 minutes")
         .groupBy(F.window("ts", "5 minutes"))
         .agg(F.count(F.lit(1)).alias("n"))
-        .select(ts_us("window.start").alias("w"), "n")
+        # window.start is ltz (post ts_ltz ingest): ltz-safe extractor
+        .select(ts_us_ltz("window.start").alias("w"), "n")
     )
     q = (
         agg.writeStream.outputMode("append")
