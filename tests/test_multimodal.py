@@ -45,5 +45,74 @@ def test_decode_zero_area_image():
 
 def test_injection_point_routes_mimg_to_synthetic_parser():
     assert decode_image_features(_pack(2, 2, b"abcd"))["n_pixels"] == 4
-    with pytest.raises(NotImplementedError):
+    # PNG now routes to the real stdlib decoder (corrupt → ValueError,
+    # not NotImplementedError); only codec-needing formats (JPEG) hit
+    # the Pillow injection point
+    with pytest.raises(ValueError):
         decode_image_features(b"\x89PNG\r\n\x1a\n" + b"\x00" * 8)
+    with pytest.raises(NotImplementedError):
+        decode_image_features(b"\xff\xd8\xff\xe0" + b"\x00" * 8)
+
+
+# ---------------------------------------------------------------------------
+# PNG codec (pure stdlib): spec-level guarantees the SQL oracle can't see
+# ---------------------------------------------------------------------------
+
+import random
+
+from meta_iterative_mapreduce_spark.operators.multimodal import (  # noqa: E402
+    encode_png_gray8,
+    decode_png_gray8,
+)
+
+
+def test_png_round_trip_every_filter_type():
+    """The decoder reconstructs exact pixels for scanlines encoded with
+    each of the five PNG filter types (None/Sub/Up/Average/Paeth) —
+    i.e. it decodes grayscale-8 PNGs from any writer, not just ours."""
+    rng = random.Random(7)
+    for ft in range(5):
+        for (w, h) in [(1, 1), (4, 3), (16, 64), (13, 7)]:
+            pix = bytes(rng.randrange(256) for _ in range(w * h))
+            f = decode_png_gray8(encode_png_gray8(w, h, pix, filter_type=ft))
+            assert f["pixels"] == pix
+            assert (f["width"], f["height"], f["n_pixels"]) == (w, h, w * h)
+
+
+def test_png_rejects_bad_signature_crc_and_truncation():
+    png = encode_png_gray8(4, 4, bytes(range(16)))
+    with pytest.raises(ValueError, match="signature"):
+        decode_png_gray8(b"XXXX" + png[4:])
+    bad = bytearray(png)
+    bad[20] ^= 0xFF  # flip a bit inside IHDR
+    with pytest.raises(ValueError, match="CRC"):
+        decode_png_gray8(bytes(bad))
+    with pytest.raises(ValueError, match="truncated"):
+        decode_png_gray8(png[:30])
+
+
+def test_png_rejects_out_of_scope_color_types():
+    import struct as _s
+    import zlib as _z
+
+    # hand-build an RGB (color type 2) IHDR: out of grayscale-8 scope
+    ihdr = _s.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0)
+    chunk = (
+        _s.pack(">I", len(ihdr))
+        + b"IHDR"
+        + ihdr
+        + _s.pack(">I", _z.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF)
+    )
+    with pytest.raises(NotImplementedError, match="grayscale"):
+        decode_png_gray8(b"\x89PNG\r\n\x1a\n" + chunk)
+
+
+def test_injection_point_routes_png_to_stdlib_decoder():
+    png = encode_png_gray8(3, 2, bytes([10, 20, 30, 40, 50, 60]))
+    f = decode_image_features(png)
+    assert f == {
+        "width": 3,
+        "height": 2,
+        "n_pixels": 6,
+        "mean_intensity": 35.0,
+    }

@@ -71,3 +71,53 @@ def test_dedup_stream_drops_repeats(spark, sf_dir):
     n_events = spark.read.parquet(f"{sf_dir}/events.parquet").count()
     assert len(got) == n_events
     assert got["event_id"].is_unique
+
+
+def test_stream_stream_join_across_microbatches(spark, sf_dir, tmp_path):
+    """Replayed fixture: events split into 4 chronological files driven
+    one file per trigger, so the watermark genuinely advances BETWEEN
+    micro-batches and cross-batch join state is exercised (a click in
+    batch 1 matching a purchase in batch 3) and expired (state for rows
+    older than watermark + interval is dropped). The result must still
+    equal the batch twin — the end-to-end guarantee of the
+    watermark-bounded stream-stream interval join."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from meta_iterative_mapreduce_spark.functions.time import ts_ltz, ts_us
+    from meta_iterative_mapreduce_spark.io import load_table
+
+    ev = load_table(spark, sf_dir, "events").withColumn("__t", ts_us("ts"))
+    qs = [r[0] for r in ev.agg(
+        F.expr("percentile(__t, array(0.25D, 0.5D, 0.75D))")
+    ).collect()][0]
+    landing = str(tmp_path / "landing")
+    os.makedirs(landing)
+    bounds = [None, *[int(q) for q in qs], None]
+    for i in range(4):
+        part = ev
+        if bounds[i] is not None:
+            part = part.filter(F.col("__t") >= bounds[i])
+        if bounds[i + 1] is not None:
+            part = part.filter(F.col("__t") < bounds[i + 1])
+        staged = str(tmp_path / f"part{i}")
+        part.drop("__t").coalesce(1).write.parquet(staged)
+        for f in os.listdir(staged):
+            if f.endswith(".parquet"):
+                os.rename(
+                    os.path.join(staged, f),
+                    os.path.join(landing, f"{i}_chunk.parquet"),
+                )
+    schema = spark.read.parquet(landing).schema
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(landing)
+        .withColumn("ts", ts_ltz("ts"))
+    )
+    got = jobs.run_to_memory(
+        jobs.click_purchase_join(src), "t_ssjoin_mb", output_mode="append"
+    ).toPandas()
+    want = registry.queries()["q_stream_join"](spark, sf_dir).toPandas()
+    pd.testing.assert_frame_equal(_canon(got), _canon(want), check_dtype=False)
