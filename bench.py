@@ -113,6 +113,41 @@ def main() -> None:
             print(f"bench error in {name}: {exc}", file=sys.stderr)
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
+    repo_dir = os.path.dirname(__file__) or "."
+
+    # ---- self-comparison vs the previous local run (VERDICT r2 #9) ----
+    # read the prior BENCH_local.json BEFORE overwriting; full per-query
+    # delta table goes to BENCH_DELTA.md, a 3-number digest into the
+    # compact summary line.
+    prev_path = os.path.join(repo_dir, "BENCH_local.json")
+    prev_total, worst_name, worst_ratio, n_reg = None, None, None, 0
+    try:
+        with open(prev_path) as f:
+            prev = json.load(f)
+        prev_q = {k: v for k, v in prev.get("queries", {}).items() if v > 0}
+        prev_total = prev.get("value")
+        rows = []
+        for k, t in sorted(timings.items()):
+            if t <= 0 or k not in prev_q:
+                continue
+            ratio = t / prev_q[k]
+            rows.append((ratio, k, prev_q[k], t))
+            if ratio > 1.5 and t - prev_q[k] > 0.3:  # real, not noise
+                n_reg += 1
+        if rows:
+            worst_ratio, worst_name = max((r, k) for r, k, *_ in rows)
+            worst_ratio = round(worst_ratio, 2)
+        with open(os.path.join(repo_dir, "BENCH_DELTA.md"), "w") as f:
+            f.write(
+                "# Bench delta vs previous local run\n\n"
+                f"prev total {prev_total}s -> now {total}s (sf={sf})\n\n"
+                "| query | prev s | now s | ratio |\n|---|---|---|---|\n"
+            )
+            for ratio, k, p, t in sorted(rows, reverse=True):
+                f.write(f"| {k} | {p} | {t} | {ratio:.2f} |\n")
+    except (OSError, ValueError):
+        pass  # first run: nothing to compare against
+
     full = {
         "metric": "total_query_wall_clock",
         "value": total,
@@ -120,7 +155,7 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
     }
-    with open(os.path.join(os.path.dirname(__file__) or ".", "BENCH_local.json"), "w") as f:
+    with open(prev_path, "w") as f:
         json.dump(full, f, indent=1, sort_keys=True)
 
     summary = {
@@ -133,8 +168,13 @@ def main() -> None:
         "n_errors": sum(1 for t in timings.values() if t < 0),
         "full_timings": "BENCH_local.json",
     }
+    if prev_total is not None:
+        summary["prev_total"] = prev_total
+        summary["n_regressed"] = n_reg
+        if worst_name is not None:
+            summary["worst_delta"] = f"{worst_name}:{worst_ratio}"
     line = json.dumps(summary)
-    assert len(line) < 1800, f"summary line too long ({len(line)} chars)"
+    assert len(line) < 1900, f"summary line too long ({len(line)} chars)"
     print(line)
 
 

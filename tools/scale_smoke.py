@@ -225,6 +225,118 @@ def main() -> None:
     # uniform 0..999 -> true median 499.5; 5% rank error = +/-50
     assert abs(med - 499.5) <= 50.0, med
 
+    # --- BM25 over 10M synthetic docs: broadcast-stats plan at scale ---
+    # the q_text_bm25 shuffle posture (scan-local HOF tf, ONE single-row
+    # stats aggregate broadcast back, TakeOrderedAndProject top-k) where
+    # the corpus is 1000x the fixture; planted docs carry the query
+    # terms so the ranking is checkable.
+    n_bm = max(n // 10, 1_000_000)
+    vocab_terms = ("spark", "vector", "merge")
+    docs = spark.range(n_bm).select(
+        F.col("id").alias("doc_id"),
+        F.expr(
+            "transform(sequence(0, 19), i -> "
+            "concat('w', pmod(xxhash64(id, i), 10000)))"
+        ).alias("toks"),
+    ).withColumn(
+        "toks",
+        # every 1000th doc gets all three query terms appended; doc 0
+        # gets them twice (deterministic unique top hit)
+        F.when(
+            F.col("doc_id") == 0,
+            F.concat(
+                "toks",
+                F.array(*[F.lit(t) for t in vocab_terms * 2]),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 1000 == 0,
+            F.concat("toks", F.array(*[F.lit(t) for t in vocab_terms])),
+        )
+        .otherwise(F.col("toks")),
+    ).withColumn("dl", F.size("toks"))
+    k1, b = 1.2, 0.75
+    stats = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+        *[
+            F.count(F.when(F.array_contains("toks", t), 1)).alias(f"df_{t}")
+            for t in vocab_terms
+        ],
+    )
+
+    def term_score(t):
+        tf = F.size(F.filter(F.col("toks"), lambda x: x == F.lit(t))).cast(
+            "double"
+        )
+        idf = F.log(
+            (F.col("n_docs") - F.col(f"df_{t}") + 0.5) / (F.col(f"df_{t}") + 0.5)
+            + 1
+        )
+        return idf * (tf * (k1 + 1)) / (
+            tf + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+        )
+
+    score = term_score(vocab_terms[0])
+    for t in vocab_terms[1:]:
+        score = score + term_score(t)
+    t0 = time.time()
+    top = (
+        docs.crossJoin(F.broadcast(stats))
+        .select("doc_id", score.alias("bm25"))
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(10)
+        .collect()
+    )
+    print(
+        f"bm25 over {n_bm:,} docs: {time.time()-t0:.1f}s -> "
+        f"top doc {top[0]['doc_id']} score {top[0]['bm25']:.3f}"
+    )
+    assert top[0]["doc_id"] == 0  # the double-planted doc wins
+    assert all(r["doc_id"] % 1000 == 0 for r in top)  # planted docs rank
+
+    # --- decontamination over 10M synthetic docs ---
+    # groups of 50 docs share identical token streams; any group
+    # containing a benchmark doc (id % 97 == 0) contaminates the rest
+    # of its group — exact expected flag count, broadcast gram-set plan.
+    n_dc = max(n // 10, 1_000_000) // 50 * 50
+    ddocs = spark.range(n_dc).select(
+        F.col("id").alias("doc_id"),
+        F.expr(
+            "transform(sequence(0, 11), j -> "
+            "concat('w', pmod(xxhash64(id DIV 50, j), 10000)))"
+        ).alias("toks"),
+    )
+    grams = ddocs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(toks) - 5), i -> "
+                "concat_ws(' ', toks[i], toks[i+1], toks[i+2], "
+                "toks[i+3], toks[i+4]))"
+            )
+        ).alias("gram"),
+    ).distinct()
+    bench = grams.filter(F.col("doc_id") % 97 == 0).select("gram").distinct()
+    train = grams.filter(F.col("doc_id") % 97 != 0)
+    t0 = time.time()
+    n_flagged = (
+        train.join(F.broadcast(bench), "gram")
+        .select("doc_id")
+        .distinct()
+        .count()
+    )
+    groups_with_bench = {m // 50 for m in range(0, n_dc, 97)}
+    expected = sum(
+        50 - sum(1 for m in range(g * 50, g * 50 + 50) if m % 97 == 0)
+        for g in groups_with_bench
+    )
+    print(
+        f"decontaminate over {n_dc:,} docs: {time.time()-t0:.1f}s -> "
+        f"{n_flagged:,} flagged (expected {expected:,})"
+    )
+    assert n_flagged == expected, (n_flagged, expected)
+
     print("scale smoke OK")
 
 
