@@ -500,3 +500,88 @@ def q_sim_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_hits"),
         F.round(F.count(F.lit(1)) / 10.0, 4).alias("recall"),
     )
+
+
+_SEMANTIC_THRESHOLD = 0.4
+
+
+@register(
+    "q_dedup_semantic",
+    oracle=f"""
+    WITH RECURSIVE bucketed AS (
+        SELECT vec_id, embedding,
+               ({_bucket_sql()}) AS bucket,
+               {_NORM_SQL} AS nrm
+        FROM embeddings
+    ),
+    sedges AS (
+        SELECT a.vec_id AS u, b.vec_id AS v
+        FROM bucketed a JOIN bucketed b
+          ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        WHERE list_sum(list_transform(list_zip(a.embedding, b.embedding),
+              p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+              / (a.nrm * b.nrm) >= {_SEMANTIC_THRESHOLD}
+    ),
+    undir AS (
+        SELECT u, v FROM sedges UNION SELECT v AS u, u AS v FROM sedges
+    ),
+    reach(node, r) AS (
+        SELECT u AS node, v AS r FROM undir
+        UNION
+        SELECT undir.u AS node, reach.r
+        FROM undir JOIN reach ON undir.v = reach.node
+    ),
+    comp AS (
+        SELECT node, MIN(r) AS m FROM reach GROUP BY node
+    )
+    SELECT e.vec_id,
+           COALESCE(LEAST(c.m, e.vec_id), e.vec_id) AS canonical_id,
+           COALESCE(LEAST(c.m, e.vec_id), e.vec_id) = e.vec_id AS keep
+    FROM embeddings e LEFT JOIN comp c ON c.node = e.vec_id
+    """,
+)
+def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic (embedding-cosine) deduplication, SemDeDup-style:
+    sign-LSH bucketed cosine pairs at >= 0.4 form the near-duplicate
+    graph, connected components (large-star/small-star) cluster it,
+    and each vector is labeled with its cluster's min vec_id as the
+    canonical copy (keep = is-canonical). Completes the dedup family:
+    exact -> minhash/simhash/jaccard (lexical) -> this (semantic).
+
+    100 TB posture: candidate pairs come only from LSH buckets (never
+    n²), the component loop shuffles a shrinking edge set, and the
+    final label join is id-keyed. The oracle rebuilds the identical
+    pair graph brute-force within buckets and closes it with a
+    recursive CTE."""
+    from meta_iterative_mapreduce_spark.operators.components import (
+        connected_components,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    bucketed = e.select(
+        "vec_id",
+        "embedding",
+        sign_lsh_bucket(F.col("embedding"), _PLANES).alias("bucket"),
+        l2_norm(F.col("embedding")).alias("nrm"),
+    ).persist()
+    a, b = bucketed.alias("a"), bucketed.alias("b")
+    cos = dot_pair(F.col("a.embedding"), F.col("b.embedding")) / (
+        F.col("a.nrm") * F.col("b.nrm")
+    )
+    edges = (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .filter(cos >= _SEMANTIC_THRESHOLD)
+        .select(F.col("a.vec_id").alias("u"), F.col("b.vec_id").alias("v"))
+    )
+    labels = connected_components(edges)
+    return e.select("vec_id").join(
+        labels, F.col("vec_id") == F.col("node"), "left"
+    ).select(
+        "vec_id",
+        F.coalesce("component_id", "vec_id").alias("canonical_id"),
+        (F.coalesce("component_id", "vec_id") == F.col("vec_id")).alias("keep"),
+    )
