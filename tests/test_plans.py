@@ -314,3 +314,41 @@ def test_sketch_queries_shuffle_posture(spark, sf_dir):
     assert kll.count("Exchange hashpartitioning") == 1
     hll = _plan(registry.queries()["q_sketch_hll"](spark, sf_dir))
     assert hll.count("Exchange hashpartitioning") <= 4
+
+
+def test_funnel_k_is_pure_aggregate_chain(spark, sf_dir):
+    """q_events_funnel_k's chain path must stay min-agg + equi-join:
+    no collect_list (ObjectHashAggregate) and no cartesian product —
+    the properties that make it skew-proof at 100 TB."""
+    plan = _plan(registry.queries()["q_events_funnel_k"](spark, sf_dir))
+    assert "ObjectHashAggregate" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_semantic_dedup_pairs_from_bucket_equijoin(spark, sf_dir):
+    """q_dedup_semantic: the label join is an equi-join on vec_id over
+    the checkpointed component output (the LSH-bucketed pair join and
+    the cached bucketed projection live inside the already-executed
+    component loop — its lineage is cut by localCheckpoint, hence the
+    ExistingRDD scan), and nothing in the final plan is a cartesian
+    product."""
+    plan = _plan(registry.queries()["q_dedup_semantic"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "Scan ExistingRDD" in plan  # checkpointed CC fixpoint output
+
+
+def test_png_roundtrip_two_arrow_stages_pruned_scan(spark, sf_dir):
+    """q_multimodal_decode_png: exactly two Arrow-batched Python stages
+    (encode, decode) and a scan pruned to doc_id+text."""
+    plan = _plan(registry.queries()["q_multimodal_decode_png"](spark, sf_dir))
+    assert plan.count("MapInPandas") == 2
+    assert "lang" not in plan and "source" not in plan  # column pruning
+
+
+def test_hll_intersect_single_row_joins_only(spark, sf_dir):
+    """q_sketch_hll_intersect's cross joins carry 1-row aggregates
+    (broadcast), and the data-proportional work is partial-agg
+    reductions — no cartesian product of data-sized inputs."""
+    plan = _plan(registry.queries()["q_sketch_hll_intersect"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # the 1-row stat joins
