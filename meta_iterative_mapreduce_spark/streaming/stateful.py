@@ -110,3 +110,109 @@ def q_stream_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum(weight * F.col("value")), 4).alias("ema"),
         F.max("t_total").alias("n_seen"),
     )
+
+
+# ---------------------------------------------------------------------------
+# transformWithStateInPandas — the Spark 4 arbitrary-state API
+# ---------------------------------------------------------------------------
+#
+# applyInPandasWithState above is the legacy arbitrary-state operator;
+# Spark 4's StatefulProcessor generalizes it (typed state variables,
+# timers, TTL, unions of state types). Demonstrated here with per-user
+# running totals held in a ValueState across micro-batches — the same
+# "model state survives batches" shape as the EMA, on the modern API.
+
+_TOTALS_OUT = "user_id long, n_events long, total_value double, max_value double"
+
+
+def _totals_processor():
+    """Build the StatefulProcessor lazily (class definition imports
+    the Spark 4 stateful_processor module only when actually used)."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+    from pyspark.sql import types as T
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            schema = T.StructType(
+                [
+                    T.StructField("n", T.LongType()),
+                    T.StructField("total", T.DoubleType()),
+                    T.StructField("vmax", T.DoubleType()),
+                ]
+            )
+            self._state = handle.getValueState("totals", schema)
+
+        def handleInputRows(self, key, rows, timerValues):
+            if self._state.exists():
+                n, total, vmax = self._state.get()
+            else:
+                n, total, vmax = 0, 0.0, None
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+                m = float(pdf["value"].max())
+                vmax = m if vmax is None else max(vmax, m)
+            self._state.update((n, total, vmax))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "total_value": [total],
+                    "max_value": [vmax],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return RunningTotals()
+
+
+def running_totals_stateful(events: DataFrame) -> DataFrame:
+    """Per-user running (count, sum, max) of `value` via
+    transformWithStateInPandas; emits the updated totals for every key
+    touched by each micro-batch. Requires the RocksDB state store
+    provider (set by the caller/test); state per key is three scalars —
+    bounded regardless of stream length.
+
+    Runtime gate: the StatefulProcessor wire protocol needs
+    `protobuf` (pyspark[connect] extra), absent in this container —
+    the e2e test skips without it (tests/test_stateful.py) while plan
+    construction and the hash-checked batch twin
+    (q_stream_running_totals) run everywhere."""
+    prepared = events.select("user_id", "value")
+    return prepared.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=_totals_processor(),
+        outputStructType=_TOTALS_OUT,
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
+@register(
+    "q_stream_running_totals",
+    oracle="""
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 4) AS total_value,
+           ROUND(MAX(value), 4) AS max_value
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def q_stream_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the transformWithStateInPandas running totals: the
+    final state after the whole stream is replayed equals the plain
+    per-user aggregate (count/sum/max are order-free), so the modern
+    stateful operator is hash-checked end to end despite streaming
+    itself not being oracle-able (tests/test_stateful.py drives the
+    real stream across chronological micro-batches and compares)."""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 4).alias("total_value"),
+        F.round(F.max("value"), 4).alias("max_value"),
+    )

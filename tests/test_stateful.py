@@ -65,3 +65,57 @@ def test_stateful_ema_more_batches_than_one(spark, chopped_events_dir):
         if f.endswith(".parquet")
     )
     assert n_files > 2  # the stream genuinely ran multiple micro-batches
+
+
+def test_transform_with_state_builds_unbounded_plan(spark, chopped_events_dir):
+    """The transformWithStateInPandas operator must at least construct
+    its unbounded plan with the declared output schema everywhere —
+    the e2e below needs protobuf (absent in this container)."""
+    schema = spark.read.parquet(chopped_events_dir).schema
+    src = spark.readStream.schema(schema).parquet(chopped_events_dir)
+    df = stateful.running_totals_stateful(src)
+    assert df.isStreaming
+    assert [f.name for f in df.schema.fields] == [
+        "user_id",
+        "n_events",
+        "total_value",
+        "max_value",
+    ]
+
+
+def test_transform_with_state_running_totals(spark, sf_dir, chopped_events_dir):
+    """transformWithStateInPandas (the Spark 4 StatefulProcessor API):
+    per-user running totals carried in a ValueState across the chopped
+    micro-batches must converge to the batch aggregate. The state wire
+    protocol needs protobuf (pyspark[connect] extra) — skip where the
+    environment lacks it; the batch twin stays hash-checked anywhere."""
+    pytest.importorskip("google.protobuf")
+    saved = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        schema = spark.read.parquet(chopped_events_dir).schema
+        src = (
+            spark.readStream.option("maxFilesPerTrigger", "1")
+            .schema(schema)
+            .parquet(chopped_events_dir)
+        )
+        result = jobs.run_to_memory(
+            stateful.running_totals_stateful(src), "t_totals", output_mode="update"
+        ).toPandas()
+        final = result.sort_values("n_events").groupby("user_id").tail(1)
+        batch = registry.queries()["q_stream_running_totals"](
+            spark, sf_dir
+        ).toPandas()
+        merged = final.merge(batch, on="user_id", suffixes=("_s", "_b"))
+        assert len(merged) == len(batch)
+        assert (merged["n_events_s"] == merged["n_events_b"]).all()
+        assert (merged["total_value_s"] - merged["total_value_b"]).abs().max() < 1e-3
+        assert (merged["max_value_s"] - merged["max_value_b"]).abs().max() < 1e-9
+    finally:
+        if saved is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", saved)
