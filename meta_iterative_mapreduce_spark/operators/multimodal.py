@@ -24,7 +24,12 @@ from meta_iterative_mapreduce_spark.registry import register
 def binary_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents.text re-typed as an opaque binary payload + metadata —
     the stand-in for an image/audio bytes column."""
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents").filter(
+        # ASCII + >=32-byte guards, mirrored in q_multimodal_decode_stub's
+        # oracle (its head window divides by exactly 32)
+        (F.length(F.encode("text", "UTF-8")) == F.length("text"))
+        & (F.length(F.encode("text", "UTF-8")) >= 32)
+    )
     return d.select(
         "doc_id",
         F.encode("text", "UTF-8").alias("payload"),
@@ -96,7 +101,13 @@ def synthetic_image_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
     div width, 64); pixel bytes are the leading width*height UTF-8
     bytes of the text. All header math is JVM-side: u16be(x) =
     unhex(lpad(hex(x), 4, '0'))."""
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents").filter(
+        # ASCII-only guard, mirrored in every consumer's oracle: the
+        # char-indexed SQL twin (ascii(SUBSTR(text, i, 1))) only equals
+        # byte math when chars == bytes; a regenerated fixture with
+        # multibyte text must drop out of BOTH sides identically
+        F.length(F.encode("text", "UTF-8")) == F.length("text")
+    )
     nb = F.length(F.encode("text", "UTF-8"))
     width = (F.col("doc_id") % 13 + 4).cast("int")
     height = F.least(F.floor(nb / width), F.lit(_MAX_HEIGHT)).cast("int")
@@ -170,6 +181,7 @@ def decode_synthetic_features(df: DataFrame) -> DataFrame:
                CAST(LEAST(octet_length(encode(text)) // (doc_id % 13 + 4),
                           64) AS INT) AS height
         FROM documents
+        WHERE octet_length(encode(text)) = length(text)
     )
     SELECT d.doc_id, d.width, d.height,
            CAST(d.width * d.height AS BIGINT) AS n_pixels,
@@ -223,6 +235,7 @@ def resize_2x2_pool(payload: bytes) -> dict:
                CAST(LEAST(octet_length(encode(text)) // (doc_id % 13 + 4),
                           64) AS INT) AS h
         FROM documents
+        WHERE octet_length(encode(text)) = length(text)
     )
     SELECT d.doc_id,
            CAST(d.w // 2 AS INT) AS new_w,
@@ -275,6 +288,7 @@ _FRAME_STRIDE = 4  # keep every 4th frame
         SELECT doc_id, text,
                octet_length(encode(text)) // {_FRAME_BYTES} AS n_frames
         FROM documents
+        WHERE octet_length(encode(text)) = length(text)
     )
     SELECT d.doc_id,
            CAST(s.f AS INT) AS frame_idx,
@@ -294,7 +308,10 @@ def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-frame mean intensity — one input row fanning out to its
     sampled frames inside mapInPandas (the decode-side shape of a
     frame-subsampling video pipeline)."""
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents").filter(
+        # same ASCII guard as synthetic_image_payloads (oracle-mirrored)
+        F.length(F.encode("text", "UTF-8")) == F.length("text")
+    )
     src = d.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -498,7 +515,10 @@ def synthetic_png_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
     lives and it parallelizes per input partition). Same dims as the
     MIMG fixture: width = doc_id%13+4, height = min(n_bytes//width, 64),
     pixels = leading width*height UTF-8 bytes of the text."""
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents").filter(
+        # same ASCII guard as synthetic_image_payloads (oracle-mirrored)
+        F.length(F.encode("text", "UTF-8")) == F.length("text")
+    )
     src = d.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -525,6 +545,7 @@ def synthetic_png_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(LEAST(octet_length(encode(text)) // (doc_id % 13 + 4),
                           64) AS INT) AS height
         FROM documents
+        WHERE octet_length(encode(text)) = length(text)
     )
     SELECT d.doc_id, d.width, d.height,
            CAST(d.width * d.height AS BIGINT) AS n_pixels,
@@ -599,6 +620,8 @@ def decode_image_features(payload: bytes) -> dict:
                / 32.0 AS mean32
     FROM documents d,
          UNNEST(generate_series(1, 32)) AS t(i)
+    WHERE octet_length(encode(d.text)) = length(d.text)
+      AND octet_length(encode(d.text)) >= 32
     GROUP BY d.doc_id, d.text
     """,
 )
