@@ -110,6 +110,10 @@ def synthetic_image_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     nb = F.length(F.encode("text", "UTF-8"))
     width = (F.col("doc_id") % 13 + 4).cast("int")
+    # height >= 1 guard (bytes >= width), oracle-mirrored: a zero-area
+    # image would decode Spark-side (mean 0.0) but vanish from the
+    # oracle's UNNEST grid
+    d = d.filter(nb >= F.col("doc_id") % 13 + 4)
     height = F.least(F.floor(nb / width), F.lit(_MAX_HEIGHT)).cast("int")
 
     def u16be(c):
@@ -182,6 +186,7 @@ def decode_synthetic_features(df: DataFrame) -> DataFrame:
                           64) AS INT) AS height
         FROM documents
         WHERE octet_length(encode(text)) = length(text)
+          AND octet_length(encode(text)) >= doc_id % 13 + 4
     )
     SELECT d.doc_id, d.width, d.height,
            CAST(d.width * d.height AS BIGINT) AS n_pixels,
@@ -236,6 +241,7 @@ def resize_2x2_pool(payload: bytes) -> dict:
                           64) AS INT) AS h
         FROM documents
         WHERE octet_length(encode(text)) = length(text)
+          AND octet_length(encode(text)) >= doc_id % 13 + 4
     )
     SELECT d.doc_id,
            CAST(d.w // 2 AS INT) AS new_w,
@@ -519,6 +525,10 @@ def synthetic_png_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
         # same ASCII guard as synthetic_image_payloads (oracle-mirrored)
         F.length(F.encode("text", "UTF-8")) == F.length("text")
     )
+    d = d.filter(
+        # height >= 1 guard, oracle-mirrored (see synthetic_image_payloads)
+        F.length(F.encode("text", "UTF-8")) >= F.col("doc_id") % 13 + 4
+    )
     src = d.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -546,6 +556,7 @@ def synthetic_png_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
                           64) AS INT) AS height
         FROM documents
         WHERE octet_length(encode(text)) = length(text)
+          AND octet_length(encode(text)) >= doc_id % 13 + 4
     )
     SELECT d.doc_id, d.width, d.height,
            CAST(d.width * d.height AS BIGINT) AS n_pixels,
