@@ -242,8 +242,17 @@ def q_sketch_hll_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_click",
             "n_purchase",
             "n_both",
-            (F.abs(est - F.col("n_both")) / F.col("n_both") <= 0.15).alias(
-                "est_ok"
-            ),
+            # zero-overlap guard (regenerated fixture): dividing by
+            # n_both=0 would NULL the flag; bound the absolute error by
+            # 5% of the summed set sizes instead (inclusion-exclusion
+            # noise is per-term RSE-scaled, far inside that)
+            F.when(
+                F.col("n_both") == 0,
+                F.abs(est) <= 0.05 * (F.col("n_click") + F.col("n_purchase")),
+            )
+            .otherwise(
+                F.abs(est - F.col("n_both")) / F.col("n_both") <= 0.15
+            )
+            .alias("est_ok"),
         )
     )
