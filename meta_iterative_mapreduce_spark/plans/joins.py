@@ -303,3 +303,55 @@ def q_join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return left.join(right, left.d.eqNullSafe(right.rd)).select(
         "l_orderkey", "l_linenumber", "r_cnt"
     )
+
+
+@register(
+    "q_join_asof_nearest",
+    oracle="""
+    WITH pairs AS (
+        SELECT p.event_id, p.user_id,
+               epoch_us(p.ts) AS purchase_us, epoch_us(s.ts) AS signup_us,
+               ROW_NUMBER() OVER (
+                   PARTITION BY p.event_id
+                   ORDER BY ABS(epoch_us(s.ts) - epoch_us(p.ts)),
+                            epoch_us(s.ts), s.event_id) AS rn
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+          ON s.user_id = p.user_id
+    )
+    SELECT event_id, user_id, purchase_us, signup_us
+    FROM pairs WHERE rn = 1
+    """,
+)
+def q_join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join, NEAREST direction (pandas merge_asof
+    direction='nearest'): for each purchase, the same user's signup
+    closest in time on either side — ties break toward the earlier
+    signup, then event_id, so the pick is total. Same bounded plan
+    shape as q_join_asof (user-keyed join + per-purchase rank-1):
+    candidate sets are per-user event counts, never data-sized."""
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.col("ts").alias("p_ts")
+    )
+    s = ev.filter(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("s_event_id"),
+        F.col("user_id").alias("s_user_id"),
+        F.col("ts").alias("s_ts"),
+    )
+    joined = p.join(s, s.s_user_id == p.user_id, "left")
+    w = W.partitionBy("event_id").orderBy(
+        F.abs(ts_us("s_ts") - ts_us("p_ts")).asc_nulls_last(),
+        ts_us("s_ts"),
+        "s_event_id",
+    )
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            ts_us("p_ts").alias("purchase_us"),
+            ts_us("s_ts").alias("signup_us"),
+        )
+    )
