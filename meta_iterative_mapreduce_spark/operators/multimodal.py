@@ -683,3 +683,138 @@ def q_multimodal_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rec.n_tokens").alias("n_tokens"),
         F.col("rec.emb_norm").alias("emb_norm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Real WAV codec — pure stdlib (struct), the audio modality analog of
+# the PNG path: spec-correct RIFF/WAVE PCM16 container, full chunk-walk
+# decode with validation.
+# ---------------------------------------------------------------------------
+
+_WAV_RATE = 8000
+
+
+def encode_wav_pcm16(samples: list[int], rate: int = _WAV_RATE) -> bytes:
+    """Encode signed 16-bit mono PCM samples as a valid WAV file:
+    RIFF header, fmt chunk (PCM, 1 channel), data chunk."""
+    import struct
+
+    data = struct.pack(f"<{len(samples)}h", *samples)
+    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav_pcm16(payload: bytes) -> dict:
+    """Parse a WAV byte stream: RIFF/WAVE magic, chunk walk to fmt and
+    data, PCM16 validation, sample decode. Returns n_samples, rate,
+    and the EXACT integer sum of squared samples (engine-neutral —
+    no float summation order). Raises ValueError on corrupt input and
+    NotImplementedError outside mono PCM16 scope."""
+    import struct
+
+    data = bytes(payload)
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("bad RIFF/WAVE header")
+    (riff_len,) = struct.unpack("<I", data[4:8])
+    if riff_len + 8 != len(data):
+        raise ValueError("RIFF length mismatch")
+    pos, rate, samples = 12, None, None
+    while pos + 8 <= len(data):
+        cid = data[pos : pos + 4]
+        (clen,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+        body = data[pos + 8 : pos + 8 + clen]
+        if len(body) != clen:
+            raise ValueError(f"truncated {cid!r} chunk")
+        if cid == b"fmt ":
+            audio_fmt, n_ch, rate, _, _, bits = struct.unpack("<HHIIHH", body[:16])
+            if (audio_fmt, n_ch, bits) != (1, 1, 16):
+                raise NotImplementedError(
+                    "only mono PCM16 decoded here (codec injection point)"
+                )
+        elif cid == b"data":
+            if clen % 2:
+                raise ValueError("odd PCM16 data length")
+            samples = struct.unpack(f"<{clen // 2}h", body)
+        pos += 8 + clen
+    if rate is None or samples is None:
+        raise ValueError("missing fmt or data chunk")
+    return {
+        "n_samples": len(samples),
+        "sample_rate": rate,
+        "sum_sq": sum(int(s) * int(s) for s in samples),
+    }
+
+
+@register(
+    "q_multimodal_audio_wav",
+    oracle="""
+    WITH src AS (
+        SELECT doc_id, text,
+               octet_length(encode(text)) // 2 AS n_samples
+        FROM documents
+        WHERE octet_length(encode(text)) = length(text)
+          AND octet_length(encode(text)) >= 2
+    )
+    SELECT d.doc_id,
+           CAST(d.n_samples AS BIGINT) AS n_samples,
+           8000 AS sample_rate,
+           CAST(SUM(CAST(ascii(SUBSTR(d.text, CAST(2 * t.i - 1 AS INT), 1))
+                    + 256 * ascii(SUBSTR(d.text, CAST(2 * t.i AS INT), 1))
+                    AS BIGINT)
+               * (ascii(SUBSTR(d.text, CAST(2 * t.i - 1 AS INT), 1))
+                  + 256 * ascii(SUBSTR(d.text, CAST(2 * t.i AS INT), 1))))
+               AS BIGINT) AS sum_sq
+    FROM src d, UNNEST(generate_series(1, d.n_samples)) AS t(i)
+    GROUP BY d.doc_id, d.n_samples
+    """,
+)
+def q_multimodal_audio_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio modality through a REAL public container: document bytes
+    become little-endian PCM16 samples packed into spec-correct WAV
+    files (RIFF + fmt + data), then a full chunk-walking WAV parser
+    recovers the samples — both sides Arrow-batched mapInPandas. The
+    oracle rebuilds each sample from character pairs (ASCII guard ⇒
+    chars == bytes; high byte < 128 ⇒ the signed reinterpretation is
+    the identity) and sums exact integer squares, so a hash match
+    proves sample-exact container round-trip."""
+    import struct
+
+    d = load_table(spark, sf_dir, "documents").filter(
+        (F.length(F.encode("text", "UTF-8")) == F.length("text"))
+        & (F.length(F.encode("text", "UTF-8")) >= 2)
+    )
+    src = d.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for payload in pdf["payload"]:
+                data = bytes(payload)
+                n = len(data) // 2
+                samples = list(struct.unpack(f"<{n}h", data[: 2 * n]))
+                out.append(encode_wav_pcm16(samples))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": out})
+
+    wavs = src.mapInPandas(op, schema="doc_id long, payload binary")
+
+    def dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [decode_wav_pcm16(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_samples": pd.Series(
+                        [f["n_samples"] for f in feats], dtype="int64"
+                    ),
+                    "sample_rate": pd.Series(
+                        [f["sample_rate"] for f in feats], dtype="int32"
+                    ),
+                    "sum_sq": pd.Series([f["sum_sq"] for f in feats], dtype="int64"),
+                }
+            )
+
+    return wavs.mapInPandas(
+        dec, schema="doc_id long, n_samples long, sample_rate int, sum_sq long"
+    )

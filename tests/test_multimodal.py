@@ -116,3 +116,48 @@ def test_injection_point_routes_png_to_stdlib_decoder():
         "n_pixels": 6,
         "mean_intensity": 35.0,
     }
+
+
+# ---------------------------------------------------------------------------
+# WAV codec (pure stdlib): container-level guarantees
+# ---------------------------------------------------------------------------
+
+from meta_iterative_mapreduce_spark.operators.multimodal import (  # noqa: E402
+    encode_wav_pcm16,
+    decode_wav_pcm16,
+)
+
+
+def test_wav_round_trip_including_negative_samples():
+    samples = [0, 1, -1, 32767, -32768, 12345, -12345]
+    f = decode_wav_pcm16(encode_wav_pcm16(samples))
+    assert f["n_samples"] == len(samples)
+    assert f["sample_rate"] == 8000
+    assert f["sum_sq"] == sum(s * s for s in samples)
+
+
+def test_wav_rejects_corrupt_containers():
+    wav = encode_wav_pcm16([1, 2, 3])
+    with pytest.raises(ValueError, match="RIFF"):
+        decode_wav_pcm16(b"XXXX" + wav[4:])
+    with pytest.raises(ValueError, match="length mismatch"):
+        decode_wav_pcm16(wav + b"\x00")
+    with pytest.raises(ValueError, match="truncated"):
+        # shrink the container so the data chunk body is cut off,
+        # keeping the RIFF length consistent with the new size
+        import struct as _s
+
+        cut = wav[:-2]
+        cut = cut[:4] + _s.pack("<I", len(cut) - 8) + cut[8:]
+        decode_wav_pcm16(cut)
+
+
+def test_wav_rejects_out_of_scope_formats():
+    import struct as _s
+
+    # stereo fmt chunk: out of mono-PCM16 scope
+    fmt = _s.pack("<HHIIHH", 1, 2, 8000, 32000, 4, 16)
+    body = b"WAVE" + b"fmt " + _s.pack("<I", len(fmt)) + fmt
+    wav = b"RIFF" + _s.pack("<I", len(body)) + body
+    with pytest.raises(NotImplementedError, match="mono PCM16"):
+        decode_wav_pcm16(wav)
