@@ -225,3 +225,36 @@ def q_ts_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(z, 4).alias("z"),
         )
     )
+
+
+@register(
+    "q_ts_rollup_hier",
+    oracle="""
+    SELECT strftime(ts, '%Y-%m') AS month,
+           strftime(ts, '%Y-%m-%d') AS day,
+           strftime(ts, '%Y-%m-%d %H') AS hour,
+           COUNT(*) AS n,
+           ROUND(SUM(value), 4) AS sum_value
+    FROM events
+    GROUP BY ROLLUP (strftime(ts, '%Y-%m'),
+                     strftime(ts, '%Y-%m-%d'),
+                     strftime(ts, '%Y-%m-%d %H'))
+    """,
+)
+def q_ts_rollup_hier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical time rollup (the continuous-aggregate /
+    "hypertable rollup" shape): hour → day → month → grand total in
+    ONE pass via ROLLUP on nested time buckets. At 100 TB this is one
+    partial-aggregated exchange producing every granularity at once —
+    vs 3 separate scans for 3 materialized rollup levels — and each
+    coarser level is derivable from the finer one's partials (the
+    mergeability continuous aggregates rely on for incremental
+    refresh; see q_agg_incremental for the delta-refresh half)."""
+    e = load_table(spark, sf_dir, "events")
+    month = F.date_format("ts", "yyyy-MM").alias("month")
+    day = F.date_format("ts", "yyyy-MM-dd").alias("day")
+    hour = F.date_format("ts", "yyyy-MM-dd HH").alias("hour")
+    return e.rollup(month, day, hour).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    )
