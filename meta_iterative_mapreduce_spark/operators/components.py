@@ -451,3 +451,54 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
             "clustering_coeff"
         ),
     )
+
+
+_BFS_MAX_HOPS = 4
+
+
+@register(
+    "q_graph_bfs",
+    oracle=f"""
+    WITH RECURSIVE {_COPURCHASE_GRAPH_CTE},
+    src AS (SELECT MIN(u) AS s FROM edges),
+    walk(node, d) AS (
+        SELECT s AS node, 0 AS d FROM src
+        UNION
+        SELECT e.v AS node, w.d + 1 AS d
+        FROM walk w JOIN edges e ON e.u = w.node
+        WHERE w.d < {_BFS_MAX_HOPS}
+    ),
+    dist AS (SELECT node, MIN(d) AS hops FROM walk GROUP BY node)
+    SELECT hops, COUNT(*) AS n_nodes FROM dist GROUP BY hops
+    """,
+)
+def q_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded BFS / shortest-hop distances from a deterministic source
+    (the min part id) over the co-purchase graph: {max_hops} unrolled
+    frontier-expansion rounds, each `frontier ⋈ edges → min-distance
+    aggregate` — the reference's iterative map-reduce loop shape
+    (kernel.cu:135-217) applied to graph traversal, declarative and
+    cache-reusing like q_graph_pagerank. Output is the hop histogram
+    (hops → node count), all-integer. The oracle runs the identical
+    bounded walk as a recursive CTE.
+
+    At 100 TB each round shuffles only the frontier (≤ reachable
+    nodes), and the per-round min-agg partial-combines map-side — no
+    path enumeration, no hub blowup."""
+    edges = copurchase_edges(spark, sf_dir).persist()
+    src = edges.agg(F.min("u").alias("s"))
+    dist = src.select(F.col("s").alias("node"), F.lit(0).alias("d"))
+    for _ in range(_BFS_MAX_HOPS):
+        nxt = (
+            dist.join(edges, dist.node == edges.u)
+            .select(F.col("v").alias("node"), (F.col("d") + 1).alias("d"))
+        )
+        dist = (
+            dist.unionAll(nxt)
+            .groupBy("node")
+            .agg(F.min("d").alias("d"))
+        )
+    return (
+        dist.groupBy(F.col("d").alias("hops"))
+        .agg(F.count(F.lit(1)).alias("n_nodes"))
+    )
