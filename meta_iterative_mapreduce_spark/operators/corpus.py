@@ -228,3 +228,56 @@ def q_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").cast("long").alias("chars_kept"),
         )
     )
+
+
+_WSAMPLE_K = 100
+
+
+@register(
+    "q_sample_weighted",
+    oracle=f"""
+    WITH keyed AS (
+        SELECT doc_id,
+               LENGTH(string_split(text, ' ')) AS w,
+               -- Efraimidis–Spirakis key u^(1/w) with a DETERMINISTIC
+               -- uniform u = md5-derived 32-bit fraction (reproducible
+               -- across engines and runs, like q_corpus_mix's rank)
+               POWER((CAST(('0x' || SUBSTR(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                           AS BIGINT) + 1.0) / 4294967297.0,
+                     1.0 / LENGTH(string_split(text, ' '))) AS k
+        FROM documents
+        WHERE LENGTH(string_split(text, ' ')) >= 1
+    )
+    SELECT doc_id, CAST(w AS BIGINT) AS weight
+    FROM keyed
+    ORDER BY k DESC, doc_id
+    LIMIT {_WSAMPLE_K}
+    """,
+)
+def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis–Spirakis
+    A-ES): each doc gets key u^(1/w) with w = token count and u a
+    deterministic md5-derived uniform; the global top-k by key IS a
+    weighted sample — the standard one-pass distributed algorithm for
+    mixture-weighted training-data selection. TakeOrderedAndProject
+    keeps it a per-partition heap + driver merge (no global sort);
+    deterministic u makes the draw reproducible across engines, runs,
+    and cluster sizes (the property a lineage-auditable data pipeline
+    needs from its sampler)."""
+    d = load_table(spark, sf_dir, "documents")
+    w = F.size(F.split("text", " "))
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        + 1.0
+    ) / 4294967297.0
+    keyed = d.filter(w >= 1).select(
+        "doc_id",
+        w.cast("bigint").alias("weight"),
+        F.pow(u, 1.0 / w).alias("k"),
+    )
+    return (
+        keyed.orderBy(F.col("k").desc(), "doc_id")
+        .limit(_WSAMPLE_K)
+        .select("doc_id", "weight")
+    )
