@@ -59,6 +59,7 @@ def test_relational_plans_stay_jvm_side(spark, sf_dir):
                 "q_multimodal_decode",
                 "q_multimodal_resize",  # numpy pool runs in mapInPandas by design
                 "q_multimodal_frame_sample",  # frame slicing in mapInPandas
+                "q_multimodal_audio",  # WAV codec runs in mapInPandas by design
             )
         ):
             continue
@@ -352,3 +353,24 @@ def test_hll_intersect_single_row_joins_only(spark, sf_dir):
     plan = _plan(registry.queries()["q_sketch_hll_intersect"](spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" in plan  # the 1-row stat joins
+
+
+def test_weighted_sample_is_top_k(spark, sf_dir):
+    """q_sample_weighted must be a bounded-heap top-k, never a global
+    sort — the property that makes the weighted draw one cheap pass."""
+    plan = _plan(registry.queries()["q_sample_weighted"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_ts_rollup_hier_single_expand_agg(spark, sf_dir):
+    """q_ts_rollup_hier: one Expand + partial-aggregated exchange
+    produces every granularity — not one scan per rollup level."""
+    plan = _plan(registry.queries()["q_ts_rollup_hier"](spark, sf_dir))
+    assert plan.count("Scan parquet") == 1
+    assert plan.count("Expand") >= 1
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_wav_roundtrip_two_arrow_stages(spark, sf_dir):
+    plan = _plan(registry.queries()["q_multimodal_audio_wav"](spark, sf_dir))
+    assert plan.count("MapInPandas") == 2
