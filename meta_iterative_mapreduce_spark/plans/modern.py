@@ -237,3 +237,47 @@ def q_source_python_ds(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.round(F.sum("val"), 4).alias("sum_val"),
     )
+
+
+@register(
+    "q_scalar_collation",
+    oracle="""
+    WITH mixed AS (
+        SELECT c_mktsegment AS seg FROM customer
+        UNION ALL
+        SELECT UPPER(SUBSTR(c_mktsegment, 1, 1))
+               || LOWER(SUBSTR(c_mktsegment, 2)) AS seg
+        FROM customer
+    )
+    SELECT COUNT(DISTINCT seg) AS n_case_sensitive,
+           COUNT(DISTINCT LOWER(seg)) AS n_case_insensitive
+    FROM mixed
+    """,
+)
+def q_scalar_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 collations: distinct-count under the UTF8_LCASE
+    collation collapses case variants that the default binary
+    collation keeps apart — collation-aware comparison INSIDE the
+    engine (hash agg on the collated column), not a lower() rewrite.
+    The fixture's segments are uppercase, so unioning an
+    Initcap-variant copy doubles the case-sensitive distinct count
+    while the collated count stays at the true cardinality; the
+    oracle states the same semantics via LOWER (DuckDB's equivalent
+    of the collation)."""
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_mktsegment").alias("seg")
+    )
+    mixed = c.unionAll(
+        c.select(
+            F.concat(
+                F.upper(F.substring("seg", 1, 1)),
+                F.lower(F.expr("substring(seg, 2)")),
+            ).alias("seg")
+        )
+    )
+    return mixed.agg(
+        F.countDistinct("seg").alias("n_case_sensitive"),
+        F.countDistinct(F.collate("seg", "UTF8_LCASE")).alias(
+            "n_case_insensitive"
+        ),
+    )
