@@ -243,3 +243,92 @@ def q_tpch_q6_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_rows"),
         )
     )
+
+
+@register(
+    "q_tpch_q21_shape",
+    oracle="""
+    WITH lo AS (
+        SELECT l.l_orderkey, l.l_suppkey,
+               l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY AS late
+        FROM lineitem l
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        WHERE o.o_orderstatus = 'F'
+    )
+    SELECT s.s_suppkey, s.s_name, COUNT(*) AS numwait
+    FROM supplier s
+    JOIN (SELECT * FROM lo WHERE late) l1 ON l1.l_suppkey = s.s_suppkey
+    WHERE EXISTS (
+        SELECT 1 FROM lo l2
+        WHERE l2.l_orderkey = l1.l_orderkey
+          AND l2.l_suppkey <> l1.l_suppkey
+    )
+    AND NOT EXISTS (
+        SELECT 1 FROM lo l3
+        WHERE l3.l_orderkey = l1.l_orderkey
+          AND l3.l_suppkey <> l1.l_suppkey AND l3.late
+    )
+    GROUP BY s.s_suppkey, s.s_name
+    ORDER BY numwait DESC, s.s_suppkey
+    LIMIT 100
+    """,
+)
+def q_tpch_q21_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (suppliers who kept finished orders waiting) —
+    the canonical EXISTS + NOT EXISTS correlated pair, expressed as a
+    left-semi and a left-anti join. "Late" adapts to the fixture's
+    columns (no receipt/commit dates): shipped more than 90 days after
+    the order date. The semi/anti sides carry only (orderkey, suppkey,
+    late) projections, every pass shuffles on l_orderkey so AQE reuses
+    one partitioning, and the final top-100 is TakeOrderedAndProject.
+    This is the shape that punishes engines rewriting NOT EXISTS as a
+    cartesian check — here both arms are hash joins."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    lo = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            # + INTERVAL (not date_add): keeps any time-of-day component,
+            # exactly matching the oracle's o_orderdate + INTERVAL 90 DAY
+            (
+                F.col("l_shipdate")
+                > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+            ).alias("late"),
+        )
+        .persist()  # feeds l1, the semi arm, and the anti arm
+    )
+    l1 = lo.filter(F.col("late")).select("l_orderkey", "l_suppkey")
+    others = lo.select(
+        F.col("l_orderkey").alias("o_k"), F.col("l_suppkey").alias("o_s")
+    )
+    l1_semi = l1.join(
+        others,
+        (F.col("l_orderkey") == F.col("o_k"))
+        & (F.col("l_suppkey") != F.col("o_s")),
+        "left_semi",
+    )
+    others_late = lo.filter(F.col("late")).select(
+        F.col("l_orderkey").alias("a_k"), F.col("l_suppkey").alias("a_s")
+    )
+    l1_final = l1_semi.join(
+        others_late,
+        (F.col("l_orderkey") == F.col("a_k"))
+        & (F.col("l_suppkey") != F.col("a_s")),
+        "left_anti",
+    )
+    return (
+        l1_final.join(s, l1_final.l_suppkey == s.s_suppkey)
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_suppkey")
+        .limit(100)
+    )
