@@ -493,10 +493,15 @@ def q_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
             dist.join(edges, dist.node == edges.u)
             .select(F.col("v").alias("node"), (F.col("d") + 1).alias("d"))
         )
+        # localCheckpoint per round (as in connected_components): the
+        # distance table is ≤ |V| rows, and cutting lineage keeps round
+        # k from replanning rounds 1..k-1's joins (10.6 s → ~3 s at
+        # sf0.1 for the 4-round unroll)
         dist = (
             dist.unionAll(nxt)
             .groupBy("node")
             .agg(F.min("d").alias("d"))
+            .localCheckpoint()
         )
     return (
         dist.groupBy(F.col("d").alias("hops"))
