@@ -486,11 +486,18 @@ def q_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     nodes), and the per-round min-agg partial-combines map-side — no
     path enumeration, no hub blowup."""
     edges = copurchase_edges(spark, sf_dir).persist()
-    src = edges.agg(F.min("u").alias("s"))
+    return bfs_hop_histogram(edges, _BFS_MAX_HOPS)
+
+
+def bfs_hop_histogram(edges_sym: DataFrame, max_hops: int) -> DataFrame:
+    """Bounded-BFS hop histogram from the min node of a symmetric
+    (u, v) edge list — the reusable frontier loop behind q_graph_bfs
+    (see its docstring for the 100 TB argument)."""
+    src = edges_sym.agg(F.min("u").alias("s"))
     dist = src.select(F.col("s").alias("node"), F.lit(0).alias("d"))
-    for _ in range(_BFS_MAX_HOPS):
+    for _ in range(max_hops):
         nxt = (
-            dist.join(edges, dist.node == edges.u)
+            dist.join(edges_sym, dist.node == edges_sym.u)
             .select(F.col("v").alias("node"), (F.col("d") + 1).alias("d"))
         )
         # localCheckpoint per round (as in connected_components): the

@@ -337,6 +337,29 @@ def main() -> None:
     )
     assert n_flagged == expected, (n_flagged, expected)
 
+    # --- bounded BFS on the star+chain graph: exact hop histogram ---
+    # same synthetic graph as the CC smoke, symmetrized. From node 0
+    # (head of run 0's 256-leader chain, each leader with 3 star
+    # members): hop 0 = the source, every hop k>=1 = 3 members + the
+    # next leader = exactly 4 nodes, for any max_hops <= 254.
+    from meta_iterative_mapreduce_spark.operators.components import (
+        bfs_hop_histogram,
+    )
+
+    sym = edges.unionAll(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).filter(F.col("u") != F.col("v"))
+    t0 = time.time()
+    hist = {
+        r["hops"]: r["n_nodes"]
+        for r in bfs_hop_histogram(sym, 4).collect()
+    }
+    print(
+        f"bfs (4 hops) over {2 * n_edges:,} directed edges: "
+        f"{time.time()-t0:.1f}s -> {hist}"
+    )
+    assert hist == {0: 1, 1: 4, 2: 4, 3: 4, 4: 4}, hist
+
     print("scale smoke OK")
 
 
