@@ -281,3 +281,67 @@ def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_WSAMPLE_K)
         .select("doc_id", "weight")
     )
+
+
+_BP_CHUNK = 3  # tokens per boilerplate unit
+_BP_DF = 1  # drop chunks appearing in more than this many docs
+
+
+@register(
+    "q_text_boilerplate",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    chunks AS (
+        SELECT doc_id,
+               array_to_string(list_slice(t, {_BP_CHUNK} * i.i + 1,
+                                          {_BP_CHUNK} * i.i + {_BP_CHUNK}),
+                               ' ') AS chunk
+        FROM toks,
+             LATERAL (SELECT unnest(range(0, len(t) // {_BP_CHUNK})) AS i) i
+    ),
+    freq AS (
+        SELECT chunk, COUNT(DISTINCT doc_id) AS df FROM chunks GROUP BY chunk
+    )
+    SELECT c.doc_id,
+           COUNT(*) AS n_chunks,
+           COUNT(CASE WHEN f.df > {_BP_DF} THEN 1 END) AS n_dropped
+    FROM chunks c JOIN freq f ON f.chunk = c.chunk
+    GROUP BY c.doc_id
+    """,
+)
+def q_text_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document boilerplate removal (the C4/RefinedWeb line-dedup
+    pass, on token chunks since the fixture has no newlines): split
+    each doc into non-overlapping {chunk}-token chunks, count each
+    chunk's document frequency corpus-wide, and drop chunks appearing
+    in more than {df} documents — emitted as per-doc kept/dropped
+    accounting. At 100 TB: one explode + hash-agg builds the frequency
+    table (map-side combined), and the chunk-keyed join back is the
+    only data-proportional shuffle; the high-df chunk set is tiny
+    (boilerplate is by definition concentrated) so it broadcasts in
+    the production variant."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("t")
+    )
+    chunks = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, size(t) DIV {_BP_CHUNK} - 1), i -> "
+                f"concat_ws(' ', slice(t, {_BP_CHUNK} * i + 1, {_BP_CHUNK})))"
+            )
+        ).alias("chunk"),
+    )
+    freq = chunks.groupBy("chunk").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    return (
+        chunks.join(freq, "chunk")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.count(F.when(F.col("df") > _BP_DF, 1)).alias("n_dropped"),
+        )
+    )
