@@ -423,3 +423,90 @@ def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     simhash_hamming_pairs; property-tested against brute force)."""
     fp = q_dedup_simhash(spark, sf_dir).select("doc_id", "simhash")
     return simhash_hamming_pairs(fp).orderBy("doc_a", "doc_b")
+
+
+# ---------------------------------------------------------------------------
+# Fuzzy entity resolution: edit-distance-1 matching via deletion
+# neighborhoods (SymSpell blocking).  Two strings at Levenshtein
+# distance <= 1 MUST share a member of {s} ∪ {s minus one char}:
+#   - equality            -> share s itself;
+#   - one substitution    -> share the deletion at the substituted pos;
+#   - one insert/delete   -> the longer string's deletion is the shorter
+#                            string itself.
+# So exploding each name into its <= len+1 deletion variants and
+# equi-joining on the variant gives EXACT recall for d<=1 with zero
+# all-pairs work — the candidate set is bounded by variant-key
+# collisions, not n².  The reference engine has no string matcher
+# (kernel.cu:42-219 is numeric); this is the training-data-pipeline
+# entity-resolution tier the brief asks for beyond the reference.
+# At 100 TB: explode is map-side (len+1 rows per name), the single
+# shuffle is the variant equi-join; variant keys are near-unique for
+# real name corpora, and a df cap on pathological variants (all-equal
+# strings) would bound fan-out the same way _JACCARD_DF_CUTOFF does.
+# ---------------------------------------------------------------------------
+
+
+def deletion_variants(col: str) -> F.Column:
+    """Array of single-character-deletion variants of `col`, plus the
+    string itself (distinct). Pure JVM higher-order functions — no
+    Python in the hot path: delete at 1-based pos i is
+    concat(substr(s, 1, i-1), substr(s, i+1))."""
+    s = F.col(col)
+    dels = F.transform(
+        F.sequence(F.lit(1), F.length(s)),
+        lambda i: F.concat(
+            F.substr(s, F.lit(1), i - F.lit(1)),
+            F.substr(s, i + F.lit(1), F.length(s)),
+        ),
+    )
+    return F.array_distinct(F.concat(F.array(s), dels))
+
+
+def fuzzy_ed1_pairs(
+    df: DataFrame, id_col: str, name_col: str
+) -> DataFrame:
+    """All (id_a, id_b, dist) pairs whose names are within Levenshtein
+    distance 1, via deletion-neighborhood blocking (exact recall — see
+    module note). One explode + one equi-join shuffle; the final
+    levenshtein() verify runs only on candidates sharing a variant."""
+    v = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(name_col).alias("_name"),
+        F.explode(deletion_variants(name_col)).alias("_variant"),
+    )
+    a, b = v.alias("a"), v.alias("b")
+    return (
+        a.join(b, (F.col("a._variant") == F.col("b._variant")) & (F.col("a._id") < F.col("b._id")))
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.levenshtein(F.col("a._name"), F.col("b._name"))
+            .cast("long")
+            .alias("dist"),
+        )
+        .filter(F.col("dist") <= 1)
+        # a pair may share several variants (e.g. equal strings) — one
+        # exchange on the pair key dedups
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
+@register(
+    "q_dedup_fuzzy_names",
+    oracle="""
+    SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+           levenshtein(a.c_name, b.c_name) AS dist
+    FROM customer a JOIN customer b
+      ON a.c_custkey < b.c_custkey
+     AND levenshtein(a.c_name, b.c_name) <= 1
+    """,
+)
+def q_dedup_fuzzy_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy entity resolution: customer-name pairs within edit
+    distance 1, blocked by SymSpell deletion neighborhoods — the
+    oracle is the brute-force O(n²) levenshtein join, so a hash match
+    proves the blocking loses no pairs. At 100 TB the Spark side does
+    len+1 map-side variants per name and ONE equi-join shuffle where
+    the oracle's all-pairs form is infeasible."""
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return fuzzy_ed1_pairs(c, "c_custkey", "c_name")

@@ -818,3 +818,117 @@ def q_multimodal_audio_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wavs.mapInPandas(
         dec, schema="doc_id long, n_samples long, sample_rate int, sum_sq long"
     )
+
+
+# ---------------------------------------------------------------------------
+# Perceptual average-hash (aHash) image near-dup — the image-side
+# analog of q_dedup_simhash: 4×4 block means over the decoded pixel
+# plane, one bit per block (block mean > global mean), 16-bit hash,
+# dedup = group-by-hash. The mean comparison is done in INTEGER cross
+# multiplication (cell_sum * total_n > total_sum * cell_n) so the hash
+# is bit-exact across engines and the DuckDB oracle can recompute it
+# from the source text — a perceptual hash with a hash-green oracle.
+# ---------------------------------------------------------------------------
+
+_AHASH_GRID = 4
+
+
+def ahash_16(payload: bytes) -> int:
+    """16-bit average hash of an MIMG payload: decode, assign each
+    pixel (row, col) to block (row*4//h, col*4//w), set bit b of the
+    hash iff block b's mean exceeds the global mean (exact integer
+    cross-multiply). Requires h >= 4 (callers filter)."""
+    import struct
+
+    import numpy as np
+
+    magic, w, h = struct.unpack(">4sHH", bytes(payload[:8]))
+    if magic != _MAGIC:
+        raise ValueError(f"bad magic {magic!r}")
+    pix = np.frombuffer(bytes(payload[8 : 8 + w * h]), dtype=np.uint8)
+    if pix.size != w * h:
+        raise ValueError("truncated pixel plane")
+    g = _AHASH_GRID
+    rows = np.arange(h, dtype=np.int64) * g // h
+    cols = np.arange(w, dtype=np.int64) * g // w
+    cell = (rows[:, None] * g + cols[None, :]).ravel()
+    cs = np.bincount(cell, weights=pix.astype(np.int64), minlength=g * g)
+    cn = np.bincount(cell, minlength=g * g)
+    ts, tn = int(pix.sum()), int(pix.size)
+    bits = (cs.astype(np.int64) * tn) > (ts * cn.astype(np.int64))
+    return int((bits.astype(np.int64) << np.arange(g * g)).sum())
+
+
+@register(
+    "q_multimodal_phash",
+    oracle=f"""
+    WITH dims AS (
+        SELECT doc_id, text,
+               CAST(doc_id % 13 + 4 AS INT) AS w,
+               CAST(LEAST(octet_length(encode(text)) // (doc_id % 13 + 4),
+                          64) AS INT) AS h
+        FROM documents
+        WHERE octet_length(encode(text)) = length(text)
+          AND octet_length(encode(text)) >= (doc_id % 13 + 4) * {_AHASH_GRID}
+          AND LEAST(octet_length(encode(text)) // (doc_id % 13 + 4), 64)
+              >= {_AHASH_GRID}
+    ), px AS (
+        SELECT d.doc_id, d.w, d.h,
+               ((t.i - 1) // d.w) * {_AHASH_GRID} // d.h * {_AHASH_GRID}
+                   + ((t.i - 1) % d.w) * {_AHASH_GRID} // d.w AS cell,
+               ascii(SUBSTR(d.text, CAST(t.i AS INT), 1)) AS v
+        FROM dims d,
+             UNNEST(generate_series(1, d.w * d.h)) AS t(i)
+    ), cells AS (
+        SELECT doc_id, cell, SUM(v) AS cs, COUNT(*) AS cn
+        FROM px GROUP BY doc_id, cell
+    ), tot AS (
+        SELECT doc_id, SUM(cs) AS ts, SUM(cn) AS tn
+        FROM cells GROUP BY doc_id
+    ), hashes AS (
+        SELECT c.doc_id,
+               CAST(SUM(CASE WHEN c.cs * t.tn > t.ts * c.cn
+                             THEN CAST(1 AS BIGINT) << CAST(c.cell AS INT)
+                             ELSE 0 END) AS BIGINT) AS ahash
+        FROM cells c JOIN tot t USING (doc_id)
+        GROUP BY c.doc_id
+    )
+    SELECT ahash, COUNT(*) AS n_docs, MIN(doc_id) AS keep_id
+    FROM hashes GROUP BY ahash
+    """,
+)
+def q_multimodal_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash image dedup: 16-bit average hash (4×4 block
+    means vs global mean) over REAL byte-decoded MIMG pixel planes in
+    Arrow-batched mapInPandas, then ONE hash aggregate groups
+    near-identical images. Identical images hash identically by
+    construction; the integer cross-multiply bit rule makes the hash
+    bit-exact, so the DuckDB oracle recomputes it from source text and
+    a hash match proves exact pixel → hash reconstruction. At 100 TB
+    this is the standard image-dedup tier: decode+hash is map-side
+    embarrassingly parallel, the only shuffle is the 16-bit-key
+    aggregate (vs q_dedup_simhash's text-side analog)."""
+    src = synthetic_image_payloads(spark, sf_dir)
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_id, out_hash = [], []
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                import struct
+
+                _, _, h = struct.unpack(">4sHH", bytes(p[:8]))
+                if h < _AHASH_GRID:
+                    continue
+                out_id.append(doc_id)
+                out_hash.append(ahash_16(p))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(out_id, dtype="int64"),
+                    "ahash": pd.Series(out_hash, dtype="int64"),
+                }
+            )
+
+    hashes = src.mapInPandas(op, schema="doc_id long, ahash long")
+    return hashes.groupBy("ahash").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("keep_id")
+    )

@@ -258,3 +258,121 @@ def q_ts_rollup_hier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.round(F.sum("value"), 4).alias("sum_value"),
     )
+
+
+@register(
+    "q_ts_interpolate",
+    oracle="""
+    WITH daily AS (
+        SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+               ROUND(AVG(value), 4) AS v
+        FROM events GROUP BY 1, 2
+    ), spans AS (
+        SELECT user_id, MIN(day) AS d0, MAX(day) AS d1 FROM daily GROUP BY 1
+    ), spine AS (
+        SELECT user_id,
+               CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE)
+                   AS day
+        FROM spans
+    ), joined AS (
+        SELECT s.user_id, s.day,
+               s.day - DATE '1970-01-01' AS di,
+               d.v
+        FROM spine s LEFT JOIN daily d USING (user_id, day)
+    ), neigh AS (
+        SELECT *,
+               CAST(ROUND(v * 10000) AS BIGINT) AS v4,
+               last_value(CAST(ROUND(v * 10000) AS BIGINT) IGNORE NULLS)
+                   OVER wp AS pv4,
+               last_value(CASE WHEN v IS NOT NULL THEN di END IGNORE NULLS)
+                   OVER wp AS pdi,
+               first_value(CAST(ROUND(v * 10000) AS BIGINT) IGNORE NULLS)
+                   OVER wn AS nv4,
+               first_value(CASE WHEN v IS NOT NULL THEN di END IGNORE NULLS)
+                   OVER wn AS ndi
+        FROM joined
+        WINDOW wp AS (PARTITION BY user_id ORDER BY di
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               wn AS (PARTITION BY user_id ORDER BY di
+                      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT user_id, strftime(day, '%Y-%m-%d') AS day,
+           CAST(CASE WHEN v4 IS NOT NULL THEN v4
+                     ELSE CAST(ROUND(
+                          (pv4 * (ndi - di) + nv4 * (di - pdi)) * 1.0
+                              / (ndi - pdi)) AS BIGINT)
+                END AS BIGINT) / 10000.0 AS value,
+           (v IS NULL) AS interpolated
+    FROM neigh
+    """,
+)
+def q_ts_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear gap interpolation (the `interpolate()` half of a
+    hypertable gapfill, vs q_ts_gapfill's LOCF): densify each user's
+    daily mean-value series and fill interior gaps with the straight
+    line between the previous and next observed days. Neighbor values
+    come from ignore-nulls running last_value/first_value windows —
+    both directions ride the SAME user_id exchange (two sort-only
+    WindowExecs, one shuffle). The spine never has leading/trailing
+    nulls (it spans each user's own [min_day, max_day]), so every gap
+    has both neighbors.
+
+    Determinism note: interpolation at gap fraction 1/2 systematically
+    lands midpoints whose 5th decimal is exactly 5 — a rounding tie
+    that Spark (exact-decimal HALF_UP) and other engines (float-path
+    round) resolve differently. So the line is evaluated in integer
+    1e-4 units — lerp numerator/denominator are exact BIGINTs, ROUND
+    acts on the identical IEEE quotient in both engines — and the
+    display double is ONE identical division by 10000.0 (no final
+    ROUND needed)."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "user_id", F.to_date(F.date_trunc("day", "ts")).alias("day")
+    ).agg(F.round(F.avg("value"), 4).alias("v"))
+    spans = daily.groupBy("user_id").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    spine = spans.select(
+        "user_id", F.explode(F.sequence("d0", "d1")).alias("day")
+    )
+    joined = spine.join(daily, ["user_id", "day"], "left").withColumn(
+        "di", F.datediff("day", F.lit("1970-01-01"))
+    )
+    wp = (
+        W.partitionBy("user_id")
+        .orderBy("di")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wn = (
+        W.partitionBy("user_id")
+        .orderBy("di")
+        .rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
+    obs_di = F.when(F.col("v").isNotNull(), F.col("di"))
+    v4 = F.round(F.col("v") * 10000).cast("long")
+    neigh = joined.withColumns(
+        {
+            "v4": v4,
+            "pv4": F.last(v4, ignorenulls=True).over(wp),
+            "pdi": F.last(obs_di, ignorenulls=True).over(wp),
+            "nv4": F.first(v4, ignorenulls=True).over(wn),
+            "ndi": F.first(obs_di, ignorenulls=True).over(wn),
+        }
+    )
+    interp4 = F.round(
+        (
+            F.col("pv4") * (F.col("ndi") - F.col("di"))
+            + F.col("nv4") * (F.col("di") - F.col("pdi"))
+        )
+        * F.lit(1.0)
+        / (F.col("ndi") - F.col("pdi"))
+    ).cast("long")
+    return neigh.select(
+        "user_id",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        (
+            F.when(F.col("v4").isNotNull(), F.col("v4")).otherwise(interp4)
+            / F.lit(10000.0)
+        ).alias("value"),
+        F.col("v").isNull().alias("interpolated"),
+    )

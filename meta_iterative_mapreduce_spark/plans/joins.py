@@ -355,3 +355,91 @@ def q_join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
             ts_us("s_ts").alias("signup_us"),
         )
     )
+
+
+# Interval-overlap join: bin width = 1 hour of microseconds. Each
+# interval explodes to the hour bins it touches (bounded by max
+# duration / 1 h + 1 ≈ 9 for this fixture); overlapping pairs are
+# counted ONLY in the canonical bin containing the later start — a
+# point both intervals contain, so blocking is exact with no
+# dropDuplicates exchange.
+_IV_BIN_US = 3_600_000_000
+
+
+@register(
+    "q_join_interval_overlap",
+    oracle="""
+    WITH iv AS (
+        SELECT event_id, user_id, epoch_us(ts) AS s,
+               epoch_us(ts) + CAST(ROUND(value * 60000000) AS BIGINT) AS e
+        FROM events
+    )
+    SELECT a.user_id, a.event_id AS ev_a, b.event_id AS ev_b,
+           LEAST(a.e, b.e) - GREATEST(a.s, b.s) AS overlap_us
+    FROM iv a JOIN iv b
+      ON a.user_id = b.user_id AND a.event_id < b.event_id
+     AND a.s < b.e AND b.s < a.e
+    """,
+)
+def q_join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap self join (both sides are spans — the
+    genomics / time-span shape that q_join_range's point-in-range
+    bucketing does not cover): events become intervals
+    [ts, ts + value minutes]; find all same-user overlapping pairs
+    and their overlap length. The oracle is the brute-force theta
+    join; the Spark side explodes each interval to the hour bins it
+    touches and equi-joins on (user_id, bin) — ONE shuffle whose
+    fan-out is bounded by interval_length/bin + 1, never n² —
+    with the exact canonical-bin dedup (bin of GREATEST(a.s, b.s),
+    a point inside both intervals) so no pair is emitted twice.
+    At 100 TB the bin width is tuned to the duration distribution;
+    a long-tail interval cap or a two-level bin hierarchy bounds
+    hub intervals."""
+    ev = load_table(spark, sf_dir, "events")
+    iv = ev.select(
+        "event_id",
+        "user_id",
+        ts_us("ts").alias("s"),
+        (ts_us("ts") + F.round(F.col("value") * 60_000_000).cast("long")).alias("e"),
+    )
+    return interval_overlap_pairs(iv)
+
+
+def interval_overlap_pairs(
+    iv: DataFrame, bin_us: int = _IV_BIN_US
+) -> DataFrame:
+    """Bin-blocked interval-overlap self join over (event_id, user_id,
+    s, e) interval rows — see q_join_interval_overlap. Bin indices use
+    integer `div` (not FP division) so boundary bins are exact at any
+    epoch magnitude."""
+    binned = iv.withColumn(
+        "bin",
+        F.explode(
+            F.sequence(
+                F.expr(f"s div {bin_us}"),
+                F.expr(f"e div {bin_us}"),
+            )
+        ),
+    )
+    a, b = binned.alias("a"), binned.alias("b")
+    canonical_bin = F.expr(f"greatest(a.s, b.s) div {bin_us}")
+    return (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.bin") == F.col("b.bin"))
+            & (F.col("a.event_id") < F.col("b.event_id"))
+            & (F.col("a.s") < F.col("b.e"))
+            & (F.col("b.s") < F.col("a.e"))
+            & (F.col("a.bin") == canonical_bin),
+        )
+        .select(
+            F.col("a.user_id").alias("user_id"),
+            F.col("a.event_id").alias("ev_a"),
+            F.col("b.event_id").alias("ev_b"),
+            (
+                F.least(F.col("a.e"), F.col("b.e"))
+                - F.greatest(F.col("a.s"), F.col("b.s"))
+            ).alias("overlap_us"),
+        )
+    )

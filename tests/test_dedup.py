@@ -81,3 +81,49 @@ def test_simhash_pairs_hamming_column_is_true_distance(spark):
     assert rows[(1, 2)] == 1
     assert rows[(1, 3)] == 1
     assert rows[(2, 3)] == 2
+
+
+# --- fuzzy edit-distance-1 entity resolution (deletion neighborhoods) ---
+
+
+def _levenshtein(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def test_fuzzy_ed1_pairs_exact_recall_synthetic(spark):
+    """Random short strings plus planted substitution / insertion /
+    deletion / equality neighbors: the deletion-neighborhood join must
+    find EXACTLY the brute-force Levenshtein<=1 pair set (including
+    must-NOT-match pairs at distance 2)."""
+    from meta_iterative_mapreduce_spark.operators.dedup import fuzzy_ed1_pairs
+
+    rng = random.Random(7)
+    alpha = "abcde"
+    names: list[str] = []
+    for _ in range(40):
+        base = "".join(rng.choice(alpha) for _ in range(rng.randint(3, 8)))
+        names.append(base)
+        p = rng.randrange(len(base))
+        names.append(base[:p] + rng.choice(alpha) + base[p + 1 :])  # subst
+        names.append(base[:p] + base[p + 1 :])  # deletion
+        names.append(base[:p] + rng.choice(alpha) + base[p:])  # insertion
+        names.append(base)  # exact duplicate
+    rows = list(enumerate(names))
+    expect = {
+        (i, j)
+        for i, a in rows
+        for j, b in rows
+        if i < j and _levenshtein(a, b) <= 1
+    }
+    df = spark.createDataFrame(rows, "id long, name string")
+    got = {
+        (r.id_a, r.id_b)
+        for r in fuzzy_ed1_pairs(df, "id", "name").collect()
+    }
+    assert got == expect and len(expect) > 40

@@ -161,3 +161,41 @@ def test_wav_rejects_out_of_scope_formats():
     wav = b"RIFF" + _s.pack("<I", len(body)) + body
     with pytest.raises(NotImplementedError, match="mono PCM16"):
         decode_wav_pcm16(wav)
+
+
+# --- perceptual average hash (q_multimodal_phash) ---
+
+
+def _mimg(w: int, h: int, pix: bytes) -> bytes:
+    import struct as _s
+
+    return b"MIMG" + _s.pack(">HH", w, h) + pix
+
+
+def test_ahash_photometric_invariance():
+    """aHash must be EXACTLY invariant under brightness shift and
+    contrast scaling (the integer cross-multiply bit rule cancels
+    both) — the perceptual property that makes bucket-dedup robust to
+    re-encoded variants of the same image."""
+    import random
+
+    from meta_iterative_mapreduce_spark.operators.multimodal import ahash_16
+
+    rng = random.Random(3)
+    for w, h in [(4, 4), (7, 5), (16, 64), (5, 9)]:
+        pix = [rng.randrange(100) for _ in range(w * h)]
+        base = ahash_16(_mimg(w, h, bytes(pix)))
+        shifted = ahash_16(_mimg(w, h, bytes(p + 37 for p in pix)))
+        scaled = ahash_16(_mimg(w, h, bytes(p * 2 for p in pix)))
+        assert base == shifted == scaled
+
+
+def test_ahash_separates_structural_change():
+    """Moving the bright mass from the top row to the bottom row must
+    flip the hash (it is a structural, not photometric, edit)."""
+    from meta_iterative_mapreduce_spark.operators.multimodal import ahash_16
+
+    w, h = 8, 8
+    top = bytes([200] * w + [10] * (w * (h - 1)))
+    bot = bytes([10] * (w * (h - 1)) + [200] * w)
+    assert ahash_16(_mimg(w, h, top)) != ahash_16(_mimg(w, h, bot))

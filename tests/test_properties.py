@@ -111,3 +111,47 @@ def test_embed_quantize_error_bound(spark, sf_dir):
         | (F.col("max_err") > F.col("scale") / 254.0 + 1e-12)
     )
     assert bad.count() == 0
+
+
+def test_interval_overlap_join_equals_brute_force(spark):
+    """Bin-blocked interval self-join == brute-force O(n²) overlap
+    pairs on synthetic intervals that stress the blocking: spans
+    crossing many bins, touching endpoints (s == e boundary must NOT
+    match under strict inequality), nested and disjoint spans, and
+    bin-boundary-aligned starts."""
+    import random
+
+    from meta_iterative_mapreduce_spark.plans.joins import (
+        interval_overlap_pairs,
+    )
+
+    rng = random.Random(11)
+    W = 1000  # small bin width so spans cross up to ~20 bins
+    rows = []
+    eid = 0
+    for user in range(6):
+        base = 1_700_000_000_000 + user  # large epoch-like magnitudes
+        for _ in range(40):
+            s = base + rng.randrange(0, 20 * W)
+            if rng.random() < 0.2:
+                s = (s // W) * W  # exactly on a bin boundary
+            dur = rng.choice([0, 1, W // 2, W, 3 * W, 17 * W])
+            rows.append((eid, user, s, s + dur))
+            eid += 1
+    # planted touching pair: a.e == b.s exactly (must not match)
+    rows.append((eid, 0, 10 * W, 11 * W))
+    rows.append((eid + 1, 0, 11 * W, 12 * W))
+    expect = {
+        (ia, ib, min(ea, eb) - max(sa, sb))
+        for (ia, ua, sa, ea) in rows
+        for (ib, ub, sb, eb) in rows
+        if ua == ub and ia < ib and sa < eb and sb < ea
+    }
+    iv = spark.createDataFrame(
+        rows, "event_id long, user_id long, s long, e long"
+    )
+    got = {
+        (r.ev_a, r.ev_b, r.overlap_us)
+        for r in interval_overlap_pairs(iv, bin_us=W).collect()
+    }
+    assert got == expect and len(expect) > 100
