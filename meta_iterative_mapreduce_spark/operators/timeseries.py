@@ -265,7 +265,7 @@ def q_ts_rollup_hier(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH daily AS (
         SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
-               ROUND(AVG(value), 4) AS v
+               AVG(value) AS v
         FROM events GROUP BY 1, 2
     ), spans AS (
         SELECT user_id, MIN(day) AS d0, MAX(day) AS d1 FROM daily GROUP BY 1
@@ -281,12 +281,12 @@ def q_ts_rollup_hier(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM spine s LEFT JOIN daily d USING (user_id, day)
     ), neigh AS (
         SELECT *,
-               CAST(ROUND(v * 10000) AS BIGINT) AS v4,
-               last_value(CAST(ROUND(v * 10000) AS BIGINT) IGNORE NULLS)
+               CAST(FLOOR(v * 10000 + 0.5) AS BIGINT) AS v4,
+               last_value(CAST(FLOOR(v * 10000 + 0.5) AS BIGINT) IGNORE NULLS)
                    OVER wp AS pv4,
                last_value(CASE WHEN v IS NOT NULL THEN di END IGNORE NULLS)
                    OVER wp AS pdi,
-               first_value(CAST(ROUND(v * 10000) AS BIGINT) IGNORE NULLS)
+               first_value(CAST(FLOOR(v * 10000 + 0.5) AS BIGINT) IGNORE NULLS)
                    OVER wn AS nv4,
                first_value(CASE WHEN v IS NOT NULL THEN di END IGNORE NULLS)
                    OVER wn AS ndi
@@ -298,9 +298,9 @@ def q_ts_rollup_hier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT user_id, strftime(day, '%Y-%m-%d') AS day,
            CAST(CASE WHEN v4 IS NOT NULL THEN v4
-                     ELSE CAST(ROUND(
+                     ELSE CAST(FLOOR(
                           (pv4 * (ndi - di) + nv4 * (di - pdi)) * 1.0
-                              / (ndi - pdi)) AS BIGINT)
+                              / (ndi - pdi) + 0.5) AS BIGINT)
                 END AS BIGINT) / 10000.0 AS value,
            (v IS NULL) AS interpolated
     FROM neigh
@@ -319,16 +319,18 @@ def q_ts_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Determinism note: interpolation at gap fraction 1/2 systematically
     lands midpoints whose 5th decimal is exactly 5 — a rounding tie
-    that Spark (exact-decimal HALF_UP) and other engines (float-path
-    round) resolve differently. So the line is evaluated in integer
-    1e-4 units — lerp numerator/denominator are exact BIGINTs, ROUND
-    acts on the identical IEEE quotient in both engines — and the
-    display double is ONE identical division by 10000.0 (no final
-    ROUND needed)."""
+    that Spark (exact-decimal HALF_UP on the binary expansion) and
+    float-path ROUND implementations resolve differently, and that
+    ROUND(AVG, 4) itself trips on midpoint-straddling doubles (seen at
+    sf0.1). So no engine ROUND appears anywhere: daily means go
+    straight to integer 1e-4 units via FLOOR(avg*10000 + 0.5) — floor
+    of an identical IEEE double has zero implementation discretion —
+    the lerp runs on exact BIGINTs with one identical division, and
+    the display double is ONE identical division by 10000.0."""
     e = load_table(spark, sf_dir, "events")
     daily = e.groupBy(
         "user_id", F.to_date(F.date_trunc("day", "ts")).alias("day")
-    ).agg(F.round(F.avg("value"), 4).alias("v"))
+    ).agg(F.avg("value").alias("v"))
     spans = daily.groupBy("user_id").agg(
         F.min("day").alias("d0"), F.max("day").alias("d1")
     )
@@ -349,7 +351,7 @@ def q_ts_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rowsBetween(W.currentRow, W.unboundedFollowing)
     )
     obs_di = F.when(F.col("v").isNotNull(), F.col("di"))
-    v4 = F.round(F.col("v") * 10000).cast("long")
+    v4 = F.floor(F.col("v") * 10000 + F.lit(0.5)).cast("long")
     neigh = joined.withColumns(
         {
             "v4": v4,
@@ -359,13 +361,14 @@ def q_ts_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ndi": F.first(obs_di, ignorenulls=True).over(wn),
         }
     )
-    interp4 = F.round(
+    interp4 = F.floor(
         (
             F.col("pv4") * (F.col("ndi") - F.col("di"))
             + F.col("nv4") * (F.col("di") - F.col("pdi"))
         )
         * F.lit(1.0)
         / (F.col("ndi") - F.col("pdi"))
+        + F.lit(0.5)
     ).cast("long")
     return neigh.select(
         "user_id",
