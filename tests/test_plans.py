@@ -374,3 +374,58 @@ def test_ts_rollup_hier_single_expand_agg(spark, sf_dir):
 def test_wav_roundtrip_two_arrow_stages(spark, sf_dir):
     plan = _plan(registry.queries()["q_multimodal_audio_wav"](spark, sf_dir))
     assert plan.count("MapInPandas") == 2
+
+
+def test_runtime_bloom_filter_prunes_fact_scan(spark, sf_dir):
+    """Spark's runtime bloom-filter join pruning: with a selective dim
+    filter and a shuffle join, the optimizer must inject a
+    bloom_filter_might_contain predicate on the FACT side — rows that
+    can't join are dropped before the shuffle. This is the
+    engine-native runtime semi-join filter an engine needs at 100 TB
+    (scan 6B lineitems, keep only the ~1/5 whose order is URGENT
+    before exchanging them); result correctness is untouched because
+    bloom false-positives still pass through the exact join."""
+    conf = spark.conf
+    keys = (
+        "spark.sql.optimizer.runtime.bloomFilter.enabled",
+        "spark.sql.optimizer.runtimeFilter.creationSideThreshold",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        "spark.sql.autoBroadcastJoinThreshold",
+    )
+    saved = {k: conf.get(k, None) for k in keys}
+    try:
+        conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        conf.set("spark.sql.optimizer.runtimeFilter.creationSideThreshold", "50MB")
+        conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter."
+            "applicationSideScanSizeThreshold",
+            "0",
+        )
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        li = load_table(spark, sf_dir, "lineitem")
+        o = load_table(spark, sf_dir, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = _plan(j)
+        assert "might_contain" in plan, plan
+        # and the filter sits on the lineitem (application) side scan
+        assert plan.lower().count("bloom") >= 1
+        # correctness unchanged vs the un-filtered plan
+        conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
+        plain = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        assert j.collect() == plain.collect()
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                conf.unset(k)
+            else:
+                conf.set(k, v)
