@@ -360,6 +360,52 @@ def main() -> None:
     )
     assert hist == {0: 1, 1: 4, 2: 4, 3: 4, 4: 4}, hist
 
+    # --- fuzzy ED1 entity resolution over 1M zero-padded names ---
+    # names = lpad(id, 7, '0') for id < 10^6: the leading digit is
+    # always 0 and flipping it leaves the set, so the in-set ED1
+    # neighbors of every name are exactly the 9 substitutions in each
+    # of the 6 free digit positions -> n * 54 / 2 pairs exactly.
+    from meta_iterative_mapreduce_spark.operators.dedup import (
+        fuzzy_ed1_pairs,
+    )
+
+    n_fz = 1_000_000
+    names = spark.range(n_fz).select(
+        F.col("id"), F.lpad(F.col("id").cast("string"), 7, "0").alias("name")
+    )
+    t0 = time.time()
+    n_pairs = fuzzy_ed1_pairs(names, "id", "name").count()
+    print(
+        f"fuzzy ed1 over {n_fz:,} names: {time.time()-t0:.1f}s -> "
+        f"{n_pairs:,} pairs (expected {n_fz * 54 // 2:,})"
+    )
+    assert n_pairs == n_fz * 54 // 2, n_pairs
+
+    # --- interval-overlap join over 10M spans, multi-bin blocking ---
+    # 10k users x 1000 consecutive spans each: s = 100*i, e = s + 150,
+    # so span i overlaps ONLY span i+1 (by 50) -> 999 pairs per user.
+    # bin width 64 makes every span cross 3-4 bins, exercising the
+    # canonical-bin dedup at full fan-out.
+    from meta_iterative_mapreduce_spark.plans.joins import (
+        interval_overlap_pairs,
+    )
+
+    n_iv, per_user = 10_000_000, 1000
+    iv = spark.range(n_iv).select(
+        F.col("id").alias("event_id"),
+        (F.col("id") / per_user).cast("long").alias("user_id"),
+        ((F.col("id") % per_user) * 100).alias("s"),
+        ((F.col("id") % per_user) * 100 + 150).alias("e"),
+    )
+    t0 = time.time()
+    n_ov = interval_overlap_pairs(iv, bin_us=64).count()
+    exp_ov = (n_iv // per_user) * (per_user - 1)
+    print(
+        f"interval overlap over {n_iv:,} spans: {time.time()-t0:.1f}s -> "
+        f"{n_ov:,} pairs (expected {exp_ov:,})"
+    )
+    assert n_ov == exp_ov, n_ov
+
     print("scale smoke OK")
 
 
