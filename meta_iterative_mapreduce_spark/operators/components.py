@@ -514,3 +514,85 @@ def bfs_hop_histogram(edges_sym: DataFrame, max_hops: int) -> DataFrame:
         dist.groupBy(F.col("d").alias("hops"))
         .agg(F.count(F.lit(1)).alias("n_nodes"))
     )
+
+
+# Link-prediction wedge cap: common-neighbor counting fans out
+# C(deg(w), 2) per wedge center w, so hub centers (popular parts) are
+# excluded the same way the inverted index df-caps stopword tokens —
+# a center shared by >64 parts carries negligible similarity signal
+# and would alone emit up to 64² candidate rows. Degrees for the
+# Jaccard denominator still come from the FULL graph.
+_LINKPRED_CENTER_CAP = 64
+
+
+@register(
+    "q_graph_link_predict",
+    oracle=f"""
+    WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    pairs AS MATERIALIZED (
+        SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        FROM items a JOIN items b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    edges AS (
+        SELECT u, v FROM pairs UNION ALL SELECT v AS u, u AS v FROM pairs
+    ),
+    deg AS (SELECT u, COUNT(*) AS d FROM edges GROUP BY u),
+    ok AS (SELECT u FROM deg WHERE d <= {_LINKPRED_CENTER_CAP}),
+    wedge AS (
+        SELECT a.v AS x, b.v AS y, COUNT(*) AS n_common
+        FROM edges a JOIN edges b ON a.u = b.u AND a.v < b.v
+        JOIN ok o ON o.u = a.u
+        GROUP BY a.v, b.v HAVING COUNT(*) >= 2
+    )
+    SELECT w.x AS u, w.y AS v, w.n_common,
+           w.n_common * 10000 // (du.d + dv.d - w.n_common) AS jaccard_bp
+    FROM wedge w
+    JOIN deg du ON du.u = w.x
+    JOIN deg dv ON dv.u = w.y
+    WHERE NOT EXISTS (SELECT 1 FROM pairs p WHERE p.u = w.x AND p.v = w.y)
+    """,
+)
+def q_graph_link_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction on the part co-purchase graph: for every
+    NON-adjacent part pair sharing >= 2 neighbors (through non-hub
+    wedge centers), emit the common-neighbor count and the
+    neighborhood Jaccard in integer basis points —
+    (c * 10000) div (|N(u)| + |N(v)| - c), pure integer math, zero
+    float discretion. Plan shape: wedge self-join on the center
+    (bounded C(cap,2) fan-out per center), one (x,y) count aggregate,
+    two degree broadcasts, one anti-join against the edge set. At
+    100 TB this is the standard people-you-may-know MapReduce shape;
+    the center cap is what keeps it from exploding on hubs, exactly
+    like the triangle counter's degree orientation."""
+    edges = copurchase_edges(spark, sf_dir)
+    deg = edges.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    ok = deg.filter(F.col("d") <= _LINKPRED_CENTER_CAP).select("u")
+    small = edges.join(ok, "u")
+    a, b = small.alias("a"), small.alias("b")
+    wedge = (
+        a.join(
+            b,
+            (F.col("a.u") == F.col("b.u")) & (F.col("a.v") < F.col("b.v")),
+        )
+        .groupBy(F.col("a.v").alias("x"), F.col("b.v").alias("y"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        .filter(F.col("n_common") >= 2)
+    )
+    # drop already-adjacent pairs (edges is symmetric; (x, y) has x < y)
+    adj = edges.select(F.col("u").alias("x"), F.col("v").alias("y"))
+    cand = wedge.join(adj, ["x", "y"], "left_anti")
+    du = deg.select(F.col("u").alias("x"), F.col("d").alias("dx"))
+    dv = deg.select(F.col("u").alias("y"), F.col("d").alias("dy"))
+    return (
+        cand.join(du, "x")
+        .join(dv, "y")
+        .select(
+            F.col("x").alias("u"),
+            F.col("y").alias("v"),
+            "n_common",
+            F.expr(
+                "n_common * 10000 div (dx + dy - n_common)"
+            ).alias("jaccard_bp"),
+        )
+    )

@@ -18,6 +18,7 @@ from meta_iterative_mapreduce_spark.registry import register
 from meta_iterative_mapreduce_spark.functions.time import ts_us
 
 _1H = 3_600_000_000  # µs
+_GAP_US = 30 * 60 * 1_000_000  # 30-minute session gap (q_events_sessionize)
 
 
 @register(
@@ -481,3 +482,92 @@ def q_events_funnel_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         for i in range(1, len(_FUNNEL_K_STAGES) + 1)
     ]
     return per_user.agg(*aggs)
+
+
+@register(
+    "q_events_paths",
+    oracle=f"""
+    WITH ordered AS (
+        SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+               LAG(epoch_us(ts)) OVER (
+                   PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+               ) AS prev_us
+        FROM events
+    ), marked AS (
+        SELECT *,
+               CASE WHEN prev_us IS NULL OR ts_us - prev_us > {_GAP_US}
+                    THEN 1 ELSE 0 END AS is_new
+        FROM ordered
+    ), sess AS (
+        SELECT *,
+               SUM(is_new) OVER (
+                   PARTITION BY user_id ORDER BY ts_us, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS sid
+        FROM marked
+    ), rn AS (
+        SELECT *,
+               ROW_NUMBER() OVER (PARTITION BY user_id, sid
+                                  ORDER BY ts_us, event_id) AS rn
+        FROM sess
+    ), paths AS (
+        SELECT user_id, sid,
+               STRING_AGG(event_type, '>' ORDER BY ts_us, event_id) AS path
+        FROM rn WHERE rn <= 5
+        GROUP BY user_id, sid
+    )
+    SELECT path, COUNT(*) AS n_sessions
+    FROM paths GROUP BY path
+    """,
+)
+def q_events_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top session paths (clickstream path analysis): sessionize at
+    >30-min gaps, take each session's first 5 event types in
+    (ts, event_id) order, and count sessions per path string. The
+    sessionize lag + cumsum windows and the per-session collect all
+    ride ONE user_id exchange; the path-frequency aggregate's key
+    space is bounded by |event_type|^5, so the final shuffle is tiny
+    at any scale. Per-session state is capped at 5 structs (the rn
+    filter runs BEFORE collect_list), so hub users can't build giant
+    arrays — the defensive shape q_events_funnel_staged documents."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", ts_us("ts").alias("ts_us")
+    )
+    order = W.partitionBy("user_id").orderBy("ts_us", "event_id")
+    marked = ev.withColumn(
+        "is_new",
+        F.when(
+            F.lag("ts_us").over(order).isNull()
+            | (F.col("ts_us") - F.lag("ts_us").over(order) > _GAP_US),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    sess = marked.withColumn(
+        "sid",
+        F.sum("is_new").over(
+            order.rowsBetween(W.unboundedPreceding, W.currentRow)
+        ),
+    )
+    rn = sess.withColumn(
+        "rn",
+        F.row_number().over(
+            W.partitionBy("user_id", "sid").orderBy("ts_us", "event_id")
+        ),
+    ).filter(F.col("rn") <= 5)
+    paths = (
+        rn.groupBy("user_id", "sid")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct("ts_us", "event_id", "event_type")
+                        )
+                    ),
+                    lambda s: s["event_type"],
+                ),
+                ">",
+            ).alias("path")
+        )
+    )
+    return paths.groupBy("path").agg(F.count(F.lit(1)).alias("n_sessions"))

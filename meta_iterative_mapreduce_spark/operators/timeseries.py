@@ -379,3 +379,37 @@ def q_ts_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("value"),
         F.col("v").isNull().alias("interpolated"),
     )
+
+
+@register(
+    "q_ts_seasonal",
+    oracle="""
+    WITH pts AS (
+        SELECT event_type,
+               CAST(EXTRACT(hour FROM ts) AS INT) AS hod,
+               value
+        FROM events
+    )
+    SELECT event_type, hod, COUNT(*) AS n,
+           CAST(FLOOR(AVG(value) * 10000 + 0.5) AS BIGINT) AS mean_e4
+    FROM pts GROUP BY event_type, hod
+    """,
+)
+def q_ts_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal (hour-of-day) decomposition profile: the per-type
+    24-slot mean-value curve — the "seasonal" component of a
+    classical decompose; residual = value - profile[hod] is a
+    broadcast join away (the profile is |types|×24 rows at ANY data
+    scale, the canonical map-side dimension). ONE partial-aggregated
+    exchange on (event_type, hod); means emitted as floor-scaled e4
+    integers (see q_ts_interpolate's determinism note). hour() on
+    TIMESTAMP_NTZ is session-tz-independent by construction."""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy(
+        "event_type", F.hour("ts").cast("int").alias("hod")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.floor(F.avg("value") * 10000 + F.lit(0.5))
+        .cast("long")
+        .alias("mean_e4"),
+    )
