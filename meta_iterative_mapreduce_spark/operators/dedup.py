@@ -474,6 +474,14 @@ def fuzzy_ed1_pairs(
         F.col(name_col).alias("_name"),
         F.explode(deletion_variants(name_col)).alias("_variant"),
     )
+    # Explicit-N repartition on the join key: the candidate pairs are
+    # byte-cheap but levenshtein-expensive, so AQE's size-based
+    # coalescing would otherwise fold the post-shuffle verify into a
+    # handful of tasks (measured 9.0 s -> 2.9 s at sf0.1 on local[32]).
+    # Both aliases inherit the same partitioning, so the self-join adds
+    # no further exchange.
+    n_part = df.sparkSession.sparkContext.defaultParallelism * 2
+    v = v.repartition(n_part, "_variant")
     a, b = v.alias("a"), v.alias("b")
     return (
         a.join(b, (F.col("a._variant") == F.col("b._variant")) & (F.col("a._id") < F.col("b._id")))
