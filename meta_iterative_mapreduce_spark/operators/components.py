@@ -565,9 +565,18 @@ def q_graph_link_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB this is the standard people-you-may-know MapReduce shape;
     the center cap is what keeps it from exploding on hubs, exactly
     like the triangle counter's degree orientation."""
-    edges = copurchase_edges(spark, sf_dir)
+    return link_predict_pairs(copurchase_edges(spark, sf_dir))
+
+
+def link_predict_pairs(
+    edges: DataFrame, center_cap: int = _LINKPRED_CENTER_CAP
+) -> DataFrame:
+    """Common-neighbor Jaccard link prediction over a symmetric (u, v)
+    edge list — see q_graph_link_predict. Returns non-adjacent pairs
+    with >= 2 common neighbors through centers of degree <= center_cap,
+    scored in integer basis points."""
     deg = edges.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
-    ok = deg.filter(F.col("d") <= _LINKPRED_CENTER_CAP).select("u")
+    ok = deg.filter(F.col("d") <= center_cap).select("u")
     small = edges.join(ok, "u")
     a, b = small.alias("a"), small.alias("b")
     wedge = (

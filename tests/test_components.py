@@ -119,3 +119,52 @@ def test_pagerank_matches_power_iteration(spark):
         assert set(got) == set(nodes), trial
         for u in nodes:
             assert abs(got[u] - pr[idx[u]]) < 1e-9, (trial, u)
+
+
+def test_link_predict_equals_brute_force(spark):
+    """link_predict_pairs == a pure-Python brute force on a synthetic
+    graph with a hub: two 4-cliques sharing no edge but bridged by
+    common neighbors, plus a degree-9 hub that must be excluded as a
+    wedge center by cap=8 (its wedges contribute no pairs) while still
+    counting toward Jaccard denominators."""
+    from meta_iterative_mapreduce_spark.operators.components import (
+        link_predict_pairs,
+    )
+
+    und = set()
+    for base in (0, 10):  # two 4-cliques
+        for i in range(4):
+            for j in range(i + 1, 4):
+                und.add((base + i, base + j))
+    # bridges: nodes 20, 21 adjacent to members of both cliques
+    for b in (20, 21):
+        und |= {(0, b), (1, b), (10, b), (11, b)}
+    # hub 30: adjacent to 9 nodes -> degree 9 > cap 8, excluded center
+    und |= {(n, 30) for n in (0, 1, 2, 3, 10, 11, 12, 13, 20)}
+    cap = 8
+    adj: dict[int, set[int]] = {}
+    for u, v in und:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    nodes = sorted(adj)
+    expect = {}
+    for i, x in enumerate(nodes):
+        for y in nodes[i + 1 :]:
+            if y in adj[x]:
+                continue
+            common = {
+                w for w in adj[x] & adj[y] if len(adj[w]) <= cap
+            }
+            if len(common) >= 2:
+                c = len(common)
+                expect[(x, y)] = (
+                    c,
+                    c * 10000 // (len(adj[x]) + len(adj[y]) - c),
+                )
+    sym = [(u, v) for u, v in und] + [(v, u) for u, v in und]
+    edges = spark.createDataFrame(sym, "u long, v long")
+    got = {
+        (r.u, r.v): (r.n_common, r.jaccard_bp)
+        for r in link_predict_pairs(edges, center_cap=cap).collect()
+    }
+    assert got == expect and len(expect) >= 3
