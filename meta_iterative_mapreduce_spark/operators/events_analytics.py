@@ -571,3 +571,95 @@ def q_events_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return paths.groupBy("path").agg(F.count(F.lit(1)).alias("n_sessions"))
+
+
+_WF_WINDOW_US = 2 * _1H  # windowed-funnel horizon
+
+
+@register(
+    "q_events_funnel_windowed",
+    oracle=f"""
+    WITH ev AS (
+        SELECT user_id, event_type, epoch_us(ts) AS t FROM events
+    ), anchors AS (
+        SELECT user_id, t AS ta FROM ev WHERE event_type = 'signup'
+    ), s2 AS (
+        SELECT a.user_id, a.ta, MIN(e.t) AS t2
+        FROM anchors a JOIN ev e
+          ON e.user_id = a.user_id AND e.event_type = 'view'
+         AND e.t > a.ta AND e.t <= a.ta + {_WF_WINDOW_US}
+        GROUP BY a.user_id, a.ta
+    ), s3 AS (
+        SELECT s.user_id, s.ta, MIN(e.t) AS t3
+        FROM s2 s JOIN ev e
+          ON e.user_id = s.user_id AND e.event_type = 'purchase'
+         AND e.t > s.t2 AND e.t <= s.ta + {_WF_WINDOW_US}
+        GROUP BY s.user_id, s.ta
+    ), depth AS (
+        SELECT a.user_id,
+               MAX(CASE WHEN t3 IS NOT NULL THEN 3
+                        WHEN t2 IS NOT NULL THEN 2
+                        ELSE 1 END) AS depth
+        FROM anchors a
+        LEFT JOIN s2 ON s2.user_id = a.user_id AND s2.ta = a.ta
+        LEFT JOIN s3 ON s3.user_id = a.user_id AND s3.ta = a.ta
+        GROUP BY a.user_id
+    )
+    SELECT depth, COUNT(*) AS n_users FROM depth GROUP BY depth
+    """,
+)
+def q_events_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed funnel (the ClickHouse windowFunnel semantics, distinct
+    from q_events_funnel_staged's unbounded ordering): a user completes
+    depth k iff SOME signup anchor starts a greedy
+    signup→view→purchase chain that finishes within 2 h of the anchor.
+    Every stage-1 event is an anchor — the greedy earliest-anchor
+    shortcut would miss funnels whose completing chain starts later —
+    and each stage is a per-(user, anchor) min-aggregate over a
+    time-bounded join, so fan-out is events-per-window, never events².
+    All joins are user-keyed (one partitioning reused); per-depth
+    counts are the bounded output."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", ts_us("ts").alias("t")
+    )
+    anchors = ev.filter(F.col("event_type") == "signup").select(
+        "user_id", F.col("t").alias("ta")
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("t").alias("tv")
+    )
+    buys = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("t").alias("tp")
+    )
+    s2 = (
+        anchors.join(views, "user_id")
+        .filter(
+            (F.col("tv") > F.col("ta"))
+            & (F.col("tv") <= F.col("ta") + _WF_WINDOW_US)
+        )
+        .groupBy("user_id", "ta")
+        .agg(F.min("tv").alias("t2"))
+    )
+    s3 = (
+        s2.join(buys, "user_id")
+        .filter(
+            (F.col("tp") > F.col("t2"))
+            & (F.col("tp") <= F.col("ta") + _WF_WINDOW_US)
+        )
+        .groupBy("user_id", "ta")
+        .agg(F.min("tp").alias("t3"))
+    )
+    depth = (
+        anchors.join(s2, ["user_id", "ta"], "left")
+        .join(s3, ["user_id", "ta"], "left")
+        .select(
+            "user_id",
+            F.when(F.col("t3").isNotNull(), F.lit(3))
+            .when(F.col("t2").isNotNull(), F.lit(2))
+            .otherwise(F.lit(1))
+            .alias("d"),
+        )
+        .groupBy("user_id")
+        .agg(F.max("d").alias("depth"))
+    )
+    return depth.groupBy("depth").agg(F.count(F.lit(1)).alias("n_users"))
