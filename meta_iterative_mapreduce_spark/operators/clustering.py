@@ -210,3 +210,170 @@ def q_sim_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cos_sim").desc(), "vec_id")
         .limit(5)
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ): the memory tier of a vector index. Split
+# each 64-dim vector into M=8 subspaces of 8 dims, k-means each
+# subspace to K=16 codes, store each vector as 8 nibbles (64 bytes ->
+# 4 bytes, 16× compression). ALL M subspace k-means run in ONE
+# distributed pass per Lloyd iteration: the exploded (vec_id, sub_id,
+# subvector) table is assigned with a sub_id-branched literal-centroid
+# expression and updated with one (sub_id, code, dim) mean shuffle —
+# M separate kmeans() loops would cost M× the jobs for identical
+# results. Codebook state (M*K*8 floats) lives driver-side between
+# iterations, reference-loop style (kernel.cu:132's rank-0 weights).
+# ---------------------------------------------------------------------------
+
+_PQ_M = 8  # subspaces
+_PQ_K = 16  # codes per subspace
+_PQ_DIM = 8  # dims per subspace
+_PQ_ITERS = 3
+
+
+def _pq_subvectors(df: DataFrame, vec_col: str) -> DataFrame:
+    """(vec_id, sub_id, sv) — one row per subspace slice."""
+    slices = F.transform(
+        F.sequence(F.lit(0), F.lit(_PQ_M - 1)),
+        lambda s: F.slice(F.col(vec_col), s * _PQ_DIM + 1, _PQ_DIM),
+    )
+    return df.select(
+        "vec_id", F.posexplode(slices).alias("sub_id", "sv")
+    )
+
+
+def _book_df(sub: DataFrame, books: list[list[list[float]]]) -> DataFrame:
+    """M*K-row (sub_id, code, cent) codebook DataFrame for broadcast."""
+    rows = [
+        (s, j, books[s][j])
+        for s in range(len(books))
+        for j in range(len(books[s]))
+    ]
+    return sub.sparkSession.createDataFrame(
+        rows, "sub_id int, code int, cent array<double>"
+    )
+
+
+def _pq_assign(sub: DataFrame, books: list[list[list[float]]]) -> DataFrame:
+    """(vec_id, sub_id, sv, code, err_sq): per-subspace argmin over the
+    codebook via a broadcast join on sub_id (K candidate rows per
+    subvector, exact squared distance per candidate, min_by with a
+    deterministic (dist, code) struct tie-break). A folded-literal
+    when-chain over M*K centroids works too but costs seconds of
+    Catalyst/codegen per iteration at M*K=128; the 128-row broadcast
+    join plans in milliseconds and is the layout a 100 TB job wants
+    anyway (codebooks as data, not as plan text)."""
+    book = F.broadcast(_book_df(sub, books))
+    dist = F.aggregate(
+        F.zip_with(
+            "sv", "cent", lambda a, b: (a.cast("double") - b) * (a.cast("double") - b)
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    best = F.min(F.struct(F.col("__d"), F.col("code"))).alias("__best")
+    return (
+        sub.join(book, "sub_id")
+        .withColumn("__d", dist)
+        .groupBy("vec_id", "sub_id")
+        .agg(F.first("sv").alias("sv"), best)
+        .select(
+            "vec_id",
+            "sub_id",
+            "sv",
+            F.col("__best.code").alias("code"),
+            F.col("__best.__d").alias("err_sq"),
+        )
+    )
+
+
+def pq_train(
+    df: DataFrame, vec_col: str, init_ids: DataFrame
+) -> list[list[list[float]]]:
+    """Train the M×K PQ codebook. init_ids: the K smallest vec_ids'
+    rows (deterministic seeding, like _init_centers). Returns
+    books[sub_id][code] = centroid (list of _PQ_DIM floats)."""
+    sub = _pq_subvectors(df, vec_col).cache()
+    try:
+        seed = {
+            (r["sub_id"], r["vec_id"]): [float(x) for x in r["sv"]]
+            for r in _pq_subvectors(init_ids, vec_col).collect()
+        }
+        ordered_ids = sorted({vid for (_, vid) in seed})[:_PQ_K]
+        books = [
+            [seed[(s, vid)] for vid in ordered_ids] for s in range(_PQ_M)
+        ]
+        for _ in range(_PQ_ITERS):
+            assigned = _pq_assign(sub, books)
+            rows = (
+                assigned.select(
+                    "sub_id", "code", F.posexplode("sv").alias("dim", "v")
+                )
+                .groupBy("sub_id", "code", "dim")
+                .agg(F.avg(F.col("v").cast("double")).alias("c"))
+                .collect()
+            )
+            acc: dict[tuple[int, int], dict[int, float]] = {}
+            for r in rows:
+                acc.setdefault((r["sub_id"], r["code"]), {})[r["dim"]] = r["c"]
+            books = [
+                [
+                    [acc[(s, j)][d] for d in range(_PQ_DIM)]
+                    if (s, j) in acc
+                    else books[s][j]  # empty code keeps old centroid
+                    for j in range(_PQ_K)
+                ]
+                for s in range(_PQ_M)
+            ]
+        return books
+    finally:
+        sub.unpersist()
+
+
+def pq_encode(
+    df: DataFrame, vec_col: str, books: list[list[list[float]]]
+) -> DataFrame:
+    """(vec_id, codes array<int>, recon_err double): assign each
+    subspace slice, collect the M codes per vector in sub_id order,
+    and carry the exact reconstruction squared error (the assignment
+    already computes true distance per subvector; summed per vector)."""
+    with_err = _pq_assign(_pq_subvectors(df, vec_col), books)
+    return (
+        with_err.groupBy("vec_id")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("sub_id", "code"))
+                ),
+                lambda st: st["code"],
+            ).alias("codes"),
+            F.sum("err_sq").alias("recon_err"),
+        )
+    )
+
+
+@register("q_embed_pq")  # rows-only: driver-iterative Lloyd codebooks
+# (fp-boundary assignment flips between engines — same rationale as
+# q_cluster_kmeans)
+def q_embed_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization compression of the embedding corpus
+    (M=8 × K=16 -> 4-byte codes, 16× smaller than float32): train the
+    codebook in 3 one-pass-per-iteration Lloyd rounds, encode every
+    vector, and report per-label compression quality (count + mean
+    reconstruction error). The ADC search tier reuses these codes with
+    a K×M lookup table per query — the standard billion-scale ANN
+    memory layout (IVF-PQ) whose IVF half is q_sim_ivf_ann."""
+    e = load_table(spark, sf_dir, "embeddings")
+    books = pq_train(
+        e, "embedding", e.filter(F.col("vec_id") < _PQ_K)
+    )
+    enc = pq_encode(e, "embedding", books)
+    return (
+        e.join(enc, "vec_id")
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(F.avg("recon_err"), 4).alias("avg_recon_err"),
+        )
+        .orderBy("label")
+    )

@@ -82,3 +82,58 @@ def test_gram_blas_matches_declarative(spark, sf_dir):
     assert set(slow) == set(fast)
     for k, v in slow.items():
         assert abs(fast[k] - v) <= max(1e-6, 1e-9 * abs(v)) + 5e-5, k
+
+
+def test_pq_codes_identical_for_duplicate_vectors(spark, sf_dir):
+    """PQ encoding is a function of the vector: planted exact-duplicate
+    vectors must get byte-identical code arrays and identical
+    reconstruction error, and codes span multiple values (the codebook
+    is actually used, not collapsed)."""
+    e = load_table(spark, sf_dir, "embeddings").limit(200)
+    dup = e.withColumn("vec_id", F.col("vec_id") + 1_000_000)
+    both = e.unionAll(dup)
+    books = C.pq_train(both, "embedding", both.filter(F.col("vec_id") < C._PQ_K))
+    enc = {r["vec_id"]: (tuple(r["codes"]), r["recon_err"])
+           for r in C.pq_encode(both, "embedding", books).collect()}
+    for vid in list(enc):
+        if vid >= 1_000_000:
+            assert enc[vid] == enc[vid - 1_000_000]
+    assert len({c for c, _ in enc.values()}) > 10
+    assert all(len(c) == C._PQ_M for c, _ in enc.values())
+
+
+def test_pq_beats_single_centroid_reconstruction(spark, sf_dir):
+    """Mean PQ reconstruction error must beat the degenerate 1-code
+    codebook (every subvector mapped to the subspace mean) — i.e. the
+    K=16 codebook genuinely encodes structure."""
+    e = load_table(spark, sf_dir, "embeddings")
+    books = C.pq_train(e, "embedding", e.filter(F.col("vec_id") < C._PQ_K))
+    pq_err = (
+        C.pq_encode(e, "embedding", books)
+        .agg(F.avg("recon_err").alias("m"))
+        .collect()[0]["m"]
+    )
+    sub = C._pq_subvectors(e, "embedding")
+    mean_books = [
+        [
+            [
+                r["c" + str(d)] for d in range(C._PQ_DIM)
+            ]
+        ]
+        * C._PQ_K
+        for r in sub.groupBy("sub_id")
+        .agg(
+            *[
+                F.avg(F.element_at("sv", d + 1).cast("double")).alias("c" + str(d))
+                for d in range(C._PQ_DIM)
+            ]
+        )
+        .orderBy("sub_id")
+        .collect()
+    ]
+    mean_err = (
+        C.pq_encode(e, "embedding", mean_books)
+        .agg(F.avg("recon_err").alias("m"))
+        .collect()[0]["m"]
+    )
+    assert pq_err < 0.8 * mean_err, (pq_err, mean_err)

@@ -60,6 +60,7 @@ def test_relational_plans_stay_jvm_side(spark, sf_dir):
                 "q_multimodal_resize",  # numpy pool runs in mapInPandas by design
                 "q_multimodal_frame_sample",  # frame slicing in mapInPandas
                 "q_multimodal_audio",  # WAV codec runs in mapInPandas by design
+                "q_multimodal_phash",  # pixel decode + aHash in mapInPandas
             )
         ):
             continue
