@@ -229,6 +229,7 @@ _PQ_M = 8  # subspaces
 _PQ_K = 16  # codes per subspace
 _PQ_DIM = 8  # dims per subspace
 _PQ_ITERS = 3
+_ADC_SHORTLIST = 50
 
 
 def _pq_subvectors(df: DataFrame, vec_col: str) -> DataFrame:
@@ -376,4 +377,93 @@ def q_embed_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("recon_err"), 4).alias("avg_recon_err"),
         )
         .orderBy("label")
+    )
+
+
+@register("q_sim_pq_adc")  # rows-only: PQ codebook is driver-iterative
+def q_sim_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k search over PQ codes — the
+    query tier of IVF-PQ: the query's 128-entry lookup table (squared
+    distance from each query subvector to each codebook centroid) is
+    computed driver-side and folded into the scan as literals, so the
+    approximate distance of a database vector is M array lookups + a
+    sum over its 4-byte code — no float vectors are read at query
+    time. Returns one evaluation row: recall@10 of ADC against the
+    exact float-vector top-10 (both arms TakeOrderedAndProject), the
+    metric that tunes M/K — reported for raw ADC@10 AND for the
+    production two-stage design (ADC shortlist of 50 -> exact re-rank
+    of just those 50 float vectors -> top-10). Query = vec_id 0,
+    excluded from both arms."""
+    e = load_table(spark, sf_dir, "embeddings")
+    books = pq_train(e, "embedding", e.filter(F.col("vec_id") < _PQ_K))
+    q = [float(x) for x in e.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    # driver-side LUT[sub][code] = ||q_sub - cent||²
+    lut = [
+        [
+            sum(
+                (q[s * _PQ_DIM + d] - books[s][j][d]) ** 2
+                for d in range(_PQ_DIM)
+            )
+            for j in range(_PQ_K)
+        ]
+        for s in range(_PQ_M)
+    ]
+    lut_col = F.array(
+        *[F.array(*[F.lit(x) for x in row]) for row in lut]
+    )
+    enc = pq_encode(e.filter(F.col("vec_id") != 0), "embedding", books)
+    adc = F.aggregate(
+        F.zip_with(
+            F.col("codes"),
+            lut_col,
+            lambda code, row: F.element_at(row, code + 1),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    shortlist = (
+        enc.select("vec_id", adc.alias("adc"))
+        .orderBy(F.col("adc").asc(), F.col("vec_id").asc())
+        .limit(_ADC_SHORTLIST)
+    )
+    exact_d = F.aggregate(
+        F.zip_with(
+            "embedding",
+            F.array(*[F.lit(x) for x in q]),
+            lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    exact10 = (
+        e.filter(F.col("vec_id") != 0)
+        .select("vec_id", exact_d.alias("d"))
+        .orderBy(F.col("d").asc(), F.col("vec_id").asc())
+        .limit(10)
+    )
+    # stage 2: exact re-rank of the ADC shortlist (fetch only the
+    # shortlisted float vectors — 50 rows at any corpus size)
+    rerank10 = (
+        e.join(shortlist.select("vec_id"), "vec_id")
+        .select("vec_id", exact_d.alias("d"))
+        .orderBy(F.col("d").asc(), F.col("vec_id").asc())
+        .limit(10)
+    )
+    raw_hits = (
+        shortlist.limit(10).join(exact10.select("vec_id"), "vec_id").count()
+    )
+    rr_hits = rerank10.join(exact10.select("vec_id"), "vec_id").count()
+    return spark.createDataFrame(
+        [
+            (
+                0,
+                10,
+                raw_hits,
+                round(raw_hits / 10.0, 4),
+                rr_hits,
+                round(rr_hits / 10.0, 4),
+            )
+        ],
+        "query_id int, k int, n_hits_adc long, recall_adc double, "
+        "n_hits_rerank long, recall_rerank double",
     )
