@@ -616,9 +616,11 @@ def q_events_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     Every stage-1 event is an anchor — the greedy earliest-anchor
     shortcut would miss funnels whose completing chain starts later —
     and each stage is a per-(user, anchor) min-aggregate over a
-    time-bounded join, so fan-out is events-per-window, never events².
-    All joins are user-keyed (one partitioning reused); per-depth
-    counts are the bounded output."""
+    time-BIN-blocked join on (user_id, bin) — each stage event
+    explodes to the only 2 window-bins whose anchors it can complete,
+    so fan-out is time-local events-per-window, never a per-user
+    events² cross product (hub safety; see the inline note).
+    Per-depth counts are the bounded output."""
     ev = load_table(spark, sf_dir, "events").select(
         "user_id", "event_type", ts_us("ts").alias("t")
     )
@@ -631,8 +633,31 @@ def q_events_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     buys = ev.filter(F.col("event_type") == "purchase").select(
         "user_id", F.col("t").alias("tp")
     )
+    # Time-bin blocking (hub safety): a bare join on user_id is a
+    # per-user cross product before the range predicate filters — a
+    # bot user with 10^5 stage events would go quadratic. Instead
+    # anchors carry bin = ta div W, and each later-stage event at t
+    # can only match anchors with ta in [t - W, t), i.e. bins
+    # {(t-W) div W, t div W} — explode to those 2 bins and equi-join
+    # on (user_id, bin). Exact (derived from the window inclusion)
+    # and bounds fan-out to time-local events, like the interval-
+    # overlap join's canonical-bin scheme.
+    abin = F.expr(f"ta div {_WF_WINDOW_US}").alias("bin")
+    anchors_b = anchors.select("user_id", "ta", abin)
+
+    def two_bins(t: str) -> F.Column:
+        return F.array_distinct(
+            F.array(
+                F.expr(f"({t} - {_WF_WINDOW_US}) div {_WF_WINDOW_US}"),
+                F.expr(f"{t} div {_WF_WINDOW_US}"),
+            )
+        )
+
+    views_b = views.select(
+        "user_id", "tv", F.explode(two_bins("tv")).alias("bin")
+    )
     s2 = (
-        anchors.join(views, "user_id")
+        anchors_b.join(views_b, ["user_id", "bin"])
         .filter(
             (F.col("tv") > F.col("ta"))
             & (F.col("tv") <= F.col("ta") + _WF_WINDOW_US)
@@ -640,8 +665,12 @@ def q_events_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id", "ta")
         .agg(F.min("tv").alias("t2"))
     )
+    buys_b = buys.select(
+        "user_id", "tp", F.explode(two_bins("tp")).alias("bin")
+    )
     s3 = (
-        s2.join(buys, "user_id")
+        s2.withColumn("bin", F.expr(f"ta div {_WF_WINDOW_US}"))
+        .join(buys_b, ["user_id", "bin"])
         .filter(
             (F.col("tp") > F.col("t2"))
             & (F.col("tp") <= F.col("ta") + _WF_WINDOW_US)
