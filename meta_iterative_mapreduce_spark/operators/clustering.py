@@ -289,12 +289,17 @@ def _pq_assign(sub: DataFrame, books: list[list[list[float]]]) -> DataFrame:
 
 
 def pq_train(
-    df: DataFrame, vec_col: str, init_ids: DataFrame
+    df: DataFrame, vec_col: str, init_ids: DataFrame, sub: DataFrame | None = None
 ) -> list[list[list[float]]]:
     """Train the M×K PQ codebook. init_ids: the K smallest vec_ids'
     rows (deterministic seeding, like _init_centers). Returns
-    books[sub_id][code] = centroid (list of _PQ_DIM floats)."""
-    sub = _pq_subvectors(df, vec_col).cache()
+    books[sub_id][code] = centroid (list of _PQ_DIM floats). Pass a
+    pre-cached `sub` (_pq_subvectors output) to share the exploded
+    table with a following pq_encode — the caller then owns its
+    lifecycle."""
+    owns = sub is None
+    if owns:
+        sub = _pq_subvectors(df, vec_col).cache()
     try:
         seed = {
             (r["sub_id"], r["vec_id"]): [float(x) for x in r["sv"]]
@@ -328,17 +333,23 @@ def pq_train(
             ]
         return books
     finally:
-        sub.unpersist()
+        if owns:
+            sub.unpersist()
 
 
 def pq_encode(
-    df: DataFrame, vec_col: str, books: list[list[list[float]]]
+    df: DataFrame,
+    vec_col: str,
+    books: list[list[list[float]]],
+    sub: DataFrame | None = None,
 ) -> DataFrame:
     """(vec_id, codes array<int>, recon_err double): assign each
     subspace slice, collect the M codes per vector in sub_id order,
     and carry the exact reconstruction squared error (the assignment
     already computes true distance per subvector; summed per vector)."""
-    with_err = _pq_assign(_pq_subvectors(df, vec_col), books)
+    if sub is None:
+        sub = _pq_subvectors(df, vec_col)
+    with_err = _pq_assign(sub, books)
     return (
         with_err.groupBy("vec_id")
         .agg(
@@ -365,10 +376,11 @@ def q_embed_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     a K×M lookup table per query — the standard billion-scale ANN
     memory layout (IVF-PQ) whose IVF half is q_sim_ivf_ann."""
     e = load_table(spark, sf_dir, "embeddings")
+    sub = _pq_subvectors(e, "embedding").cache()
     books = pq_train(
-        e, "embedding", e.filter(F.col("vec_id") < _PQ_K)
+        e, "embedding", e.filter(F.col("vec_id") < _PQ_K), sub=sub
     )
-    enc = pq_encode(e, "embedding", books)
+    enc = pq_encode(e, "embedding", books, sub=sub)
     return (
         e.join(enc, "vec_id")
         .groupBy("label")
@@ -395,7 +407,8 @@ def q_sim_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     of just those 50 float vectors -> top-10). Query = vec_id 0,
     excluded from both arms."""
     e = load_table(spark, sf_dir, "embeddings")
-    books = pq_train(e, "embedding", e.filter(F.col("vec_id") < _PQ_K))
+    sub = _pq_subvectors(e, "embedding").cache()
+    books = pq_train(e, "embedding", e.filter(F.col("vec_id") < _PQ_K), sub=sub)
     q = [float(x) for x in e.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
     # driver-side LUT[sub][code] = ||q_sub - cent||²
     lut = [
@@ -411,7 +424,9 @@ def q_sim_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     lut_col = F.array(
         *[F.array(*[F.lit(x) for x in row]) for row in lut]
     )
-    enc = pq_encode(e.filter(F.col("vec_id") != 0), "embedding", books)
+    enc = pq_encode(
+        e, "embedding", books, sub=sub.filter(F.col("vec_id") != 0)
+    )
     adc = F.aggregate(
         F.zip_with(
             F.col("codes"),
