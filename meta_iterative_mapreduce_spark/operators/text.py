@@ -636,3 +636,101 @@ def q_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("bm25").desc(), "doc_id")
         .limit(10)
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE merge learning — the engine's fifth workload in the reference's
+# iterative loop shape (kernel.cu:135-217: distributed pass per round
+# + tiny driver-side model state): each round counts adjacent symbol
+# pairs over the word-frequency table in ONE weighted hash aggregate,
+# collects the single argmax pair (the "model update"), and folds the
+# merge back into the next round's plan as literals — exactly how a
+# SentencePiece/BPE vocabulary is actually trained over a corpus.
+# ---------------------------------------------------------------------------
+
+_BPE_ROUNDS = 6
+
+
+def _merge_pair(symbols: Column, left: str, right: str) -> Column:
+    """Greedy left-to-right merge of adjacent (left, right) into
+    left+right inside a symbol array — pure JVM aggregate fold."""
+    merged = F.lit(left + right)
+    return F.aggregate(
+        symbols,
+        F.array().cast("array<string>"),
+        lambda acc, s: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(left))
+            & (s == F.lit(right)),
+            F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(merged)),
+        ).otherwise(F.concat(acc, F.array(s))),
+    )
+
+
+def bpe_learn(words: DataFrame, n_rounds: int = _BPE_ROUNDS) -> list[tuple]:
+    """Learn n_rounds BPE merges from a (word, freq) table. Returns
+    [(rank, left, right, merged, pair_freq)]. Per round: one weighted
+    pair-count shuffle + a 1-row collect; the word table (vocabulary,
+    not corpus) is cached once and re-derived symbol arrays fold the
+    merge history in as literals — no lineage growth past n_rounds
+    bounded expression nesting."""
+    syms = words.select(
+        "freq", F.split("word", "").alias("symbols")
+    ).cache()
+    try:
+        merges: list[tuple] = []
+        for r in range(1, n_rounds + 1):
+            cur_col = F.col("symbols")
+            for _, left, right, _, _ in merges:
+                cur_col = _merge_pair(cur_col, left, right)
+            pairs = (
+                syms.select(
+                    "freq",
+                    F.explode(
+                        F.zip_with(
+                            cur_col,
+                            F.slice(cur_col, 2, F.greatest(F.size(cur_col) - 1, F.lit(0))),
+                            lambda a, b: F.struct(a.alias("l"), b.alias("r")),
+                        )
+                    ).alias("p"),
+                )
+                .filter(F.col("p.r").isNotNull())  # zip_with pads the tail
+                .groupBy("p.l", "p.r")
+                .agg(F.sum("freq").alias("pf"))
+                .orderBy(F.col("pf").desc(), F.col("l").asc(), F.col("r").asc())
+                .limit(1)
+                .collect()
+            )
+            if not pairs:
+                break
+            row = pairs[0]
+            merges.append(
+                (r, row["l"], row["r"], row["l"] + row["r"], int(row["pf"]))
+            )
+        return merges
+    finally:
+        syms.unpersist()
+
+
+@register("q_text_bpe_learn")  # rows-only: driver-iterative argmax loop
+# (the per-round merge choice is model state, like k-means centroids)
+def q_text_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learn the first 6 BPE merges over the corpus word-frequency
+    table: per round, ONE weighted adjacent-pair aggregate over the
+    (distinct-word, freq) vocabulary — NOT the raw corpus, which is
+    the trick that makes real BPE training tractable at 100 TB (the
+    corpus collapses to its vocabulary once; rounds then scan
+    |vocab| rows) — plus a 1-row argmax collect. Deterministic
+    tie-break (freq desc, pair asc); brute-force-equality tested
+    against a pure-Python reference BPE in tests."""
+    d = load_table(spark, sf_dir, "documents")
+    words = (
+        d.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.length("word") > 0)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    merges = bpe_learn(words)
+    return spark.createDataFrame(
+        merges, "rank int, left string, right string, merged string, pair_freq long"
+    )

@@ -155,3 +155,56 @@ def test_interval_overlap_join_equals_brute_force(spark):
         for r in interval_overlap_pairs(iv, bin_us=W).collect()
     }
     assert got == expect and len(expect) > 100
+
+
+def _brute_bpe(word_freqs: dict[str, int], n_rounds: int) -> list[tuple]:
+    """Pure-Python reference BPE: greedy left-to-right merge, argmax
+    pair by (freq desc, pair asc) per round."""
+    vocab = {w: list(w) for w in word_freqs}
+    merges = []
+    for r in range(1, n_rounds + 1):
+        counts: dict[tuple[str, str], int] = {}
+        for w, syms in vocab.items():
+            f = word_freqs[w]
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + f
+        if not counts:
+            break
+        (left, right), pf = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0])
+        )
+        merges.append((r, left, right, left + right, pf))
+        for w, syms in vocab.items():
+            out: list[str] = []
+            for s in syms:
+                if out and out[-1] == left and s == right:
+                    out[-1] = left + right
+                else:
+                    out.append(s)
+            vocab[w] = out
+    return merges
+
+
+def test_bpe_learn_equals_reference_implementation(spark, sf_dir):
+    """bpe_learn == the pure-Python reference BPE on the corpus's own
+    word-frequency table (merge order, pairs, and frequencies all
+    exact) — including merges-of-merges in later rounds."""
+    from pyspark.sql import functions as F
+
+    from meta_iterative_mapreduce_spark.io import load_table
+    from meta_iterative_mapreduce_spark.operators.text import bpe_learn
+
+    d = load_table(spark, sf_dir, "documents")
+    words = (
+        d.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.length("word") > 0)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    wf = {r["word"]: r["freq"] for r in words.collect()}
+    expect = _brute_bpe(wf, 10)
+    got = bpe_learn(words, 10)
+    assert got == expect and len(got) == 10
+    # later rounds must be able to consume earlier merged symbols
+    merged_syms = {m[3] for m in got}
+    assert any(m[1] in merged_syms or m[2] in merged_syms for m in got)
