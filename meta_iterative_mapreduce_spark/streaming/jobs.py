@@ -188,6 +188,20 @@ def click_purchase_join(events: DataFrame) -> DataFrame:
     )
 
 
+def enrich_with_dim(
+    events: DataFrame, dim: DataFrame, on_left: str, on_right: str
+) -> DataFrame:
+    """Stream-static enrichment join: every micro-batch inner-joins the
+    unbounded event stream against a bounded dimension snapshot. No
+    watermark and NO state store — the static side is just re-planned
+    (and auto-broadcast when small) each micro-batch, which is the
+    standard dim-enrichment tier of a streaming pipeline; slowly
+    changing dims swap in a new snapshot between restarts."""
+    return events.join(
+        dim, events[on_left] == dim[on_right], "inner"
+    ).drop(on_right)
+
+
 def foreach_batch_mor_upsert(
     events: DataFrame, path: str
 ) -> None:

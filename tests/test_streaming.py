@@ -121,3 +121,32 @@ def test_stream_stream_join_across_microbatches(spark, sf_dir, tmp_path):
     ).toPandas()
     want = registry.queries()["q_stream_join"](spark, sf_dir).toPandas()
     pd.testing.assert_frame_equal(_canon(got), _canon(want), check_dtype=False)
+
+
+def test_stream_static_enrichment_matches_batch(spark, sf_dir):
+    """Stream-static dim join: streamed events enriched with the
+    static customer dim (user_id -> c_custkey) must equal the batch
+    join — no state, no watermark, dim re-joined per micro-batch."""
+    from meta_iterative_mapreduce_spark.streaming.jobs import (
+        enrich_with_dim,
+        run_to_memory,
+        stream_events,
+    )
+
+    dim = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", "c_mktsegment"
+    )
+    out = enrich_with_dim(
+        stream_events(spark, sf_dir), dim, "user_id", "c_custkey"
+    ).select("event_id", "user_id", "c_mktsegment")
+    got = run_to_memory(out, "enrich_test", output_mode="append")
+    from pyspark.sql import functions as F
+
+    batch = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .join(dim, F.col("user_id") == F.col("c_custkey"))
+        .select("event_id", "user_id", "c_mktsegment")
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, batch.collect())
+    )
