@@ -389,3 +389,81 @@ def q_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percent_rank().over(w), 4).alias("pct_rank"),
         F.round(F.cume_dist().over(w), 4).alias("cume"),
     )
+
+
+@register(
+    "q_table_checksum",
+    oracle="""
+    SELECT COUNT(*) AS n_rows,
+           CAST(SUM(CAST(CONCAT('0x', SUBSTR(md5(CONCAT_WS('|',
+               l_orderkey, l_partkey, l_suppkey, l_returnflag)), 1, 8))
+               AS BIGINT)) AS BIGINT) AS checksum,
+           COUNT(DISTINCT l_orderkey) AS n_orders
+    FROM lineitem
+    """,
+)
+def q_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent table checksum — the migration/replication
+    validation primitive: per-row md5 over the stable key columns,
+    folded with a commutative SUM so partitioning and row order can't
+    change the digest. md5 is engine-portable (unlike xxhash64/crc32),
+    so the oracle recomputes the identical checksum — at 100 TB this
+    is ONE scan + a scalar aggregate per side of a migration, no data
+    movement. Key columns only (bigints + a flag char): float-to-string
+    rendering is NOT portable across engines and is deliberately
+    excluded from the digest."""
+    li = load_table(spark, sf_dir, "lineitem")
+    row_hash = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "|", "l_orderkey", "l_partkey", "l_suppkey", "l_returnflag"
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(row_hash).alias("checksum"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+    )
+
+
+@register(
+    "q_agg_decimal_exact",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT))
+               AS BIGINT) AS revenue_cents,
+           CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100
+               + 0.5) AS BIGINT)) AS BIGINT) AS discounted_cents,
+           CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT))
+               AS BIGINT) / 100.0 AS revenue
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_agg_decimal_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact fixed-point money aggregation: prices quantized to integer
+    cents at the scan (FLOOR(x*100 + 0.5) — zero rounding discretion,
+    see q_ts_interpolate's determinism note), summed as BIGINTs.
+    Unlike double sums, integer-cent sums are EXACT and
+    order-independent — no ROUND hygiene, and 200-partition / AQE
+    re-plans cannot move a cent; the display dollars column is one
+    identical division. This is the decimal/money tier every warehouse
+    keeps: the engine-native DecimalType path exists too, but
+    cross-engine double->decimal casts round differently on midpoints,
+    so the portable contract is integer cents."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
+    dcents = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + F.lit(0.5)
+    ).cast("long")
+    return li.groupBy("l_returnflag").agg(
+        F.sum(cents).alias("revenue_cents"),
+        F.sum(dcents).alias("discounted_cents"),
+        (F.sum(cents) / F.lit(100.0)).alias("revenue"),
+    )
