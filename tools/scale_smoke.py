@@ -406,6 +406,46 @@ def main() -> None:
     )
     assert n_ov == exp_ov, n_ov
 
+    # --- product quantization over 250k vectors (1000 distinct) ---
+    # vec[d] = ((g*(d+7)) % 97) / 97 with g = id % 1000: every vector
+    # appears 250x, so (a) codebook training runs at 250k-row scale
+    # and (b) every copy of a vector MUST get the same PQ codes —
+    # checked with one distinct count (<= 1000 distinct code tuples).
+    from meta_iterative_mapreduce_spark.operators import clustering as CL
+
+    n_pq, n_distinct = 250_000, 1000
+    vecs = spark.range(n_pq).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(63)),
+            lambda d: (((F.col("id") % n_distinct) * (d + 7)) % 97)
+            .cast("double")
+            / 97.0,
+        ).alias("embedding"),
+    )
+    t0 = time.time()
+    sub = CL._pq_subvectors(vecs, "embedding").cache()
+    books = CL.pq_train(
+        vecs, "embedding", vecs.filter(F.col("vec_id") < CL._PQ_K), sub=sub
+    )
+    enc = CL.pq_encode(vecs, "embedding", books, sub=sub).cache()
+    n_code_tuples = enc.select("codes").distinct().count()
+    n_violations = (
+        enc.withColumn("g", F.col("vec_id") % n_distinct)
+        .groupBy("g")
+        .agg(F.count_distinct("codes").alias("nc"))
+        .filter(F.col("nc") > 1)
+        .count()
+    )
+    print(
+        f"pq train+encode over {n_pq:,} vecs: {time.time()-t0:.1f}s -> "
+        f"{n_code_tuples} distinct code tuples, {n_violations} "
+        f"inconsistent duplicate groups"
+    )
+    assert n_code_tuples <= n_distinct and n_violations == 0
+    enc.unpersist()
+    sub.unpersist()
+
     print("scale smoke OK")
 
 
