@@ -932,3 +932,107 @@ def q_multimodal_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hashes.groupBy("ahash").agg(
         F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("keep_id")
     )
+
+
+# Pigeonhole blocking for aHash near-dup pairs: 16 bits split 6/5/5.
+# Hamming distance <= 2 flips bits in at most 2 blocks, so every true
+# pair agrees EXACTLY on >= 1 block (d < n_blocks) — the same exact-
+# recall argument as the SimHash 4x15-bit scheme (dedup.py), at image-
+# hash width.
+_PHASH_BLOCKS = ((0, 6), (6, 5), (11, 5))  # (shift, width)
+_PHASH_MAX_HAMMING = 2
+
+
+@register(
+    "q_multimodal_phash_pairs",
+    oracle=f"""
+    WITH dims AS (
+        SELECT doc_id, text,
+               CAST(doc_id % 13 + 4 AS INT) AS w,
+               CAST(LEAST(octet_length(encode(text)) // (doc_id % 13 + 4),
+                          64) AS INT) AS h
+        FROM documents
+        WHERE octet_length(encode(text)) = length(text)
+          AND octet_length(encode(text)) >= (doc_id % 13 + 4) * {_AHASH_GRID}
+          AND LEAST(octet_length(encode(text)) // (doc_id % 13 + 4), 64)
+              >= {_AHASH_GRID}
+    ), px AS (
+        SELECT d.doc_id, d.w, d.h,
+               ((t.i - 1) // d.w) * {_AHASH_GRID} // d.h * {_AHASH_GRID}
+                   + ((t.i - 1) % d.w) * {_AHASH_GRID} // d.w AS cell,
+               ascii(SUBSTR(d.text, CAST(t.i AS INT), 1)) AS v
+        FROM dims d,
+             UNNEST(generate_series(1, d.w * d.h)) AS t(i)
+    ), cells AS (
+        SELECT doc_id, cell, SUM(v) AS cs, COUNT(*) AS cn
+        FROM px GROUP BY doc_id, cell
+    ), tot AS (
+        SELECT doc_id, SUM(cs) AS ts, SUM(cn) AS tn
+        FROM cells GROUP BY doc_id
+    ), hashes AS (
+        SELECT c.doc_id,
+               CAST(SUM(CASE WHEN c.cs * t.tn > t.ts * c.cn
+                             THEN CAST(1 AS BIGINT) << CAST(c.cell AS INT)
+                             ELSE 0 END) AS BIGINT) AS ahash
+        FROM cells c JOIN tot t USING (doc_id)
+        GROUP BY c.doc_id
+    ), hgroups AS (
+        SELECT ahash, COUNT(*) AS n_docs FROM hashes GROUP BY ahash
+    )
+    SELECT a.ahash AS hash_a, b.ahash AS hash_b,
+           CAST(bit_count(CAST(xor(a.ahash, b.ahash) AS BIGINT))
+               AS BIGINT) AS hamming,
+           a.n_docs AS n_docs_a, b.n_docs AS n_docs_b
+    FROM hgroups a JOIN hgroups b
+      ON a.ahash < b.ahash
+     AND bit_count(CAST(xor(a.ahash, b.ahash) AS BIGINT))
+         <= {_PHASH_MAX_HAMMING}
+    """,
+)
+def q_multimodal_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate IMAGE pairs: distinct aHash values within
+    Hamming distance 2, via exact-recall 3-block pigeonhole blocking
+    (6/5/5 bits — d <= 2 < 3 blocks guarantees one agreeing block),
+    with each hash's image count carried along. The pair space is the
+    DISTINCT-hash set (the dedup-bucket level), not the image set, so
+    output stays bounded at any corpus scale; expanding to image
+    pairs is one join per side. The oracle recomputes the hashes from
+    source text and brute-forces bit_count(xor) over all hash pairs —
+    proving the blocking loses no pair."""
+    hashes = (
+        q_multimodal_phash(spark, sf_dir)
+        .select("ahash", "n_docs")
+    )
+    blocks = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("b"),
+                F.shiftright("ahash", shift)
+                .bitwiseAND(F.lit((1 << width) - 1))
+                .alias("v"),
+            )
+            for i, (shift, width) in enumerate(_PHASH_BLOCKS)
+        ]
+    )
+    hb = hashes.select(
+        "ahash", "n_docs", F.explode(blocks).alias("blk")
+    ).select("ahash", "n_docs", "blk.b", "blk.v")
+    a, b = hb.alias("a"), hb.alias("b")
+    xor = F.col("a.ahash").bitwiseXOR(F.col("b.ahash"))
+    return (
+        a.join(
+            b,
+            (F.col("a.b") == F.col("b.b"))
+            & (F.col("a.v") == F.col("b.v"))
+            & (F.col("a.ahash") < F.col("b.ahash")),
+        )
+        .select(
+            F.col("a.ahash").alias("hash_a"),
+            F.col("b.ahash").alias("hash_b"),
+            F.bit_count(xor).cast("long").alias("hamming"),
+            F.col("a.n_docs").alias("n_docs_a"),
+            F.col("b.n_docs").alias("n_docs_b"),
+        )
+        .filter(F.col("hamming") <= _PHASH_MAX_HAMMING)
+        .dropDuplicates(["hash_a", "hash_b"])
+    )
