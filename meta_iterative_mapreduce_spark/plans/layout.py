@@ -132,3 +132,36 @@ def rowgroups_selected(path: str, col: str, lo: int, hi: int) -> tuple[int, int]
             if st is None or (st.min <= hi and st.max >= lo):
                 selected += 1
     return selected, total
+
+
+def compact_files(
+    spark: SparkSession,
+    src: str,
+    dst: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> tuple[int, int]:
+    """Small-file compaction (the OPTIMIZE half of lakehouse table
+    maintenance, next to write_zordered's clustering half): size the
+    source directory from file metadata, coalesce to
+    ceil(bytes / target) output files, and rewrite. Returns
+    (n_src_files, n_dst_files). Uses coalesce(), not repartition() —
+    compaction must not pay a shuffle; each output task concatenates
+    whole input splits. At 100 TB this runs per-partition-directory
+    with the same arithmetic, and target_file_bytes matches the scan
+    split size so downstream jobs get full-split tasks instead of a
+    small-file task per tiny file."""
+    import math
+    import os
+
+    files = [
+        os.path.join(src, f)
+        for f in os.listdir(src)
+        if f.endswith(".parquet")
+    ]
+    total_bytes = sum(os.path.getsize(f) for f in files)
+    n_out = max(1, math.ceil(total_bytes / target_file_bytes))
+    spark.read.parquet(src).coalesce(n_out).write.mode("overwrite").parquet(dst)
+    n_dst = len(
+        [f for f in os.listdir(dst) if f.endswith(".parquet")]
+    )
+    return len(files), n_dst

@@ -70,3 +70,27 @@ def test_zorder_files_skip_on_both_dims(spark, sf_dir, tmp_path):
     assert sorted(r[0] for r in got.collect()) == sorted(
         r[0] for r in want.collect()
     )
+
+
+def test_compact_files_reduces_file_count_preserving_rows(spark, sf_dir, tmp_path):
+    """64 tiny files -> ceil(bytes/target) compacted files with
+    identical row multiset; the compaction plan contains no exchange
+    (coalesce, not repartition)."""
+    from meta_iterative_mapreduce_spark.plans.layout import compact_files
+
+    src, dst = str(tmp_path / "small"), str(tmp_path / "compact")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev.repartition(64).write.parquet(src)
+    n_src, n_dst = compact_files(spark, src, dst, target_file_bytes=1 << 30)
+    assert n_src == 64 and n_dst == 1
+    a = sorted(r["event_id"] for r in spark.read.parquet(src).collect())
+    b = sorted(r["event_id"] for r in spark.read.parquet(dst).collect())
+    assert a == b
+    plan = (
+        spark.read.parquet(src)
+        .coalesce(1)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
