@@ -182,3 +182,31 @@ def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("us_p") - F.col("us_c")).alias("gap_us"),
         )
     )
+
+
+@register(
+    "q_stream_enrich",
+    oracle="""
+    SELECT e.event_id, e.user_id, c.c_mktsegment,
+           COUNT(*) OVER (PARTITION BY c.c_mktsegment) AS n_in_segment
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    """,
+)
+def q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the stream-static dimension enrichment
+    (streaming/jobs.py::enrich_with_dim, e2e-tested against this
+    shape): every event joined to its customer dim row, plus a
+    per-segment count. In the streaming plan the dim side is
+    re-planned per micro-batch and auto-broadcast — no state store,
+    the cheapest streaming join tier."""
+    e = load_table(spark, sf_dir, "events").select("event_id", "user_id")
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    joined = e.join(c, e.user_id == c.c_custkey).drop("c_custkey")
+    from pyspark.sql import Window as W
+
+    return joined.withColumn(
+        "n_in_segment",
+        F.count(F.lit(1)).over(W.partitionBy("c_mktsegment")),
+    )
