@@ -213,7 +213,9 @@ def q_sim_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Product quantization (PQ): the memory tier of a vector index. Split
+# Product quantization (PQ, Jégou/Douze/Schmid, "Product Quantization
+# for Nearest Neighbor Search", TPAMI 2011): the memory tier of a
+# vector index. Split
 # each 64-dim vector into M=8 subspaces of 8 dims, k-means each
 # subspace to K=16 codes, store each vector as 8 nibbles (64 bytes ->
 # 4 bytes, 16× compression). ALL M subspace k-means run in ONE

@@ -427,7 +427,8 @@ def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # Fuzzy entity resolution: edit-distance-1 matching via deletion
-# neighborhoods (SymSpell blocking).  Two strings at Levenshtein
+# neighborhoods (the SymSpell / symmetric-delete blocking scheme, a
+# public spelling-correction technique).  Two strings at Levenshtein
 # distance <= 1 MUST share a member of {s} ∪ {s minus one char}:
 #   - equality            -> share s itself;
 #   - one substitution    -> share the deletion at the substituted pos;

@@ -639,7 +639,10 @@ def q_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# BPE merge learning — the engine's fifth workload in the reference's
+# BPE merge learning (Sennrich/Haddow/Birch, "Neural Machine
+# Translation of Rare Words with Subword Units", ACL 2016; the
+# word-frequency-table formulation is the standard tractable form) —
+# the engine's fifth workload in the reference's
 # iterative loop shape (kernel.cu:135-217: distributed pass per round
 # + tiny driver-side model state): each round counts adjacent symbol
 # pairs over the word-frequency table in ONE weighted hash aggregate,
