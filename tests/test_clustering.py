@@ -137,3 +137,15 @@ def test_pq_beats_single_centroid_reconstruction(spark, sf_dir):
         .collect()[0]["m"]
     )
     assert pq_err < 0.8 * mean_err, (pq_err, mean_err)
+
+
+def test_pq_adc_recall_row_sane(spark, sf_dir):
+    """ADC evaluation returns one row; re-ranked recall is at least
+    raw-ADC recall (the exact re-rank of a superset can only help)
+    and both are valid fractions."""
+    from meta_iterative_mapreduce_spark import registry
+
+    r = registry.queries()["q_sim_pq_adc"](spark, sf_dir).collect()
+    assert len(r) == 1
+    row = r[0]
+    assert 0.0 <= row["recall_adc"] <= row["recall_rerank"] <= 1.0
