@@ -487,3 +487,93 @@ def tree_aggregate_fit(df: DataFrame, x: str, y: str, depth: int = 2) -> tuple:
     w1 = (n * sxy - sx * sy) / denom
     w0 = (sy - w1 * sx) / n
     return (w0, w1, n)
+
+
+@register(
+    "q_regression_kfold",
+    oracle="""
+    WITH folds AS (
+        SELECT l_orderkey % 5 AS fold, l_quantity AS x, l_extendedprice AS y
+        FROM lineitem
+    ), models AS (
+        SELECT f.fold,
+               regr_intercept(t.y, t.x) AS w0,
+               regr_slope(t.y, t.x) AS w1,
+               CAST(COUNT(*) AS BIGINT) AS n_train
+        FROM (SELECT DISTINCT fold FROM folds) f
+        JOIN folds t ON t.fold <> f.fold
+        GROUP BY f.fold
+    ), scored AS (
+        SELECT m.fold, m.w0, m.w1, m.n_train,
+               (v.y - (m.w0 + m.w1 * v.x))
+                   * (v.y - (m.w0 + m.w1 * v.x)) AS se
+        FROM models m JOIN folds v ON v.fold = m.fold
+    )
+    SELECT fold, ROUND(w0, 4) AS w0, ROUND(w1, 4) AS w1, n_train,
+           CAST(COUNT(*) AS BIGINT) AS n_valid,
+           CAST(FLOOR(SQRT(AVG(se)) * 10000 + 0.5) AS BIGINT) AS rmse_e4
+    FROM scored GROUP BY fold, w0, w1, n_train
+    """,
+)
+def q_regression_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-fold cross-validated OLS (k=5, deterministic l_orderkey % 5
+    folds): each fold's model trains on the OTHER four folds and
+    scores out-of-fold RMSE on its own. All five train fits come from
+    ONE pass of per-fold sufficient statistics — leave-one-fold-out
+    stats are (total − fold) by mergeability, the same algebra the
+    flagship's exact fit uses (kernel.cu:56-62), so k-fold costs one
+    aggregate + one tiny join, not k scans. Out-of-fold scoring is a
+    broadcast of 5 models onto the validation rows. RMSE crosses a
+    multi-row average, so it lands as a floor-scaled e4 integer."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        (F.col("l_orderkey") % 5).alias("fold"),
+        F.col(_X).cast("double").alias("x"),
+        F.col(_Y).cast("double").alias("y"),
+    )
+    per_fold = li.groupBy("fold").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    tot = per_fold.agg(
+        F.sum("n").alias("tn"),
+        F.sum("sx").alias("tsx"),
+        F.sum("sy").alias("tsy"),
+        F.sum("sxx").alias("tsxx"),
+        F.sum("sxy").alias("tsxy"),
+    )
+    loo = per_fold.crossJoin(F.broadcast(tot)).select(
+        "fold",
+        (F.col("tn") - F.col("n")).alias("n_train"),
+        (F.col("tsx") - F.col("sx")).alias("sx"),
+        (F.col("tsy") - F.col("sy")).alias("sy"),
+        (F.col("tsxx") - F.col("sxx")).alias("sxx"),
+        (F.col("tsxy") - F.col("sxy")).alias("sxy"),
+    )
+    n = F.col("n_train").cast("double")
+    slope = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        n * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    models = loo.select(
+        "fold",
+        "n_train",
+        ((F.col("sy") - slope * F.col("sx")) / n).alias("w0"),
+        slope.alias("w1"),
+    )
+    scored = li.join(F.broadcast(models), "fold")
+    resid = F.col("y") - (F.col("w0") + F.col("w1") * F.col("x"))
+    return scored.groupBy("fold", "w0", "w1", "n_train").agg(
+        F.count(F.lit(1)).alias("n_valid"),
+        F.floor(F.sqrt(F.avg(resid * resid)) * 10000 + F.lit(0.5))
+        .cast("long")
+        .alias("rmse_e4"),
+    ).select(
+        "fold",
+        F.round("w0", 4).alias("w0"),
+        F.round("w1", 4).alias("w1"),
+        "n_train",
+        "n_valid",
+        "rmse_e4",
+    )
