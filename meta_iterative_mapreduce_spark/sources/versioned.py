@@ -1,0 +1,112 @@
+"""Versioned table log with time travel — the minimal log-structured
+lakehouse mechanism (manifest-per-version listing immutable parquet
+files), built on nothing but Spark + a filesystem.
+
+Like Delta/Iceberg's core trick, a version is a MANIFEST, not a data
+copy: `append_version` writes only the new rows' files and its
+manifest references the previous version's files unchanged, so
+appending N rows costs O(N) I/O regardless of table size, old
+versions stay readable forever (time travel), and readers see an
+atomic file list (the manifest is written last, via temp + rename).
+The reference has no storage layer at all (kernel.cu reads stdin);
+this is the engine-side table format a 100 TB pipeline checkpoints
+into. Compaction (plans/layout.py::compact_files) and MERGE
+(operators/merge.py) compose with it: compact rewrites files and
+publishes a new manifest; merge writes a new snapshot version.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+_MANIFEST_DIR = "_manifests"
+_DATA_DIR = "data"
+
+
+def _manifest_path(table: str, version: int) -> str:
+    return os.path.join(table, _MANIFEST_DIR, f"v{version:06d}.json")
+
+
+def versions(table: str) -> list[int]:
+    """Sorted committed versions (manifest files present)."""
+    mdir = os.path.join(table, _MANIFEST_DIR)
+    if not os.path.isdir(mdir):
+        return []
+    out = []
+    for f in os.listdir(mdir):
+        if f.startswith("v") and f.endswith(".json"):
+            out.append(int(f[1:-5]))
+    return sorted(out)
+
+
+def _commit(table: str, version: int, files: list[str], n_rows: int) -> None:
+    """Write the manifest atomically: temp file + rename. Readers never
+    observe a partial manifest, and an existing version is never
+    overwritten (rename onto an existing path would clobber — guard)."""
+    mdir = os.path.join(table, _MANIFEST_DIR)
+    os.makedirs(mdir, exist_ok=True)
+    final = _manifest_path(table, version)
+    if os.path.exists(final):
+        raise ValueError(f"version {version} already committed")
+    tmp = final + f".tmp-{uuid.uuid4().hex}"
+    with open(tmp, "w") as fh:
+        json.dump({"version": version, "files": files, "n_rows": n_rows}, fh)
+    os.rename(tmp, final)
+
+
+def _write_data_files(df: DataFrame, table: str, version: int) -> list[str]:
+    """Materialize df as immutable parquet files under a
+    version-scoped directory; returns table-relative file paths."""
+    sub = os.path.join(_DATA_DIR, f"v{version:06d}-{uuid.uuid4().hex[:8]}")
+    df.write.mode("error").parquet(os.path.join(table, sub))
+    out = [
+        os.path.join(sub, f)
+        for f in os.listdir(os.path.join(table, sub))
+        if f.endswith(".parquet")
+    ]
+    return sorted(out)
+
+
+def write_version(df: DataFrame, table: str) -> int:
+    """Commit df as a full snapshot (next version). Returns version."""
+    vs = versions(table)
+    v = (vs[-1] + 1) if vs else 1
+    files = _write_data_files(df, table, v)
+    _commit(table, v, files, df.count())
+    return v
+
+
+def append_version(df: DataFrame, table: str) -> int:
+    """Commit df's rows APPENDED to the latest version: writes only the
+    new files; the manifest references the previous files unchanged
+    (log-structured append — no rewrite of existing data)."""
+    vs = versions(table)
+    if not vs:
+        return write_version(df, table)
+    prev = json.load(open(_manifest_path(table, vs[-1])))
+    v = vs[-1] + 1
+    new_files = _write_data_files(df, table, v)
+    _commit(
+        table, v, prev["files"] + new_files, prev["n_rows"] + df.count()
+    )
+    return v
+
+
+def read_version(
+    spark: SparkSession, table: str, version: int | None = None
+) -> DataFrame:
+    """Time-travel read: the exact immutable file list of `version`
+    (latest if None)."""
+    vs = versions(table)
+    if not vs:
+        raise FileNotFoundError(f"no committed versions in {table}")
+    v = vs[-1] if version is None else version
+    if v not in vs:
+        raise ValueError(f"version {v} not in {vs}")
+    m = json.load(open(_manifest_path(table, v)))
+    paths = [os.path.join(table, f) for f in m["files"]]
+    return spark.read.parquet(*paths)

@@ -81,3 +81,57 @@ def test_jdbc_without_driver_fails_with_driver_error(spark):
     error would fail differently)."""
     with pytest.raises(Exception, match="(?i)driver|jdbc"):
         read_jdbc(spark, "jdbc:postgresql://localhost:1/none", "t")
+
+
+def test_versioned_table_time_travel(spark, sf_dir, tmp_path):
+    """Log-structured versioned table: v1 snapshot, v2 append — v1
+    stays readable unchanged (time travel), v2 = union, and the append
+    wrote NO new copy of v1's data (v1's files are referenced, not
+    rewritten)."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from meta_iterative_mapreduce_spark.sources.versioned import (
+        append_version,
+        read_version,
+        versions,
+        write_version,
+    )
+
+    table = str(tmp_path / "tbl")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "user_id"
+    )
+    half = ev.filter(F.col("event_id") % 2 == 0)
+    rest = ev.filter(F.col("event_id") % 2 == 1)
+    v1 = write_version(half, table)
+    v2 = append_version(rest, table)
+    assert (v1, v2) == (1, 2) and versions(table) == [1, 2]
+    n_half, n_all = half.count(), ev.count()
+    assert read_version(spark, table, 1).count() == n_half
+    assert read_version(spark, table).count() == n_all
+    got = sorted(
+        r["event_id"] for r in read_version(spark, table, 2).collect()
+    )
+    assert got == sorted(r["event_id"] for r in ev.collect())
+    # structural: v2's manifest reuses v1's files verbatim
+    m1 = json.load(open(os.path.join(table, "_manifests", "v000001.json")))
+    m2 = json.load(open(os.path.join(table, "_manifests", "v000002.json")))
+    assert set(m1["files"]) < set(m2["files"])
+
+
+def test_versioned_table_refuses_double_commit(spark, sf_dir, tmp_path):
+    import pytest as _pytest
+
+    from meta_iterative_mapreduce_spark.sources.versioned import (
+        _commit,
+        write_version,
+    )
+
+    table = str(tmp_path / "tbl2")
+    df = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    write_version(df, table)
+    with _pytest.raises(ValueError, match="already committed"):
+        _commit(table, 1, [], 0)
