@@ -53,3 +53,51 @@ def test_cdc_diff_classification(spark, sf_dir):
     ).select("o_orderkey")
     assert diff.join(unchanged, "o_orderkey", "semi").count() == 0
     diff.unpersist()
+
+
+def test_incremental_refresh_over_versioned_log(spark, sf_dir, tmp_path):
+    """End-to-end cohesion of the storage + incremental tiers: commit
+    orders v1, append a delta as v2, and refresh the per-customer
+    aggregate by merging v1's materialized partials with partials of
+    ONLY the delta (the version diff) — result equals a full
+    recompute over v2, with no rescan of v1's rows."""
+    from pyspark.sql import functions as F
+
+    from meta_iterative_mapreduce_spark.operators.incremental import (
+        merge_partials,
+    )
+    from meta_iterative_mapreduce_spark.sources.versioned import (
+        append_version,
+        read_version,
+        write_version,
+    )
+
+    table = str(tmp_path / "orders_log")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_custkey", "o_totalprice", "o_orderkey"
+    )
+    base = o.filter(F.col("o_orderkey") % 4 != 0)
+    delta = o.filter(F.col("o_orderkey") % 4 == 0)
+    write_version(base, table)
+    append_version(delta, table)
+
+    def partials(df):
+        return df.groupBy("o_custkey").agg(
+            F.sum("o_totalprice").alias("sum_price"),
+            F.count(F.lit(1)).alias("n"),
+        )
+
+    refreshed = merge_partials(
+        partials(read_version(spark, table, 1)).unionByName(partials(delta)),
+        ["o_custkey"],
+    )
+    full = partials(read_version(spark, table, 2))
+    a = {
+        r["o_custkey"]: (round(r["sum_price"], 4), r["n"])
+        for r in refreshed.collect()
+    }
+    b = {
+        r["o_custkey"]: (round(r["sum_price"], 4), r["n"])
+        for r in full.collect()
+    }
+    assert a == b and len(a) > 100
