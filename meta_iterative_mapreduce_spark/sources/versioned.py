@@ -43,7 +43,9 @@ def versions(table: str) -> list[int]:
     return sorted(out)
 
 
-def _commit(table: str, version: int, files: list[str], n_rows: int) -> None:
+def _commit(
+    table: str, version: int, files: list[str], n_rows: int, **extra
+) -> None:
     """Write the manifest atomically: temp file + rename. Readers never
     observe a partial manifest, and an existing version is never
     overwritten (rename onto an existing path would clobber — guard)."""
@@ -54,7 +56,10 @@ def _commit(table: str, version: int, files: list[str], n_rows: int) -> None:
         raise ValueError(f"version {version} already committed")
     tmp = final + f".tmp-{uuid.uuid4().hex}"
     with open(tmp, "w") as fh:
-        json.dump({"version": version, "files": files, "n_rows": n_rows}, fh)
+        json.dump(
+            {"version": version, "files": files, "n_rows": n_rows, **extra},
+            fh,
+        )
     os.rename(tmp, final)
 
 
@@ -110,3 +115,45 @@ def read_version(
     m = json.load(open(_manifest_path(table, v)))
     paths = [os.path.join(table, f) for f in m["files"]]
     return spark.read.parquet(*paths)
+
+
+def committed_batch_ids(table: str) -> set[int]:
+    """Stream batch ids already committed to this table (recorded in
+    each manifest written by versioned_batch_sink)."""
+    out = set()
+    for v in versions(table):
+        m = json.load(open(_manifest_path(table, v)))
+        if "batch_id" in m:
+            out.add(m["batch_id"])
+    return out
+
+
+def versioned_batch_sink(table: str):
+    """foreachBatch function giving EXACTLY-ONCE appends into the
+    versioned log: Structured Streaming replays a micro-batch with the
+    SAME batchId after a failure, and the sink skips batchIds whose
+    manifest already committed — the standard idempotent-sink contract
+    (transaction log + batch id), on the same manifests time travel
+    reads. Usage:
+        df.writeStream.foreachBatch(versioned_batch_sink(path))...
+    """
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id in committed_batch_ids(table):
+            return  # replayed batch: already durable, skip
+        vs = versions(table)
+        if not vs:
+            v, prev_files, prev_rows = 1, [], 0
+        else:
+            prev = json.load(open(_manifest_path(table, vs[-1])))
+            v, prev_files, prev_rows = vs[-1] + 1, prev["files"], prev["n_rows"]
+        files = _write_data_files(batch_df, table, v)
+        _commit(
+            table,
+            v,
+            prev_files + files,
+            prev_rows + batch_df.count(),
+            batch_id=batch_id,
+        )
+
+    return apply_batch

@@ -135,3 +135,37 @@ def test_versioned_table_refuses_double_commit(spark, sf_dir, tmp_path):
     write_version(df, table)
     with _pytest.raises(ValueError, match="already committed"):
         _commit(table, 1, [], 0)
+
+
+def test_versioned_sink_is_exactly_once(spark, sf_dir, tmp_path):
+    """Streamed events land in the versioned log exactly once, and a
+    REPLAYED micro-batch (same batchId re-invoked, as Structured
+    Streaming does after failure) is skipped — row count unchanged."""
+    from meta_iterative_mapreduce_spark.sources.versioned import (
+        committed_batch_ids,
+        read_version,
+        versioned_batch_sink,
+    )
+    from meta_iterative_mapreduce_spark.streaming.jobs import stream_events
+
+    table = str(tmp_path / "sink_tbl")
+    sink = versioned_batch_sink(table)
+    q = (
+        stream_events(spark, sf_dir)
+        .select("event_id", "user_id")
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    n_expected = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    assert read_version(spark, table).count() == n_expected
+    ids = committed_batch_ids(table)
+    assert ids
+    # replay the last batch id with fresh (duplicate) data: must no-op
+    dup = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "user_id"
+    )
+    sink(dup, max(ids))
+    assert read_version(spark, table).count() == n_expected
