@@ -430,3 +430,28 @@ def test_runtime_bloom_filter_prunes_fact_scan(spark, sf_dir):
                 conf.unset(k)
             else:
                 conf.set(k, v)
+
+
+def test_dynamic_partition_pruning_fires(spark, sf_dir, tmp_path):
+    """Dynamic partition pruning: a directory-partitioned fact joined
+    to a filtered dim must carry a dynamicpruning subquery in its
+    PartitionFilters — at 100 TB the fact scan reads only the
+    partitions the dim filter selects, decided at RUNTIME from the
+    dim's build side (static pruning can't see through the join).
+    Correctness pinned against the unpartitioned plan."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "region", (F.col("user_id") % 5).cast("int")
+    )
+    ev.write.partitionBy("region").parquet(str(tmp_path / "fact"))
+    fact = spark.read.parquet(str(tmp_path / "fact"))
+    dim = spark.createDataFrame(
+        [(i, "keep" if i == 2 else "drop") for i in range(5)],
+        "r int, tag string",
+    )
+    j = fact.join(
+        dim.filter(F.col("tag") == "keep"), fact.region == dim.r
+    ).agg(F.count("*").alias("n"))
+    plan = _plan(j)
+    assert "dynamicpruning" in plan.lower(), plan
+    expected = ev.filter(F.col("region") == 2).count()
+    assert j.collect()[0]["n"] == expected
