@@ -624,13 +624,26 @@ def q_events_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select(
         "user_id", "event_type", ts_us("ts").alias("t")
     )
-    anchors = ev.filter(F.col("event_type") == "signup").select(
+    depth = windowed_funnel_depths(
+        ev, ("signup", "view", "purchase"), _WF_WINDOW_US
+    )
+    return depth.groupBy("depth").agg(F.count(F.lit(1)).alias("n_users"))
+
+
+def windowed_funnel_depths(
+    ev: DataFrame, stages: tuple[str, str, str], window_us: int
+) -> DataFrame:
+    """(user_id, depth) per user with >=1 stage-1 event — the
+    bin-blocked windowed-funnel core over (user_id, event_type, t)
+    rows; see q_events_funnel_windowed."""
+    _WF = window_us
+    anchors = ev.filter(F.col("event_type") == stages[0]).select(
         "user_id", F.col("t").alias("ta")
     )
-    views = ev.filter(F.col("event_type") == "view").select(
+    views = ev.filter(F.col("event_type") == stages[1]).select(
         "user_id", F.col("t").alias("tv")
     )
-    buys = ev.filter(F.col("event_type") == "purchase").select(
+    buys = ev.filter(F.col("event_type") == stages[2]).select(
         "user_id", F.col("t").alias("tp")
     )
     # Time-bin blocking (hub safety): a bare join on user_id is a
@@ -642,14 +655,14 @@ def q_events_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     # on (user_id, bin). Exact (derived from the window inclusion)
     # and bounds fan-out to time-local events, like the interval-
     # overlap join's canonical-bin scheme.
-    abin = F.expr(f"ta div {_WF_WINDOW_US}").alias("bin")
+    abin = F.expr(f"ta div {_WF}").alias("bin")
     anchors_b = anchors.select("user_id", "ta", abin)
 
     def two_bins(t: str) -> F.Column:
         return F.array_distinct(
             F.array(
-                F.expr(f"({t} - {_WF_WINDOW_US}) div {_WF_WINDOW_US}"),
-                F.expr(f"{t} div {_WF_WINDOW_US}"),
+                F.expr(f"({t} - {_WF}) div {_WF}"),
+                F.expr(f"{t} div {_WF}"),
             )
         )
 
@@ -660,7 +673,7 @@ def q_events_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
         anchors_b.join(views_b, ["user_id", "bin"])
         .filter(
             (F.col("tv") > F.col("ta"))
-            & (F.col("tv") <= F.col("ta") + _WF_WINDOW_US)
+            & (F.col("tv") <= F.col("ta") + _WF)
         )
         .groupBy("user_id", "ta")
         .agg(F.min("tv").alias("t2"))
@@ -669,16 +682,16 @@ def q_events_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "tp", F.explode(two_bins("tp")).alias("bin")
     )
     s3 = (
-        s2.withColumn("bin", F.expr(f"ta div {_WF_WINDOW_US}"))
+        s2.withColumn("bin", F.expr(f"ta div {_WF}"))
         .join(buys_b, ["user_id", "bin"])
         .filter(
             (F.col("tp") > F.col("t2"))
-            & (F.col("tp") <= F.col("ta") + _WF_WINDOW_US)
+            & (F.col("tp") <= F.col("ta") + _WF)
         )
         .groupBy("user_id", "ta")
         .agg(F.min("tp").alias("t3"))
     )
-    depth = (
+    return (
         anchors.join(s2, ["user_id", "ta"], "left")
         .join(s3, ["user_id", "ta"], "left")
         .select(
@@ -691,4 +704,3 @@ def q_events_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(F.max("d").alias("depth"))
     )
-    return depth.groupBy("depth").agg(F.count(F.lit(1)).alias("n_users"))

@@ -104,3 +104,67 @@ def test_funnel_k_matches_staged_on_fixture(spark, sf_dir):
         staged["n_view_click"],
         staged["n_view_click_purchase"],
     )
+
+
+def test_windowed_funnel_equals_brute_force_with_hub(spark):
+    """Bin-blocked windowed funnel == brute-force per-user evaluation
+    on a synthetic stream with (a) a completing chain whose anchor is
+    NOT the earliest (the greedy-shortcut trap), (b) boundary events
+    exactly at ta + W (inclusive) and ta (exclusive), and (c) a hub
+    user with 2000 stage events."""
+    import random
+
+    from meta_iterative_mapreduce_spark.operators.events_analytics import (
+        windowed_funnel_depths,
+    )
+
+    W_US = 1000
+    rows = []  # (user_id, event_type, t)
+    # user 0: earliest anchor fails, later anchor completes
+    rows += [
+        (0, "signup", 100), (0, "view", 5000),  # first anchor: no view in window
+        (0, "signup", 4500), (0, "purchase", 5400),  # chain 4500<5000<5400
+    ]
+    # user 1: boundary — view exactly at ta+W counts, purchase at ta+W too
+    rows += [(1, "signup", 2000), (1, "view", 3000), (1, "purchase", 3000)]
+    # (purchase at t2=3000 is NOT > t2 -> depth 2)
+    # user 2: purchase strictly inside
+    rows += [(2, "signup", 2000), (2, "view", 2500), (2, "purchase", 2999)]
+    # user 3: view at ta (exclusive) -> depth 1
+    rows += [(3, "signup", 7000), (3, "view", 7000)]
+    # hub user 9: 2000 random stage events
+    rng = random.Random(5)
+    for _ in range(2000):
+        rows.append(
+            (9, rng.choice(["signup", "view", "purchase"]), rng.randrange(0, 50 * W_US))
+        )
+    # brute force
+    by_user: dict[int, list[tuple[str, int]]] = {}
+    for u, et, t in rows:
+        by_user.setdefault(u, []).append((et, t))
+    expect = {}
+    for u, evs in by_user.items():
+        anchors = sorted(t for et, t in evs if et == "signup")
+        if not anchors:
+            continue
+        best = 1
+        for ta in anchors:
+            views = [t for et, t in evs if et == "view" and ta < t <= ta + W_US]
+            if not views:
+                continue
+            t2 = min(views)
+            best = max(best, 2)
+            buys = [t for et, t in evs if et == "purchase" and t2 < t <= ta + W_US]
+            if buys:
+                best = 3
+                break
+        expect[u] = best
+    ev = spark.createDataFrame(rows, "user_id long, event_type string, t long")
+    got = {
+        r["user_id"]: r["depth"]
+        for r in windowed_funnel_depths(
+            ev, ("signup", "view", "purchase"), W_US
+        ).collect()
+    }
+    assert got == expect
+    assert expect[0] == 3 and expect[1] == 2 and expect[2] == 3 and expect[3] == 1
