@@ -704,3 +704,76 @@ def windowed_funnel_depths(
         .groupBy("user_id")
         .agg(F.max("d").alias("depth"))
     )
+
+
+@register(
+    "q_events_rfm",
+    oracle="""
+    WITH maxts AS (
+        SELECT MAX(epoch_us(ts)) AS now_us FROM events
+    ), per_user AS (
+        SELECT e.user_id,
+               (m.now_us - MAX(epoch_us(e.ts))) // 86400000000 AS r_days,
+               COUNT(*) AS f,
+               CAST(FLOOR(SUM(e.value) * 10000 + 0.5) AS BIGINT) AS m_e4
+        FROM events e CROSS JOIN maxts m
+        WHERE e.event_type = 'purchase'
+        GROUP BY e.user_id, m.now_us
+    ), scored AS (
+        SELECT user_id,
+               NTILE(4) OVER (ORDER BY r_days ASC, user_id) AS r_q,
+               NTILE(4) OVER (ORDER BY f DESC, user_id) AS f_q,
+               NTILE(4) OVER (ORDER BY m_e4 DESC, user_id) AS m_q
+        FROM per_user
+    )
+    SELECT r_q, f_q, m_q, COUNT(*) AS n_users
+    FROM scored GROUP BY r_q, f_q, m_q
+    """,
+)
+def q_events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation (recency / frequency / monetary): per-user
+    purchase stats quartiled into the 4×4×4 segment grid. One
+    user-keyed aggregate; the corpus-max timestamp is a 1-row
+    broadcast; NTILE orders carry user_id tie-breaks so both engines
+    bucket identically; monetary sums are floor-scaled e4 BEFORE
+    ranking so the order itself is engine-exact. Output is the ≤64-row
+    segment histogram — bounded at any scale. Scale note: the exact
+    global NTILEs sort the per-USER table (already |users| << events);
+    at 100 TB swap them for approx_percentile quartile thresholds —
+    same segment semantics, no global sort."""
+    from pyspark.sql import Window as _W
+
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", ts_us("ts").alias("t"), "value"
+    )
+    # corpus "now" = global max event time: a 1-row driver scalar
+    # folded into the plan (the broadcast-stat pattern)
+    now_val = ev.agg(F.max(ts_us("ts"))).collect()[0][0]
+    per_user = p.groupBy("user_id").agg(
+        ((F.lit(now_val) - F.max("t")) / 86_400_000_000).cast("long").alias(
+            "r_days"
+        ),
+        F.count(F.lit(1)).alias("f"),
+        F.floor(F.sum("value") * 10000 + F.lit(0.5))
+        .cast("long")
+        .alias("m_e4"),
+    )
+    scored = per_user.select(
+        "user_id",
+        F.ntile(4)
+        .over(_W.orderBy(F.col("r_days").asc(), "user_id"))
+        .cast("long")
+        .alias("r_q"),
+        F.ntile(4)
+        .over(_W.orderBy(F.col("f").desc(), "user_id"))
+        .cast("long")
+        .alias("f_q"),
+        F.ntile(4)
+        .over(_W.orderBy(F.col("m_e4").desc(), "user_id"))
+        .cast("long")
+        .alias("m_q"),
+    )
+    return scored.groupBy("r_q", "f_q", "m_q").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )

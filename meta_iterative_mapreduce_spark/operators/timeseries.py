@@ -413,3 +413,49 @@ def q_ts_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("mean_e4"),
     )
+
+
+@register(
+    "q_ts_autocorr",
+    oracle="""
+    WITH pts AS (
+        SELECT user_id, value,
+               LAG(value) OVER (
+                   PARTITION BY user_id
+                   ORDER BY epoch_us(ts), event_id
+               ) AS prev_value
+        FROM events
+    )
+    SELECT user_id,
+           COUNT(*) AS n_pairs,
+           ROUND(corr(value, prev_value), 4) AS lag1_autocorr
+    FROM pts
+    WHERE prev_value IS NOT NULL
+    GROUP BY user_id
+    HAVING COUNT(*) >= 20
+    """,
+)
+def q_ts_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 autocorrelation per user series — the stationarity /
+    seasonality diagnostic a forecasting pipeline computes before
+    model choice: self-join-free via a LAG window over the
+    (epoch, event_id) total order, then Pearson corr of (value,
+    prev_value). ONE user_id exchange shared by the window and the
+    aggregate; users with <20 pairs are dropped (corr is noise
+    there)."""
+    pts = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "value",
+        F.lag("value")
+        .over(W.partitionBy("user_id").orderBy(ts_us("ts"), "event_id"))
+        .alias("prev_value"),
+    )
+    return (
+        pts.filter(F.col("prev_value").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(F.corr("value", "prev_value"), 4).alias("lag1_autocorr"),
+        )
+        .filter(F.col("n_pairs") >= 20)
+    )

@@ -467,3 +467,48 @@ def q_agg_decimal_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(dcents).alias("discounted_cents"),
         (F.sum(cents) / F.lit(100.0)).alias("revenue"),
     )
+
+
+@register(
+    "q_agg_benford",
+    oracle="""
+    WITH digits AS (
+        SELECT CAST(SUBSTR(CAST(CAST(FLOOR(o_totalprice) AS BIGINT)
+                   AS VARCHAR), 1, 1) AS INT) AS d
+        FROM orders WHERE o_totalprice >= 1
+    )
+    SELECT d, COUNT(*) AS n,
+           CAST(FLOOR(COUNT(*) * 10000.0
+                / SUM(COUNT(*)) OVER () + 0.5) AS BIGINT) AS share_e4,
+           CAST(FLOOR(LOG10(1.0 + 1.0 / d) * 10000 + 0.5) AS BIGINT)
+               AS benford_e4
+    FROM digits GROUP BY d
+    """,
+)
+def q_agg_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit — the classic data-forensics check for
+    fabricated or truncated numeric columns: observed first-digit
+    shares of order totals next to the Benford expectation
+    log10(1 + 1/d), both in floor-scaled basis points. ONE 9-bucket
+    aggregate (map-side combined) + a single-row total — runs on a
+    100 TB fact at scan cost. First digit comes from integer string
+    math (floor then substr), not float formatting, so both engines
+    derive identical digits."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") >= 1)
+    d = F.substring(
+        F.floor("o_totalprice").cast("long").cast("string"), 1, 1
+    ).cast("int")
+    from pyspark.sql import Window as _W
+
+    counts = o.groupBy(d.alias("d")).agg(F.count(F.lit(1)).alias("n"))
+    total = F.sum("n").over(_W.partitionBy())
+    return counts.select(
+        "d",
+        "n",
+        F.floor(F.col("n") * 10000.0 / total + F.lit(0.5))
+        .cast("long")
+        .alias("share_e4"),
+        F.floor(F.log10(1.0 + 1.0 / F.col("d")) * 10000 + F.lit(0.5))
+        .cast("long")
+        .alias("benford_e4"),
+    )
