@@ -342,3 +342,65 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 20)
         .select("doc_id", "lang", "n_chars")
     )
+
+
+@register(
+    "q_agg_moments",
+    oracle="""
+    WITH m AS (
+        SELECT l_returnflag,
+               COUNT(*) AS n,
+               AVG(l_quantity) AS mu,
+               SUM(l_quantity) AS s1,
+               SUM(l_quantity * l_quantity) AS s2,
+               SUM(l_quantity * l_quantity * l_quantity) AS s3,
+               SUM(l_quantity * l_quantity * l_quantity * l_quantity) AS s4
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           ROUND((s2 / n - mu * mu), 4) AS var_pop,
+           ROUND((s3 / n - 3 * mu * s2 / n + 2 * mu * mu * mu)
+                 / POWER(s2 / n - mu * mu, 1.5), 4) AS skew_pop,
+           ROUND((s4 / n - 4 * mu * s3 / n + 6 * mu * mu * s2 / n
+                  - 3 * mu * mu * mu * mu)
+                 / POWER(s2 / n - mu * mu, 2) - 3, 4) AS kurt_excess
+    FROM m
+    """,
+)
+def q_agg_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-moment statistics (population skewness + excess
+    kurtosis) from explicit power sums — NOT the engines' built-in
+    skewness()/kurtosis(), whose sample-vs-population definitions
+    differ across engines; raw moments are mergeable partials (the
+    same algebra as the flagship's sufficient statistics, one
+    map-side-combined aggregate), so this is also the distributed /
+    incremental form: partials merge by plain SUM. Both engines run
+    the identical moment arithmetic before one ROUND."""
+    li = load_table(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity")
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg(q).alias("mu"),
+        F.sum(q).alias("s1"),
+        F.sum(q * q).alias("s2"),
+        F.sum(q * q * q).alias("s3"),
+        F.sum(q * q * q * q).alias("s4"),
+    )
+    n, mu = F.col("n"), F.col("mu")
+    var = F.col("s2") / n - mu * mu
+    skew = (F.col("s3") / n - 3 * mu * F.col("s2") / n + 2 * mu * mu * mu) / F.pow(
+        var, 1.5
+    )
+    kurt = (
+        F.col("s4") / n
+        - 4 * mu * F.col("s3") / n
+        + 6 * mu * mu * F.col("s2") / n
+        - 3 * mu * mu * mu * mu
+    ) / F.pow(var, 2) - 3
+    return m.select(
+        "l_returnflag",
+        "n",
+        F.round(var, 4).alias("var_pop"),
+        F.round(skew, 4).alias("skew_pop"),
+        F.round(kurt, 4).alias("kurt_excess"),
+    )
