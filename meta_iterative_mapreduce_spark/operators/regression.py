@@ -495,21 +495,35 @@ def tree_aggregate_fit(df: DataFrame, x: str, y: str, depth: int = 2) -> tuple:
     WITH folds AS (
         SELECT l_orderkey % 5 AS fold, l_quantity AS x, l_extendedprice AS y
         FROM lineitem
+    ), per_fold AS (
+        SELECT fold, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+               SUM(x * x) AS sxx, SUM(x * y) AS sxy
+        FROM folds GROUP BY fold
+    ), loo AS (
+        SELECT fold,
+               SUM(n) OVER () - n AS n_train,
+               SUM(sx) OVER () - sx AS lsx,
+               SUM(sy) OVER () - sy AS lsy,
+               SUM(sxx) OVER () - sxx AS lsxx,
+               SUM(sxy) OVER () - sxy AS lsxy
+        FROM per_fold
     ), models AS (
-        SELECT f.fold,
-               regr_intercept(t.y, t.x) AS w0,
-               regr_slope(t.y, t.x) AS w1,
-               CAST(COUNT(*) AS BIGINT) AS n_train
-        FROM (SELECT DISTINCT fold FROM folds) f
-        JOIN folds t ON t.fold <> f.fold
-        GROUP BY f.fold
+        SELECT fold, CAST(n_train AS BIGINT) AS n_train,
+               (n_train * lsxy - lsx * lsy)
+                   / (n_train * lsxx - lsx * lsx) AS w1,
+               (lsy - (n_train * lsxy - lsx * lsy)
+                   / (n_train * lsxx - lsx * lsx) * lsx) / n_train AS w0
+        FROM loo
     ), scored AS (
         SELECT m.fold, m.w0, m.w1, m.n_train,
                (v.y - (m.w0 + m.w1 * v.x))
                    * (v.y - (m.w0 + m.w1 * v.x)) AS se
         FROM models m JOIN folds v ON v.fold = m.fold
     )
-    SELECT fold, ROUND(w0, 4) AS w0, ROUND(w1, 4) AS w1, n_train,
+    SELECT fold,
+           CAST(FLOOR(w0 * 10000 + 0.5) AS BIGINT) AS w0_e4,
+           CAST(FLOOR(w1 * 10000 + 0.5) AS BIGINT) AS w1_e4,
+           n_train,
            CAST(COUNT(*) AS BIGINT) AS n_valid,
            CAST(FLOOR(SQRT(AVG(se)) * 10000 + 0.5) AS BIGINT) AS rmse_e4
     FROM scored GROUP BY fold, w0, w1, n_train
@@ -523,8 +537,11 @@ def q_regression_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats are (total − fold) by mergeability, the same algebra the
     flagship's exact fit uses (kernel.cu:56-62), so k-fold costs one
     aggregate + one tiny join, not k scans. Out-of-fold scoring is a
-    broadcast of 5 models onto the validation rows. RMSE crosses a
-    multi-row average, so it lands as a floor-scaled e4 integer."""
+    broadcast of 5 models onto the validation rows. RMSE, w0 and w1
+    all cross multi-row double sums, so all three land as floor-scaled
+    e4 integers (q_ts_interpolate's determinism note), and the DuckDB
+    oracle fits from the SAME explicit power-sum algebra rather than
+    regr_slope/regr_intercept so both engines do identical math."""
     li = load_table(spark, sf_dir, "lineitem").select(
         (F.col("l_orderkey") % 5).alias("fold"),
         F.col(_X).cast("double").alias("x"),
@@ -571,8 +588,8 @@ def q_regression_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("rmse_e4"),
     ).select(
         "fold",
-        F.round("w0", 4).alias("w0"),
-        F.round("w1", 4).alias("w1"),
+        F.floor(F.col("w0") * 10000 + F.lit(0.5)).cast("long").alias("w0_e4"),
+        F.floor(F.col("w1") * 10000 + F.lit(0.5)).cast("long").alias("w1_e4"),
         "n_train",
         "n_valid",
         "rmse_e4",

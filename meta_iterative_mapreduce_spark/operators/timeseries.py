@@ -428,7 +428,8 @@ def q_ts_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT user_id,
            COUNT(*) AS n_pairs,
-           ROUND(corr(value, prev_value), 4) AS lag1_autocorr
+           CAST(FLOOR(corr(value, prev_value) * 10000 + 0.5) AS BIGINT)
+               AS lag1_autocorr_e4
     FROM pts
     WHERE prev_value IS NOT NULL
     GROUP BY user_id
@@ -442,7 +443,11 @@ def q_ts_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
     (epoch, event_id) total order, then Pearson corr of (value,
     prev_value). ONE user_id exchange shared by the window and the
     aggregate; users with <20 pairs are dropped (corr is noise
-    there)."""
+    there). The correlation is emitted as a floor-scaled e4 integer
+    (see q_ts_interpolate's determinism note): Spark and DuckDB corr()
+    use different accumulation paths and a final ROUND(x, 4) can flip
+    on midpoint-straddling doubles, while FLOOR(x*1e4+0.5) is stable
+    away from the (measure-zero) scaled-integer boundaries."""
     pts = load_table(spark, sf_dir, "events").select(
         "user_id",
         "value",
@@ -455,7 +460,9 @@ def q_ts_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(
             F.count(F.lit(1)).alias("n_pairs"),
-            F.round(F.corr("value", "prev_value"), 4).alias("lag1_autocorr"),
+            F.floor(F.corr("value", "prev_value") * 10000 + F.lit(0.5))
+            .cast("long")
+            .alias("lag1_autocorr_e4"),
         )
         .filter(F.col("n_pairs") >= 20)
     )

@@ -10,7 +10,7 @@ pattern. Every float aggregate is ROUND(...,4)-ed on both engines
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
@@ -358,12 +358,15 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM lineitem GROUP BY l_returnflag
     )
     SELECT l_returnflag, n,
-           ROUND((s2 / n - mu * mu), 4) AS var_pop,
-           ROUND((s3 / n - 3 * mu * s2 / n + 2 * mu * mu * mu)
-                 / POWER(s2 / n - mu * mu, 1.5), 4) AS skew_pop,
-           ROUND((s4 / n - 4 * mu * s3 / n + 6 * mu * mu * s2 / n
+           CAST(FLOOR((s2 / n - mu * mu) * 10000 + 0.5) AS BIGINT)
+               AS var_pop_e4,
+           CAST(FLOOR((s3 / n - 3 * mu * s2 / n + 2 * mu * mu * mu)
+                 / POWER(s2 / n - mu * mu, 1.5) * 10000 + 0.5) AS BIGINT)
+               AS skew_pop_e4,
+           CAST(FLOOR(((s4 / n - 4 * mu * s3 / n + 6 * mu * mu * s2 / n
                   - 3 * mu * mu * mu * mu)
-                 / POWER(s2 / n - mu * mu, 2) - 3, 4) AS kurt_excess
+                 / POWER(s2 / n - mu * mu, 2) - 3) * 10000 + 0.5) AS BIGINT)
+               AS kurt_excess_e4
     FROM m
     """,
 )
@@ -375,7 +378,10 @@ def q_agg_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     same algebra as the flagship's sufficient statistics, one
     map-side-combined aggregate), so this is also the distributed /
     incremental form: partials merge by plain SUM. Both engines run
-    the identical moment arithmetic before one ROUND."""
+    the identical moment arithmetic, and the three statistics land as
+    floor-scaled e4 integers rather than ROUND(x, 4): s2..s4 grow to
+    ~1e13 so summation-order differences can flip ROUND's midpoint
+    4th decimal across engines (q_ts_interpolate determinism note)."""
     li = load_table(spark, sf_dir, "lineitem")
     q = F.col("l_quantity")
     m = li.groupBy("l_returnflag").agg(
@@ -397,10 +403,13 @@ def q_agg_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         + 6 * mu * mu * F.col("s2") / n
         - 3 * mu * mu * mu * mu
     ) / F.pow(var, 2) - 3
+    def _e4(c: Column, name: str) -> Column:
+        return F.floor(c * 10000 + F.lit(0.5)).cast("long").alias(name)
+
     return m.select(
         "l_returnflag",
         "n",
-        F.round(var, 4).alias("var_pop"),
-        F.round(skew, 4).alias("skew_pop"),
-        F.round(kurt, 4).alias("kurt_excess"),
+        _e4(var, "var_pop_e4"),
+        _e4(skew, "skew_pop_e4"),
+        _e4(kurt, "kurt_excess_e4"),
     )

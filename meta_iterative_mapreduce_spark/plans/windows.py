@@ -15,6 +15,10 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from meta_iterative_mapreduce_spark.io import load_table
+from meta_iterative_mapreduce_spark.operators.distrank import (
+    ntile_from_rank,
+    with_distributed_row_number,
+)
 from meta_iterative_mapreduce_spark.registry import register
 
 
@@ -216,14 +220,31 @@ def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution windows: ntile quartiles, percent_rank, cume_dist
     (ntile/row_number fully tie-broken; rank-based functions ordered by
-    the value alone so ties are deterministic)."""
-    o = load_table(spark, sf_dir, "orders")
-    w_full = W.orderBy("o_totalprice", "o_orderkey")
-    w_val = W.orderBy("o_totalprice")
-    return o.select(
+    the value alone so ties are deterministic).
+
+    Plan: NOT the naive global `Window.orderBy(...)` (which funnels the
+    whole table through ONE task — the unpartitioned-WindowExec
+    scale-killer); instead the two-pass distributed rank
+    (operators/distrank.py): one range shuffle + per-partition
+    histogram → broadcast prefix offsets → vectorized rank arithmetic.
+    NTILE is then exact integer math on (rn, n); PERCENT_RANK =
+    (min rn among value-ties − 1)/(n−1) and CUME_DIST = max rn among
+    ties / n, via a window PARTITIONED by the tie value (range
+    partitioning already co-locates ties, so the only exchanges are
+    the range shuffle and one high-cardinality hash shuffle — both
+    fully distributed at any scale)."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    ranked, n = with_distributed_row_number(
+        o, ["o_totalprice", "o_orderkey"], out="rn"
+    )
+    w_val = W.partitionBy("o_totalprice")
+    rank_min = F.min("rn").over(w_val)
+    rank_max = F.max("rn").over(w_val)
+    pct = (rank_min - 1) / F.lit(n - 1) if n > 1 else F.lit(0.0)
+    return ranked.select(
         "o_orderkey",
-        F.ntile(4).over(w_full).cast("long").alias("price_quartile"),
-        F.round(F.percent_rank().over(w_val), 4).alias("pct_rank"),
-        F.round(F.cume_dist().over(w_val), 4).alias("cume"),
-        F.row_number().over(w_full).cast("long").alias("rn"),
+        ntile_from_rank(F.col("rn"), n, 4).alias("price_quartile"),
+        F.round(pct, 4).alias("pct_rank"),
+        F.round(rank_max / F.lit(n), 4).alias("cume"),
+        F.col("rn"),
     )

@@ -46,67 +46,59 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 
 
 # The external verification window records the FIRST 50 queries in the
-# order queries() yields them; round 1 certified the operator families,
-# round 2 the relational plan families. Round 3's explicit priority
-# list below is exactly the set never yet externally certified
-# (registered minus CORRECTNESS_r01 ∪ r02 keys, plus this round's new
-# queries), riskiest families first per VERDICT.md r2 item 1: streams/
-# stateful, UDF surface, Spark-4 surface, sketches, graph, events,
-# timeseries, multimodal, corpus/text, incremental/CDC, skew, embed,
-# layout. Nine plain-relational leftovers (cube/rollup/mode/cross/
-# scalar_hash/window_distribution/samples/cte_recursive — all green in
-# the identical in-repo harness) are deferred to round 4's window.
+# order queries() yields them; rounds 1-3 certified 146 of the 187
+# registered queries (union of CORRECTNESS_r01/r02/r03 keys, zero
+# failures). Round 4's priority list is exactly the 41 queries never
+# yet externally certified (VERDICT.md r3 item 1 pins this list), which
+# closes the BASELINE.json "every declared query hash-matches" metric
+# completely, followed by this round's new queries in the ~9 spare
+# slots. Every query is additionally verified by the identical in-repo
+# oracle harness (tools/check.py, tests/test_oracle.py) every round
+# regardless of window membership.
 WINDOW_PRIORITY: tuple[str, ...] = (
-    "q_stream_ema",
-    "q_stream_tumbling",
-    "q_stream_sliding",
-    "q_stream_session",
-    "q_stream_join",
-    "q_udf_python",
-    "q_udf_pandas",
-    "q_udaf_grouped",
-    "q_udf_grouped_map",
-    "q_udtf_explode",
-    "q_udtf_python",
-    "q_source_python_ds",
-    "q_scalar_variant",
-    "q_sketch_hll",
-    "q_sketch_kll",
-    "q_dedup_components",
-    "q_graph_degree",
-    "q_graph_pagerank",
-    "q_graph_triangles",
-    "q_events_sessionize",
-    "q_events_transition",
-    "q_events_attribution",
-    "q_events_funnel_staged",
-    "q_events_funnel_k",
-    "q_ts_gapfill",
-    "q_ts_downsample",
-    "q_ts_anomaly",
-    "q_multimodal_decode",
-    "q_multimodal_decode_png",
-    "q_multimodal_resize",
-    "q_multimodal_frame_sample",
-    "q_text_decontaminate",
-    "q_text_repetition",
-    "q_corpus_mix",
-    "q_text_chunk",
-    "q_text_pack",
-    "q_text_pii_redact",
-    "q_text_html_strip",
-    "q_text_inverted_index",
-    "q_text_bm25",
-    "q_pipeline_corpus_clean",
-    "q_agg_incremental",
-    "q_cdc_snapshot_diff",
-    "q_join_skew_salted",
-    "q_embed_quantize",
-    "q_embed_gram",
-    "q_embed_pca_power",
-    "q_sim_recall_at_k",
-    "q_zorder_layout",
-    "q_join_lateral",
+    # -- the 41 never-driver-certified (registered minus r01∪r02∪r03) --
+    "q_agg_benford",
+    "q_agg_cube",
+    "q_agg_decimal_exact",
+    "q_agg_mode",
+    "q_agg_moments",
+    "q_agg_rollup",
+    "q_cte_recursive",
+    "q_dedup_fuzzy_names",
+    "q_dedup_semantic",
+    "q_embed_pq",
+    "q_events_funnel_windowed",
+    "q_events_paths",
+    "q_events_rfm",
+    "q_graph_bfs",
+    "q_graph_link_predict",
+    "q_join_asof_nearest",
+    "q_join_cross",
+    "q_join_interval_overlap",
+    "q_multimodal_audio_wav",
+    "q_multimodal_decode_jpeg",
+    "q_multimodal_phash",
+    "q_multimodal_phash_pairs",
+    "q_regression_kfold",
+    "q_sample_hash",
+    "q_sample_stratified",
+    "q_sample_weighted",
+    "q_scalar_collation",
+    "q_scalar_hash",
+    "q_sim_pq_adc",
+    "q_sketch_hll_intersect",
+    "q_stream_enrich",
+    "q_stream_running_totals",
+    "q_table_checksum",
+    "q_text_boilerplate",
+    "q_text_bpe_learn",
+    "q_tpch_q21_shape",
+    "q_ts_autocorr",
+    "q_ts_interpolate",
+    "q_ts_rollup_hier",
+    "q_ts_seasonal",
+    "q_window_distribution",
+    # -- round-4 additions (new queries fill the spare window slots) --
 )
 
 

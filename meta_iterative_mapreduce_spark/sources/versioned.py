@@ -46,21 +46,32 @@ def versions(table: str) -> list[int]:
 def _commit(
     table: str, version: int, files: list[str], n_rows: int, **extra
 ) -> None:
-    """Write the manifest atomically: temp file + rename. Readers never
-    observe a partial manifest, and an existing version is never
-    overwritten (rename onto an existing path would clobber — guard)."""
+    """Publish the manifest atomically with put-if-absent semantics:
+    write a temp file, then `os.link(tmp, final)` — link(2) fails with
+    EEXIST if the path exists, unlike rename(2) which silently replaces
+    it (a check-then-rename guard would be TOCTOU-racy: two concurrent
+    committers of the same version could both pass the exists check and
+    the loser's manifest would be clobbered). Readers never observe a
+    partial manifest, and of two racing committers exactly one wins;
+    the loser raises and must retry at the next version number. On
+    object stores without hard links the equivalent primitive is a
+    conditional put (e.g. HTTP If-None-Match) — single-writer-per-table
+    is the documented contract where neither exists."""
     mdir = os.path.join(table, _MANIFEST_DIR)
     os.makedirs(mdir, exist_ok=True)
     final = _manifest_path(table, version)
-    if os.path.exists(final):
-        raise ValueError(f"version {version} already committed")
     tmp = final + f".tmp-{uuid.uuid4().hex}"
     with open(tmp, "w") as fh:
         json.dump(
             {"version": version, "files": files, "n_rows": n_rows, **extra},
             fh,
         )
-    os.rename(tmp, final)
+    try:
+        os.link(tmp, final)  # atomic put-if-absent: EEXIST if committed
+    except FileExistsError:
+        raise ValueError(f"version {version} already committed") from None
+    finally:
+        os.unlink(tmp)
 
 
 def _write_data_files(df: DataFrame, table: str, version: int) -> list[str]:

@@ -5,7 +5,20 @@ import sys
 
 import pytest
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
+
+# transformWithStateInPandas needs the google.protobuf runtime in BOTH
+# the driver and the python workers; tools/pbshim/sitecustomize.py
+# provides it from the on-box SDK bundle when no real install exists.
+# PYTHONPATH must carry the shim BEFORE the JVM starts: local-mode
+# worker daemons inherit the environment captured at JVM launch.
+_PBSHIM = os.path.join(_REPO, "tools", "pbshim")
+os.environ["PYTHONPATH"] = (
+    _PBSHIM + os.pathsep + os.environ.get("PYTHONPATH", "")
+)
+sys.path.insert(0, _PBSHIM)
+import sitecustomize  # noqa: E402,F401  (applies the shim to the driver)
 
 from meta_iterative_mapreduce_spark.session import get_spark  # noqa: E402
 

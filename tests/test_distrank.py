@@ -1,0 +1,86 @@
+"""Two-pass distributed rank (operators/distrank.py): exact
+equivalence to the SQL window functions it replaces, and plan pins
+proving the unpartitioned-WindowExec serial sort is gone from
+q_events_rfm / q_window_ntile (VERDICT r3 "weak plans" items 2-3).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from meta_iterative_mapreduce_spark import registry
+from meta_iterative_mapreduce_spark.operators.distrank import (
+    ntile_from_rank,
+    with_distributed_row_number,
+)
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _fixture(spark, n: int):
+    """n rows with deliberate ties in `v` and a unique tie-break id."""
+    return spark.range(n).select(
+        F.col("id"),
+        (F.col("id") * 37 % 11).alias("v"),  # heavy ties
+        ((F.col("id") * 13 + 5) % 97).alias("w"),
+    )
+
+
+def test_distributed_row_number_matches_global_window(spark):
+    df = _fixture(spark, 1000)
+    got, total = with_distributed_row_number(
+        df, [F.col("v").desc(), F.col("id")], out="rn", num_partitions=7
+    )
+    assert total == 1000
+    want = df.select(
+        "id", F.row_number().over(W.orderBy(F.col("v").desc(), "id")).alias("rn")
+    )
+    mism = (
+        got.select("id", "rn")
+        .join(want.withColumnRenamed("rn", "rn_ref"), "id")
+        .filter(F.col("rn") != F.col("rn_ref"))
+        .count()
+    )
+    assert mism == 0
+
+
+def test_ntile_from_rank_matches_sql_ntile(spark):
+    """Exact NTILE(k) distribution for remainder-heavy (n, k) combos,
+    including n < k degeneracy."""
+    for n, k in ((1000, 4), (1003, 4), (10, 3), (7, 7), (3, 8), (1, 4)):
+        df = _fixture(spark, n)
+        got, total = with_distributed_row_number(
+            df, ["v", "id"], out="rn", num_partitions=5
+        )
+        assert total == n
+        got = got.select("id", ntile_from_rank(F.col("rn"), n, k).alias("t"))
+        want = df.select(
+            "id", F.ntile(k).over(W.orderBy("v", "id")).cast("long").alias("t_ref")
+        )
+        mism = (
+            got.join(want, "id").filter(F.col("t") != F.col("t_ref")).count()
+        )
+        assert mism == 0, (n, k)
+
+
+def test_rfm_plan_has_no_window_at_all(spark, sf_dir):
+    plan = _plan(registry.queries()["q_events_rfm"](spark, sf_dir))
+    # the serial-sort NTILE is gone entirely; the three range shuffles
+    # live inside the distrank localCheckpoints (lineage-truncated, so
+    # the final plan reads the checkpointed RDD)
+    assert "Window" not in plan
+    assert "Scan ExistingRDD" in plan
+
+
+def test_window_ntile_plan_only_partitioned_windows(spark, sf_dir):
+    """q_window_ntile keeps one Window node (tie-aware min/max rank),
+    but it MUST be partitioned — the global total order itself comes
+    from the two-pass rank's single range shuffle."""
+    plan = _plan(registry.queries()["q_window_ntile"](spark, sf_dir))
+    assert "windowspecdefinition" in plan
+    for line in plan.splitlines():
+        if "windowspecdefinition" in line:
+            assert "windowspecdefinition(o_totalprice" in line, line

@@ -61,6 +61,12 @@ def test_relational_plans_stay_jvm_side(spark, sf_dir):
                 "q_multimodal_frame_sample",  # frame slicing in mapInPandas
                 "q_multimodal_audio",  # WAV codec runs in mapInPandas by design
                 "q_multimodal_phash",  # pixel decode + aHash in mapInPandas
+                # two-pass distributed rank assigns offsets in a
+                # vectorized mapInPandas (operators/distrank.py) — the
+                # price of removing the unpartitioned-WindowExec serial
+                # sort; see test_distrank.py for the plan pins
+                "q_events_rfm",
+                "q_window_ntile",
             )
         ):
             continue
