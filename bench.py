@@ -87,7 +87,13 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
-    spark = get_spark("mimr-bench")
+    # no console progress bars: the driver's capture window keeps only
+    # the LAST ~2000 chars of output, and \r[Stage ...] spinner frames
+    # were burying the machine-parseable summary line (VERDICT r3 #8)
+    spark = get_spark(
+        "mimr-bench",
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
 
     timings: dict[str, float] = {}
     # warm the JVM/codegen path and the input file index once so the
@@ -175,7 +181,12 @@ def main() -> None:
             summary["worst_delta"] = f"{worst_name}:{worst_ratio}"
     line = json.dumps(summary)
     assert len(line) < 1900, f"summary line too long ({len(line)} chars)"
-    print(line)
+    # stop the session BEFORE the summary so no late JVM chatter can
+    # print after it — the summary must be the final stdout line
+    spark.stop()
+    sys.stdout.flush()
+    sys.stderr.flush()
+    print(line, flush=True)
 
 
 if __name__ == "__main__":

@@ -99,6 +99,7 @@ WINDOW_PRIORITY: tuple[str, ...] = (
     "q_ts_seasonal",
     "q_window_distribution",
     # -- round-4 additions (new queries fill the spare window slots) --
+    "q_multimodal_decode_jpeg_color",
 )
 
 

@@ -45,13 +45,15 @@ def test_decode_zero_area_image():
 
 def test_injection_point_routes_mimg_to_synthetic_parser():
     assert decode_image_features(_pack(2, 2, b"abcd"))["n_pixels"] == 4
-    # PNG now routes to the real stdlib decoder (corrupt → ValueError,
-    # not NotImplementedError); only codec-needing formats (JPEG) hit
-    # the Pillow injection point
+    # PNG and JPEG now route to the real decoders (corrupt → ValueError,
+    # not NotImplementedError); only genuinely codec-less formats
+    # (WebP/...) hit the Pillow injection point
     with pytest.raises(ValueError):
         decode_image_features(b"\x89PNG\r\n\x1a\n" + b"\x00" * 8)
+    with pytest.raises(ValueError):
+        decode_image_features(b"\xff\xd8" + b"\x00" * 8)
     with pytest.raises(NotImplementedError):
-        decode_image_features(b"\xff\xd8\xff\xe0" + b"\x00" * 8)
+        decode_image_features(b"RIFF\x00\x00\x00\x00WEBP" + b"\x00" * 4)
 
 
 # ---------------------------------------------------------------------------
@@ -275,3 +277,86 @@ def test_jpeg_decoder_reads_tables_from_stream():
     b = decode_jpeg_gray(tampered)["pixels"].astype(int)
     assert (a != b).any()
     assert abs(b.mean() - a.mean() * 2) > 1  # DC scaled by the table
+
+
+# --- baseline COLOR JPEG codec (q_multimodal_decode_jpeg_color) ---
+
+
+def test_jpeg_color_round_trip_quality_and_dims():
+    """YCbCr 4:2:0 round trip: exact dims at awkward (non-16-multiple)
+    sizes, per-channel mean preserved within the documented bound, and
+    smooth gradients reconstructed with low RMSE (noise images only
+    get the mean bound — JPEG cannot represent noise at Annex K
+    quant)."""
+    import numpy as np
+
+    from meta_iterative_mapreduce_spark.operators.multimodal import (
+        _JPEG_COLOR_MEAN_BOUND,
+        decode_jpeg_color,
+        encode_jpeg_color,
+    )
+
+    rng = np.random.RandomState(11)
+    for w, h in [(16, 16), (17, 19), (4, 6), (33, 14), (5, 5)]:
+        xx, yy = np.meshgrid(np.arange(w), np.arange(h))
+        smooth = np.stack(
+            [(xx * 3 + yy * 2) % 256, (xx * 5) % 256, (yy * 7) % 256], 2
+        ).astype(np.uint8)
+        noise = rng.randint(0, 256, (h, w, 3), dtype=np.uint8)
+        for img in (smooth, noise):
+            d = decode_jpeg_color(encode_jpeg_color(w, h, img.tobytes()))
+            assert (d["width"], d["height"]) == (w, h)
+            dec = d["pixels"].astype(np.float64)
+            src = img.astype(np.float64)
+            for c in range(3):
+                assert (
+                    abs(dec[..., c].mean() - src[..., c].mean())
+                    < _JPEG_COLOR_MEAN_BOUND
+                )
+        d = decode_jpeg_color(encode_jpeg_color(w, h, smooth.tobytes()))
+        rmse = np.sqrt(
+            ((d["pixels"].astype(np.float64) - smooth.astype(np.float64)) ** 2).mean()
+        )
+        assert rmse < 12.0, (w, h, rmse)
+
+
+def test_jpeg_color_decoder_reads_grayscale_and_444_streams():
+    """The color decoder parses sampling factors FROM the stream: a
+    1-component baseline stream decodes to replicated-gray RGB that
+    matches the dedicated gray decoder exactly."""
+    import numpy as np
+
+    from meta_iterative_mapreduce_spark.operators.multimodal import (
+        decode_jpeg_color,
+        decode_jpeg_gray,
+        encode_jpeg_gray,
+    )
+
+    rng = np.random.RandomState(3)
+    pix = rng.randint(0, 256, (20, 13), dtype=np.uint8)
+    stream = encode_jpeg_gray(13, 20, pix.tobytes())
+    gray = decode_jpeg_gray(stream)["pixels"]
+    color = decode_jpeg_color(stream)["pixels"]
+    assert color.shape == (20, 13, 3)
+    assert (color[..., 0] == gray).all()
+    assert (color[..., 1] == gray).all()
+
+
+def test_jpeg_color_flat_image_within_dc_quant_error():
+    """A flat color field has only DC energy, so every pixel must land
+    within the analytic DC-quantization bound: Y err <= 16/16 = 1.0,
+    chroma err <= 17/16, worst RGB mix 1 + 1.772*17/16 < 2.9 -> 3
+    (catches DC-prediction bugs across the interleaved 3-component MCU
+    scan, which would blow this up by the full DC magnitude)."""
+    import numpy as np
+
+    from meta_iterative_mapreduce_spark.operators.multimodal import (
+        decode_jpeg_color,
+        encode_jpeg_color,
+    )
+
+    img = np.full((24, 40, 3), 0, np.uint8)
+    img[..., 0], img[..., 1], img[..., 2] = 200, 100, 50
+    d = decode_jpeg_color(encode_jpeg_color(40, 24, img.tobytes()))
+    diff = np.abs(d["pixels"].astype(int) - img.astype(int)).max()
+    assert diff <= 3, diff
