@@ -409,6 +409,15 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("u") < F.col("v"))
         .persist()
     )
+    return triangle_stats(pairs)
+
+
+def triangle_stats(pairs: DataFrame, force_shuffle: bool = False) -> DataFrame:
+    """Degree-oriented triangle count over a persisted (u, v) u<v edge
+    DataFrame — the core of q_graph_triangles, reusable on any edge
+    set (tools/scale_smoke.py drives the >=5M-edge shuffle fallback
+    against a planted-triangle graph). force_shuffle pins the
+    wedge-shuffle plan even under the broadcast threshold."""
     deg = (
         pairs.select(F.col("u").alias("x"))
         .unionAll(pairs.select(F.col("v").alias("x")))
@@ -434,7 +443,7 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_edges = pairs.count()  # cached — no recompute
     e1 = oriented.alias("e1")
     e2, e3 = oriented.alias("e2"), oriented.alias("e3")
-    if n_edges <= _BCAST_EDGE_LIMIT:
+    if n_edges <= _BCAST_EDGE_LIMIT and not force_shuffle:
         e2, e3 = F.broadcast(e2), F.broadcast(e3)
     tri = (
         e1.join(e2, F.col("e2.s") == F.col("e1.t"))

@@ -345,3 +345,56 @@ def q_text_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.when(F.col("df") > _BP_DF, 1)).alias("n_dropped"),
         )
     )
+
+
+_DOMAIN_CAP = 30  # max documents kept per host
+
+
+@register(
+    "q_corpus_domain_cap",
+    oracle=f"""
+    WITH urls AS (
+        SELECT doc_id, text,
+               source || '.example.com' AS host
+        FROM documents
+    ), ranked AS (
+        SELECT doc_id, host,
+               ROW_NUMBER() OVER (PARTITION BY host
+                                  ORDER BY md5(text), doc_id) AS rn
+        FROM urls
+    )
+    SELECT doc_id, host FROM ranked WHERE rn <= {_DOMAIN_CAP}
+    """,
+)
+def q_corpus_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain document cap — the RefinedWeb/C4-style anti-spam
+    step: no single host may contribute more than {_DOMAIN_CAP}
+    documents to the corpus. Each document's provenance URL is
+    synthesized from its source/lang/id, the HOST is extracted with
+    Spark's JVM-side parse_url (exercising the engine's URL function
+    family — no UDF), and the per-host keep-set is the deterministic
+    md5-of-content rank (no RNG state, reproducible under retries —
+    same convention as q_sample_stratified). ONE exchange on host; at
+    a skewed 100 TB crawl the hot-host partitions are exactly the ones
+    the cap truncates, and a rank-limit window pushes the limit into
+    the sort (group-limit) rather than ranking every row."""
+    d = load_table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.com/"),
+        F.col("lang"),
+        F.lit("/"),
+        F.col("doc_id").cast("string"),
+    )
+    with_host = d.select(
+        "doc_id", "text", F.parse_url(url, F.lit("HOST")).alias("host")
+    )
+    w = W.partitionBy("host").orderBy(F.md5("text"), "doc_id")
+    return (
+        with_host.select(
+            "doc_id", "host", F.row_number().over(w).alias("rn")
+        )
+        .filter(F.col("rn") <= _DOMAIN_CAP)
+        .select("doc_id", "host")
+    )

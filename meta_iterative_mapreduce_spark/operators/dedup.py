@@ -519,3 +519,98 @@ def q_dedup_fuzzy_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle's all-pairs form is infeasible."""
     c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
     return fuzzy_ed1_pairs(c, "c_custkey", "c_name")
+
+
+_CONTAINMENT_THRESHOLD_E4 = 6000  # c >= 0.60
+
+
+@register(
+    "q_dedup_containment",
+    oracle=f"""
+    WITH toks0 AS (
+        SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS token
+        FROM documents
+    ), keydf AS (
+        SELECT token FROM toks0
+        GROUP BY token HAVING COUNT(*) <= {_JACCARD_DF_CUTOFF}
+    ), toks AS (
+        SELECT t.* FROM toks0 t JOIN keydf k ON t.token = k.token
+    ), sizes AS (
+        SELECT doc_id, COUNT(*) AS n_tok FROM toks GROUP BY doc_id
+    ), inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+        FROM toks a JOIN toks b
+          ON a.token = b.token AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    ), scored AS (
+        SELECT i.doc_a, i.doc_b, i.n_inter,
+               CAST(FLOOR(CAST(i.n_inter AS DOUBLE)
+                          / LEAST(sa.n_tok, sb.n_tok) * 10000 + 0.5)
+                    AS BIGINT) AS containment_e4
+        FROM inter i
+        JOIN sizes sa ON sa.doc_id = i.doc_a
+        JOIN sizes sb ON sb.doc_id = i.doc_b
+    )
+    SELECT doc_a, doc_b, n_inter, containment_e4
+    FROM scored WHERE containment_e4 >= {_CONTAINMENT_THRESHOLD_E4}
+    """,
+)
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-set CONTAINMENT near-dup pairs: |A∩B| / min(|A|,|B|) —
+    the asymmetric-overlap measure that catches quote-inclusion and
+    subset duplicates (a short doc fully embedded in a long one scores
+    1.0 here but low Jaccard, because the union is dominated by the
+    long doc). Complements q_dedup_ngram_jaccard in the dedup family;
+    blocking is token-equality alone (a contained doc has a DIFFERENT
+    length, so Jaccard's (lang, tlen) composite block key would kill
+    exactly the pairs this measure exists to find) with the same
+    df <= {_JACCARD_DF_CUTOFF} cutoff bounding the self-join fan-out.
+    ONE data-proportional exchange (the token self-join); the score is
+    one IEEE division of exact small integers, floor-scaled e4, so the
+    threshold cannot flip across engines."""
+    d = load_table(spark, sf_dir, "documents")
+    toks0 = d.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split("text", " "))).alias("token"),
+    )
+    keep = (
+        toks0.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= _JACCARD_DF_CUTOFF)
+        .drop("df")
+    )
+    toks = toks0.join(keep, "token", "left_semi").persist()
+    sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tok"))
+    a, b = toks.alias("a"), toks.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.token") == F.col("b.token"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    scored = (
+        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_inter",
+            F.floor(
+                F.col("n_inter").cast("double")
+                / F.least("sa.n_tok", "sb.n_tok")
+                * 10000
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("containment_e4"),
+        )
+    )
+    return scored.filter(
+        F.col("containment_e4") >= _CONTAINMENT_THRESHOLD_E4
+    )

@@ -783,3 +783,64 @@ def q_events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.groupBy("r_q", "f_q", "m_q").agg(
         F.count(F.lit(1)).alias("n_users")
     )
+
+
+_1D = 86_400_000_000  # µs
+
+
+@register(
+    "q_events_dau_stickiness",
+    oracle=f"""
+    WITH pairs AS (
+        SELECT DISTINCT user_id, epoch_us(ts) // {_1D} AS day FROM events
+    ), dau AS (
+        SELECT day, COUNT(*) AS dau FROM pairs GROUP BY day
+    ), wau AS (
+        SELECT d.day, COUNT(DISTINCT p.user_id) AS wau
+        FROM (SELECT DISTINCT day FROM pairs) d
+        JOIN pairs p ON p.day BETWEEN d.day - 6 AND d.day
+        GROUP BY d.day
+    )
+    SELECT dau.day, dau.dau, wau.wau,
+           CAST(FLOOR(dau.dau * 10000.0 / wau.wau + 0.5) AS BIGINT)
+               AS stickiness_e4
+    FROM dau JOIN wau ON dau.day = wau.day
+    """,
+)
+def q_events_dau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engagement stickiness: per-day DAU, trailing-7-day WAU, and the
+    DAU/WAU ratio (the classic product-analytics health metric).
+
+    Plan: ONE distinct over (user, day) — the map-side-combined
+    dedup every later step reuses — then DAU is a tiny day-keyed
+    count and WAU is a bounded-fan-out interval join (each activity
+    pair matches at most 7 spine days, spine = |days| rows, always
+    broadcastable) into a distinct-count per spine day. The ratio is
+    emitted as a floor-scaled e4 integer of an exact small-integer
+    division, so no float hazard. At 100 TB the exact trailing
+    distinct is the expensive term (7x fan-out before a count-distinct
+    shuffle); the rescan-free alternative is per-day HLL partials
+    (q_sketch_hll) unioned over the trailing window — same plan shape,
+    sketch merge instead of exact distinct."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", (ts_us("ts") / _1D).cast("long").alias("day")
+    )
+    pairs = ev.distinct().persist()
+    dau = pairs.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    spine = pairs.select("day").distinct().select(F.col("day").alias("d0"))
+    wau = (
+        pairs.join(
+            F.broadcast(spine),
+            (F.col("day") <= F.col("d0")) & (F.col("day") >= F.col("d0") - 6),
+        )
+        .groupBy("d0")
+        .agg(F.count_distinct("user_id").alias("wau"))
+    )
+    return dau.join(wau, dau["day"] == wau["d0"]).select(
+        "day",
+        "dau",
+        "wau",
+        F.floor(F.col("dau") * 10000.0 / F.col("wau") + F.lit(0.5))
+        .cast("long")
+        .alias("stickiness_e4"),
+    )

@@ -737,3 +737,60 @@ def q_text_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         merges, "rank int, left string, right string, merged string, pair_freq long"
     )
+
+
+@register(
+    "q_text_entropy",
+    oracle="""
+    WITH chars AS (
+        SELECT d.doc_id, SUBSTR(d.text, CAST(t.i AS INT), 1) AS c
+        FROM documents d,
+             UNNEST(generate_series(1, length(d.text))) AS t(i)
+        WHERE octet_length(encode(d.text)) = length(d.text)
+          AND length(d.text) >= 1
+    ), counts AS (
+        SELECT doc_id, c, COUNT(*) AS cnt FROM chars GROUP BY doc_id, c
+    ), withn AS (
+        SELECT doc_id, c, cnt,
+               CAST(SUM(cnt) OVER (PARTITION BY doc_id) AS BIGINT) AS n
+        FROM counts
+    )
+    SELECT doc_id,
+           MAX(n) AS n_chars_counted,
+           COUNT(*) AS n_distinct_chars,
+           CAST(FLOOR(-SUM((cnt * 1.0 / n) * log2(cnt * 1.0 / n))
+                      * 10000 + 0.5) AS BIGINT) AS entropy_e4
+    FROM withn GROUP BY doc_id
+    """,
+)
+def q_text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level Shannon entropy per document — the
+    compressibility-style quality signal (machine-generated or
+    template text scores low, natural prose ~4.1-4.5 bits/char;
+    gibberish/base64 scores high) that complements the token-ratio
+    heuristics in q_text_quality. Plan: explode to (doc, char), ONE
+    map-side-combined count on (doc_id, char) — the shuffle carries at
+    most |alphabet| rows per doc regardless of doc length — then a
+    doc-partitioned window for the total and a doc-keyed rollup.
+    Entropy sums ~96 p*log2(p) terms of exactly-equal doubles (p is a
+    small-integer ratio), so the floor-scaled e4 integer is stable
+    across engines (q_ts_interpolate determinism note); the ASCII
+    guard mirrors the byte-level operators so multibyte fixtures drop
+    out of both sides identically."""
+    d = load_table(spark, sf_dir, "documents").filter(
+        (F.length(F.encode("text", "UTF-8")) == F.length("text"))
+        & (F.length("text") >= 1)
+    )
+    chars = d.select("doc_id", F.explode(F.split("text", "")).alias("c"))
+    counts = chars.groupBy("doc_id", "c").agg(F.count(F.lit(1)).alias("cnt"))
+    withn = counts.withColumn(
+        "n", F.sum("cnt").over(W.partitionBy("doc_id"))
+    )
+    p = F.col("cnt") / F.col("n")
+    return withn.groupBy("doc_id").agg(
+        F.max("n").alias("n_chars_counted"),
+        F.count(F.lit(1)).alias("n_distinct_chars"),
+        F.floor(-F.sum(p * F.log2(p)) * 10000 + F.lit(0.5))
+        .cast("long")
+        .alias("entropy_e4"),
+    )

@@ -466,3 +466,83 @@ def q_ts_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_pairs") >= 20)
     )
+
+
+@register(
+    "q_ts_changepoint",
+    oracle="""
+    WITH pts AS (
+        SELECT user_id,
+               CAST(FLOOR(value * 10000 + 0.5) AS BIGINT) AS xi,
+               ROW_NUMBER() OVER w AS k,
+               CAST(SUM(CAST(FLOOR(value * 10000 + 0.5) AS BIGINT)) OVER (
+                   PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS pfx,
+               COUNT(*) OVER (PARTITION BY user_id) AS n,
+               CAST(SUM(CAST(FLOOR(value * 10000 + 0.5) AS BIGINT)) OVER (
+                   PARTITION BY user_id
+               ) AS BIGINT) AS total
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+    ), dev AS (
+        SELECT user_id, n, k, n * pfx - k * total AS dev
+        FROM pts WHERE n >= 20
+    ), ranked AS (
+        SELECT user_id, n, k AS cp_k, dev AS cp_dev,
+               ROW_NUMBER() OVER (
+                   PARTITION BY user_id ORDER BY ABS(dev) DESC, k
+               ) AS rn
+        FROM dev
+    )
+    SELECT user_id, n, cp_k, cp_dev FROM ranked WHERE rn = 1
+    """,
+)
+def q_ts_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point detection per user series: the index k
+    maximizing |mean-adjusted cumulative sum| — the classic offline
+    single-changepoint statistic (where the series' level shifts).
+
+    Determinism by construction: values are floor-scaled to e4
+    integers FIRST, and the statistic is computed as
+    n·prefix_k − k·total — all exact BIGINT arithmetic (the
+    denominator-free form of prefix_k − k·mean), so the argmax can
+    never flip on a float ulp across engines or partitionings, unlike
+    a double CUSUM whose mean depends on summation order. ONE user_id
+    exchange shared by both windows and the argmax; the argmax itself
+    is a max-by-struct aggregate, not a second sort. Users with <20
+    points are dropped (the statistic is noise there)."""
+    xi = F.floor(F.col("value") * 10000 + F.lit(0.5)).cast("long")
+    w_ord = W.partitionBy("user_id").orderBy(ts_us("ts"), "event_id")
+    w_all = W.partitionBy("user_id")
+    pts = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.row_number().over(w_ord).cast("long").alias("k"),
+        F.sum(xi)
+        .over(w_ord.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .alias("pfx"),
+        F.count(F.lit(1)).over(w_all).alias("n"),
+        F.sum(xi).over(w_all).alias("total"),
+    )
+    dev = pts.filter(F.col("n") >= 20).select(
+        "user_id",
+        "n",
+        "k",
+        (F.col("n") * F.col("pfx") - F.col("k") * F.col("total")).alias("dev"),
+    )
+    best = dev.groupBy("user_id", "n").agg(
+        F.max(
+            F.struct(
+                F.abs(F.col("dev")).alias("a"),
+                (-F.col("k")).alias("nk"),
+                F.col("k").alias("k"),
+                F.col("dev").alias("dev"),
+            )
+        ).alias("b")
+    )
+    return best.select(
+        "user_id",
+        "n",
+        F.col("b.k").alias("cp_k"),
+        F.col("b.dev").alias("cp_dev"),
+    )

@@ -512,3 +512,119 @@ def q_agg_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("benford_e4"),
     )
+
+
+@register(
+    "q_profile_table",
+    oracle="""
+    SELECT 'o_orderkey' AS col_name, COUNT(*) AS n_rows,
+           COUNT(*) - COUNT(o_orderkey) AS n_null,
+           COUNT(DISTINCT o_orderkey) AS n_distinct,
+           CAST(MIN(o_orderkey) AS VARCHAR) AS min_s,
+           CAST(MAX(o_orderkey) AS VARCHAR) AS max_s
+    FROM orders
+    UNION ALL
+    SELECT 'o_custkey', COUNT(*), COUNT(*) - COUNT(o_custkey),
+           COUNT(DISTINCT o_custkey),
+           CAST(MIN(o_custkey) AS VARCHAR), CAST(MAX(o_custkey) AS VARCHAR)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', COUNT(*), COUNT(*) - COUNT(o_orderstatus),
+           COUNT(DISTINCT o_orderstatus), MIN(o_orderstatus),
+           MAX(o_orderstatus)
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice', COUNT(*), COUNT(*) - COUNT(o_totalprice),
+           COUNT(DISTINCT o_totalprice),
+           CAST(CAST(FLOOR(MIN(o_totalprice) * 100 + 0.5) AS BIGINT)
+                AS VARCHAR),
+           CAST(CAST(FLOOR(MAX(o_totalprice) * 100 + 0.5) AS BIGINT)
+                AS VARCHAR)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderdate', COUNT(*), COUNT(*) - COUNT(o_orderdate),
+           COUNT(DISTINCT o_orderdate),
+           strftime(MIN(o_orderdate), '%Y-%m-%d'),
+           strftime(MAX(o_orderdate), '%Y-%m-%d')
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority', COUNT(*), COUNT(*) - COUNT(o_orderpriority),
+           COUNT(DISTINCT o_orderpriority), MIN(o_orderpriority),
+           MAX(o_orderpriority)
+    FROM orders
+    """,
+)
+def q_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass table profiling (the ANALYZE/data-quality primitive a
+    pipeline runs before trusting an input drop): per column — row
+    count, null count, EXACT distinct count, and deterministic
+    min/max renderings (longs as decimal strings, doubles floor-scaled
+    to cents, timestamps as dates — engine-neutral formats, never raw
+    float-to-string). All six columns profile in ONE aggregate over
+    ONE scan: Spark plans the six exact distincts with a single Expand
+    (6x row multiplication, each copy keyed by one column) feeding one
+    partial+final aggregate pair — the distributed way to get many
+    exact distincts without six scans. The 6-row long-format output is
+    an inline() over the single agg row. At 100 TB swap exact
+    distincts for approx_count_distinct / HLL partials (q_sketch_hll)
+    to drop the Expand — the profile schema stays identical."""
+    o = load_table(spark, sf_dir, "orders")
+    agg = o.agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            a
+            for col in (
+                "o_orderkey",
+                "o_custkey",
+                "o_orderstatus",
+                "o_totalprice",
+                "o_orderdate",
+                "o_orderpriority",
+            )
+            for a in (
+                F.count(col).alias(f"nn_{col}"),
+                F.count_distinct(col).alias(f"nd_{col}"),
+            )
+        ],
+        F.min("o_orderkey").cast("string").alias("min_o_orderkey"),
+        F.max("o_orderkey").cast("string").alias("max_o_orderkey"),
+        F.min("o_custkey").cast("string").alias("min_o_custkey"),
+        F.max("o_custkey").cast("string").alias("max_o_custkey"),
+        F.min("o_orderstatus").alias("min_o_orderstatus"),
+        F.max("o_orderstatus").alias("max_o_orderstatus"),
+        F.floor(F.min("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .cast("string")
+        .alias("min_o_totalprice"),
+        F.floor(F.max("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .cast("string")
+        .alias("max_o_totalprice"),
+        F.date_format(F.min("o_orderdate"), "yyyy-MM-dd").alias(
+            "min_o_orderdate"
+        ),
+        F.date_format(F.max("o_orderdate"), "yyyy-MM-dd").alias(
+            "max_o_orderdate"
+        ),
+        F.min("o_orderpriority").alias("min_o_orderpriority"),
+        F.max("o_orderpriority").alias("max_o_orderpriority"),
+    )
+    rows = [
+        F.struct(
+            F.lit(col).alias("col_name"),
+            F.col("n").alias("n_rows"),
+            (F.col("n") - F.col(f"nn_{col}")).alias("n_null"),
+            F.col(f"nd_{col}").alias("n_distinct"),
+            F.col(f"min_{col}").alias("min_s"),
+            F.col(f"max_{col}").alias("max_s"),
+        )
+        for col in (
+            "o_orderkey",
+            "o_custkey",
+            "o_orderstatus",
+            "o_totalprice",
+            "o_orderdate",
+            "o_orderpriority",
+        )
+    ]
+    return agg.select(F.inline(F.array(*rows)))

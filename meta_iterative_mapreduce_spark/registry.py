@@ -100,6 +100,12 @@ WINDOW_PRIORITY: tuple[str, ...] = (
     "q_window_distribution",
     # -- round-4 additions (new queries fill the spare window slots) --
     "q_multimodal_decode_jpeg_color",
+    "q_events_dau_stickiness",
+    "q_ts_changepoint",
+    "q_text_entropy",
+    "q_dedup_containment",
+    "q_corpus_domain_cap",
+    "q_profile_table",
 )
 
 

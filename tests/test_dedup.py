@@ -127,3 +127,32 @@ def test_fuzzy_ed1_pairs_exact_recall_synthetic(spark):
         for r in fuzzy_ed1_pairs(df, "id", "name").collect()
     }
     assert got == expect and len(expect) > 40
+
+
+def test_containment_finds_planted_subset(spark, tmp_path):
+    """A document fully contained in a longer one must score
+    containment exactly 1.0 (10000 e4) — the subset-duplicate case
+    Jaccard under-scores (here J = 10/20 = 0.5) — and unrelated docs
+    must produce no pair."""
+    import pyspark.sql.functions as F
+
+    from meta_iterative_mapreduce_spark import registry
+
+    toks_a = " ".join(f"rare{i}" for i in range(10))
+    toks_b = toks_a + " " + " ".join(f"extra{i}" for i in range(10))
+    toks_c = " ".join(f"other{i}" for i in range(10))
+    df = spark.createDataFrame(
+        [
+            (1, toks_a, "en", "s", len(toks_a)),
+            (2, toks_b, "en", "s", len(toks_b)),
+            (3, toks_c, "en", "s", len(toks_c)),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    sf = str(tmp_path / "mini")
+    df.write.mode("overwrite").parquet(sf + "/documents.parquet")
+    rows = {
+        (r["doc_a"], r["doc_b"]): r["containment_e4"]
+        for r in registry.queries()["q_dedup_containment"](spark, sf).collect()
+    }
+    assert rows == {(1, 2): 10000}

@@ -73,3 +73,38 @@ def test_graph_degree_handshake(spark, sf_dir):
         .count()
     )
     assert total_deg == 2 * n_edges
+
+
+def test_changepoint_finds_planted_level_shift(spark, tmp_path):
+    """A series with a clean level shift at index 15 of 30 must locate
+    cp_k = 15 (the prefix deviation |n·prefix_k − k·total| peaks at
+    the last point of the first regime)."""
+    import datetime as dt
+
+    from meta_iterative_mapreduce_spark import registry
+
+    rows = []
+    for k in range(30):
+        rows.append(
+            (
+                k,
+                dt.datetime(2024, 1, 1) + dt.timedelta(minutes=k),
+                7,
+                "tick",
+                10.0 if k < 15 else 20.0,
+                "{}",
+            )
+        )
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    sf = str(tmp_path / "mini")
+    df.write.mode("overwrite").parquet(sf + "/events.parquet")
+    out = registry.queries()["q_ts_changepoint"](spark, sf).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["n"], r["cp_k"]) == (30, 15)
+    # dev at k=15: 30*(15*100000) - 15*(15*100000+15*200000) = -22.5e6
+    assert r["cp_dev"] == 30 * 15 * 100000 - 15 * (15 * 100000 + 15 * 200000)

@@ -446,6 +446,43 @@ def main() -> None:
     enc.unpersist()
     sub.unpersist()
 
+    # --- triangle SHUFFLE fallback on a >=5M-edge planted graph ---
+    # The broadcast fast path is bench-measured at sf0.1; this drives
+    # the wedge-shuffle plan that matters past _BCAST_EDGE_LIMIT
+    # (VERDICT r3 #6). Graph = 5M-edge path (triangle-free, ~5M
+    # wedges) + 1,000 disjoint planted triangles + a 100k-leaf star
+    # (triangle-free hub whose edges all orient leaf->hub, so it adds
+    # ZERO directed wedges — hub-skew evidence for the orientation).
+    # Expected count is exactly the planted 1,000.
+    from meta_iterative_mapreduce_spark.operators import components as C
+
+    n_path = 5_000_000
+    n_tri, n_star = 1_000, 100_000
+    path = spark.range(n_path).select(
+        F.col("id").alias("u"), (F.col("id") + 1).alias("v")
+    )
+    t_base = n_path + 10
+    trip = F.col("id") - F.col("id") % 3  # = 3 * (id // 3), Column-safe
+    tri_edges = spark.range(3 * n_tri).select(
+        (t_base + trip + F.col("id") % 3).alias("u"),
+        (t_base + trip + (F.col("id") % 3 + 1) % 3).alias("v"),
+    ).select(F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v"))
+    s_base = t_base + 3 * n_tri + 10
+    star = spark.range(n_star).select(
+        F.lit(s_base).alias("u"), (s_base + 1 + F.col("id")).alias("v")
+    )
+    tri_pairs = path.unionAll(tri_edges).unionAll(star).persist()
+    t0 = time.time()
+    row = C.triangle_stats(tri_pairs, force_shuffle=True).collect()[0]
+    print(
+        f"triangle shuffle fallback over "
+        f"{n_path + 3 * n_tri + n_star:,} edges: {time.time()-t0:.1f}s -> "
+        f"{row['n_triangles']:,} triangles (expected {n_tri:,}), "
+        f"{row['n_wedges']:,} wedges"
+    )
+    assert row["n_triangles"] == n_tri, row
+    tri_pairs.unpersist()
+
     print("scale smoke OK")
 
 
