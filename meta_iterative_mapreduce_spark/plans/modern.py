@@ -281,3 +281,55 @@ def q_scalar_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_case_insensitive"
         ),
     )
+
+
+@register(
+    "q_agg_bitmap_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_orderkey) AS n_orders,
+           COUNT(DISTINCT l_suppkey) AS n_suppliers
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct counting via Spark 3.5+'s bitmap aggregate
+    family — the roaring-bitmap-style path engines use when they need
+    sketch-like mergeability WITHOUT approximation: values are bucketed
+    into 32768-bit pages (bitmap_bucket_number / bitmap_bit_position, the engine's 1-based page/offset split), each
+    page folds into a fixed-size binary bitmap partial
+    (bitmap_construct_agg — mergeable by OR like an HLL partial but
+    exact), and the final count is SUM(bitmap_count(page)). Two
+    aggregation levels, both map-side combined; the shuffle carries
+    one 4KB bitmap per (group, page) instead of one row per distinct
+    value — the same rescan-free incremental story as q_sketch_hll
+    with exact answers, at bitmap-size cost proportional to the value
+    range. Oracle is plain COUNT(DISTINCT): a hash match proves the
+    bitmap path exactly."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pages = li.groupBy(
+        "l_returnflag",
+        F.bitmap_bucket_number("l_orderkey").alias("ok_page"),
+        F.bitmap_bucket_number("l_suppkey").alias("sk_page"),
+    ).agg(
+        F.bitmap_construct_agg(F.bitmap_bit_position("l_orderkey")).alias(
+            "ok_bm"
+        ),
+        F.bitmap_construct_agg(F.bitmap_bit_position("l_suppkey")).alias(
+            "sk_bm"
+        ),
+    )
+    # distinct orderkeys: OR-merge page bitmaps per (flag, ok_page)
+    ok = (
+        pages.groupBy("l_returnflag", "ok_page")
+        .agg(F.bitmap_or_agg("ok_bm").alias("bm"))
+        .groupBy("l_returnflag")
+        .agg(F.sum(F.bitmap_count("bm")).alias("n_orders"))
+    )
+    sk = (
+        pages.groupBy("l_returnflag", "sk_page")
+        .agg(F.bitmap_or_agg("sk_bm").alias("bm"))
+        .groupBy("l_returnflag")
+        .agg(F.sum(F.bitmap_count("bm")).alias("n_suppliers"))
+    )
+    return ok.join(sk, "l_returnflag")

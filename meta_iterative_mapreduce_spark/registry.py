@@ -106,6 +106,8 @@ WINDOW_PRIORITY: tuple[str, ...] = (
     "q_dedup_containment",
     "q_corpus_domain_cap",
     "q_profile_table",
+    "q_agg_bitmap_distinct",
+    "q_merge_scd2",
 )
 
 

