@@ -84,3 +84,15 @@ def test_window_ntile_plan_only_partitioned_windows(spark, sf_dir):
     for line in plan.splitlines():
         if "windowspecdefinition" in line:
             assert "windowspecdefinition(o_totalprice" in line, line
+
+
+def test_distributed_rank_empty_and_single_row(spark):
+    """Degenerate inputs: empty input yields an empty ranked frame
+    (total 0) without erroring; a single row gets rank 1."""
+    empty = spark.range(0).select(F.col("id"), (F.col("id") % 3).alias("v"))
+    got, total = with_distributed_row_number(empty, ["v", "id"], out="rn")
+    assert total == 0 and got.count() == 0
+    one = spark.range(1).select(F.col("id"), (F.col("id") % 3).alias("v"))
+    got, total = with_distributed_row_number(one, ["v", "id"], out="rn")
+    assert total == 1
+    assert [r["rn"] for r in got.collect()] == [1]
