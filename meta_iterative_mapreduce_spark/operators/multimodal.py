@@ -25,6 +25,17 @@ from meta_iterative_mapreduce_spark.io import load_table
 from meta_iterative_mapreduce_spark.registry import register
 
 
+def _spread(df: DataFrame, spark: SparkSession) -> DataFrame:
+    """Explicit-N round-robin repartition to the session's core count
+    for CPU-bound codec maps. The small local fixture is ONE parquet
+    file -> ONE input partition, which would funnel every decode
+    through a single Python worker; at 100 TB the input is thousands
+    of files and this repartition is a near-no-op (explicit N, so AQE
+    never coalesces it back to one task — the fuzzy_ed1 lesson applied
+    to the multimodal family)."""
+    return df.repartition(spark.sparkContext.defaultParallelism)
+
+
 def binary_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents.text re-typed as an opaque binary payload + metadata —
     the stand-in for an image/audio bytes column."""
@@ -34,14 +45,17 @@ def binary_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.length(F.encode("text", "UTF-8")) == F.length("text"))
         & (F.length(F.encode("text", "UTF-8")) >= 32)
     )
-    return d.select(
-        "doc_id",
-        F.encode("text", "UTF-8").alias("payload"),
-        F.struct(
-            F.lit("text/plain").alias("mime"),
-            F.length(F.encode("text", "UTF-8")).alias("n_bytes"),
-            F.col("source").alias("origin"),
-        ).alias("meta"),
+    return _spread(
+        d.select(
+            "doc_id",
+            F.encode("text", "UTF-8").alias("payload"),
+            F.struct(
+                F.lit("text/plain").alias("mime"),
+                F.length(F.encode("text", "UTF-8")).alias("n_bytes"),
+                F.col("source").alias("origin"),
+            ).alias("meta"),
+        ),
+        spark,
     )
 
 
@@ -129,7 +143,7 @@ def synthetic_image_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
         u16be(height),
         F.encode("text", "UTF-8"),
     )
-    return d.select("doc_id", payload.alias("payload"))
+    return _spread(d.select("doc_id", payload.alias("payload")), spark)
 
 
 def decode_synthetic_image(payload: bytes) -> dict:
@@ -533,7 +547,9 @@ def synthetic_png_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
         # height >= 1 guard, oracle-mirrored (see synthetic_image_payloads)
         F.length(F.encode("text", "UTF-8")) >= F.col("doc_id") % 13 + 4
     )
-    src = d.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
+    src = _spread(
+        d.select("doc_id", F.encode("text", "UTF-8").alias("payload")), spark
+    )
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -799,7 +815,9 @@ def q_multimodal_audio_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.length(F.encode("text", "UTF-8")) == F.length("text"))
         & (F.length(F.encode("text", "UTF-8")) >= 2)
     )
-    src = d.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
+    src = _spread(
+        d.select("doc_id", F.encode("text", "UTF-8").alias("payload")), spark
+    )
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -1191,12 +1209,31 @@ def _amplitude(v, size):
     return v if v >= 0 else v + (1 << size) - 1
 
 
+def _quantized_zigzag_blocks(plane, qtab):
+    """FDCT + quantize + zigzag EVERY 8x8 block of a level-shifted
+    plane in one vectorized einsum (plane dims must be multiples of
+    8). Returns int64 array of shape (nby, nbx, 64) — the per-block
+    numpy matmuls were the measured encoder hotspot; batching them
+    leaves only entropy coding in the Python loop."""
+    h, w = plane.shape
+    blocks = plane.reshape(h // 8, 8, w // 8, 8).transpose(0, 2, 1, 3)
+    coefs = np.einsum("ij,xyjk,lk->xyil", _D, blocks, _D, optimize=True)
+    q = np.floor(coefs / qtab + 0.5).astype(np.int64)
+    return q.reshape(h // 8, w // 8, 64)[..., ZIGZAG]
+
+
 def _encode_block(bw, block, qtab, prev_dc, dc_enc, ac_enc):
     """FDCT + quantize + Huffman-encode one level-shifted 8x8 block;
     returns this block's DC for the caller's per-component predictor."""
     coef = _D @ block @ _D.T
     q = np.floor(coef / qtab + 0.5).astype(np.int64)  # deterministic round-half-up
     zz = q.ravel()[ZIGZAG]
+    return _entropy_encode_block(bw, zz, prev_dc, dc_enc, ac_enc)
+
+
+def _entropy_encode_block(bw, zz, prev_dc, dc_enc, ac_enc):
+    """Huffman-encode one quantized zigzag vector (DC diff + AC
+    run-length); returns the block's DC."""
     dc, diff = int(zz[0]), int(zz[0]) - prev_dc
     s = _category(diff)
     c, l = dc_enc[s]
@@ -1229,12 +1266,13 @@ def encode_jpeg_gray(w, h, pix):
     img = np.frombuffer(pix, dtype=np.uint8).reshape(h, w).astype(np.float64)
     H8, W8 = -(-h // 8) * 8, -(-w // 8) * 8
     padded = np.pad(img, ((0, H8-h), (0, W8-w)), mode="edge") - 128.0
+    zz = _quantized_zigzag_blocks(padded, QTAB)
     bw = _BitWriter()
     prev_dc = 0
-    for by in range(0, H8, 8):
-        for bx in range(0, W8, 8):
-            prev_dc = _encode_block(
-                bw, padded[by:by+8, bx:bx+8], QTAB, prev_dc, DC_ENC, AC_ENC
+    for by in range(H8 // 8):
+        for bx in range(W8 // 8):
+            prev_dc = _entropy_encode_block(
+                bw, zz[by, bx], prev_dc, DC_ENC, AC_ENC
             )
     data = bw.flush()
 
@@ -1276,21 +1314,23 @@ def encode_jpeg_color(w, h, rgb):
     yp = np.pad(y, pad, mode="edge") - 128.0
     cbp = _box2x2(np.pad(cb, pad, mode="edge")) - 128.0
     crp = _box2x2(np.pad(cr, pad, mode="edge")) - 128.0
+    yzz = _quantized_zigzag_blocks(yp, QTAB)
+    cbzz = _quantized_zigzag_blocks(cbp, CQTAB)
+    crzz = _quantized_zigzag_blocks(crp, CQTAB)
     bw = _BitWriter()
     prev = [0, 0, 0]
-    for my in range(0, H16, 16):
-        for mx in range(0, W16, 16):
-            for dy, dx in ((0, 0), (0, 8), (8, 0), (8, 8)):
-                prev[0] = _encode_block(
-                    bw, yp[my+dy:my+dy+8, mx+dx:mx+dx+8],
-                    QTAB, prev[0], DC_ENC, AC_ENC,
+    for my in range(H16 // 16):
+        for mx in range(W16 // 16):
+            for dy, dx in ((0, 0), (0, 1), (1, 0), (1, 1)):
+                prev[0] = _entropy_encode_block(
+                    bw, yzz[2 * my + dy, 2 * mx + dx],
+                    prev[0], DC_ENC, AC_ENC,
                 )
-            cy, cx = my // 2, mx // 2
-            prev[1] = _encode_block(
-                bw, cbp[cy:cy+8, cx:cx+8], CQTAB, prev[1], CDC_ENC, CAC_ENC
+            prev[1] = _entropy_encode_block(
+                bw, cbzz[my, mx], prev[1], CDC_ENC, CAC_ENC
             )
-            prev[2] = _encode_block(
-                bw, crp[cy:cy+8, cx:cx+8], CQTAB, prev[2], CDC_ENC, CAC_ENC
+            prev[2] = _entropy_encode_block(
+                bw, crzz[my, mx], prev[2], CDC_ENC, CAC_ENC
             )
     data = bw.flush()
 
@@ -1342,8 +1382,17 @@ class _BitReader:
         return v
 
 
+_HUFF_TABLE_CACHE: dict = {}
+
+
 def _huff_decode_table(bits, vals):
-    """(code,length) -> val map for decoding."""
+    """(code,length) -> val map for decoding. Memoized on the table
+    definition — decoders rebuild the same 4 standard tables for every
+    payload in a batch."""
+    key = (tuple(bits), tuple(vals))
+    cached = _HUFF_TABLE_CACHE.get(key)
+    if cached is not None:
+        return cached
     out = {}
     code = 0
     k = 0
@@ -1353,6 +1402,8 @@ def _huff_decode_table(bits, vals):
             code += 1
             k += 1
         code <<= 1
+    if len(_HUFF_TABLE_CACHE) < 64:  # bound worker memory
+        _HUFF_TABLE_CACHE[key] = out
     return out
 
 
@@ -1429,40 +1480,27 @@ def decode_jpeg_gray(payload):
     dct, act = htabs[(0, dc_id)], htabs[(1, ac_id)]
     H8, W8 = -(-h // 8), -(-w // 8)
     br = _BitReader(data)
-    out = np.zeros((H8*8, W8*8))
     prev_dc = 0
-    for by in range(H8):
-        for bx in range(W8):
-            zz = np.zeros(64, dtype=np.int64)
-            s = _read_huff_symbol(br, dct)
-            diff = _extend(br.bits(s), s) if s else 0
-            prev_dc += diff
-            zz[0] = prev_dc
-            k = 1
-            while k < 64:
-                rs = _read_huff_symbol(br, act)
-                if rs == 0x00:
-                    break
-                if rs == 0xF0:
-                    k += 16
-                    continue
-                k += rs >> 4
-                size = rs & 15
-                if k > 63:
-                    raise ValueError("AC index overflow")
-                zz[k] = _extend(br.bits(size), size)
-                k += 1
-            coef = np.zeros(64, dtype=np.int64)
-            coef[ZIGZAG] = zz * q.astype(np.int64)
-            block = _D.T @ coef.reshape(8, 8).astype(np.float64) @ _D
-            out[by*8:(by+1)*8, bx*8:(bx+1)*8] = block
+    zzs = []
+    for _ in range(H8 * W8):
+        zz, prev_dc = _decode_entropy_block(br, dct, act, prev_dc)
+        zzs.append(zz)
+    blocks = _batch_idct(np.stack(zzs), q)  # raster block order
+    out = (
+        blocks.reshape(H8, W8, 8, 8)
+        .transpose(0, 2, 1, 3)
+        .reshape(H8 * 8, W8 * 8)
+    )
     pix = np.clip(np.floor(out + 128.0 + 0.5), 0, 255).astype(np.uint8)[:h, :w]
     return {"width": w, "height": h, "pixels": pix}
 
 
-def _decode_block_into(br, plane, by, bx, q, dct, act, prev_dc):
-    """Decode one entropy-coded block, dequantize + IDCT, write the
-    level-shifted spatial block into plane at (by, bx); returns DC."""
+def _decode_entropy_block(br, dct, act, prev_dc):
+    """Entropy-decode one block's quantized zigzag vector (DC
+    prediction applied); returns (zz int64[64], new prev_dc). The
+    dequantize + IDCT happens batched per component afterwards
+    (_batch_idct) — entropy decoding is inherently sequential, the
+    math is not."""
     zz = np.zeros(64, dtype=np.int64)
     s = _read_huff_symbol(br, dct)
     diff = _extend(br.bits(s), s) if s else 0
@@ -1482,10 +1520,22 @@ def _decode_block_into(br, plane, by, bx, q, dct, act, prev_dc):
             raise ValueError("AC index overflow")
         zz[k] = _extend(br.bits(size), size)
         k += 1
-    coef = np.zeros(64, dtype=np.int64)
-    coef[ZIGZAG] = zz * q.astype(np.int64)
-    plane[by:by+8, bx:bx+8] = _D.T @ coef.reshape(8, 8).astype(np.float64) @ _D
-    return prev_dc
+    return zz, prev_dc
+
+
+def _batch_idct(zzs, q):
+    """Dequantize + IDCT a stack of zigzag vectors in one einsum.
+    zzs: int64 (n, 64) in zigzag order; q: the stream's quant table
+    (zigzag order). Returns float64 (n, 8, 8) level-shifted blocks."""
+    coef = np.zeros((len(zzs), 64), dtype=np.int64)
+    coef[:, ZIGZAG] = zzs * q.astype(np.int64)[None, :]
+    return np.einsum(
+        "ji,njk,kl->nil",
+        _D,
+        coef.reshape(-1, 8, 8).astype(np.float64),
+        _D,
+        optimize=True,
+    )
 
 
 def decode_jpeg_color(payload):
@@ -1561,24 +1611,29 @@ def decode_jpeg_color(payload):
     vmax = max(c[2] for c in comps)
     mcux = -(-w // (8 * hmax))
     mcuy = -(-h // (8 * vmax))
-    planes = {
-        cid: np.zeros((mcuy * 8 * vi, mcux * 8 * hi))
-        for cid, hi, vi, _ in comps
-    }
     prev = {cid: 0 for cid, *_ in comps}
+    coef_items = {cid: [] for cid, *_ in comps}  # (block_y, block_x, zz)
     br = _BitReader(data)
     for my in range(mcuy):
         for mx in range(mcux):
             for cid, hi, vi, tq in comps:
-                q = qtabs[tq]
                 dct, act = htabs[(0, scan_tabs[cid][0])], htabs[(1, scan_tabs[cid][1])]
                 for by in range(vi):
                     for bx in range(hi):
-                        prev[cid] = _decode_block_into(
-                            br, planes[cid],
-                            (my * vi + by) * 8, (mx * hi + bx) * 8,
-                            q, dct, act, prev[cid],
+                        zz, prev[cid] = _decode_entropy_block(
+                            br, dct, act, prev[cid]
                         )
+                        coef_items[cid].append(
+                            (my * vi + by, mx * hi + bx, zz)
+                        )
+    planes = {}
+    for cid, hi, vi, tq in comps:
+        plane = np.zeros((mcuy * 8 * vi, mcux * 8 * hi))
+        items = coef_items[cid]
+        blocks = _batch_idct(np.stack([z for _, _, z in items]), qtabs[tq])
+        for (by, bx, _), blk in zip(items, blocks):
+            plane[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8] = blk
+        planes[cid] = plane
     if len(comps) == 1:
         cid = comps[0][0]
         pix = np.clip(np.floor(planes[cid] + 128.0 + 0.5), 0, 255)
