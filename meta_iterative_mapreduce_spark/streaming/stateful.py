@@ -178,11 +178,12 @@ def running_totals_stateful(events: DataFrame) -> DataFrame:
     provider (set by the caller/test); state per key is three scalars —
     bounded regardless of stream length.
 
-    Runtime gate: the StatefulProcessor wire protocol needs
-    `protobuf` (pyspark[connect] extra), absent in this container —
-    the e2e test skips without it (tests/test_stateful.py) while plan
-    construction and the hash-checked batch twin
-    (q_stream_running_totals) run everywhere."""
+    Runtime note: the StatefulProcessor wire protocol needs the
+    `google.protobuf` runtime; tools/pbshim/sitecustomize.py provides
+    it from the on-box SDK bundle where no real install exists, so the
+    e2e test (tests/test_stateful.py) actually executes this path —
+    and the hash-checked batch twin (q_stream_running_totals) verifies
+    the same semantics through the oracle everywhere."""
     prepared = events.select("user_id", "value")
     return prepared.groupBy("user_id").transformWithStateInPandas(
         statefulProcessor=_totals_processor(),
@@ -215,4 +216,129 @@ def q_stream_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.round(F.sum("value"), 4).alias("total_value"),
         F.round(F.max("value"), 4).alias("max_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Event-time TIMERS — the half of the Spark 4 StatefulProcessor API the
+# running-totals demo doesn't touch: a session-timeout operator that
+# emits a closed session when the WATERMARK (not an input row) passes
+# last_event + gap. This is the canonical "emit on silence" shape —
+# inexpressible with applyInPandasWithState's per-batch timeouts tied
+# to processing time, and the reason the timer API exists.
+# ---------------------------------------------------------------------------
+
+_SESSION_GAP_US = 30 * 60 * 1_000_000  # 30-minute inactivity gap
+_SESSION_OUT = (
+    "user_id long, session_start_us long, session_end_us long, n_events long"
+)
+
+
+def _session_close_processor(gap_us: int):
+    """StatefulProcessor closing per-user sessions on event-time
+    timers: ValueState carries (n, start_us, last_us); every input
+    batch re-arms ONE timer at last_event + gap; when the watermark
+    passes it, handleExpiredTimer emits the closed session and clears
+    state. Intra-batch gaps close inline (the timer only handles
+    silence at the tail). Correctness rests on the watermark contract:
+    if watermark > last + gap, any future event t >= watermark starts
+    a new session anyway, so closing cannot be premature."""
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    gap_ms = gap_us // 1000
+
+    class SessionClose(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            schema = T.StructType(
+                [
+                    T.StructField("n", T.LongType()),
+                    T.StructField("start_us", T.LongType()),
+                    T.StructField("last_us", T.LongType()),
+                ]
+            )
+            self._state = handle.getValueState("sess", schema)
+            self._handle = handle
+
+        def _closed_frame(self, key, sessions):
+            return pd.DataFrame(
+                {
+                    "user_id": [key[0]] * len(sessions),
+                    "session_start_us": [s[0] for s in sessions],
+                    "session_end_us": [s[1] for s in sessions],
+                    "n_events": [s[2] for s in sessions],
+                }
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            ts = []
+            for pdf in rows:
+                ts.extend(int(v) for v in pdf["ts_us"])
+            ts.sort()
+            if self._state.exists():
+                n, start, last = self._state.get()
+            else:
+                n, start, last = 0, None, None
+            closed = []
+            for t in ts:
+                if last is not None and t - last > gap_us:
+                    closed.append((start, last, n))
+                    n, start, last = 0, None, None
+                n += 1
+                if start is None:
+                    start = t
+                last = t
+            self._state.update((n, start, last))
+            # exactly one armed timer per key: the tail-silence timeout
+            for old in self._handle.listTimers():
+                self._handle.deleteTimer(old)
+            self._handle.registerTimer(last // 1000 + gap_ms)
+            if closed:
+                yield self._closed_frame(key, closed)
+
+        def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+            if self._state.exists():
+                n, start, last = self._state.get()
+                self._state.clear()
+                if n:
+                    yield self._closed_frame(key, [(start, last, n)])
+
+        def close(self) -> None:
+            pass
+
+    return SessionClose()
+
+
+def session_close_stateful(
+    events: DataFrame, gap_us: int = _SESSION_GAP_US
+) -> DataFrame:
+    """Per-user session close stream via event-time timers
+    (timeMode='EventTime'): input must carry a watermarked `ts`
+    timestamp column; output rows appear only when a session CLOSES —
+    either an intra-batch gap or the watermark passing last + gap (the
+    timer path). The batch twin is q_events_sessionize: every closed
+    session here must equal one of its (user, start, end, n) rows
+    exactly (tests/test_stateful.py asserts it)."""
+    # watermarks require TIMESTAMP (ltz), not NTZ (the house event-time
+    # type): cast wall-preserving for the watermark, and take epochs
+    # with unix_micros on the SAME ltz column so gaps are exact under
+    # any session tz (epochs equal the NTZ epochs under UTC sessions,
+    # which is what the batch-twin comparison runs under)
+    prepared = (
+        events.withColumn("ts_ltz", F.col("ts").cast("timestamp"))
+        .withWatermark("ts_ltz", "0 seconds")
+        .select(
+            "user_id",
+            F.expr("unix_micros(ts_ltz)").alias("ts_us"),
+            "ts_ltz",
+        )
+    )
+    return prepared.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=_session_close_processor(gap_us),
+        outputStructType=_SESSION_OUT,
+        outputMode="Append",
+        timeMode="EventTime",
     )

@@ -119,3 +119,58 @@ def test_transform_with_state_running_totals(spark, sf_dir, chopped_events_dir):
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
         else:
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", saved)
+
+
+def test_transform_with_state_event_time_timers(
+    spark, sf_dir, chopped_events_dir
+):
+    """The TIMER half of the Spark-4 StatefulProcessor API: per-user
+    sessions close when the WATERMARK passes last_event + 30 min (an
+    event-time timer firing on silence, not on an input row). Every
+    emitted closed session must equal one of the batch sessionizer's
+    (user, start, end, n) rows exactly, and the stream must close a
+    substantial share of the non-final sessions (final sessions per
+    user may stay open — the watermark needs to advance past them)."""
+    saved = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        schema = spark.read.parquet(chopped_events_dir).schema
+        # 8 files per trigger: still ~15 micro-batches for the timers
+        # to fire across, at an eighth of the per-batch overhead
+        src = (
+            spark.readStream.option("maxFilesPerTrigger", "8")
+            .schema(schema)
+            .parquet(chopped_events_dir)
+        )
+        closed = jobs.run_to_memory(
+            stateful.session_close_stateful(src), "t_sess", output_mode="append"
+        ).toPandas()
+        batch = (
+            registry.queries()["q_events_sessionize"](spark, sf_dir)
+            .selectExpr(
+                "user_id",
+                "start_us AS session_start_us",
+                "end_us AS session_end_us",
+                "n_events",
+            )
+            .toPandas()
+        )
+        assert len(closed) > 0
+        merged = closed.merge(
+            batch,
+            on=["user_id", "session_start_us", "session_end_us", "n_events"],
+        )
+        assert len(merged) == len(closed)  # every close matches a batch row
+        n_users = batch["user_id"].nunique()
+        nonfinal = len(batch) - n_users
+        assert len(closed) >= nonfinal // 2, (len(closed), nonfinal)
+    finally:
+        if saved is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", saved
+            )
