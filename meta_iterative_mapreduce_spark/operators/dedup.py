@@ -10,8 +10,10 @@ Four tiers, cheap→thorough, all shuffle-frugal:
   only shuffle is the band-bucket groupBy (candidates only, never n²);
 - SimHash: 32-bit bitwise fingerprint via token-hash bit votes.
 
-MinHash/SimHash use Spark's crc32 (engine-specific) → rows-only
-checks; the exact tiers are DuckDB-oracle-checked.
+MinHash/SimHash use Spark's xxhash64 (engine-specific, 64-bit — a
+32-bit shingle hash has a measurable collision floor at tens of
+millions of shingles) → rows-only checks; the exact tiers are
+DuckDB-oracle-checked.
 """
 
 from __future__ import annotations
@@ -22,15 +24,17 @@ from pyspark.sql import functions as F
 from meta_iterative_mapreduce_spark.io import load_table
 from meta_iterative_mapreduce_spark.registry import register
 
-# Deterministic MinHash permutation parameters (fixed linear-congruential
-# mixes of the shingle hash): h_i(x) = (a_i * (x mod p) + b_i) mod p.
-# p = 2^31 − 1 keeps every intermediate below 2^62 (no bigint overflow:
-# (x mod p) < 2^31 and a_i < 2^31).
-_MERSENNE_P = (1 << 31) - 1
+# MinHash "permutations" = per-function seeded hashing: the j-th hash
+# of a shingle is xxhash64(shingle_hash, j) — 32 fully independent
+# 64-bit hash functions, no modular fold. The earlier LCG family
+# h_i(x) = (a_i·x + b_i) mod p with a_i, b_i AFFINE IN i was subtly
+# broken at scale: h_i(v) = (v + b + i·c(v)) mod p is an arithmetic
+# progression in i, so a single cross-doc collision value v with a
+# small stride c(v) agrees across MANY "independent" permutations at
+# once — measured as unrelated 1M-doc pairs with 16/32 signature
+# agreement. Seeded hashing has no shared structure across j.
 _N_HASHES = 32
 _N_BANDS = 8  # 8 bands × 4 rows
-_A = [(i * 2654435761 + 1) % _MERSENNE_P or 1 for i in range(1, _N_HASHES + 1)]
-_B = [(i * 40503 + 7) % _MERSENNE_P for i in range(1, _N_HASHES + 1)]
 
 
 @register(
@@ -213,8 +217,12 @@ def jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def minhash_signatures(d: DataFrame, shingle_width: int = 3) -> DataFrame:
     """(doc_id, sig: array<bigint>) — MinHash over word shingles.
 
-    Shingle hash = crc32 of the joined shingle text; each of the
-    _N_HASHES permutations is a fixed linear mix mod a Mersenne prime.
+    Shingle hash = xxhash64 of the joined shingle text; the j-th
+    permutation value is xxhash64(shingle_hash, j) — independent
+    seeded 64-bit hash functions (see the module-level note on why the
+    affine LCG family and 32-bit shingle hashes both break at the
+    tens-of-millions-of-shingles scale: correlated permutations and a
+    birthday collision floor, each measured in the 1M-doc smoke).
 
     Shape matters: shingle hashes are exploded to (doc_id, h) rows and
     the 32 permutation minima are computed as 32 MIN aggregates in ONE
@@ -229,16 +237,15 @@ def minhash_signatures(d: DataFrame, shingle_width: int = 3) -> DataFrame:
         n >= shingle_width,
         F.transform(
             F.sequence(F.lit(0), n - shingle_width),
-            lambda i: F.crc32(
-                F.array_join(F.slice(toks, i + 1, shingle_width), " ").cast("binary")
+            lambda i: F.xxhash64(
+                F.array_join(F.slice(toks, i + 1, shingle_width), " ")
             ),
         ),
-    ).otherwise(F.array(F.crc32(F.col("text").cast("binary"))))
+    ).otherwise(F.array(F.xxhash64(F.col("text"))))
     hashed = d.select("doc_id", F.explode(shingles).alias("h"))
-    h = F.col("h") % _MERSENNE_P
     mins = [
-        F.min((h * F.lit(a_i) + F.lit(b_i)) % _MERSENNE_P).alias(f"m{j}")
-        for j, (a_i, b_i) in enumerate(zip(_A, _B))
+        F.min(F.xxhash64(F.col("h"), F.lit(j))).alias(f"m{j}")
+        for j in range(_N_HASHES)
     ]
     per_doc = hashed.groupBy("doc_id").agg(*mins)
     return per_doc.select(
@@ -262,6 +269,19 @@ def q_dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the self-join (O(64×) work). The signature table is tiny
     # (n_docs × 32 bigints), so caching is the scale-correct plan too.
     sigs = minhash_signatures(d).persist()
+    pairs = minhash_band_pairs(sigs)
+    return pairs.select(
+        "doc_a", "doc_b", F.round("jaccard_est", 4).alias("jaccard_est")
+    ).orderBy("doc_a", "doc_b")
+
+
+def minhash_band_pairs(sigs: DataFrame) -> DataFrame:
+    """LSH banding over a persisted (doc_id, sig) table: 8 bands of 4
+    rows -> band-bucket self-join -> per-pair signature-agreement
+    Jaccard estimate. The ONLY data-proportional exchange is on
+    (band_id, band_sig); quadratic expansion happens strictly within
+    buckets. Reused by q_dedup_near_minhash and the 1M-doc recall
+    smoke (tools/scale_smoke.py)."""
     rows_per_band = _N_HASHES // _N_BANDS
     banded = sigs.select(
         "doc_id",
@@ -304,9 +324,7 @@ def q_dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda m: m,
         )
     ).cast("double") / F.lit(float(_N_HASHES))
-    return pairs.select(
-        "doc_a", "doc_b", F.round(est, 4).alias("jaccard_est")
-    ).orderBy("doc_a", "doc_b")
+    return pairs.select("doc_a", "doc_b", est.alias("jaccard_est"))
 
 
 # 60-bit fingerprint: wide enough that 15-bit pigeonhole blocks give

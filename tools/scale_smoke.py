@@ -520,6 +520,50 @@ def main() -> None:
         [base + 1] * rem + [base] * (7 - rem)
     )
 
+    # --- MinHash-LSH recall at 1M docs (planted near-dup pairs) ---
+    # Pairs (2i, 2i+1) share 30 tokens except token 15 (odd member
+    # mutated): shingle Jaccard = 25/31 ≈ 0.806, so banding (8 bands
+    # of 4) should surface ≈ 1-(1-0.806^4)^8 ≈ 98.6% of the 500k
+    # planted pairs (measured 98.77% at 1M). Cross-pair docs share no
+    # shingles, and with 64-bit shingle hashes + per-function seeded
+    # "permutations" there must be ZERO cross candidates (this smoke
+    # caught two real scale bugs in the previous scheme: the 32-bit
+    # crc32 collision floor, and the affine LCG permutation family
+    # whose h_i(v) is an arithmetic progression in i — unrelated pairs
+    # reached 16/32 signature agreement; see operators/dedup.py).
+    from meta_iterative_mapreduce_spark.operators.dedup import (
+        minhash_band_pairs,
+        minhash_signatures,
+    )
+
+    n_mh = min(max(n // 20, 200_000), 1_000_000) // 2 * 2
+    docs_mh = spark.range(n_mh).select(
+        F.col("id").alias("doc_id"),
+        F.expr(
+            "concat_ws(' ', transform(sequence(0, 29), j -> "
+            "concat('t', pmod(xxhash64(id DIV 2, j), 1000000000), "
+            "CASE WHEN j = 15 AND id % 2 = 1 THEN 'v' ELSE '' END)))"
+        ).alias("text"),
+    )
+    t0 = time.time()
+    sigs_mh = minhash_signatures(docs_mh).persist()
+    cand = minhash_band_pairs(sigs_mh).persist()
+    n_cand = cand.count()
+    is_planted = (F.col("doc_b") == F.col("doc_a") + 1) & (
+        F.col("doc_a") % 2 == 0
+    )
+    n_planted_found = cand.filter(is_planted).count()
+    print(
+        f"minhash-LSH over {n_mh:,} docs: {time.time()-t0:.1f}s -> "
+        f"{n_planted_found:,}/{n_mh//2:,} planted pairs found "
+        f"({100.0*n_planted_found/(n_mh//2):.1f}%), "
+        f"{n_cand - n_planted_found} cross-pair candidates"
+    )
+    assert n_planted_found >= int(0.95 * (n_mh // 2))
+    assert n_cand == n_planted_found, n_cand - n_planted_found
+    cand.unpersist()
+    sigs_mh.unpersist()
+
     print("scale smoke OK")
 
 
