@@ -564,6 +564,71 @@ def main() -> None:
     cand.unpersist()
     sigs_mh.unpersist()
 
+    # --- IVF recall/nProbe sweep at 1M vectors (16 planted clusters) ---
+    # The measurement loop that tunes an IVF deployment: an in-cluster
+    # query gets 10/10 recall while scanning 1/16 of the corpus
+    # (nProbe=1); a query at the midpoint of two clusters demonstrates
+    # WHY nProbe exists — its truth set spans two inverted lists, so
+    # nProbe=1 misses and nProbe=2 recovers 10/10.
+    from meta_iterative_mapreduce_spark.functions.vectors import (
+        dot_const,
+        l2_norm,
+    )
+    from meta_iterative_mapreduce_spark.operators.clustering import (
+        assign_clusters,
+    )
+
+    n_iv, dim_iv, k_iv = min(max(n // 20, 200_000), 1_000_000), 16, 16
+    ivecs = spark.range(n_iv).select(
+        F.col("id").alias("vec_id"),
+        F.expr(
+            "transform(sequence(0, 15), j -> cast("
+            "8.0 * (shiftright(cast(id % 16 as int), cast(j % 4 as int)) % 2)"
+            " + (pmod(xxhash64(id, j), 1000) / 1000.0 - 0.5) as float))"
+        ).alias("embedding"),
+    ).persist()
+    icenters = [
+        [8.0 * ((c >> (j % 4)) & 1) for j in range(dim_iv)]
+        for c in range(k_iv)
+    ]
+    t0 = time.time()
+    iassigned = assign_clusters(ivecs, "embedding", icenters).persist()
+
+    def _topk(df, q, k=10):
+        cos = dot_const(F.col("embedding"), q) / l2_norm(F.col("embedding"))
+        return [
+            r["vec_id"]
+            for r in df.select("vec_id", cos.alias("s"))
+            .orderBy(F.col("s").desc(), "vec_id")
+            .limit(k)
+            .collect()
+        ]
+
+    def _recall(q, nprobe):
+        order = sorted(
+            range(k_iv),
+            key=lambda c: (
+                sum((x - y) ** 2 for x, y in zip(icenters[c], q)),
+                c,
+            ),
+        )
+        got = _topk(iassigned.filter(F.col("cluster").isin(order[:nprobe])), q)
+        return len(set(got) & set(_topk(ivecs, q))) / 10.0
+
+    q_in = [c + 0.01 for c in icenters[5]]
+    q_mid = [(a + b) / 2.0 for a, b in zip(icenters[0], icenters[1])]
+    r_in1 = _recall(q_in, 1)
+    r_mid1, r_mid2 = _recall(q_mid, 1), _recall(q_mid, 2)
+    print(
+        f"ivf sweep over {n_iv:,} vecs: {time.time()-t0:.1f}s -> "
+        f"in-cluster nProbe=1 recall {r_in1} (scanning 1/{k_iv}); "
+        f"midpoint nProbe=1 {r_mid1} -> nProbe=2 {r_mid2}"
+    )
+    assert r_in1 == 1.0
+    assert r_mid1 < 1.0 and r_mid2 == 1.0, (r_mid1, r_mid2)
+    iassigned.unpersist()
+    ivecs.unpersist()
+
     print("scale smoke OK")
 
 
