@@ -253,7 +253,7 @@ def minhash_signatures(d: DataFrame, shingle_width: int = 3) -> DataFrame:
     )
 
 
-@register("q_dedup_near_minhash")  # rows-only: crc32-based signatures
+@register("q_dedup_near_minhash")  # rows-only: xxhash64-based signatures
 def q_dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + LSH banding near-dup detection, the 100 TB path:
     shingle → 32 minhashes → 8 bands of 4 → band-bucket groupBy →

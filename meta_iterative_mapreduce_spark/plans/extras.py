@@ -498,14 +498,16 @@ def q_agg_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = F.substring(
         F.floor("o_totalprice").cast("long").cast("string"), 1, 1
     ).cast("int")
-    from pyspark.sql import Window as _W
-
     counts = o.groupBy(d.alias("d")).agg(F.count(F.lit(1)).alias("n"))
-    total = F.sum("n").over(_W.partitionBy())
-    return counts.select(
+    # single-row total as a broadcast-stat cross join (the house
+    # pattern, e.g. BM25) rather than a Window.partitionBy() — same
+    # answer, no empty-partition-spec WindowExec warning on a 9-row
+    # aggregate
+    total = counts.agg(F.sum("n").alias("total"))
+    return counts.crossJoin(F.broadcast(total)).select(
         "d",
         "n",
-        F.floor(F.col("n") * 10000.0 / total + F.lit(0.5))
+        F.floor(F.col("n") * 10000.0 / F.col("total") + F.lit(0.5))
         .cast("long")
         .alias("share_e4"),
         F.floor(F.log10(1.0 + 1.0 / F.col("d")) * 10000 + F.lit(0.5))
