@@ -823,7 +823,10 @@ def q_events_dau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     (q_sketch_hll) unioned over the trailing window — same plan shape,
     sketch merge instead of exact distinct."""
     ev = load_table(spark, sf_dir, "events").select(
-        "user_id", (ts_us("ts") / _1D).cast("long").alias("day")
+        # floor, not cast: the oracle's // floors, while cast truncates
+        # toward zero — identical for the fixture's post-1970 data but
+        # divergent on negative epochs (the repo's documented trap)
+        "user_id", F.floor(ts_us("ts") / _1D).cast("long").alias("day")
     )
     pairs = ev.distinct().persist()
     dau = pairs.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))

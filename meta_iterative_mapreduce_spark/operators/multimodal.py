@@ -1199,6 +1199,14 @@ class _BitWriter:
             pad = 8 - self.n
             self.put((1 << pad) - 1, pad)  # pad with 1s
         return bytes(self.buf)
+    def restart_marker(self, m):
+        """Byte-align (1-padding) and emit RSTm — markers are written
+        raw, never byte-stuffed."""
+        if self.n:
+            pad = 8 - self.n
+            self.put((1 << pad) - 1, pad)
+        self.buf.append(0xFF)
+        self.buf.append(0xD0 + (m % 8))
 
 
 def _category(v):
@@ -1220,15 +1228,6 @@ def _quantized_zigzag_blocks(plane, qtab):
     coefs = np.einsum("ij,xyjk,lk->xyil", _D, blocks, _D, optimize=True)
     q = np.floor(coefs / qtab + 0.5).astype(np.int64)
     return q.reshape(h // 8, w // 8, 64)[..., ZIGZAG]
-
-
-def _encode_block(bw, block, qtab, prev_dc, dc_enc, ac_enc):
-    """FDCT + quantize + Huffman-encode one level-shifted 8x8 block;
-    returns this block's DC for the caller's per-component predictor."""
-    coef = _D @ block @ _D.T
-    q = np.floor(coef / qtab + 0.5).astype(np.int64)  # deterministic round-half-up
-    zz = q.ravel()[ZIGZAG]
-    return _entropy_encode_block(bw, zz, prev_dc, dc_enc, ac_enc)
 
 
 def _entropy_encode_block(bw, zz, prev_dc, dc_enc, ac_enc):
@@ -1297,12 +1296,14 @@ def _box2x2(plane):
             + plane[1::2, 0::2] + plane[1::2, 1::2]) / 4.0
 
 
-def encode_jpeg_color(w, h, rgb):
+def encode_jpeg_color(w, h, rgb, restart_interval=0):
     """rgb: interleaved bytes of length w*h*3. Returns a baseline JFIF
     stream with the training-data-standard layout: YCbCr, 4:2:0 chroma
     subsampling (Y sampling 2x2, Cb/Cr 1x1), Annex K.1/K.2 quant and
     K.3 luma+chroma Huffman tables, 16x16-luma MCU interleaved scan
-    with per-component DC prediction."""
+    with per-component DC prediction. restart_interval > 0 emits a DRI
+    segment and an RSTn marker + DC-predictor reset every that many
+    MCUs (what libjpeg/camera writers do for error resilience)."""
     img = np.frombuffer(rgb, dtype=np.uint8).reshape(h, w, 3).astype(np.float64)
     r, g, b = img[..., 0], img[..., 1], img[..., 2]
     # JFIF RGB -> YCbCr (BT.601 full-range)
@@ -1319,8 +1320,13 @@ def encode_jpeg_color(w, h, rgb):
     crzz = _quantized_zigzag_blocks(crp, CQTAB)
     bw = _BitWriter()
     prev = [0, 0, 0]
+    mcu_i = 0
     for my in range(H16 // 16):
         for mx in range(W16 // 16):
+            if restart_interval and mcu_i and mcu_i % restart_interval == 0:
+                bw.restart_marker(mcu_i // restart_interval - 1)
+                prev = [0, 0, 0]
+            mcu_i += 1
             for dy, dx in ((0, 0), (0, 1), (1, 0), (1, 1)):
                 prev[0] = _entropy_encode_block(
                     bw, yzz[2 * my + dy, 2 * mx + dx],
@@ -1351,6 +1357,8 @@ def encode_jpeg_color(w, h, rgb):
     out += seg(0xFFC4, b"\x10" + bytes(AC_BITS) + bytes(AC_VALS))
     out += seg(0xFFC4, b"\x01" + bytes(CDC_BITS) + bytes(CDC_VALS))
     out += seg(0xFFC4, b"\x11" + bytes(CAC_BITS) + bytes(CAC_VALS))
+    if restart_interval:
+        out += seg(0xFFDD, struct.pack(">H", restart_interval))
     out += seg(0xFFDA, b"\x03\x01\x00\x02\x11\x03\x11\x00\x3F\x00")
     out += data + b"\xFF\xD9"
     return out
@@ -1380,6 +1388,17 @@ class _BitReader:
         for _ in range(k):
             v = (v << 1) | self.bit()
         return v
+    def consume_restart(self):
+        """At a restart boundary: discard the current byte's remaining
+        pad bits, then consume the RSTn marker (FF D0-D7)."""
+        self.n = 0
+        if (
+            self.pos + 1 >= len(self.data)
+            or self.data[self.pos] != 0xFF
+            or not (0xD0 <= self.data[self.pos + 1] <= 0xD7)
+        ):
+            raise ValueError("expected restart marker")
+        self.pos += 2
 
 
 _HUFF_TABLE_CACHE: dict = {}
@@ -1453,6 +1472,11 @@ def decode_jpeg_gray(payload):
             comp_qtab = body[8]
         elif marker in (0xC1, 0xC2, 0xC3):
             raise NotImplementedError("baseline sequential only")
+        elif marker == 0xDD and struct.unpack(">H", body[:2])[0]:
+            raise NotImplementedError(
+                "restart intervals: use decode_jpeg_color (reads "
+                "1-component streams too)"
+            )
         elif marker == 0xC4:
             while body:
                 tc_th, body = body[0], body[1:]
@@ -1542,9 +1566,11 @@ def decode_jpeg_color(payload):
     """Parse any writer's baseline JFIF color JPEG — quant/Huffman
     tables, component sampling factors, and scan table bindings all
     read FROM THE STREAM, so 4:2:0 (the overwhelmingly common
-    training-data layout), 4:2:2, and 4:4:4 all decode. MCU-interleaved
-    entropy decode into per-component planes, chroma upsampled by
-    sample replication, BT.601 YCbCr -> RGB. Returns dict(width,
+    training-data layout), 4:2:2, and 4:4:4 all decode; DRI restart
+    intervals are honored (RSTn markers byte-align the reader and
+    reset the DC predictors — libjpeg/camera writers emit these).
+    MCU-interleaved entropy decode into per-component planes, chroma
+    upsampled by sample replication, BT.601 YCbCr -> RGB. Returns dict(width,
     height, pixels HxWx3 uint8). NotImplementedError scope guards
     mirror decode_jpeg_gray (baseline sequential, 8-bit tables)."""
     if payload[:2] != b"\xFF\xD8":
@@ -1555,6 +1581,7 @@ def decode_jpeg_color(payload):
     comps = []  # (comp_id, hi, vi, tq) in SOF order
     scan_tabs = {}  # comp_id -> (dc_id, ac_id)
     data = None
+    restart_interval = 0
     while pos < len(payload):
         if payload[pos] != 0xFF:
             raise ValueError("marker expected")
@@ -1563,7 +1590,9 @@ def decode_jpeg_color(payload):
             break
         ln = struct.unpack(">H", payload[pos:pos+2])[0]
         body = payload[pos+2:pos+ln]
-        if marker == 0xDB:
+        if marker == 0xDD:
+            restart_interval = struct.unpack(">H", body[:2])[0]
+        elif marker == 0xDB:
             while body:
                 pq_tq, body = body[0], body[1:]
                 if pq_tq >> 4:
@@ -1614,8 +1643,13 @@ def decode_jpeg_color(payload):
     prev = {cid: 0 for cid, *_ in comps}
     coef_items = {cid: [] for cid, *_ in comps}  # (block_y, block_x, zz)
     br = _BitReader(data)
+    mcu_i = 0
     for my in range(mcuy):
         for mx in range(mcux):
+            if restart_interval and mcu_i and mcu_i % restart_interval == 0:
+                br.consume_restart()  # byte-align + RSTn
+                prev = {cid: 0 for cid, *_ in comps}  # DC predictors reset
+            mcu_i += 1
             for cid, hi, vi, tq in comps:
                 dct, act = htabs[(0, scan_tabs[cid][0])], htabs[(1, scan_tabs[cid][1])]
                 for by in range(vi):

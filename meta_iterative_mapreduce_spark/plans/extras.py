@@ -363,12 +363,12 @@ def q_agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_window_distribution",
     oracle="""
     SELECT c_custkey, c_nationkey,
-           ROUND(PERCENT_RANK() OVER (
+           CAST(FLOOR(PERCENT_RANK() OVER (
                PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey
-           ), 4) AS pct_rank,
-           ROUND(CUME_DIST() OVER (
+           ) * 10000 + 0.5) AS BIGINT) AS pct_rank_e4,
+           CAST(FLOOR(CUME_DIST() OVER (
                PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey
-           ), 4) AS cume
+           ) * 10000 + 0.5) AS BIGINT) AS cume_e4
     FROM customer
     """,
 )
@@ -378,7 +378,11 @@ def q_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     coverage (row_number/rank/dense_rank/ntile already registered).
     The c_custkey ordering tiebreak makes both functions
     deterministic even under duplicate balances. One exchange on
-    c_nationkey; both functions ride the same sort."""
+    c_nationkey; both functions ride the same sort. Emitted as
+    floor-scaled e4 integers: (rank-1)/(n-1) SYSTEMATICALLY produces
+    e4 midpoints for round denominators (1/20000 = 0.00005), so a
+    final ROUND(x,4) is the cross-engine midpoint hazard class, not a
+    measure-zero one (q_ts_interpolate note)."""
     from pyspark.sql import Window as W
 
     cust = load_table(spark, sf_dir, "customer")
@@ -386,8 +390,12 @@ def q_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cust.select(
         "c_custkey",
         "c_nationkey",
-        F.round(F.percent_rank().over(w), 4).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 4).alias("cume"),
+        F.floor(F.percent_rank().over(w) * 10000 + F.lit(0.5))
+        .cast("long")
+        .alias("pct_rank_e4"),
+        F.floor(F.cume_dist().over(w) * 10000 + F.lit(0.5))
+        .cast("long")
+        .alias("cume_e4"),
     )
 
 

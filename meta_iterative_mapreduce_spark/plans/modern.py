@@ -307,29 +307,24 @@ def q_agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     range. Oracle is plain COUNT(DISTINCT): a hash match proves the
     bitmap path exactly."""
     li = load_table(spark, sf_dir, "lineitem")
-    pages = li.groupBy(
-        "l_returnflag",
-        F.bitmap_bucket_number("l_orderkey").alias("ok_page"),
-        F.bitmap_bucket_number("l_suppkey").alias("sk_page"),
-    ).agg(
-        F.bitmap_construct_agg(F.bitmap_bit_position("l_orderkey")).alias(
-            "ok_bm"
-        ),
-        F.bitmap_construct_agg(F.bitmap_bit_position("l_suppkey")).alias(
-            "sk_bm"
-        ),
-    )
-    # distinct orderkeys: OR-merge page bitmaps per (flag, ok_page)
-    ok = (
-        pages.groupBy("l_returnflag", "ok_page")
-        .agg(F.bitmap_or_agg("ok_bm").alias("bm"))
-        .groupBy("l_returnflag")
-        .agg(F.sum(F.bitmap_count("bm")).alias("n_orders"))
-    )
-    sk = (
-        pages.groupBy("l_returnflag", "sk_page")
-        .agg(F.bitmap_or_agg("sk_bm").alias("bm"))
-        .groupBy("l_returnflag")
-        .agg(F.sum(F.bitmap_count("bm")).alias("n_suppliers"))
-    )
+
+    def pages(col: str, out: str) -> DataFrame:
+        # each key aggregates by ITS OWN page — grouping by both
+        # columns' pages jointly would fragment groups into the
+        # ok_page x sk_page CROSS PRODUCT and shuffle a bitmap partial
+        # per pair (~#pages_a * #pages_b * 4KB at scale instead of
+        # #pages_a + #pages_b)
+        return (
+            li.groupBy(
+                "l_returnflag", F.bitmap_bucket_number(col).alias("page")
+            )
+            .agg(
+                F.bitmap_construct_agg(F.bitmap_bit_position(col)).alias("bm")
+            )
+            .groupBy("l_returnflag")
+            .agg(F.sum(F.bitmap_count("bm")).alias(out))
+        )
+
+    ok = pages("l_orderkey", "n_orders")
+    sk = pages("l_suppkey", "n_suppliers")
     return ok.join(sk, "l_returnflag")

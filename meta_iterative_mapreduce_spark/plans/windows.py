@@ -211,8 +211,10 @@ def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_orderkey,
            NTILE(4) OVER (ORDER BY o_totalprice, o_orderkey) AS price_quartile,
-           ROUND(PERCENT_RANK() OVER (ORDER BY o_totalprice), 4) AS pct_rank,
-           ROUND(CUME_DIST() OVER (ORDER BY o_totalprice), 4) AS cume,
+           CAST(FLOOR(PERCENT_RANK() OVER (ORDER BY o_totalprice)
+                * 10000 + 0.5) AS BIGINT) AS pct_rank_e4,
+           CAST(FLOOR(CUME_DIST() OVER (ORDER BY o_totalprice)
+                * 10000 + 0.5) AS BIGINT) AS cume_e4,
            ROW_NUMBER() OVER (ORDER BY o_totalprice, o_orderkey) AS rn
     FROM orders
     """,
@@ -241,10 +243,15 @@ def q_window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     rank_min = F.min("rn").over(w_val)
     rank_max = F.max("rn").over(w_val)
     pct = (rank_min - 1) / F.lit(n - 1) if n > 1 else F.lit(0.0)
+    # floor-scaled e4, never ROUND: (rank-1)/(n-1) produces e4
+    # midpoints SYSTEMATICALLY for round denominators (1/20000 =
+    # 0.00005) — the cross-engine ROUND hazard class, not measure-zero
     return ranked.select(
         "o_orderkey",
         ntile_from_rank(F.col("rn"), n, 4).alias("price_quartile"),
-        F.round(pct, 4).alias("pct_rank"),
-        F.round(rank_max / F.lit(n), 4).alias("cume"),
+        F.floor(pct * 10000 + F.lit(0.5)).cast("long").alias("pct_rank_e4"),
+        F.floor(rank_max / F.lit(n) * 10000 + F.lit(0.5))
+        .cast("long")
+        .alias("cume_e4"),
         F.col("rn"),
     )

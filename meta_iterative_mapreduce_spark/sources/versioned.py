@@ -70,6 +70,13 @@ def _commit(
         os.link(tmp, final)  # atomic put-if-absent: EEXIST if committed
     except FileExistsError:
         raise ValueError(f"version {version} already committed") from None
+    except OSError as exc:  # pragma: no cover - filesystem-dependent
+        raise OSError(
+            f"versioned table at {table!r} needs a filesystem with hard "
+            "links for atomic put-if-absent manifest publishes "
+            "(exFAT/some NFS mounts lack them); move the table or use "
+            "a conditional-put object store"
+        ) from exc
     finally:
         os.unlink(tmp)
 

@@ -324,9 +324,13 @@ def session_close_stateful(
     exactly (tests/test_stateful.py asserts it)."""
     # watermarks require TIMESTAMP (ltz), not NTZ (the house event-time
     # type): cast wall-preserving for the watermark, and take epochs
-    # with unix_micros on the SAME ltz column so gaps are exact under
-    # any session tz (epochs equal the NTZ epochs under UTC sessions,
-    # which is what the batch-twin comparison runs under)
+    # with unix_micros on the SAME ltz column so state epochs, timers
+    # and the watermark all live on ONE timeline (internally
+    # consistent). Under a non-UTC session tz the wall-preserving cast
+    # distorts gaps that straddle a DST transition by the offset jump,
+    # so the batch-twin equivalence is asserted under UTC sessions
+    # (the e2e test's configuration); a production deployment keeps
+    # event time in UTC for exactly this reason.
     prepared = (
         events.withColumn("ts_ltz", F.col("ts").cast("timestamp"))
         .withWatermark("ts_ltz", "0 seconds")

@@ -12,13 +12,24 @@ sys.path.insert(0, _REPO)
 # the driver and the python workers; tools/pbshim/sitecustomize.py
 # provides it from the on-box SDK bundle when no real install exists.
 # PYTHONPATH must carry the shim BEFORE the JVM starts: local-mode
-# worker daemons inherit the environment captured at JVM launch.
+# worker daemons inherit the environment captured at JVM launch. (No
+# trailing separator when PYTHONPATH was unset — an empty entry would
+# put the workers' cwd on sys.path.)
 _PBSHIM = os.path.join(_REPO, "tools", "pbshim")
+_prev_pp = os.environ.get("PYTHONPATH")
 os.environ["PYTHONPATH"] = (
-    _PBSHIM + os.pathsep + os.environ.get("PYTHONPATH", "")
+    _PBSHIM + os.pathsep + _prev_pp if _prev_pp else _PBSHIM
 )
-sys.path.insert(0, _PBSHIM)
-import sitecustomize  # noqa: E402,F401  (applies the shim to the driver)
+# apply the shim to the DRIVER by file path — `import sitecustomize`
+# would be a sys.modules cache hit on interpreters whose startup
+# already imported a system sitecustomize, silently skipping the shim
+import importlib.util  # noqa: E402
+
+_spec = importlib.util.spec_from_file_location(
+    "mimr_pbshim_sitecustomize", os.path.join(_PBSHIM, "sitecustomize.py")
+)
+_mod = importlib.util.module_from_spec(_spec)
+_spec.loader.exec_module(_mod)
 
 from meta_iterative_mapreduce_spark.session import get_spark  # noqa: E402
 

@@ -115,17 +115,13 @@ def test_scd2_intervals_chain_over_multiple_batches(spark):
     base = spark.createDataFrame(
         [(1, 100, 0), (2, 200, 0)], "k long, v long, eff_ts long"
     )
-    out = base
-    for t, dv in ((1, 10), (2, 20), (3, 30)):
-        changes = spark.createDataFrame(
-            [(1, 100 + dv, t)], "k long, v long, eff_ts long"
-        )
-        # re-derive the version stream: scd2_apply is pure over the
-        # union, so replaying = unioning all batches at once
-        base = base.unionByName(changes)
-    out = scd2_apply(
-        base.filter("eff_ts = 0"), base.filter("eff_ts > 0"), "k", "eff_ts"
+    # three replayed change batches for key 1 (scd2_apply is pure over
+    # the union, so replay = one union of all batches)
+    changes = spark.createDataFrame(
+        [(1, 110, 1), (1, 120, 2), (1, 130, 3)],
+        "k long, v long, eff_ts long",
     )
+    out = scd2_apply(base, changes, "k", "eff_ts")
     rows = sorted(
         ((r["k"], r["valid_from"], r["valid_to"], r["is_current"]))
         for r in out.collect()

@@ -360,3 +360,34 @@ def test_jpeg_color_flat_image_within_dc_quant_error():
     d = decode_jpeg_color(encode_jpeg_color(40, 24, img.tobytes()))
     diff = np.abs(d["pixels"].astype(int) - img.astype(int)).max()
     assert diff <= 3, diff
+
+
+def test_jpeg_color_restart_markers_round_trip():
+    """DRI/RSTn streams (what libjpeg/camera writers emit for error
+    resilience) must decode to EXACTLY the pixels of the plain stream:
+    restarts change entropy-stream framing (byte alignment + DC
+    predictor resets), never content. Also pins the gray decoder's
+    explicit restart scope guard."""
+    import numpy as np
+
+    from meta_iterative_mapreduce_spark.operators.multimodal import (
+        decode_jpeg_color,
+        decode_jpeg_gray,
+        encode_jpeg_color,
+    )
+
+    rng = np.random.RandomState(9)
+    for w, h, ri in [(33, 37, 1), (17, 19, 3), (64, 48, 5)]:
+        rgb = rng.randint(0, 256, (h, w, 3), dtype=np.uint8)
+        plain = decode_jpeg_color(encode_jpeg_color(w, h, rgb.tobytes()))
+        rst_stream = encode_jpeg_color(
+            w, h, rgb.tobytes(), restart_interval=ri
+        )
+        assert b"\xff\xdd" in rst_stream and b"\xff\xd0" in rst_stream
+        rst = decode_jpeg_color(rst_stream)
+        assert (rst["pixels"] == plain["pixels"]).all(), (w, h, ri)
+    # the gray decoder refuses DRI streams via scope guards (the
+    # 3-component guard fires first on color input; a 1-component DRI
+    # stream would hit the explicit restart guard)
+    with pytest.raises(NotImplementedError):
+        decode_jpeg_gray(rst_stream)
