@@ -42,20 +42,33 @@ def with_distributed_row_number(
     order_cols: list[Column | str],
     out: str = "rn",
     num_partitions: int = 32,
+    reliable: bool = False,
 ) -> tuple[DataFrame, int]:
     """Append a 1-based global ROW_NUMBER over the total order
     `order_cols` (include a tie-break key for determinism), computed
     with the two-pass distributed rank above. Returns (df_with_rank,
     total_row_count). The range-partitioned sorted intermediate is
-    localCheckpoint-ed so the histogram job and the ranking pass see
-    the SAME partition boundaries (range bounds are sampled per
-    execution; materializing once removes the cross-job hazard)."""
+    checkpointed so the histogram job and the ranking pass see the
+    SAME partition boundaries (range bounds are sampled per execution;
+    materializing once removes the cross-job hazard).
+
+    Fault tolerance: the default `localCheckpoint` stores blocks on
+    executors ONLY and truncates lineage — on a real cluster, losing
+    an executor between the histogram collect and a downstream action
+    of the ranked frame fails the job unrecoverably (the blocks are
+    not recomputable). That is a deliberate local/short-job trade; for
+    long-lived cluster use pass `reliable=True` to use a reliable
+    `checkpoint()` into `spark.sparkContext.setCheckpointDir(...)`
+    storage (HDFS/object store), which survives executor loss at the
+    cost of one materialized write."""
     cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
     part = (
         df.repartitionByRange(num_partitions, *cols)
         .sortWithinPartitions(*cols)
         .withColumn("_pid", F.spark_partition_id())
-        .localCheckpoint(eager=False)
+    )
+    part = part.checkpoint(eager=False) if reliable else part.localCheckpoint(
+        eager=False
     )
     hist = {
         r["_pid"]: r["cnt"]

@@ -813,15 +813,20 @@ def q_events_dau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan: ONE distinct over (user, day) — the map-side-combined
     dedup every later step reuses — then DAU is a tiny day-keyed
-    count and WAU is a bounded-fan-out interval join (each activity
-    pair matches at most 7 spine days, spine = |days| rows, always
-    broadcastable) into a distinct-count per spine day. The ratio is
-    emitted as a floor-scaled e4 integer of an exact small-integer
-    division, so no float hazard. At 100 TB the exact trailing
-    distinct is the expensive term (7x fan-out before a count-distinct
-    shuffle); the rescan-free alternative is per-day HLL partials
-    (q_sketch_hll) unioned over the trailing window — same plan shape,
-    sketch merge instead of exact distinct."""
+    count, and WAU turns the trailing-7-day membership into an
+    EQUALITY key: each activity pair explodes to the 7 spine days it
+    serves (F.sequence(day, day+6), exactly 7x fan-out) and a hash
+    count-distinct groups on that day. No range predicate anywhere —
+    a range join here would plan as BroadcastNestedLoopJoin and
+    evaluate |pairs| x |days| comparisons, quadratic in history
+    length; the explode is O(7·|pairs|) regardless of history. The
+    inner join back to DAU prunes the up-to-6 synthetic trailing days
+    past the last observed day. Ratio emitted as a floor-scaled e4
+    integer of an exact small-integer division, so no float hazard.
+    At 100 TB the exact trailing distinct is the expensive term; the
+    rescan-free alternative is per-day HLL partials (q_sketch_hll)
+    unioned over the trailing window — same plan shape, sketch merge
+    instead of exact distinct."""
     ev = load_table(spark, sf_dir, "events").select(
         # floor, not cast: the oracle's // floors, while cast truncates
         # toward zero — identical for the fixture's post-1970 data but
@@ -830,11 +835,10 @@ def q_events_dau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pairs = ev.distinct().persist()
     dau = pairs.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
-    spine = pairs.select("day").distinct().select(F.col("day").alias("d0"))
     wau = (
-        pairs.join(
-            F.broadcast(spine),
-            (F.col("day") <= F.col("d0")) & (F.col("day") >= F.col("d0") - 6),
+        pairs.select(
+            "user_id",
+            F.explode(F.sequence(F.col("day"), F.col("day") + 6)).alias("d0"),
         )
         .groupBy("d0")
         .agg(F.count_distinct("user_id").alias("wau"))

@@ -26,14 +26,21 @@ from meta_iterative_mapreduce_spark.registry import register
 
 
 def _spread(df: DataFrame, spark: SparkSession) -> DataFrame:
-    """Explicit-N round-robin repartition to the session's core count
-    for CPU-bound codec maps. The small local fixture is ONE parquet
-    file -> ONE input partition, which would funnel every decode
-    through a single Python worker; at 100 TB the input is thousands
-    of files and this repartition is a near-no-op (explicit N, so AQE
-    never coalesces it back to one task — the fuzzy_ed1 lesson applied
-    to the multimodal family)."""
-    return df.repartition(spark.sparkContext.defaultParallelism)
+    """Round-robin repartition for CPU-bound codec maps, gated on the
+    ACTUAL input partition count. The small local fixture is ONE
+    parquet file -> ONE input partition, which would funnel every
+    decode through a single Python worker; only then is the full
+    shuffle worth paying. At 100 TB the scan already yields thousands
+    of splits (spark.sql.files.maxPartitionBytes), the gate is false,
+    and NO shuffle happens — df.repartition(N) is round-robin and
+    would otherwise re-exchange every payload byte, doubling I/O for
+    the whole multimodal family. getNumPartitions() is a driver-side
+    split computation, not a job. Explicit N (not AQE-subject) so the
+    starved case can never be coalesced back to one task."""
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= max(2, target // 2):
+        return df
+    return df.repartition(target)
 
 
 def binary_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1680,7 +1687,13 @@ def decode_jpeg_color(payload):
         p = planes[cid]
         p = p.repeat(vmax // vi, axis=0).repeat(hmax // hi, axis=1)
         full[cid] = p[:h, :w] + 128.0
-    y, cb, cr = (full[c[0]] for c in comps)
+    # Component identity is given by the SOF component IDs (JFIF
+    # convention: 1=Y, 2=Cb, 3=Cr), NOT by listing position — a legal
+    # stream may list them in any order. Fall back to SOF order only
+    # when the IDs deviate from the JFIF triple.
+    ids = [c[0] for c in comps]
+    order = (1, 2, 3) if sorted(ids) == [1, 2, 3] else ids
+    y, cb, cr = (full[cid] for cid in order)
     r = y + 1.402 * (cr - 128.0)
     g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
     b = y + 1.772 * (cb - 128.0)

@@ -46,68 +46,72 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 
 
 # The external verification window records the FIRST 50 queries in the
-# order queries() yields them; rounds 1-3 certified 146 of the 187
-# registered queries (union of CORRECTNESS_r01/r02/r03 keys, zero
-# failures). Round 4's priority list is exactly the 41 queries never
-# yet externally certified (VERDICT.md r3 item 1 pins this list), which
-# closes the BASELINE.json "every declared query hash-matches" metric
-# completely, followed by this round's new queries in the ~9 spare
-# slots. Every query is additionally verified by the identical in-repo
+# order queries() yields them. Rounds 1-4 certified all 196 registered
+# queries at least once (union of CORRECTNESS_r01..r04 keys, zero
+# failures) — the BASELINE.json contract metric is closed. Round 5's
+# priority therefore rotates onto STALE stamps (VERDICT.md r4 item 1):
+# 96 queries' newest certification predates later re-plans of their
+# files. The list below = this round's 3 new queries (never certified)
+# + q_window_ntile (plan fully rewritten onto the two-pass distributed
+# rank in r4, AFTER its r02 stamp) + all 46 queries whose newest stamp
+# is r01 — exactly 50. The remaining r02-stamp block rotates in next
+# round. Every query is additionally verified by the identical in-repo
 # oracle harness (tools/check.py, tests/test_oracle.py) every round
 # regardless of window membership.
 WINDOW_PRIORITY: tuple[str, ...] = (
-    # -- the 41 never-driver-certified (registered minus r01∪r02∪r03) --
-    "q_agg_benford",
-    "q_agg_cube",
-    "q_agg_decimal_exact",
-    "q_agg_mode",
-    "q_agg_moments",
-    "q_agg_rollup",
-    "q_cte_recursive",
-    "q_dedup_fuzzy_names",
-    "q_dedup_semantic",
-    "q_embed_pq",
-    "q_events_funnel_windowed",
-    "q_events_paths",
-    "q_events_rfm",
-    "q_graph_bfs",
-    "q_graph_link_predict",
-    "q_join_asof_nearest",
-    "q_join_cross",
-    "q_join_interval_overlap",
-    "q_multimodal_audio_wav",
-    "q_multimodal_decode_jpeg",
-    "q_multimodal_phash",
-    "q_multimodal_phash_pairs",
-    "q_regression_kfold",
-    "q_sample_hash",
-    "q_sample_stratified",
-    "q_sample_weighted",
-    "q_scalar_collation",
-    "q_scalar_hash",
-    "q_sim_pq_adc",
-    "q_sketch_hll_intersect",
-    "q_stream_enrich",
-    "q_stream_running_totals",
-    "q_table_checksum",
-    "q_text_boilerplate",
-    "q_text_bpe_learn",
-    "q_tpch_q21_shape",
-    "q_ts_autocorr",
-    "q_ts_interpolate",
-    "q_ts_rollup_hier",
-    "q_ts_seasonal",
-    "q_window_distribution",
-    # -- round-4 additions (new queries fill the spare window slots) --
-    "q_multimodal_decode_jpeg_color",
-    "q_events_dau_stickiness",
-    "q_ts_changepoint",
-    "q_text_entropy",
-    "q_dedup_containment",
-    "q_corpus_domain_cap",
-    "q_profile_table",
-    "q_agg_bitmap_distinct",
-    "q_merge_scd2",
+    # -- round-5 additions (never driver-certified) --
+    "q_multimodal_decode_webp",
+    "q_multimodal_frame_sample_avi",
+    "q_join_bucketed",
+    # -- re-planned after its newest (r02) stamp: r4 distrank rewrite --
+    "q_window_ntile",
+    # -- the 46 queries whose newest driver stamp is r01 --
+    "q_agg_approx_distinct",
+    "q_agg_approx_quantile",
+    "q_agg_arg_minmax",
+    "q_agg_bitwise",
+    "q_agg_bool",
+    "q_agg_count_distinct",
+    "q_agg_global",
+    "q_agg_groupby",
+    "q_agg_grouping_sets",
+    "q_agg_histogram",
+    "q_agg_percentile",
+    "q_agg_pivot",
+    "q_agg_regression_exact",
+    "q_agg_stats",
+    "q_agg_string_agg",
+    "q_cluster_kmeans",
+    "q_cte_multi",
+    "q_dedup_exact",
+    "q_dedup_exact_norm",
+    "q_dedup_near_minhash",
+    "q_dedup_ngram_jaccard",
+    "q_dedup_simhash",
+    "q_dedup_simhash_pairs",
+    "q_distinct_projection",
+    "q_events_cohort",
+    "q_events_funnel",
+    "q_merge_upsert",
+    "q_multimodal_decode_stub",
+    "q_multimodal_struct",
+    "q_sim_ann_lsh",
+    "q_sim_cosine_topk",
+    "q_sim_ivf_ann",
+    "q_sim_knn_join",
+    "q_sim_near_dup_pairs",
+    "q_sketch_count_min",
+    "q_subquery_correlated",
+    "q_subquery_scalar",
+    "q_text_fingerprint",
+    "q_text_langid",
+    "q_text_ngram_freq",
+    "q_text_quality",
+    "q_text_stats",
+    "q_text_tfidf",
+    "q_text_token_bpe",
+    "q_text_tokens",
+    "q_unpivot",
 )
 
 

@@ -63,11 +63,31 @@ def _enable() -> None:
 
         # The bundle self-reports 6.32/-dev internally while shipping
         # the 6.33 feature surface; pyspark's gencode validator rejects
-        # both the minor gap and the suffix mismatch, so pin the
-        # validator's view to the gencode version it must accept.
-        if (_rv.MAJOR, _rv.MINOR) <= (6, 33):
-            _rv.MINOR = 33
-            _rv.SUFFIX = ""
+        # both the minor gap and the suffix mismatch. Relax the
+        # validator ONLY for pyspark's generated modules and ONLY
+        # across the known one-minor/dev-suffix gap — every other
+        # gencode keeps the full compatibility check, so a runtime
+        # genuinely missing a feature still fails with the clear
+        # validator error instead of an obscure downstream one.
+        _orig_validate = _rv.ValidateProtobufRuntimeVersion
+
+        def _validate(gen_domain, gen_major, gen_minor, gen_patch,
+                      gen_suffix, location):
+            try:
+                _orig_validate(gen_domain, gen_major, gen_minor,
+                               gen_patch, gen_suffix, location)
+            except _rv.VersionError:
+                known_gap = (
+                    (gen_major, gen_minor) == (6, 33)
+                    and (_rv.MAJOR, _rv.MINOR) == (6, 32)
+                )
+                # pyspark's generated modules pass their .proto path as
+                # location, e.g. org/apache/spark/sql/execution/
+                # streaming/StateMessage.proto
+                if not (location.startswith("org/apache/spark/") and known_gap):
+                    raise
+
+        _rv.ValidateProtobufRuntimeVersion = _validate
     except Exception:  # pragma: no cover - bundle unusable: stay absent
         sys.path.remove(_APPENGINE)
         for mod in [
