@@ -168,6 +168,7 @@ def _ensure_loaded() -> None:
     )
     from meta_iterative_mapreduce_spark.plans import (  # noqa: F401
         aggregates,
+        bucketed,
         extras,
         layout,
         modern,

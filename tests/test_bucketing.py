@@ -2,54 +2,32 @@
 
 At 100 TB the winning physical design for repeated joins on the same
 key is bucketing both tables by that key at write time — then every
-join on the key is Exchange-free (only per-bucket sorts remain).
-This test materializes bucketed copies of lineitem and orders and
-asserts the join plan contains NO shuffle.
+join on the key is Exchange-free (only per-bucket sorts remain, zero
+here because sortBy persisted the order). These tests pin the plan of
+the PRODUCTION query (plans/bucketed.py: q_join_bucketed) and keep a
+shuffling unbucketed control.
 """
 
 from __future__ import annotations
 
-import pytest
 from pyspark.sql import functions as F
 
 from meta_iterative_mapreduce_spark.io import load_table
+from meta_iterative_mapreduce_spark.plans.bucketed import (
+    bucketed_join_frame,
+    q_join_bucketed,
+)
 
 
-@pytest.fixture(scope="module")
-def bucketed_tables(spark, sf_dir):
-    spark.sql("DROP TABLE IF EXISTS li_bucketed")
-    spark.sql("DROP TABLE IF EXISTS o_bucketed")
-    (
-        load_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_quantity", "l_extendedprice")
-        .write.mode("overwrite")
-        .bucketBy(8, "l_orderkey")
-        .sortBy("l_orderkey")
-        .saveAsTable("li_bucketed")
-    )
-    (
-        load_table(spark, sf_dir, "orders")
-        .select("o_orderkey", "o_orderstatus", "o_totalprice")
-        .write.mode("overwrite")
-        .bucketBy(8, "o_orderkey")
-        .sortBy("o_orderkey")
-        .saveAsTable("o_bucketed")
-    )
-    yield
-    spark.sql("DROP TABLE IF EXISTS li_bucketed")
-    spark.sql("DROP TABLE IF EXISTS o_bucketed")
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
 
 
-def test_bucketed_join_has_no_shuffle(spark, sf_dir, bucketed_tables):
-    li = spark.table("li_bucketed")
-    # hint the merge join: without it the planner broadcasts the small
-    # side (fine too, but then bucketing is moot); the claim under test
-    # is the SMJ-without-shuffle path both sides keep at fact⋈fact scale
-    o = spark.table("o_bucketed").hint("merge")
-    joined = li.join(o, li.l_orderkey == o.o_orderkey).select(
+def test_bucketed_join_has_no_shuffle(spark, sf_dir):
+    joined = bucketed_join_frame(spark, sf_dir).select(
         "l_orderkey", "l_quantity", "o_totalprice"
     )
-    plan = joined._jdf.queryExecution().executedPlan().toString()
+    plan = _plan(joined)
     assert "SortMergeJoin" in plan, plan
     assert "Exchange hashpartitioning" not in plan, plan
     # and it's still correct
@@ -64,10 +42,38 @@ def test_bucketed_join_has_no_shuffle(spark, sf_dir, bucketed_tables):
     assert joined.count() == expected
 
 
+def test_registered_query_matches_plain_join(spark, sf_dir):
+    """q_join_bucketed == the same aggregate over plain parquet (the
+    in-repo twin of its DuckDB oracle)."""
+    got = {
+        r["o_orderstatus"]: (r["n_rows"], r["sum_qty_e2"], r["sum_price_e2"])
+        for r in q_join_bucketed(spark, sf_dir).collect()
+    }
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    plain = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.floor(F.col("l_quantity") * 100 + 0.5).cast("long"))
+            .cast("long")
+            .alias("sum_qty_e2"),
+            F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long"))
+            .cast("long")
+            .alias("sum_price_e2"),
+        )
+    )
+    want = {
+        r["o_orderstatus"]: (r["n_rows"], r["sum_qty_e2"], r["sum_price_e2"])
+        for r in plain.collect()
+    }
+    assert got == want
+
+
 def test_unbucketed_join_does_shuffle(spark, sf_dir):
     """Control: the same join over plain parquet shuffles both sides."""
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders").hint("merge")
     joined = li.join(o, li.l_orderkey == o.o_orderkey)
-    plan = joined._jdf.queryExecution().executedPlan().toString()
-    assert "Exchange hashpartitioning" in plan
+    assert "Exchange hashpartitioning" in _plan(joined)
