@@ -189,6 +189,7 @@ def _ensure_loaded() -> None:
         skew,
         text,
         timeseries,
+        webp,
     )
 
     _LOADED = True
