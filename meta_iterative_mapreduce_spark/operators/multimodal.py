@@ -630,10 +630,24 @@ def q_multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
 def decode_image_features(payload: bytes) -> dict:
     """Format-dispatching raster decode: real pure-stdlib/numpy
     decoders for PNG, baseline JPEG (gray AND YCbCr color — see
-    decode_jpeg_color), and the synthetic MIMG format; only formats
-    whose codecs genuinely aren't on this box (WebP/AVIF/...) remain a
-    documented Pillow injection point."""
-    head = bytes(payload[:8])
+    decode_jpeg_color), lossless WebP (VP8L — see operators/webp.py),
+    and the synthetic MIMG format; only formats whose codecs genuinely
+    aren't on this box (AVIF/HEIC/...) remain a documented Pillow
+    injection point."""
+    head = bytes(payload[:12])
+    if head[:4] == b"RIFF" and head[8:12] == b"WEBP":
+        from meta_iterative_mapreduce_spark.operators.webp import (
+            decode_webp_lossless,
+        )
+
+        f = decode_webp_lossless(payload)
+        return {
+            "width": f["width"],
+            "height": f["height"],
+            "n_pixels": f["n_pixels"],
+            "mean_intensity": (f["sum_r"] + f["sum_g"] + f["sum_b"])
+            / (3.0 * f["n_pixels"]),
+        }
     if head[:4] == _MAGIC:
         return decode_synthetic_image(payload)
     if head == _PNG_SIG:
@@ -652,11 +666,14 @@ def decode_image_features(payload: bytes) -> dict:
         import PIL.Image  # noqa: F401
     except ImportError as exc:  # pragma: no cover - environment-dependent
         raise NotImplementedError(
-            "non-PNG/JPEG/MIMG image decoding requires an imaging "
+            "non-PNG/JPEG/WebP/MIMG image decoding requires an imaging "
             "library (e.g. Pillow); inject a decoder via "
             "decode_features(df, decoder=...)"
         ) from exc
-    raise NotImplementedError("wire a real raster decoder here when available")
+    raise NotImplementedError(
+        "format not handled by the built-in PNG/JPEG/WebP/MIMG codecs; "
+        "inject a Pillow-backed decoder via decode_features(df, decoder=...)"
+    )
 
 
 @register(

@@ -174,6 +174,7 @@ def _ensure_loaded() -> None:
         modern,
     )
     from meta_iterative_mapreduce_spark.operators import (  # noqa: F401
+        avi,
         clustering,
         components,
         corpus,
