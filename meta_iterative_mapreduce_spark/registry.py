@@ -46,72 +46,76 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 
 
 # The external verification window records the FIRST 50 queries in the
-# order queries() yields them. Rounds 1-4 certified all 196 registered
-# queries at least once (union of CORRECTNESS_r01..r04 keys, zero
-# failures) — the BASELINE.json contract metric is closed. Round 5's
-# priority therefore rotates onto STALE stamps (VERDICT.md r4 item 1):
-# 96 queries' newest certification predates later re-plans of their
-# files. The list below = this round's 3 new queries (never certified)
-# + q_window_ntile (plan fully rewritten onto the two-pass distributed
-# rank in r4, AFTER its r02 stamp) + all 46 queries whose newest stamp
-# is r01 — exactly 50. The remaining r02-stamp block rotates in next
-# round. Every query is additionally verified by the identical in-repo
+# order queries() yields them. Rounds 1-5 certified all 196 then-
+# registered queries at least once (union of CORRECTNESS_r01..r05
+# keys, zero failures). The round-6 priority below = the 3 queries
+# with NO driver stamp yet (q_multimodal_decode_webp and
+# q_multimodal_frame_sample_avi are new this round; q_join_bucketed
+# was registered after the r5 window was recorded) + the 46 queries
+# whose newest stamp is r02 (the stalest block; computed from
+# CORRECTNESS_r01..r05 by tests/test_registry_window.py's helper
+# logic) + q_events_dau_stickiness (stamped r04, but its WAU plan was
+# rewritten in r5 AFTER that stamp) — exactly 50. After this round no
+# stamp predates r03 and no re-planned-since-stamp query remains.
+# Every query is additionally verified by the identical in-repo
 # oracle harness (tools/check.py, tests/test_oracle.py) every round
-# regardless of window membership.
+# regardless of window membership. tests/test_registry_window.py
+# asserts every name below is actually registered, so a phantom
+# entry fails CI instead of being silently dropped by _ordered().
 WINDOW_PRIORITY: tuple[str, ...] = (
-    # -- round-5 additions (never driver-certified) --
+    # -- never driver-certified --
     "q_multimodal_decode_webp",
     "q_multimodal_frame_sample_avi",
     "q_join_bucketed",
-    # -- re-planned after its newest (r02) stamp: r4 distrank rewrite --
-    "q_window_ntile",
-    # -- the 46 queries whose newest driver stamp is r01 --
-    "q_agg_approx_distinct",
-    "q_agg_approx_quantile",
-    "q_agg_arg_minmax",
-    "q_agg_bitwise",
-    "q_agg_bool",
-    "q_agg_count_distinct",
-    "q_agg_global",
-    "q_agg_groupby",
-    "q_agg_grouping_sets",
-    "q_agg_histogram",
-    "q_agg_percentile",
-    "q_agg_pivot",
-    "q_agg_regression_exact",
-    "q_agg_stats",
-    "q_agg_string_agg",
-    "q_cluster_kmeans",
-    "q_cte_multi",
-    "q_dedup_exact",
-    "q_dedup_exact_norm",
-    "q_dedup_near_minhash",
-    "q_dedup_ngram_jaccard",
-    "q_dedup_simhash",
-    "q_dedup_simhash_pairs",
-    "q_distinct_projection",
-    "q_events_cohort",
-    "q_events_funnel",
-    "q_merge_upsert",
-    "q_multimodal_decode_stub",
-    "q_multimodal_struct",
-    "q_sim_ann_lsh",
-    "q_sim_cosine_topk",
-    "q_sim_ivf_ann",
-    "q_sim_knn_join",
-    "q_sim_near_dup_pairs",
-    "q_sketch_count_min",
-    "q_subquery_correlated",
-    "q_subquery_scalar",
-    "q_text_fingerprint",
-    "q_text_langid",
-    "q_text_ngram_freq",
-    "q_text_quality",
-    "q_text_stats",
-    "q_text_tfidf",
-    "q_text_token_bpe",
-    "q_text_tokens",
-    "q_unpivot",
+    # -- re-planned after its newest (r04) stamp: r5 WAU explode --
+    "q_events_dau_stickiness",
+    # -- the 46 queries whose newest driver stamp is r02 --
+    "q_filter_comparison",
+    "q_filter_in_between_like",
+    "q_filter_null",
+    "q_join_anti",
+    "q_join_asof",
+    "q_join_broadcast",
+    "q_join_null_safe",
+    "q_join_outer",
+    "q_join_outer_full",
+    "q_join_range",
+    "q_join_semi",
+    "q_join_shuffle_hash",
+    "q_join_sort_merge",
+    "q_join_theta_nl",
+    "q_project_compute",
+    "q_regression_iterative_ema",
+    "q_scalar_array",
+    "q_scalar_array_setops",
+    "q_scalar_conditional",
+    "q_scalar_date",
+    "q_scalar_json",
+    "q_scalar_map",
+    "q_scalar_math",
+    "q_scalar_string",
+    "q_scan_csv",
+    "q_scan_json",
+    "q_scan_orc",
+    "q_scan_parquet",
+    "q_scan_projection_pushdown",
+    "q_set_except",
+    "q_set_except_all",
+    "q_set_intersect",
+    "q_set_union_all",
+    "q_set_union_distinct",
+    "q_sort_limit",
+    "q_sort_multi_key",
+    "q_topk_per_group",
+    "q_tpch_q18_shape",
+    "q_tpch_q1_shape",
+    "q_tpch_q3_shape",
+    "q_tpch_q5_shape",
+    "q_tpch_q6_shape",
+    "q_window_analytic",
+    "q_window_frame_range",
+    "q_window_frame_rows",
+    "q_window_ranking",
 )
 
 
