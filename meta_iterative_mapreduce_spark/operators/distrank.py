@@ -60,20 +60,37 @@ def with_distributed_row_number(
     long-lived cluster use pass `reliable=True` to use a reliable
     `checkpoint()` into `spark.sparkContext.setCheckpointDir(...)`
     storage (HDFS/object store), which survives executor loss at the
-    cost of one materialized write."""
+    cost of one materialized write (plus a transient executor-memory
+    persist: a non-eager reliable checkpoint re-runs its lineage to
+    write the files, so the sorted frame is persisted through the
+    first action and unpersisted right after — without it the
+    range-shuffle+sort would execute twice)."""
     cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
     part = (
         df.repartitionByRange(num_partitions, *cols)
         .sortWithinPartitions(*cols)
         .withColumn("_pid", F.spark_partition_id())
     )
-    part = part.checkpoint(eager=False) if reliable else part.localCheckpoint(
-        eager=False
-    )
+    cached = None
+    if reliable:
+        if df.sparkSession.sparkContext.getCheckpointDir() is None:
+            raise ValueError(
+                "reliable=True requires sparkContext.setCheckpointDir(...) "
+                "pointing at fault-tolerant storage (HDFS/object store) "
+                "before ranking"
+            )
+        cached = part.persist()
+        part = cached.checkpoint(eager=False)
+    else:
+        part = part.localCheckpoint(eager=False)
     hist = {
         r["_pid"]: r["cnt"]
         for r in part.groupBy("_pid").agg(F.count(F.lit(1)).alias("cnt")).collect()
     }
+    if cached is not None:
+        # checkpoint files were written during the collect's job; the
+        # cache has served its recompute-avoidance purpose.
+        cached.unpersist()
     total = int(sum(hist.values()))
     offsets, acc = {}, 0
     for pid in sorted(hist):

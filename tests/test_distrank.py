@@ -96,3 +96,32 @@ def test_distributed_rank_empty_and_single_row(spark):
     got, total = with_distributed_row_number(one, ["v", "id"], out="rn")
     assert total == 1
     assert [r["rn"] for r in got.collect()] == [1]
+
+
+def test_reliable_checkpoint_requires_checkpoint_dir(spark, tmp_path):
+    import pytest
+
+    df = _fixture(spark, 100)
+    sc = spark.sparkContext
+    if sc.getCheckpointDir() is None:  # dir state is session-global
+        with pytest.raises(ValueError, match="setCheckpointDir"):
+            with_distributed_row_number(df, ["v", "id"], reliable=True)
+
+    sc.setCheckpointDir(str(tmp_path / "ckpt"))
+    got, total = with_distributed_row_number(
+        df, ["v", "id"], out="rn", num_partitions=5, reliable=True
+    )
+    assert total == 100
+    # Exact rank equivalence through the reliable-checkpoint path.
+    from pyspark.sql import Window as W2
+
+    want = df.select(
+        "id", F.row_number().over(W2.orderBy("v", "id")).alias("rn_ref")
+    )
+    assert (
+        got.select("id", "rn")
+        .join(want, "id")
+        .filter(F.col("rn") != F.col("rn_ref"))
+        .count()
+        == 0
+    )

@@ -82,9 +82,13 @@ def _enable() -> None:
                     and (_rv.MAJOR, _rv.MINOR) == (6, 32)
                 )
                 # pyspark's generated modules pass their .proto path as
-                # location, e.g. org/apache/spark/sql/execution/
-                # streaming/StateMessage.proto
-                if not (location.startswith("org/apache/spark/") and known_gap):
+                # location: org/apache/spark/... for the streaming state
+                # protos, spark/connect/... for the spark-connect ones
+                # (pyspark/sql/connect/proto/*_pb2.py).
+                _pyspark_gen = location.startswith(
+                    ("org/apache/spark/", "spark/connect/")
+                )
+                if not (_pyspark_gen and known_gap):
                     raise
 
         _rv.ValidateProtobufRuntimeVersion = _validate
