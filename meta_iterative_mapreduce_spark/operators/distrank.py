@@ -133,3 +133,111 @@ def ntile_from_rank(rn: Column, n: int, k: int) -> Column:
     small = ((rn - 1) / (base + 1)).cast("long") + 1
     large = F.lit(rem) + ((rn - boundary - 1) / base).cast("long") + 1
     return F.when(rn <= boundary, small).otherwise(large).cast("long")
+
+
+def with_multi_axis_ntile(
+    df: DataFrame,
+    axes: list[tuple[Column, str]],
+    id_col: str,
+    k: int,
+    num_partitions: int = 32,
+) -> DataFrame:
+    """Exact NTILE(k) of the SAME frame along SEVERAL independent sort
+    axes in ONE distributed job — the fused form of calling
+    with_distributed_row_number once per axis (VERDICT r4 item 5: RFM
+    paid 3 sequential range shuffles + 3 histogram collects for three
+    axes over one per-user table).
+
+    `axes` is a list of (ascending long sort expression, output
+    column); pass a negated column for a descending axis. Each input
+    row explodes into one (axis, sortval) record per axis, and a
+    SINGLE repartitionByRange on (axis, sortval, id) range-sorts all
+    axes at once — axis is the leading range key, so every axis is
+    still globally ordered. One (pid × axis) histogram collect (≤
+    num_partitions·len(axes) rows) yields per-axis offsets; ranks are
+    assigned per partition with running per-axis counters, tiles by
+    the same exact-NTILE arithmetic as ntile_from_rank, and one
+    id-keyed aggregation folds the axes back into wide columns.
+
+    Cost for a axes over n rows: one range shuffle of a·n skinny
+    rows + one tiny collect + one hash shuffle of a·n tile records —
+    versus a sequential jobs each shuffling n rows. Ties broken by
+    `id_col` on every axis, matching NTILE(k) OVER (ORDER BY axis,
+    id). Returns (id_col, *tile columns); join back to `df` if the
+    other columns are needed downstream."""
+    arr = F.array(
+        *[
+            F.struct(
+                F.lit(i).cast("int").alias("axis"),
+                sv.cast("long").alias("sv"),
+            )
+            for i, (sv, _) in enumerate(axes)
+        ]
+    )
+    ex = df.select(F.col(id_col), F.explode(arr).alias("a")).select(
+        id_col, F.col("a.axis").alias("axis"), F.col("a.sv").alias("sv")
+    )
+    part = (
+        ex.repartitionByRange(num_partitions, "axis", "sv", id_col)
+        .sortWithinPartitions("axis", "sv", id_col)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)
+    )
+    counts = {
+        (r["_pid"], r["axis"]): r["cnt"]
+        for r in part.groupBy("_pid", "axis")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    n_axes = len(axes)
+    offsets: dict[tuple[int, int], int] = {}
+    acc = [0] * n_axes
+    for pid in sorted({p for p, _ in counts}):
+        for ax in range(n_axes):
+            c = counts.get((pid, ax), 0)
+            if c:
+                offsets[(pid, ax)] = acc[ax]
+                acc[ax] += c
+    n = acc[0] if acc else 0
+    assert all(t == n for t in acc), "axes must cover identical row sets"
+
+    id_field = next(f for f in df.schema.fields if f.name == id_col)
+    schema = StructType(
+        [
+            id_field,
+            StructField("axis", part.schema["axis"].dataType, False),
+            StructField("rn", LongType(), False),
+        ]
+    )
+
+    def assign(batches):
+        import numpy as np
+
+        run: dict[int, int] = {}
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            pid = int(pdf["_pid"].iloc[0])
+            ax_arr = pdf["axis"].to_numpy()
+            rn = np.empty(len(pdf), dtype="int64")
+            for ax in np.unique(ax_arr):
+                m = ax_arr == ax
+                start = run.get(int(ax))
+                if start is None:
+                    start = offsets[(pid, int(ax))]
+                cnt = int(m.sum())
+                rn[m] = np.arange(start + 1, start + 1 + cnt, dtype="int64")
+                run[int(ax)] = start + cnt
+            out = pdf[[id_col, "axis"]].copy()
+            out["rn"] = rn
+            yield out
+
+    tiled = part.mapInPandas(assign, schema).select(
+        id_col, "axis", ntile_from_rank(F.col("rn"), n, k).alias("tile")
+    )
+    return tiled.groupBy(id_col).agg(
+        *[
+            F.max(F.when(F.col("axis") == i, F.col("tile"))).alias(out)
+            for i, (_, out) in enumerate(axes)
+        ]
+    )

@@ -125,3 +125,65 @@ def test_reliable_checkpoint_requires_checkpoint_dir(spark, tmp_path):
         .count()
         == 0
     )
+
+
+def test_multi_axis_ntile_matches_three_sql_ntiles(spark):
+    """The fused single-shuffle operator must reproduce NTILE(k) on
+    every axis exactly, descending axes included, for remainder-heavy
+    row counts."""
+    from meta_iterative_mapreduce_spark.operators.distrank import (
+        with_multi_axis_ntile,
+    )
+
+    for n in (1003, 10, 3):
+        df = _fixture(spark, n)
+        got = with_multi_axis_ntile(
+            df,
+            [
+                (F.col("v"), "a_q"),
+                (-F.col("w"), "b_q"),
+                (F.col("id"), "c_q"),
+            ],
+            id_col="id",
+            k=4,
+            num_partitions=5,
+        )
+        want = df.select(
+            "id",
+            F.ntile(4).over(W.orderBy("v", "id")).cast("long").alias("a_ref"),
+            F.ntile(4)
+            .over(W.orderBy(F.col("w").desc(), "id"))
+            .cast("long")
+            .alias("b_ref"),
+            F.ntile(4).over(W.orderBy("id")).cast("long").alias("c_ref"),
+        )
+        mism = (
+            got.join(want, "id")
+            .filter(
+                (F.col("a_q") != F.col("a_ref"))
+                | (F.col("b_q") != F.col("b_ref"))
+                | (F.col("c_q") != F.col("c_ref"))
+            )
+            .count()
+        )
+        assert mism == 0, n
+
+
+def test_multi_axis_ntile_single_range_shuffle(spark):
+    """Plan pin for the fusion's whole point: the exploded frame is
+    range-shuffled exactly ONCE for all axes (the checkpoint upstream
+    of the returned frame), not once per axis."""
+    from meta_iterative_mapreduce_spark.operators.distrank import (
+        with_multi_axis_ntile,
+    )
+
+    df = _fixture(spark, 500)
+    got = with_multi_axis_ntile(
+        df, [(F.col("v"), "a"), (-F.col("w"), "b")], id_col="id", k=4
+    )
+    # Downstream plan reads the ONE checkpointed RDD; no range
+    # exchange remains (it already happened, once).
+    plan = _plan(got)
+    assert "rangepartitioning" not in plan.lower()
+    assert "Scan ExistingRDD" in plan
+    assert got.count() == 500
