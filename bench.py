@@ -83,6 +83,22 @@ def _best_of(trials: int, fn) -> float:
     return round(best, 3)
 
 
+def _timed_adaptive(fn) -> float:
+    """Noise control (VERDICT r4 item 9 / r5 carry): sub-second
+    queries are the ones BENCH_DELTA kept flagging at 1.3-1.9x with
+    zero code change, so they get min-of-3; queries whose first trial
+    is slow (>= 3 s) are scheduler-noise-dominated far less and keep
+    min-of-2 to bound total bench wall-clock."""
+    t0 = time.time()
+    fn()
+    best = time.time() - t0
+    for _ in range(2 if best < 3.0 else 1):
+        t0 = time.time()
+        fn()
+        best = min(best, time.time() - t0)
+    return round(best, 3)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -111,9 +127,22 @@ def main() -> None:
         lambda: tree_aggregate_fit(li, "l_quantity", "l_extendedprice", depth=2),
     )
 
+    # fixed calibration probe: an untouched, stable plan timed the same
+    # way as everything else. Its cross-run ratio estimates BOX DRIFT
+    # (page cache, co-tenant load, thermal state), which the delta
+    # report divides out so only genuine per-query change remains.
+    calibration = _best_of(
+        3,
+        lambda: materialize(
+            li.groupBy("l_returnflag", "l_linestatus").agg(
+                {"l_quantity": "sum", "l_extendedprice": "avg"}
+            )
+        ),
+    )
+
     for name, fn in registry.queries().items():
         try:
-            timings[name] = _best_of(trials, lambda: materialize(fn(spark, sf_dir)))
+            timings[name] = _timed_adaptive(lambda: materialize(fn(spark, sf_dir)))
         except Exception as exc:  # noqa: BLE001
             timings[name] = -1.0
             print(f"bench error in {name}: {exc}", file=sys.stderr)
@@ -126,31 +155,44 @@ def main() -> None:
     # delta table goes to BENCH_DELTA.md, a 3-number digest into the
     # compact summary line.
     prev_path = os.path.join(repo_dir, "BENCH_local.json")
-    prev_total, worst_name, worst_ratio, n_reg = None, None, None, 0
+    prev_total, worst_name, worst_ratio, n_reg, drift = None, None, None, 0, None
     try:
         with open(prev_path) as f:
             prev = json.load(f)
         prev_q = {k: v for k, v in prev.get("queries", {}).items() if v > 0}
         prev_total = prev.get("value")
+        prev_cal = prev.get("calibration_sec")
+        if prev_cal and prev_cal > 0:
+            drift = round(calibration / prev_cal, 3)
         rows = []
         for k, t in sorted(timings.items()):
             if t <= 0 or k not in prev_q:
                 continue
             ratio = t / prev_q[k]
-            rows.append((ratio, k, prev_q[k], t))
-            if ratio > 1.5 and t - prev_q[k] > 0.3:  # real, not noise
+            # drift-normalized ratio: divide out whatever the
+            # calibration probe says the whole box sped up/slowed down
+            # by between the two runs
+            nratio = ratio / drift if drift else ratio
+            rows.append((nratio, ratio, k, prev_q[k], t))
+            if nratio > 1.5 and t - prev_q[k] > 0.3:  # real, not noise
                 n_reg += 1
         if rows:
-            worst_ratio, worst_name = max((r, k) for r, k, *_ in rows)
+            worst_ratio, worst_name = max((nr, k) for nr, _, k, *_ in rows)
             worst_ratio = round(worst_ratio, 2)
         with open(os.path.join(repo_dir, "BENCH_DELTA.md"), "w") as f:
             f.write(
                 "# Bench delta vs previous local run\n\n"
                 f"prev total {prev_total}s -> now {total}s (sf={sf})\n\n"
-                "| query | prev s | now s | ratio |\n|---|---|---|---|\n"
+                f"calibration probe: prev {prev_cal}s -> now {calibration}s "
+                f"=> box drift x{drift} (norm_ratio = ratio / drift; "
+                "regressions are flagged on norm_ratio)\n\n"
+                "| query | prev s | now s | ratio | norm_ratio |\n"
+                "|---|---|---|---|---|\n"
             )
-            for ratio, k, p, t in sorted(rows, reverse=True):
-                f.write(f"| {k} | {p} | {t} | {ratio:.2f} |\n")
+            for nratio, ratio, k, p, t in sorted(rows, reverse=True):
+                f.write(
+                    f"| {k} | {p} | {t} | {ratio:.2f} | {nratio:.2f} |\n"
+                )
     except (OSError, ValueError):
         pass  # first run: nothing to compare against
 
@@ -160,6 +202,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "calibration_sec": calibration,
     }
     with open(prev_path, "w") as f:
         json.dump(full, f, indent=1, sort_keys=True)
@@ -177,6 +220,8 @@ def main() -> None:
     if prev_total is not None:
         summary["prev_total"] = prev_total
         summary["n_regressed"] = n_reg
+        if drift is not None:
+            summary["box_drift"] = drift
         if worst_name is not None:
             summary["worst_delta"] = f"{worst_name}:{worst_ratio}"
     line = json.dumps(summary)

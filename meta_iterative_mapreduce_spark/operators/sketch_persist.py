@@ -1,0 +1,172 @@
+"""Cross-job sketch persistence — the rescan-free incremental pipeline.
+
+The mergeability that makes sketches the 100 TB distinct-count /
+quantile path only pays off if partials SURVIVE the job that built
+them: day-1's job writes its HLL/KLL partials to durable storage, and
+day-2's job unions yesterday's partials with today's delta WITHOUT
+rescanning yesterday's raw events. This module wires the sketch
+operators (operators/sketches.py) to the versioned table log
+(sources/versioned.py):
+
+- job 1: `hll_partials` / `kll_partials` per group → `write_version`
+  (binary sketch column persists as plain parquet; the manifest is the
+  atomic commit);
+- job N: delta partials → `append_version` (log-structured — only the
+  delta's files are written, prior partials are referenced unchanged);
+- merge job: `merged_hll_estimate` / `merged_kll_quantiles` read the
+  latest manifest and fold the partials with `hll_union_agg` /
+  `kll_sketch_merge_double` — input size = #groups × #batches rows,
+  never the raw event count.
+
+Why this is exact for HLL: sketch state depends only on the SET of
+hashed values, so union(partials over disjoint row sets) equals the
+sketch of the full union — the merged estimate is bit-identical to a
+full recompute (asserted by tests/test_sketch_persist.py). KLL merge
+is rank-error-bounded rather than bit-stable, so its e2e contract is
+the quantile-within-exact-window flag pattern of q_sketch_kll.
+
+Reference analog: none — kernel.cu holds all state in rank-0 RAM for
+the life of one process (kernel.cu:92-104); persistence across jobs is
+exactly what a stdin-fed single-run engine cannot express.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from meta_iterative_mapreduce_spark.io import load_table
+from meta_iterative_mapreduce_spark.registry import register
+from meta_iterative_mapreduce_spark.sources import versioned
+
+_LGK = 14  # ~0.8% RSE; matches operators/sketches.py::q_sketch_hll
+
+
+def hll_partials(df: DataFrame, keys: list[str], col: str) -> DataFrame:
+    """Per-group HLL partials (binary, parquet-persistable) + the
+    batch's own row count so manifests stay self-describing."""
+    return df.groupBy(*keys).agg(
+        F.hll_sketch_agg(col, _LGK).alias("sk"),
+        F.count(F.lit(1)).alias("n_batch_rows"),
+    )
+
+
+def kll_partials(df: DataFrame, keys: list[str], col: str) -> DataFrame:
+    """Per-group KLL quantile partials (binary, parquet-persistable)."""
+    return df.groupBy(*keys).agg(
+        F.kll_sketch_agg_double(col).alias("sk"),
+        F.count(F.lit(1)).alias("n_batch_rows"),
+    )
+
+
+def merged_hll_estimate(
+    spark: SparkSession, table: str, keys: list[str], version: int | None = None
+) -> DataFrame:
+    """Merge-only job: distinct estimates per group from ALL persisted
+    partials of `version` (latest if None). Reads #groups × #batches
+    sketch rows — never the raw data they summarize."""
+    parts = versioned.read_version(spark, table, version)
+    return parts.groupBy(*keys).agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("n_est"),
+        F.sum("n_batch_rows").alias("n_rows"),
+    )
+
+
+def merged_kll_quantile(
+    spark: SparkSession,
+    table: str,
+    q: float,
+    version: int | None = None,
+) -> DataFrame:
+    """Merge-only job: one global quantile estimate from all persisted
+    KLL partials. Binary fold over the (tiny) partial list, as in
+    operators/sketches.py::q_sketch_kll."""
+    parts = versioned.read_version(spark, table, version)
+    glob = parts.agg(F.collect_list("sk").alias("sks")).select(
+        F.expr(
+            "aggregate(slice(sks, 2, size(sks) - 1), sks[0],"
+            " (a, x) -> kll_sketch_merge_double(a, x))"
+        ).alias("sk")
+    )
+    return glob.select(
+        F.kll_sketch_get_quantile_double("sk", F.lit(q)).alias("q_est")
+    )
+
+
+def _log_path(sf_dir: str, name: str) -> str:
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    return os.path.join(
+        tempfile.gettempdir(), "mimr_sketch_log", f"{name}_{tag}"
+    )
+
+
+def ensure_event_user_log(spark: SparkSession, sf_dir: str) -> str:
+    """Simulate the two-job incremental pipeline against the fixture:
+    job 1 sketches the historical block (event_id % 4 != 0) into v1,
+    job 2 appends the delta block's partials as v2. Deterministic
+    arithmetic split (registry hash-hygiene rule: key % K, never engine
+    hashes), idempotent per sf_dir — reruns see 2 committed versions
+    and write nothing."""
+    table = _log_path(sf_dir, "ev_user_hll")
+    done = versioned.versions(table)
+    if len(done) >= 2:
+        return table
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "user_id"
+    )
+    if len(done) == 0:
+        hist = ev.filter(F.col("event_id") % 4 != 0)
+        versioned.write_version(
+            hll_partials(hist, ["event_type"], "user_id"), table
+        )
+    delta = ev.filter(F.col("event_id") % 4 == 0)
+    versioned.append_version(
+        hll_partials(delta, ["event_type"], "user_id"), table
+    )
+    return table
+
+
+@register(
+    "q_sketch_hll_persisted",
+    oracle="""
+    SELECT event_type AS scope,
+           COUNT(DISTINCT user_id) AS n_exact,
+           COUNT(*) AS n_rows,
+           TRUE AS est_ok
+    FROM events GROUP BY event_type
+    """,
+)
+def q_sketch_hll_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users per event type from PERSISTED sketch partials:
+    job 1 wrote the historical partials to a versioned table, job 2
+    appended the delta's partials, and THIS query is the merge-only
+    job — it unions binary partials from the manifest without touching
+    raw events. Oracle pattern as q_sketch_hll: exact distinct counts
+    (recomputed from the raw table purely to build the auditable
+    est_ok flag) plus a 10%-window flag that is >12 sigma at lgK=14,
+    so deterministically TRUE unless the persist/merge path regresses.
+    n_rows additionally proves the manifests' batch row accounting
+    reconstructs the full table size exactly."""
+    table = ensure_event_user_log(spark, sf_dir)
+    merged = merged_hll_estimate(spark, table, ["event_type"])
+    exact = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n_exact"))
+    )
+    return (
+        merged.join(F.broadcast(exact), "event_type")
+        .select(
+            F.col("event_type").alias("scope"),
+            "n_exact",
+            "n_rows",
+            (
+                F.abs(F.col("n_est") - F.col("n_exact")) / F.col("n_exact")
+                <= 0.10
+            ).alias("est_ok"),
+        )
+    )

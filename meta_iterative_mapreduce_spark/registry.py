@@ -190,6 +190,7 @@ def _ensure_loaded() -> None:
         pipeline,
         regression,
         similarity,
+        sketch_persist,
         sketches,
         skew,
         text,

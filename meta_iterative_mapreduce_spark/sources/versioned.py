@@ -13,6 +13,11 @@ this is the engine-side table format a 100 TB pipeline checkpoints
 into. Compaction (plans/layout.py::compact_files) and MERGE
 (operators/merge.py) compose with it: compact rewrites files and
 publishes a new manifest; merge writes a new snapshot version.
+
+Schema evolution: each manifest records the table schema; appends may
+add or omit columns (merge-on-read fills nulls, the manifest pins
+projection order) but a type change fails at commit time — see
+_merged_schema.
 """
 
 from __future__ import annotations
@@ -22,9 +27,36 @@ import os
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
 
 _MANIFEST_DIR = "_manifests"
 _DATA_DIR = "data"
+
+
+def _merged_schema(prev: dict | None, new: dict) -> dict:
+    """Schema evolution contract: a later batch may ADD columns (old
+    files read back with nulls there — merge-on-read) and may OMIT
+    columns (its rows read back with nulls), but may never CHANGE a
+    column's type — silent type drift is the classic lakehouse
+    corruption, so it fails the commit, not the eventual reader.
+    Column order is prev's fields then additions in arrival order, so
+    the table's projection is stable across versions."""
+    if prev is None:
+        return new
+    by_name = {f["name"]: f for f in prev["fields"]}
+    out = list(prev["fields"])
+    for f in new["fields"]:
+        old = by_name.get(f["name"])
+        if old is None:
+            out.append(f)
+        elif old["type"] != f["type"]:
+            raise ValueError(
+                f"schema evolution cannot change column {f['name']!r} "
+                f"from {old['type']!r} to {f['type']!r}; add a new "
+                "column instead"
+            )
+    return {"type": "struct", "fields": out}
 
 
 def _manifest_path(table: str, version: int) -> str:
@@ -99,22 +131,30 @@ def write_version(df: DataFrame, table: str) -> int:
     vs = versions(table)
     v = (vs[-1] + 1) if vs else 1
     files = _write_data_files(df, table, v)
-    _commit(table, v, files, df.count())
+    _commit(table, v, files, df.count(), schema=df.schema.jsonValue())
     return v
 
 
 def append_version(df: DataFrame, table: str) -> int:
     """Commit df's rows APPENDED to the latest version: writes only the
     new files; the manifest references the previous files unchanged
-    (log-structured append — no rewrite of existing data)."""
+    (log-structured append — no rewrite of existing data). The batch's
+    schema may evolve vs the table's (see _merged_schema): additions
+    and omissions merge on read as nulls, type changes fail HERE, at
+    commit time, before any file is referenced by a manifest."""
     vs = versions(table)
     if not vs:
         return write_version(df, table)
     prev = json.load(open(_manifest_path(table, vs[-1])))
+    schema = _merged_schema(prev.get("schema"), df.schema.jsonValue())
     v = vs[-1] + 1
     new_files = _write_data_files(df, table, v)
     _commit(
-        table, v, prev["files"] + new_files, prev["n_rows"] + df.count()
+        table,
+        v,
+        prev["files"] + new_files,
+        prev["n_rows"] + df.count(),
+        schema=schema,
     )
     return v
 
@@ -132,7 +172,24 @@ def read_version(
         raise ValueError(f"version {v} not in {vs}")
     m = json.load(open(_manifest_path(table, v)))
     paths = [os.path.join(table, f) for f in m["files"]]
-    return spark.read.parquet(*paths)
+    if "schema" not in m:  # pre-evolution manifest: plain read
+        return spark.read.parquet(*paths)
+    # merge-on-read: files written before a column was added simply
+    # lack it; mergeSchema unions the file footers and fills nulls.
+    # The manifest schema then pins projection ORDER (footer-union
+    # order depends on file listing order) and supplies any column
+    # every file of this version happens to omit.
+    want = StructType.fromJson(m["schema"])
+    df = spark.read.option("mergeSchema", "true").parquet(*paths)
+    have = set(df.columns)
+    return df.select(
+        *[
+            F.col(f.name)
+            if f.name in have
+            else F.lit(None).cast(f.dataType).alias(f.name)
+            for f in want.fields
+        ]
+    )
 
 
 def committed_batch_ids(table: str) -> set[int]:
@@ -162,9 +219,13 @@ def versioned_batch_sink(table: str):
         vs = versions(table)
         if not vs:
             v, prev_files, prev_rows = 1, [], 0
+            schema = batch_df.schema.jsonValue()
         else:
             prev = json.load(open(_manifest_path(table, vs[-1])))
             v, prev_files, prev_rows = vs[-1] + 1, prev["files"], prev["n_rows"]
+            schema = _merged_schema(
+                prev.get("schema"), batch_df.schema.jsonValue()
+            )
         files = _write_data_files(batch_df, table, v)
         _commit(
             table,
@@ -172,6 +233,7 @@ def versioned_batch_sink(table: str):
             prev_files + files,
             prev_rows + batch_df.count(),
             batch_id=batch_id,
+            schema=schema,
         )
 
     return apply_batch

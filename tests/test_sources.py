@@ -169,3 +169,70 @@ def test_versioned_sink_is_exactly_once(spark, sf_dir, tmp_path):
     )
     sink(dup, max(ids))
     assert read_version(spark, table).count() == n_expected
+
+
+def test_versioned_schema_evolution_add_column(spark, sf_dir, tmp_path):
+    """Append a batch with an ADDED column: old versions stay readable
+    as written, the new version merges on read with nulls for the old
+    files, projection order is manifest-pinned, and the evolved column
+    survives a further no-column append."""
+    from pyspark.sql import functions as F
+
+    from meta_iterative_mapreduce_spark.sources.versioned import (
+        append_version,
+        read_version,
+        write_version,
+    )
+
+    table = str(tmp_path / "evo_tbl")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "user_id"
+    )
+    b1 = ev.filter(F.col("event_id") % 3 == 0)
+    b2 = ev.filter(F.col("event_id") % 3 == 1).withColumn(
+        "score", (F.col("user_id") % 7).cast("double")
+    )
+    b3 = ev.filter(F.col("event_id") % 3 == 2)  # omits the new column
+    write_version(b1, table)
+    append_version(b2, table)
+    append_version(b3, table)
+
+    # v1 time travel: the pre-evolution projection, no phantom column
+    v1 = read_version(spark, table, 1)
+    assert v1.columns == ["event_id", "user_id"]
+    assert v1.count() == b1.count()
+
+    # latest: stable column order = original fields then additions
+    v3 = read_version(spark, table)
+    assert v3.columns == ["event_id", "user_id", "score"]
+    assert v3.count() == ev.count()
+    # merge-on-read nulls exactly where files predate/omit the column
+    nulls = v3.filter(F.col("score").isNull()).count()
+    assert nulls == b1.count() + b3.count()
+    vals = v3.filter(F.col("score").isNotNull())
+    assert vals.filter(F.col("score") != F.col("user_id") % 7).count() == 0
+
+
+def test_versioned_schema_evolution_rejects_type_change(
+    spark, sf_dir, tmp_path
+):
+    """Type drift must fail at COMMIT time, before a manifest
+    references the incompatible files."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from meta_iterative_mapreduce_spark.sources.versioned import (
+        append_version,
+        versions,
+        write_version,
+    )
+
+    table = str(tmp_path / "drift_tbl")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "user_id"
+    )
+    write_version(ev, table)
+    drift = ev.withColumn("user_id", F.col("user_id").cast("string"))
+    with _pytest.raises(ValueError, match="user_id"):
+        append_version(drift, table)
+    assert versions(table) == [1]
