@@ -131,14 +131,21 @@ def main() -> None:
     # way as everything else. Its cross-run ratio estimates BOX DRIFT
     # (page cache, co-tenant load, thermal state), which the delta
     # report divides out so only genuine per-query change remains.
-    calibration = _best_of(
-        3,
-        lambda: materialize(
-            li.groupBy("l_returnflag", "l_linestatus").agg(
-                {"l_quantity": "sum", "l_extendedprice": "avg"}
-            )
-        ),
-    )
+    # Run it BEFORE and AFTER the ~200-query loop (ADVICE r6): drift
+    # that develops mid-run (cache warmup, co-tenant load) would
+    # otherwise be misattributed to whichever queries it overlapped;
+    # the mean of the two probes centers the estimate on the loop.
+    def _calibrate() -> float:
+        return _best_of(
+            3,
+            lambda: materialize(
+                li.groupBy("l_returnflag", "l_linestatus").agg(
+                    {"l_quantity": "sum", "l_extendedprice": "avg"}
+                )
+            ),
+        )
+
+    calibration_pre = _calibrate()
 
     for name, fn in registry.queries().items():
         try:
@@ -146,6 +153,9 @@ def main() -> None:
         except Exception as exc:  # noqa: BLE001
             timings[name] = -1.0
             print(f"bench error in {name}: {exc}", file=sys.stderr)
+
+    calibration_post = _calibrate()
+    calibration = round((calibration_pre + calibration_post) / 2, 3)
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     repo_dir = os.path.dirname(__file__) or "."
@@ -184,6 +194,9 @@ def main() -> None:
                 "# Bench delta vs previous local run\n\n"
                 f"prev total {prev_total}s -> now {total}s (sf={sf})\n\n"
                 f"calibration probe: prev {prev_cal}s -> now {calibration}s "
+                f"(pre {calibration_pre}s / post {calibration_post}s — mean "
+                "of probes bracketing the loop, so mid-run drift is "
+                "centered, not attributed to queries) "
                 f"=> box drift x{drift} (norm_ratio = ratio / drift; "
                 "regressions are flagged on norm_ratio)\n\n"
                 "| query | prev s | now s | ratio | norm_ratio |\n"
@@ -203,6 +216,8 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
         "calibration_sec": calibration,
+        "calibration_pre_sec": calibration_pre,
+        "calibration_post_sec": calibration_post,
     }
     with open(prev_path, "w") as f:
         json.dump(full, f, indent=1, sort_keys=True)

@@ -28,6 +28,35 @@ TABLES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def fixture_fingerprint(sf_dir: str, *tables: str) -> str:
+    """Short content fingerprint of fixture tables (path + size +
+    mtime of every data file). Derived caches (bucketed copies,
+    sketch logs) key on THIS, not on the sf_dir path alone — if the
+    fixture at a path is regenerated with different data, the cache
+    tag changes and stale derived state can never be served (the
+    silent-wrong-rows failure mode ADVICE r6 flagged)."""
+    import hashlib
+
+    h = hashlib.md5(sf_dir.encode())
+    for t in tables or TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        entries = []
+        if os.path.isfile(p):
+            st = os.stat(p)
+            entries.append((t, st.st_size, st.st_mtime_ns))
+        elif os.path.isdir(p):
+            for root, _dirs, files in os.walk(p):
+                for f in sorted(files):
+                    fp = os.path.join(root, f)
+                    st = os.stat(fp)
+                    entries.append(
+                        (os.path.relpath(fp, p), st.st_size, st.st_mtime_ns)
+                    )
+        for e in sorted(entries):
+            h.update(repr(e).encode())
+    return h.hexdigest()[:12]
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         # events.ts arrives in whatever flavor the fixture generator

@@ -195,7 +195,16 @@ def q_graph_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
     a global cross product; the distinct-edge aggregate is the only
     data-proportional shuffle, and the two degree/histogram aggregates
     collapse monotonically. All-integer output: no float hygiene
-    needed."""
+    needed.
+
+    Both edge endpoints are emitted by ONE explode over the
+    deduplicated edge set — NOT unionAll(edges.pa, edges.pb), which
+    references the edges subtree twice and makes Spark recompute the
+    whole scan→distinct→join→distinct pipeline per branch (the r6
+    BENCH flagged exactly that shape drifting 1.7x with cache state:
+    double-computed subtrees are twice as exposed to page-cache and
+    scheduler noise, and at 100 TB the second compute is a real
+    rescan)."""
     items = (
         load_table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
@@ -214,8 +223,7 @@ def q_graph_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     deg = (
-        edges.select(F.col("pa").alias("p"))
-        .unionAll(edges.select(F.col("pb").alias("p")))
+        edges.select(F.explode(F.array("pa", "pb")).alias("p"))
         .groupBy("p")
         .agg(F.count(F.lit(1)).alias("degree"))
     )

@@ -164,7 +164,12 @@ def with_multi_axis_ntile(
     versus a sequential jobs each shuffling n rows. Ties broken by
     `id_col` on every axis, matching NTILE(k) OVER (ORDER BY axis,
     id). Returns (id_col, *tile columns); join back to `df` if the
-    other columns are needed downstream."""
+    other columns are needed downstream.
+
+    Input contract (ValueError if violated): `id_col` must be UNIQUE
+    per row and every axis expression non-null — duplicate ids would
+    collapse in the final per-id fold and skew every tile after the
+    duplicate."""
     arr = F.array(
         *[
             F.struct(
@@ -199,7 +204,17 @@ def with_multi_axis_ntile(
                 offsets[(pid, ax)] = acc[ax]
                 acc[ax] += c
     n = acc[0] if acc else 0
-    assert all(t == n for t in acc), "axes must cover identical row sets"
+    if not all(t == n for t in acc):
+        # a real ValueError, not assert: this guards the core input
+        # contract (id_col unique per row, every axis non-null over
+        # the same row set) and must survive `python -O` — under a
+        # stripped assert, duplicate ids would silently produce wrong
+        # tiles via the groupBy/max fold below.
+        raise ValueError(
+            f"axes must cover identical row sets (per-axis row counts "
+            f"{acc}); is {id_col!r} unique per row and every axis "
+            "expression non-null?"
+        )
 
     id_field = next(f for f in df.schema.fields if f.name == id_col)
     schema = StructType(

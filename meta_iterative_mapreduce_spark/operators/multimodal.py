@@ -650,7 +650,7 @@ def decode_image_features(payload: bytes) -> dict:
         }
     if head[:4] == _MAGIC:
         return decode_synthetic_image(payload)
-    if head == _PNG_SIG:
+    if head[:8] == _PNG_SIG:
         f = decode_png_gray8(payload)
         return {k: f[k] for k in ("width", "height", "n_pixels", "mean_intensity")}
     if head[:2] == b"\xFF\xD8":

@@ -32,14 +32,13 @@ exactly what a stdin-fed single-run engine cannot express.
 
 from __future__ import annotations
 
-import hashlib
 import os
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from meta_iterative_mapreduce_spark.io import load_table
+from meta_iterative_mapreduce_spark.io import fixture_fingerprint, load_table
 from meta_iterative_mapreduce_spark.registry import register
 from meta_iterative_mapreduce_spark.sources import versioned
 
@@ -98,10 +97,37 @@ def merged_kll_quantile(
 
 
 def _log_path(sf_dir: str, name: str) -> str:
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    # content fingerprint, not just the path: a regenerated fixture at
+    # the same sf_dir must produce a fresh log instead of merging
+    # against partials of data that no longer exists.
+    tag = fixture_fingerprint(sf_dir, "events")
     return os.path.join(
         tempfile.gettempdir(), "mimr_sketch_log", f"{name}_{tag}"
     )
+
+
+def ensure_event_value_kll_log(spark: SparkSession, sf_dir: str) -> str:
+    """KLL twin of ensure_event_user_log: job 1 persists quantile
+    partials of events.value for the historical block (event_id % 4
+    != 0), job 2 appends the delta block's partials. Same
+    deterministic arithmetic split, same idempotence contract."""
+    table = _log_path(sf_dir, "ev_value_kll")
+    done = versioned.versions(table)
+    if len(done) >= 2:
+        return table
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    if len(done) == 0:
+        hist = ev.filter(F.col("event_id") % 4 != 0)
+        versioned.write_version(
+            kll_partials(hist, ["event_type"], "value"), table
+        )
+    delta = ev.filter(F.col("event_id") % 4 == 0)
+    versioned.append_version(
+        kll_partials(delta, ["event_type"], "value"), table
+    )
+    return table
 
 
 def ensure_event_user_log(spark: SparkSession, sf_dir: str) -> str:
@@ -169,4 +195,65 @@ def q_sketch_hll_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
                 <= 0.10
             ).alias("est_ok"),
         )
+    )
+
+
+@register(
+    "q_sketch_kll_persisted",
+    oracle="""
+    SELECT 'ALL' AS scope,
+           COUNT(*) AS n_rows,
+           TRUE AS median_ok, TRUE AS p99_ok
+    FROM events
+    """,
+)
+def q_sketch_kll_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global quantiles of events.value from PERSISTED KLL partials —
+    the quantile twin of q_sketch_hll_persisted: job 1 wrote the
+    historical per-event-type partials to a versioned table, job 2
+    appended the delta's, and THIS query is the merge-only job (one
+    binary fold over #groups × #batches sketch rows, never the raw
+    events). KLL merge is rank-error-bounded rather than bit-stable,
+    so the e2e contract is q_sketch_kll's: the merged sketch's median
+    must land inside the exact (p40, p60) value window and its p99
+    inside (p97, max) — >=10x the sketch's ~1% rank error, so the
+    flags are deterministically TRUE unless the persist/merge path
+    regresses. n_rows comes from the manifests' batch-row accounting
+    and must reconstruct the full table count exactly."""
+    table = ensure_event_value_kll_log(spark, sf_dir)
+    parts = versioned.read_version(spark, table)
+    glob = parts.agg(
+        F.collect_list("sk").alias("sks"),
+        F.sum("n_batch_rows").alias("n_rows"),
+    ).select(
+        F.expr(
+            "aggregate(slice(sks, 2, size(sks) - 1), sks[0],"
+            " (a, x) -> kll_sketch_merge_double(a, x))"
+        ).alias("sk"),
+        "n_rows",
+    )
+    # exact windows recomputed from the raw table purely to build the
+    # auditable flags (the oracle emits the same count and TRUE)
+    bounds = (
+        load_table(spark, sf_dir, "events")
+        .agg(
+            F.expr(
+                "percentile(value, array(0.40D, 0.60D, 0.97D))"
+            ).alias("ps"),
+            F.max("value").alias("hi99"),
+        )
+        .select(
+            F.element_at("ps", 1).alias("lo50"),
+            F.element_at("ps", 2).alias("hi50"),
+            F.element_at("ps", 3).alias("lo99"),
+            "hi99",
+        )
+    )
+    est50 = F.kll_sketch_get_quantile_double("sk", F.lit(0.5))
+    est99 = F.kll_sketch_get_quantile_double("sk", F.lit(0.99))
+    return glob.crossJoin(F.broadcast(bounds)).select(
+        F.lit("ALL").alias("scope"),
+        "n_rows",
+        est50.between(F.col("lo50"), F.col("hi50")).alias("median_ok"),
+        est99.between(F.col("lo99"), F.col("hi99")).alias("p99_ok"),
     )

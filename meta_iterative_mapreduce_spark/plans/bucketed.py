@@ -20,14 +20,13 @@ NO `Exchange hashpartitioning`.
 
 from __future__ import annotations
 
-import hashlib
 import os
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from meta_iterative_mapreduce_spark.io import load_table
+from meta_iterative_mapreduce_spark.io import fixture_fingerprint, load_table
 from meta_iterative_mapreduce_spark.registry import register
 
 # 8 buckets matches local[8] test parallelism; a 100 TB deployment
@@ -37,7 +36,10 @@ _N_BUCKETS = 8
 
 
 def _tag(sf_dir: str) -> str:
-    return hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    # content fingerprint, not just the path: a regenerated fixture at
+    # the same sf_dir must invalidate the cached bucketed copies
+    # instead of silently serving stale rows.
+    return fixture_fingerprint(sf_dir, "lineitem", "orders")
 
 
 def ensure_bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:

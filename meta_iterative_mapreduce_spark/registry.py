@@ -46,76 +46,73 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 
 
 # The external verification window records the FIRST 50 queries in the
-# order queries() yields them. Rounds 1-5 certified all 196 then-
-# registered queries at least once (union of CORRECTNESS_r01..r05
-# keys, zero failures). The round-6 priority below = the 3 queries
-# with NO driver stamp yet (q_multimodal_decode_webp and
-# q_multimodal_frame_sample_avi are new this round; q_join_bucketed
-# was registered after the r5 window was recorded) + the 46 queries
-# whose newest stamp is r02 (the stalest block; computed from
-# CORRECTNESS_r01..r05 by tests/test_registry_window.py's helper
-# logic) + q_events_dau_stickiness (stamped r04, but its WAU plan was
-# rewritten in r5 AFTER that stamp) — exactly 50. After this round no
-# stamp predates r03 and no re-planned-since-stamp query remains.
-# Every query is additionally verified by the identical in-repo
-# oracle harness (tools/check.py, tests/test_oracle.py) every round
-# regardless of window membership. tests/test_registry_window.py
-# asserts every name below is actually registered, so a phantom
-# entry fails CI instead of being silently dropped by _ordered().
+# order queries() yields them. Rounds 1-6 certified all 199 then-
+# registered queries at least once except q_sketch_hll_persisted
+# (registered after the r6 window was recorded — VERDICT r6 item 4:
+# it must lead this window). The round-7 priority below = every query
+# with NO driver stamp in CORRECTNESS_r01..r06 (q_sketch_hll_persisted
+# plus this round's new registrations, led by q_sketch_kll_persisted)
+# + the stalest r03-stamped queries filling the remaining slots. Two
+# r03-stamped queries (q_udtf_python, q_zorder_layout) are displaced
+# to the FRONT of the r8 rotation to make room. tests/test_registry_
+# window.py now DERIVES the never-stamped set from CORRECTNESS_r*.json
+# and asserts each such query leads this list, so a new registration
+# can never again silently miss its certification round. Every query
+# is additionally verified by the identical in-repo oracle harness
+# (tools/check.py, tests/test_oracle.py) every round regardless of
+# window membership, and every name below must be registered (phantom
+# entries fail CI instead of being silently dropped by _ordered()).
 WINDOW_PRIORITY: tuple[str, ...] = (
-    # -- never driver-certified --
-    "q_multimodal_decode_webp",
-    "q_multimodal_frame_sample_avi",
-    "q_join_bucketed",
-    # -- re-planned after its newest (r04) stamp: r5 WAU explode --
-    "q_events_dau_stickiness",
-    # -- the 46 queries whose newest driver stamp is r02 --
-    "q_filter_comparison",
-    "q_filter_in_between_like",
-    "q_filter_null",
-    "q_join_anti",
-    "q_join_asof",
-    "q_join_broadcast",
-    "q_join_null_safe",
-    "q_join_outer",
-    "q_join_outer_full",
-    "q_join_range",
-    "q_join_semi",
-    "q_join_shuffle_hash",
-    "q_join_sort_merge",
-    "q_join_theta_nl",
-    "q_project_compute",
-    "q_regression_iterative_ema",
-    "q_scalar_array",
-    "q_scalar_array_setops",
-    "q_scalar_conditional",
-    "q_scalar_date",
-    "q_scalar_json",
-    "q_scalar_map",
-    "q_scalar_math",
-    "q_scalar_string",
-    "q_scan_csv",
-    "q_scan_json",
-    "q_scan_orc",
-    "q_scan_parquet",
-    "q_scan_projection_pushdown",
-    "q_set_except",
-    "q_set_except_all",
-    "q_set_intersect",
-    "q_set_union_all",
-    "q_set_union_distinct",
-    "q_sort_limit",
-    "q_sort_multi_key",
-    "q_topk_per_group",
-    "q_tpch_q18_shape",
-    "q_tpch_q1_shape",
-    "q_tpch_q3_shape",
-    "q_tpch_q5_shape",
-    "q_tpch_q6_shape",
-    "q_window_analytic",
-    "q_window_frame_range",
-    "q_window_frame_rows",
-    "q_window_ranking",
+    "q_sketch_hll_persisted",
+    "q_sketch_kll_persisted",
+    "q_agg_incremental",
+    "q_cdc_snapshot_diff",
+    "q_corpus_mix",
+    "q_dedup_components",
+    "q_embed_gram",
+    "q_embed_pca_power",
+    "q_embed_quantize",
+    "q_events_attribution",
+    "q_events_funnel_k",
+    "q_events_funnel_staged",
+    "q_events_sessionize",
+    "q_events_transition",
+    "q_graph_degree",
+    "q_graph_pagerank",
+    "q_graph_triangles",
+    "q_join_lateral",
+    "q_join_skew_salted",
+    "q_multimodal_decode",
+    "q_multimodal_decode_png",
+    "q_multimodal_frame_sample",
+    "q_multimodal_resize",
+    "q_pipeline_corpus_clean",
+    "q_scalar_variant",
+    "q_sim_recall_at_k",
+    "q_sketch_hll",
+    "q_sketch_kll",
+    "q_source_python_ds",
+    "q_stream_ema",
+    "q_stream_join",
+    "q_stream_session",
+    "q_stream_sliding",
+    "q_stream_tumbling",
+    "q_text_bm25",
+    "q_text_chunk",
+    "q_text_decontaminate",
+    "q_text_html_strip",
+    "q_text_inverted_index",
+    "q_text_pack",
+    "q_text_pii_redact",
+    "q_text_repetition",
+    "q_ts_anomaly",
+    "q_ts_downsample",
+    "q_ts_gapfill",
+    "q_udaf_grouped",
+    "q_udf_grouped_map",
+    "q_udf_pandas",
+    "q_udf_python",
+    "q_udtf_explode",
 )
 
 

@@ -16,8 +16,12 @@ publishes a new manifest; merge writes a new snapshot version.
 
 Schema evolution: each manifest records the table schema; appends may
 add or omit columns (merge-on-read fills nulls, the manifest pins
-projection order) but a type change fails at commit time — see
-_merged_schema.
+projection order) and may SAFELY WIDEN a column's type along the
+byte→short→int→long and float→double chains (the manifest adopts the
+wider type; Spark 4's parquet reader up-casts narrower files at scan
+time when given an explicit read schema, verified in
+tests/test_versioned.py) — any other type change fails at commit
+time. See _merged_schema.
 """
 
 from __future__ import annotations
@@ -27,36 +31,71 @@ import os
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
-from pyspark.sql.types import StructType
+from pyspark.sql.types import StructField, StructType
 
 _MANIFEST_DIR = "_manifests"
 _DATA_DIR = "data"
 
 
+# Safe type-widening chains (Delta/Iceberg's "type widening"): a later
+# batch may promote a column along a chain; the manifest adopts the
+# wider type and older, narrower files are up-cast at scan time by the
+# parquet reader (explicit read schema — Spark 4 supports INT32→LONG
+# and FLOAT→DOUBLE promotion natively, no per-file rewrite).
+_WIDENING_CHAINS: tuple[tuple[str, ...], ...] = (
+    ("byte", "short", "integer", "long"),
+    ("float", "double"),
+)
+
+
+def _widened_type(old: str, new: str) -> str | None:
+    """The wider of two types if they sit on one widening chain, else
+    None (incompatible)."""
+    if old == new:
+        return old
+    for chain in _WIDENING_CHAINS:
+        if old in chain and new in chain:
+            return chain[max(chain.index(old), chain.index(new))]
+    return None
+
+
 def _merged_schema(prev: dict | None, new: dict) -> dict:
     """Schema evolution contract: a later batch may ADD columns (old
-    files read back with nulls there — merge-on-read) and may OMIT
-    columns (its rows read back with nulls), but may never CHANGE a
-    column's type — silent type drift is the classic lakehouse
-    corruption, so it fails the commit, not the eventual reader.
-    Column order is prev's fields then additions in arrival order, so
-    the table's projection is stable across versions."""
+    files read back with nulls there — merge-on-read), may OMIT
+    columns (its rows read back with nulls), and may WIDEN a column
+    along byte→short→int→long or float→double (the manifest keeps the
+    widest type ever committed, so every file up-casts losslessly at
+    read) — but any other type change is silent-drift corruption and
+    fails the commit, not the eventual reader. Column order is prev's
+    fields then additions in arrival order, so the table's projection
+    is stable across versions."""
     if prev is None:
         return new
     by_name = {f["name"]: f for f in prev["fields"]}
-    out = list(prev["fields"])
+    out = {f["name"]: dict(f) for f in prev["fields"]}
+    order = [f["name"] for f in prev["fields"]]
     for f in new["fields"]:
         old = by_name.get(f["name"])
         if old is None:
-            out.append(f)
-        elif old["type"] != f["type"]:
+            out[f["name"]] = dict(f)
+            order.append(f["name"])
+            continue
+        if old["type"] == f["type"]:
+            continue
+        wide = (
+            _widened_type(old["type"], f["type"])
+            if isinstance(old["type"], str) and isinstance(f["type"], str)
+            else None
+        )
+        if wide is None:
             raise ValueError(
                 f"schema evolution cannot change column {f['name']!r} "
-                f"from {old['type']!r} to {f['type']!r}; add a new "
-                "column instead"
+                f"from {old['type']!r} to {f['type']!r}; only "
+                "byte→short→int→long / float→double widenings are "
+                "safe — add a new column instead"
             )
-    return {"type": "struct", "fields": out}
+        out[f["name"]]["type"] = wide
+    return {"type": "struct", "fields": [out[n] for n in order]}
 
 
 def _manifest_path(table: str, version: int) -> str:
@@ -126,6 +165,22 @@ def _write_data_files(df: DataFrame, table: str, version: int) -> list[str]:
     return sorted(out)
 
 
+def _prev_schema(
+    spark: SparkSession, table: str, prev_manifest: dict
+) -> dict:
+    """The previous version's schema for evolution checks. Manifests
+    written before schema tracking lack the field; treating them as
+    None would let the first post-upgrade append adopt ITS schema
+    wholesale — silently dropping columns it omits and bypassing the
+    type-drift check — so reconstruct the real schema from the prior
+    version's parquet footers instead (one-time cost; the new manifest
+    then records it forever)."""
+    if "schema" in prev_manifest:
+        return prev_manifest["schema"]
+    paths = [os.path.join(table, f) for f in prev_manifest["files"]]
+    return spark.read.parquet(*paths).schema.jsonValue()
+
+
 def write_version(df: DataFrame, table: str) -> int:
     """Commit df as a full snapshot (next version). Returns version."""
     vs = versions(table)
@@ -146,7 +201,9 @@ def append_version(df: DataFrame, table: str) -> int:
     if not vs:
         return write_version(df, table)
     prev = json.load(open(_manifest_path(table, vs[-1])))
-    schema = _merged_schema(prev.get("schema"), df.schema.jsonValue())
+    schema = _merged_schema(
+        _prev_schema(df.sparkSession, table, prev), df.schema.jsonValue()
+    )
     v = vs[-1] + 1
     new_files = _write_data_files(df, table, v)
     _commit(
@@ -174,22 +231,23 @@ def read_version(
     paths = [os.path.join(table, f) for f in m["files"]]
     if "schema" not in m:  # pre-evolution manifest: plain read
         return spark.read.parquet(*paths)
-    # merge-on-read: files written before a column was added simply
-    # lack it; mergeSchema unions the file footers and fills nulls.
-    # The manifest schema then pins projection ORDER (footer-union
-    # order depends on file listing order) and supplies any column
-    # every file of this version happens to omit.
+    # Merge-on-read via an EXPLICIT read schema (the manifest's):
+    # files written before a column was added read it back as null,
+    # files written with a narrower type up-cast at scan time
+    # (int→long / float→double — Spark 4 parquet reader promotion),
+    # and projection order is pinned by the manifest, not by file
+    # listing order. This deliberately avoids mergeSchema: the
+    # footer-union pass reads every file's footer up front (a driver
+    # bottleneck at 100 TB file counts) and CANNOT reconcile widened
+    # types at all (CANNOT_MERGE_SCHEMAS).
     want = StructType.fromJson(m["schema"])
-    df = spark.read.option("mergeSchema", "true").parquet(*paths)
-    have = set(df.columns)
-    return df.select(
-        *[
-            F.col(f.name)
-            if f.name in have
-            else F.lit(None).cast(f.dataType).alias(f.name)
-            for f in want.fields
-        ]
+    # force nullability: merge-on-read legitimately yields nulls for
+    # columns some files omit, even if the writing batch's schema
+    # declared them non-null.
+    want = StructType(
+        [StructField(f.name, f.dataType, True, f.metadata) for f in want]
     )
+    return spark.read.schema(want).parquet(*paths)
 
 
 def committed_batch_ids(table: str) -> set[int]:
@@ -224,7 +282,8 @@ def versioned_batch_sink(table: str):
             prev = json.load(open(_manifest_path(table, vs[-1])))
             v, prev_files, prev_rows = vs[-1] + 1, prev["files"], prev["n_rows"]
             schema = _merged_schema(
-                prev.get("schema"), batch_df.schema.jsonValue()
+                _prev_schema(batch_df.sparkSession, table, prev),
+                batch_df.schema.jsonValue(),
             )
         files = _write_data_files(batch_df, table, v)
         _commit(

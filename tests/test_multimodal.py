@@ -45,15 +45,18 @@ def test_decode_zero_area_image():
 
 def test_injection_point_routes_mimg_to_synthetic_parser():
     assert decode_image_features(_pack(2, 2, b"abcd"))["n_pixels"] == 4
-    # PNG and JPEG now route to the real decoders (corrupt → ValueError,
-    # not NotImplementedError); only genuinely codec-less formats
-    # (WebP/...) hit the Pillow injection point
+    # PNG, JPEG, and (since round 6) WebP route to real decoders
+    # (corrupt → ValueError, not NotImplementedError); only genuinely
+    # codec-less formats (AVIF/HEIC/...) hit the Pillow injection point
     with pytest.raises(ValueError):
         decode_image_features(b"\x89PNG\r\n\x1a\n" + b"\x00" * 8)
     with pytest.raises(ValueError):
         decode_image_features(b"\xff\xd8" + b"\x00" * 8)
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError):
         decode_image_features(b"RIFF\x00\x00\x00\x00WEBP" + b"\x00" * 4)
+    avif = b"\x00\x00\x00\x18ftypavif" + b"\x00" * 8
+    with pytest.raises(NotImplementedError):
+        decode_image_features(avif)
 
 
 # ---------------------------------------------------------------------------

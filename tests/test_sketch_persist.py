@@ -50,7 +50,7 @@ def test_hll_persisted_merge_equals_full_recompute(spark, sf_dir, tmp_path):
         for r in ev.groupBy("event_type")
         .agg(
             F.hll_sketch_estimate(
-                F.hll_union_agg(F.hll_sketch_agg("user_id", 14))
+                F.hll_sketch_agg("user_id", 14)
             ).alias("n_est"),
             F.count(F.lit(1)).alias("n_rows"),
         )
@@ -145,3 +145,46 @@ def test_registered_query_flags_green_and_idempotent(spark, sf_dir):
     n_before = len(versioned.versions(table))
     fn(spark, sf_dir).collect()
     assert len(versioned.versions(table)) == n_before == 2
+
+
+def test_kll_persisted_quantile_within_rank_window(spark, sf_dir, tmp_path):
+    """KLL twin: partials persisted across two batches, merged
+    quantile must land inside the exact (p40, p60) value window —
+    rank-error-bounded (not bit-stable like HLL), so the contract is
+    the window, plus exact batch-row accounting in the manifests."""
+    table = os.path.join(str(tmp_path), "kll_log")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    hist = ev.filter(F.col("event_id") % 4 != 0)
+    delta = ev.filter(F.col("event_id") % 4 == 0)
+    v1 = versioned.write_version(
+        kll_partials(hist, ["event_type"], "value"), table
+    )
+    v2 = versioned.append_version(
+        kll_partials(delta, ["event_type"], "value"), table
+    )
+    assert (v1, v2) == (1, 2)
+
+    est = merged_kll_quantile(spark, table, 0.5).first()["q_est"]
+    lo, hi = ev.select(
+        F.expr("percentile(value, 0.40D)"), F.expr("percentile(value, 0.60D)")
+    ).first()
+    assert lo <= est <= hi
+
+    # manifests' row accounting reconstructs the table exactly
+    parts = versioned.read_version(spark, table)
+    assert parts.agg(F.sum("n_batch_rows")).first()[0] == ev.count()
+
+
+def test_kll_persisted_registered_query_contract(spark, sf_dir):
+    """q_sketch_kll_persisted end-to-end at the fixture: one row, both
+    flags TRUE, n_rows equals the raw table count."""
+    from meta_iterative_mapreduce_spark.operators.sketch_persist import (
+        q_sketch_kll_persisted,
+    )
+
+    row = q_sketch_kll_persisted(spark, sf_dir).first()
+    n = load_table(spark, sf_dir, "events").count()
+    assert (row["scope"], row["n_rows"]) == ("ALL", n)
+    assert row["median_ok"] and row["p99_ok"]

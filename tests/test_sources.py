@@ -236,3 +236,113 @@ def test_versioned_schema_evolution_rejects_type_change(
     with _pytest.raises(ValueError, match="user_id"):
         append_version(drift, table)
     assert versions(table) == [1]
+
+
+def test_versioned_schema_evolution_widens_types(spark, sf_dir, tmp_path):
+    """int→long and float→double are SAFE widenings: the appended
+    batch commits, the manifest adopts the wider type, old narrower
+    files up-cast at scan time (no rewrite), and time travel still
+    reads v1 with its original narrow types. Incompatible changes
+    (long→int narrowing, int→string) still fail at commit."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from meta_iterative_mapreduce_spark.sources.versioned import (
+        append_version,
+        read_version,
+        versions,
+        write_version,
+    )
+
+    table = str(tmp_path / "widen_tbl")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "user_id"
+    )
+    b1 = ev.filter(F.col("event_id") % 2 == 0).select(
+        F.col("event_id").cast("int").alias("event_id"),
+        (F.col("user_id") % 100).cast("float").alias("w"),
+    )
+    b2 = ev.filter(F.col("event_id") % 2 == 1).select(
+        F.col("event_id").cast("long").alias("event_id"),
+        (F.col("user_id") % 100).cast("double").alias("w"),
+    )
+    write_version(b1, table)
+    append_version(b2, table)
+
+    latest = read_version(spark, table)
+    assert dict(latest.dtypes) == {"event_id": "bigint", "w": "double"}
+    assert latest.count() == ev.count()
+    # the narrow files' values survive the up-cast exactly
+    assert (
+        latest.agg(F.sum("event_id")).first()[0]
+        == ev.agg(F.sum("event_id")).first()[0]
+    )
+    # time travel: v1 still reads with its own (narrow) manifest schema
+    v1 = read_version(spark, table, 1)
+    assert dict(v1.dtypes) == {"event_id": "int", "w": "float"}
+
+    # a later NARROW append is fine too — manifest keeps the widest
+    b3 = b1.limit(0)
+    append_version(b3, table)
+    assert dict(read_version(spark, table).dtypes) == {
+        "event_id": "bigint",
+        "w": "double",
+    }
+
+    # incompatible drift still fails at commit
+    with _pytest.raises(ValueError, match="only"):
+        append_version(
+            b1.select(F.col("event_id").cast("string"), "w"), table
+        )
+    assert versions(table) == [1, 2, 3]
+
+
+def test_versioned_pre_evolution_manifest_append(spark, sf_dir, tmp_path):
+    """Appending to a table whose manifest predates schema tracking
+    must reconstruct the real prior schema from the parquet footers —
+    NOT adopt the new batch's schema wholesale. A column the append
+    omits stays in the projection (nulls for the new rows), and type
+    drift against the reconstructed schema still fails at commit."""
+    import json as _json
+    import os as _os
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from meta_iterative_mapreduce_spark.sources.versioned import (
+        _manifest_path,
+        append_version,
+        read_version,
+        write_version,
+    )
+
+    table = str(tmp_path / "legacy_tbl")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "user_id"
+    )
+    b1 = ev.filter(F.col("event_id") % 2 == 0)
+    write_version(b1, table)
+    # simulate a manifest written before schema tracking existed
+    mp = _manifest_path(table, 1)
+    m = _json.load(open(mp))
+    del m["schema"]
+    _os.unlink(mp)
+    with open(mp, "w") as fh:
+        _json.dump(m, fh)
+
+    # append that OMITS user_id: column must survive via footer
+    # reconstruction, not vanish from the projection
+    b2 = ev.filter(F.col("event_id") % 2 == 1).select("event_id")
+    append_version(b2, table)
+    latest = read_version(spark, table)
+    assert latest.columns == ["event_id", "user_id"]
+    assert latest.filter(F.col("user_id").isNull()).count() == b2.count()
+
+    # drift against the reconstructed schema still fails
+    with _pytest.raises(ValueError, match="user_id"):
+        append_version(
+            ev.select(
+                "event_id", F.col("user_id").cast("string").alias("user_id")
+            ),
+            table,
+        )
