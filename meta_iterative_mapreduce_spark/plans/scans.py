@@ -224,3 +224,73 @@ def q_scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
     parquet-backed oracle."""
     path = _roundtrip_dir(spark, sf_dir, "orc")
     return spark.read.orc(path).select("n_nationkey", "n_name", "n_regionkey")
+
+
+def _binary_docs_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize the first 100 documents (doc_id < 100) as one raw
+    binary file each — the at-rest shape of a multimodal corpus
+    (image/audio payloads as opaque files). Keyed by the fixture's
+    content fingerprint so a regenerated fixture can't serve stale
+    files; built once, driver-side (bounded: 100 small files)."""
+    import os
+    import tempfile
+
+    from meta_iterative_mapreduce_spark.io import fixture_fingerprint
+
+    out = os.path.join(
+        tempfile.gettempdir(),
+        "mimr_fmt",
+        f"bin_{fixture_fingerprint(sf_dir, 'documents')}",
+    )
+    marker = os.path.join(out, "_SUCCESS")
+    if not os.path.exists(marker):
+        os.makedirs(out, exist_ok=True)
+        rows = (
+            load_table(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") < 100)
+            .select("doc_id", "text")
+            .collect()
+        )
+        for r in rows:
+            with open(
+                os.path.join(out, f"doc_{r['doc_id']:08d}.bin"), "wb"
+            ) as fh:
+                fh.write(r["text"].encode("utf-8"))
+        with open(marker, "w"):
+            pass
+    return out
+
+
+@register(
+    "q_scan_binaryfile",
+    oracle="""
+    SELECT doc_id,
+           MD5(text) AS content_md5,
+           OCTET_LENGTH(ENCODE(text)) AS n_bytes
+    FROM documents WHERE doc_id < 100
+    """,
+)
+def q_scan_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's binaryFile source — the native ingest path for
+    multimodal corpora (each image/audio/video payload an opaque file;
+    the scan yields path/length/content without any Python loop, and
+    partition planning splits the FILE LIST across executors, so a
+    100 TB ingest parallelizes by file count). Round-trip check: the
+    first 100 documents written as raw UTF-8 files, read back via
+    binaryFile, doc_id parsed from the file name, and content verified
+    byte-exactly against the parquet-backed oracle via md5 + byte
+    length. pathGlobFilter prunes non-payload files (the _SUCCESS
+    marker) at the listing, not with a post-filter."""
+    path = _binary_docs_dir(spark, sf_dir)
+    return (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.bin")
+        .load(path)
+        .select(
+            F.regexp_extract(F.col("path"), r"doc_(\d+)\.bin$", 1)
+            .cast("long")
+            .alias("doc_id"),
+            F.md5(F.col("content")).alias("content_md5"),
+            F.col("length").alias("n_bytes"),
+        )
+    )
