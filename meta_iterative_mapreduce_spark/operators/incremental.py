@@ -137,3 +137,108 @@ def q_cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("a.o_totalprice").alias("old_price"),
         F.col("b.o_totalprice").alias("new_price"),
     )
+
+
+def ensure_events_versioned_table(spark: SparkSession, sf_dir: str) -> str:
+    """Two-commit versioned table over the events fixture exercising
+    the FULL evolution surface: v1 snapshots the historical block
+    (event_id % 3 != 0) with value_e2 as INT; v2 appends the delta
+    block with value_e2 WIDENED to BIGINT plus an ADDED bucket column
+    — so a time-travel read of v1 sees the narrow pre-evolution
+    schema while the latest read up-casts v1's files and fills nulls.
+    Deterministic arithmetic split, content-fingerprint keyed,
+    idempotent (reruns see 2 versions and write nothing)."""
+    import os
+    import tempfile
+
+    from meta_iterative_mapreduce_spark.io import fixture_fingerprint
+    from meta_iterative_mapreduce_spark.sources import versioned
+
+    table = os.path.join(
+        tempfile.gettempdir(),
+        "mimr_versioned",
+        f"ev_tt_{fixture_fingerprint(sf_dir, 'events')}",
+    )
+    done = versioned.versions(table)
+    if len(done) >= 2:
+        return table
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.floor(F.col("value") * 100 + 0.5).cast("int").alias("value_e2"),
+        "user_id",
+    )
+    if len(done) == 0:
+        hist = ev.filter(F.col("event_id") % 3 != 0).select(
+            "event_id", "event_type", "value_e2"
+        )
+        versioned.write_version(hist, table)
+    delta = ev.filter(F.col("event_id") % 3 == 0).select(
+        "event_id",
+        "event_type",
+        F.col("value_e2").cast("bigint").alias("value_e2"),
+        (F.col("user_id") % 7).alias("bucket"),
+    )
+    versioned.append_version(delta, table)
+    return table
+
+
+@register(
+    "q_table_time_travel",
+    oracle="""
+    WITH e AS (
+        SELECT event_id,
+               CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS value_e2
+        FROM events
+    )
+    SELECT 1 AS version,
+           COUNT(*) AS n_rows,
+           CAST(SUM(value_e2) AS BIGINT) AS sum_value_e2,
+           'int' AS value_type,
+           CAST(NULL AS BIGINT) AS n_bucket_null
+    FROM e WHERE event_id % 3 != 0
+    UNION ALL
+    SELECT 2 AS version,
+           COUNT(*) AS n_rows,
+           CAST(SUM(value_e2) AS BIGINT) AS sum_value_e2,
+           'bigint' AS value_type,
+           CAST(SUM(CASE WHEN event_id % 3 != 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_bucket_null
+    FROM e
+    """,
+)
+def q_table_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel + schema evolution, hash-certified end-to-end: v1
+    of a versioned table read AS WRITTEN (narrow int value_e2, no
+    bucket column), latest read with v1's files up-cast to the
+    WIDENED bigint and the ADDED bucket column null-filled exactly
+    for the pre-evolution rows. The emitted value_type comes from the
+    DataFrame's OWN dtypes, so the oracle literally pins what schema
+    each version's reader produced; exact integer sums prove the
+    up-cast is lossless and the row sets are the manifests' (v1 =
+    historical block, v2 = full table — log-structured append, no
+    rewrite). Versioned-log mechanics: sources/versioned.py."""
+    from meta_iterative_mapreduce_spark.sources import versioned
+
+    table = ensure_events_versioned_table(spark, sf_dir)
+    v1 = versioned.read_version(spark, table, 1)
+    v2 = versioned.read_version(spark, table)
+    t1 = dict(v1.dtypes)["value_e2"]
+    t2 = dict(v2.dtypes)["value_e2"]
+    r1 = v1.agg(
+        F.lit(1).cast("int").alias("version"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("value_e2").cast("bigint").alias("sum_value_e2"),
+        F.lit(t1).alias("value_type"),
+        F.lit(None).cast("bigint").alias("n_bucket_null"),
+    )
+    r2 = v2.agg(
+        F.lit(2).cast("int").alias("version"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("value_e2").cast("bigint").alias("sum_value_e2"),
+        F.lit(t2).alias("value_type"),
+        F.sum(
+            F.when(F.col("bucket").isNull(), 1).otherwise(0)
+        ).cast("bigint").alias("n_bucket_null"),
+    )
+    return r1.unionByName(r2)
