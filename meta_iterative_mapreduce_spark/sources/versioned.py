@@ -296,3 +296,42 @@ def versioned_batch_sink(table: str):
         )
 
     return apply_batch
+
+
+def vacuum(table: str, keep_versions: int = 2) -> dict:
+    """Retention GC, the Delta VACUUM analog: drop all but the newest
+    `keep_versions` manifests, then delete every data file no longer
+    referenced by a RETAINED manifest. Log-structured appends share
+    files across versions, so liveness is computed over the retained
+    manifests' union — a file referenced by both v1 and v5 survives a
+    vacuum that drops v1. Ordering is crash-safe for readers of
+    retained versions: manifests are deleted before the files they
+    uniquely referenced, so at no point does a live manifest reference
+    a missing file (a reader of a DROPPED version can race the delete
+    — that is the documented retention contract, same as any
+    lakehouse). Returns {"dropped_versions": [...],
+    "deleted_files": n, "kept_files": n}."""
+    if keep_versions < 1:
+        raise ValueError("keep_versions must be >= 1")
+    vs = versions(table)
+    drop, keep = vs[:-keep_versions], vs[-keep_versions:]
+    live: set[str] = set()
+    for v in keep:
+        live.update(json.load(open(_manifest_path(table, v)))["files"])
+    dead: set[str] = set()
+    for v in drop:
+        dead.update(json.load(open(_manifest_path(table, v)))["files"])
+    dead -= live
+    for v in drop:  # manifests first: nothing references dead files now
+        os.unlink(_manifest_path(table, v))
+    deleted = 0
+    for f in sorted(dead):
+        p = os.path.join(table, f)
+        if os.path.exists(p):
+            os.unlink(p)
+            deleted += 1
+    return {
+        "dropped_versions": drop,
+        "deleted_files": deleted,
+        "kept_files": len(live),
+    }

@@ -346,3 +346,69 @@ def test_versioned_pre_evolution_manifest_append(spark, sf_dir, tmp_path):
             ),
             table,
         )
+
+
+def test_versioned_vacuum_retention(spark, sf_dir, tmp_path):
+    """VACUUM drops old manifests and deletes ONLY files no retained
+    version references: files shared into newer versions by
+    log-structured appends survive, retained versions stay readable
+    byte-for-byte, vacuumed versions raise."""
+    import os as _os
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from meta_iterative_mapreduce_spark.sources.versioned import (
+        append_version,
+        read_version,
+        vacuum,
+        versions,
+        write_version,
+    )
+
+    table = str(tmp_path / "vac_tbl")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "user_id"
+    )
+    b = [ev.filter(F.col("event_id") % 3 == i) for i in range(3)]
+    write_version(b[0], table)     # v1: files A
+    append_version(b[1], table)    # v2: files A+B
+    append_version(b[2], table)    # v3: files A+B+C
+    n_all = ev.count()
+
+    res = vacuum(table, keep_versions=2)
+    assert res["dropped_versions"] == [1]
+    # v1's files are all shared into v2/v3 (append never rewrites), so
+    # NOTHING may be deleted — liveness is union-over-retained
+    assert res["deleted_files"] == 0
+    assert versions(table) == [2, 3]
+    assert read_version(spark, table).count() == n_all
+    assert read_version(spark, table, 2).count() == b[0].count() + b[1].count()
+    with _pytest.raises(ValueError):
+        read_version(spark, table, 1)
+
+    # snapshot (write_version) makes v4 with FRESH files; vacuuming to
+    # 1 version must now delete every v2/v3-only file
+    write_version(ev, table)       # v4: files D (full snapshot)
+    res2 = vacuum(table, keep_versions=1)
+    assert res2["dropped_versions"] == [2, 3]
+    assert res2["deleted_files"] > 0
+    assert versions(table) == [4]
+    assert read_version(spark, table).count() == n_all
+    # no orphan parquet files left outside the live set
+    live = set()
+    import json as _json
+
+    from meta_iterative_mapreduce_spark.sources.versioned import (
+        _manifest_path,
+    )
+
+    live.update(_json.load(open(_manifest_path(table, 4)))["files"])
+    on_disk = set()
+    for root, _dirs, files in _os.walk(_os.path.join(table, "data")):
+        for f in files:
+            if f.endswith(".parquet"):
+                on_disk.add(
+                    _os.path.relpath(_os.path.join(root, f), table)
+                )
+    assert on_disk == live
