@@ -15,6 +15,11 @@ the input graph).
 
 Usage: python tools/cc_profile.py [max_edges] [scales...]
        (default 50_000_000 at 5M/12.5M/25M/50M)
+
+At 50M edges the single local JVM needs more heap than the default
+session's 16g (several live localCheckpoint copies of the edge set +
+shuffle): run with MIMR_DRIVER_MEM=48g. On a real cluster this is
+per-executor memory and a non-issue.
 """
 
 from __future__ import annotations
