@@ -90,6 +90,15 @@ def _lzw_encode(indices: np.ndarray, min_code_size: int) -> bytes:
         prefix = bytes([px])
     if prefix:
         out_bits.append((table[prefix], width))
+        # the DECODER defines an entry for every received code —
+        # including this final one — so its table can cross a
+        # power-of-two boundary here and it will read EOI one bit
+        # wider; mirror that bookkeeping even though the encoder
+        # itself defines nothing after the last emission (hypothesis
+        # found this: a stream whose last data code lands exactly on
+        # the boundary desynced the EOI width).
+        if next_code == (1 << width) and width < _MAX_CODE_WIDTH:
+            width += 1
     out_bits.append((eoi, width))
 
     # LSB-first bit packing

@@ -208,3 +208,47 @@ def test_bpe_learn_equals_reference_implementation(spark, sf_dir):
     # later rounds must be able to consume earlier merged symbols
     merged_syms = {m[3] for m in got}
     assert any(m[1] in merged_syms or m[2] in merged_syms for m in got)
+
+
+@given(
+    data=st.binary(min_size=0, max_size=2000),
+    mcs=st.sampled_from([2, 4, 8]),
+)
+@settings(max_examples=150, deadline=None)
+def test_gif_lzw_round_trip_property(data, mcs):
+    """LZW(GIF variant) decode∘encode == identity for ANY byte string
+    whose symbols fit the root table — hypothesis hunts the
+    boundary cases (width growth points, KwKwK runs, table reset)
+    that example tests enumerate by hand."""
+    import numpy as np
+
+    from meta_iterative_mapreduce_spark.operators.gif import (
+        _lzw_decode,
+        _lzw_encode,
+    )
+
+    if mcs < 8:
+        data = bytes(b % (1 << mcs) for b in data)
+    enc = _lzw_encode(np.frombuffer(data, np.uint8), mcs)
+    assert _lzw_decode(enc, mcs, len(data)) == data
+
+
+@given(
+    w=st.integers(min_value=1, max_value=24),
+    h=st.integers(min_value=1, max_value=24),
+    seed=st.integers(min_value=0, max_value=2**31),
+)
+@settings(max_examples=60, deadline=None)
+def test_gif_container_round_trip_property(w, h, seed):
+    import numpy as np
+
+    from meta_iterative_mapreduce_spark.operators.gif import (
+        decode_gif_gray8,
+        encode_gif_gray8,
+    )
+
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, size=w * h, dtype=np.uint8).tobytes()
+    f = decode_gif_gray8(encode_gif_gray8(w, h, px))
+    assert (f["width"], f["height"]) == (w, h)
+    assert f["pixels"].tobytes() == px
