@@ -396,7 +396,14 @@ def simhash_hamming_pairs(
 
     Requires max_hamming < n_blocks for the pigeonhole guarantee.
     """
-    assert max_hamming < _SIMHASH_N_BLOCKS
+    if max_hamming >= _SIMHASH_N_BLOCKS:
+        # real ValueError, not assert (survives python -O): beyond the
+        # pigeonhole bound the block join silently MISSES qualifying
+        # pairs — a recall hole, not a crash, so it must be loud.
+        raise ValueError(
+            f"max_hamming={max_hamming} breaks the pigeonhole "
+            f"guarantee: must be < {_SIMHASH_N_BLOCKS} blocks"
+        )
     block_mask = (1 << _SIMHASH_BLOCK_BITS) - 1
     blocked = fp.select(
         "doc_id",

@@ -1,0 +1,72 @@
+"""ISO BMFF indexer spec-level guarantees: stsc run expansion, chunk
+offset arithmetic, co64, corrupt-table detection, honest guards."""
+
+from __future__ import annotations
+
+import struct
+
+import pytest
+
+from meta_iterative_mapreduce_spark.operators.mp4 import (
+    _box,
+    encode_mp4_samples,
+    parse_mp4_index,
+    sample_mp4_payloads,
+)
+
+
+def _mux(sizes, spc=3):
+    samples = [bytes([i % 251] * s) for i, s in enumerate(sizes)]
+    return samples, encode_mp4_samples(samples, samples_per_chunk=spc)
+
+
+def test_index_round_trip_ragged_chunks():
+    # 7 samples at 3 per chunk: chunks of 3,3,1 → stsc carries TWO runs
+    samples, mp4 = _mux([5, 9, 1, 4, 4, 4, 30])
+    idx = parse_mp4_index(mp4)
+    assert [s["size"] for s in idx] == [5, 9, 1, 4, 4, 4, 30]
+    got = [mp4[s["offset"] : s["offset"] + s["size"]] for s in idx]
+    assert got == samples
+
+
+def test_sampling_extracts_every_kth():
+    samples, mp4 = _mux(list(range(1, 12)))
+    assert sample_mp4_payloads(mp4, 2) == samples[::2]
+    assert sample_mp4_payloads(mp4, 5) == samples[::5]
+
+
+def test_single_sample_and_one_per_chunk():
+    for spc in (1, 3):
+        samples, mp4 = _mux([17], spc=spc)
+        idx = parse_mp4_index(mp4)
+        assert len(idx) == 1 and idx[0]["size"] == 17
+
+
+def test_corrupt_stsz_count_detected():
+    _, mp4 = _mux([4, 4, 4, 4])
+    # bump stsz's declared sample count: tables now disagree
+    at = mp4.find(b"stsz") + 4 + 4 + 4  # kind + fullbox header + uniform
+    bad = bytearray(mp4)
+    (n,) = struct.unpack(">I", bad[at : at + 4])
+    struct.pack_into(">I", bad, at, n + 1)
+    with pytest.raises(ValueError):
+        parse_mp4_index(bytes(bad))
+
+
+def test_offset_beyond_file_detected():
+    _, mp4 = _mux([4, 4, 4])
+    at = mp4.find(b"stco") + 4 + 4 + 4  # kind + fullbox + entry count
+    bad = bytearray(mp4)
+    struct.pack_into(">I", bad, at, len(mp4) + 100)
+    with pytest.raises(ValueError, match="beyond"):
+        parse_mp4_index(bytes(bad))
+
+
+def test_fragmented_and_truncated_guards():
+    with pytest.raises(NotImplementedError, match="fragmented"):
+        parse_mp4_index(_box(b"ftyp", b"isom") + _box(b"moof", b""))
+    with pytest.raises(ValueError):
+        parse_mp4_index(_box(b"ftyp", b"isom"))
+    _, mp4 = _mux([4, 4])
+    with pytest.raises(ValueError):
+        parse_mp4_index(mp4[:-6])
