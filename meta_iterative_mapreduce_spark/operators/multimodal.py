@@ -650,6 +650,13 @@ def decode_image_features(payload: bytes) -> dict:
         }
     if head[:4] == _MAGIC:
         return decode_synthetic_image(payload)
+    if head[:4] in (b"II*\x00", b"MM\x00*"):
+        from meta_iterative_mapreduce_spark.operators.tiff import (
+            decode_tiff_gray8,
+        )
+
+        f = decode_tiff_gray8(payload)
+        return {k: f[k] for k in ("width", "height", "n_pixels", "mean_intensity")}
     if head[:6] in (b"GIF87a", b"GIF89a"):
         from meta_iterative_mapreduce_spark.operators.gif import (
             decode_gif_gray8,
