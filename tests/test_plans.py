@@ -474,3 +474,19 @@ def test_dynamic_partition_pruning_fires(spark, sf_dir, tmp_path):
     assert "dynamicpruning" in plan.lower(), plan
     expected = ev.filter(F.col("region") == 2).count()
     assert j.collect()[0]["n"] == expected
+
+
+def test_no_cartesian_product_anywhere(spark, sf_dir):
+    """Registry-wide invariant (r7): NO query plans a CartesianProduct
+    — the O(n*m) both-sides-big join that is always an accident at
+    100 TB. Deliberate unequal joins (q_join_cross, q_join_theta_nl,
+    scalar-bound crossJoins) must all resolve to
+    BroadcastNestedLoopJoin with a provably tiny build side; today
+    the count is ZERO and a new query that introduces one should have
+    to argue for itself here."""
+    offenders = []
+    for name, fn in registry.queries().items():
+        plan = _plan(fn(spark, sf_dir))
+        if "CartesianProduct" in plan:
+            offenders.append(name)
+    assert not offenders, f"CartesianProduct in: {offenders}"
