@@ -294,3 +294,39 @@ def q_scan_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("length").alias("n_bytes"),
         )
     )
+
+
+@register(
+    "q_scan_xml",
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
+)
+def q_scan_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML source (native in Spark 4 — the spark-xml package folded
+    into the engine): write-once round-trip of nation with explicit
+    rowTag and schema (inference would cost an extra full pass at
+    scale, same rule as q_scan_csv), checked against the
+    parquet-backed oracle."""
+    import os
+    import tempfile
+
+    n = load_table(spark, sf_dir, "nation")
+    out = os.path.join(
+        tempfile.gettempdir(),
+        "mimr_fmt",
+        f"{sf_dir.strip('/').replace('/', '_')}_xml",
+    )
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        (
+            n.write.mode("overwrite")
+            .option("rootTag", "nations")
+            .option("rowTag", "nation")
+            .format("xml")
+            .save(out)
+        )
+    return (
+        spark.read.schema(n.schema)
+        .option("rowTag", "nation")
+        .format("xml")
+        .load(out)
+        .select("n_nationkey", "n_name", "n_regionkey")
+    )
