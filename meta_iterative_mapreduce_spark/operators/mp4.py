@@ -17,10 +17,12 @@ pure stdlib:
   to `stbl`, full sample-table reconstruction: stsc runs expanded to
   per-chunk sample counts, stsz (uniform or per-sample), stco/co64
   chunk offsets, stts run-length durations → per-sample
-  (offset, size, duration). Every offset/size is validated against
-  the file; corrupt tables raise ValueError; fragmented MP4 (moof),
-  encrypted tracks, and version bits we don't carry raise
-  NotImplementedError honestly.
+  (offset, size, duration) — and, for FRAGMENTED files (the DASH/HLS
+  segment layout), the moof path: trex defaults from mvex, tfhd
+  base-data-offset / default-base-is-moof addressing, trun per-sample
+  tables with default inheritance. Every offset/size is validated
+  against the file; corrupt tables raise ValueError; encrypted tracks
+  and unsupported layouts raise NotImplementedError honestly.
 - `sample_mp4_payloads`: byte-range extraction of every k-th sample —
   the container-level 1/k sampling that never touches a codec.
 
@@ -139,6 +141,72 @@ def encode_mp4_samples(
     return ftyp + mdat + moov
 
 
+def encode_mp4_fragments(fragments: list[list[bytes]]) -> bytes:
+    """Fragmented ISO BMFF (the DASH/HLS segment layout): ftyp +
+    moov(mvex/trex with track defaults, empty sample tables) + one
+    moof/mdat pair per fragment. Each trun carries per-sample sizes
+    and a data offset relative to its moof (tfhd sets
+    default-base-is-moof); durations come from the trex default, so
+    the parser's default-inheritance path is exercised."""
+    if not fragments or any(not f for f in fragments):
+        raise ValueError("need at least one fragment, none empty")
+    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 0x200) + b"cmfciso6")
+    # movie box with EMPTY sample tables; trex supplies defaults
+    entry = _box(b"raw ", b"\x00" * 6 + struct.pack(">H", 1))
+    stsd = _full(b"stsd", 0, 0, struct.pack(">I", 1) + entry)
+    stbl = _box(
+        b"stbl",
+        stsd
+        + _full(b"stts", 0, 0, struct.pack(">I", 0))
+        + _full(b"stsc", 0, 0, struct.pack(">I", 0))
+        + _full(b"stsz", 0, 0, struct.pack(">II", 0, 0))
+        + _full(b"stco", 0, 0, struct.pack(">I", 0)),
+    )
+    dref = _full(
+        b"dref", 0, 0, struct.pack(">I", 1) + _full(b"url ", 0, 1, b"")
+    )
+    minf = _box(b"minf", _box(b"dinf", dref) + stbl)
+    mdhd = _full(
+        b"mdhd", 0, 0, struct.pack(">IIIIHH", 0, 0, 1000, 0, 0x55C4, 0)
+    )
+    hdlr = _full(
+        b"hdlr", 0, 0, struct.pack(">I", 0) + b"vide" + b"\x00" * 12 + b"\x00"
+    )
+    mdia = _box(b"mdia", mdhd + hdlr + minf)
+    tkhd = _full(
+        b"tkhd", 0, 7, struct.pack(">IIII", 0, 0, 1, 0) + b"\x00" * 64
+    )
+    trak = _box(b"trak", tkhd + mdia)
+    # trex: track 1, sample-desc 1, default duration 1, size 0, flags 0
+    trex = _full(b"trex", 0, 0, struct.pack(">IIIII", 1, 1, 1, 0, 0))
+    mvhd = _full(
+        b"mvhd", 0, 0, struct.pack(">IIII", 0, 0, 1000, 0) + b"\x00" * 80
+    )
+    moov = _box(b"moov", mvhd + _box(b"mvex", trex) + trak)
+
+    out = bytearray(ftyp + moov)
+    for seq, samples in enumerate(fragments, start=1):
+        mfhd = _full(b"mfhd", 0, 0, struct.pack(">I", seq))
+        # tfhd: track 1, flags = default-base-is-moof (0x20000)
+        tfhd = _full(b"tfhd", 0, 0x020000, struct.pack(">I", 1))
+        # trun: data-offset (0x01) + sample-size (0x200)
+        trun_payload = struct.pack(">I", len(samples))
+        trun_payload += struct.pack(">i", 0)  # patched below
+        trun_payload += b"".join(
+            struct.pack(">I", len(s)) for s in samples
+        )
+        trun = _full(b"trun", 0, 0x000201, trun_payload)
+        traf = _box(b"traf", tfhd + trun)
+        moof = _box(b"moof", mfhd + traf)
+        # data offset: from moof start to first mdat payload byte
+        data_offset = len(moof) + 8
+        moof = bytearray(moof)
+        off_at = moof.find(b"trun") + 4 + 4 + 4  # kind+fullbox+count
+        struct.pack_into(">i", moof, off_at, data_offset)
+        out += bytes(moof) + _box(b"mdat", b"".join(samples))
+    return bytes(out)
+
+
 def _walk_children(data: bytes, start: int, end: int):
     """Yield (kind, payload_start, payload_end) for each child box."""
     pos = start
@@ -174,19 +242,20 @@ def _find_box(data: bytes, start: int, end: int, path: list[bytes]):
 
 def parse_mp4_index(payload: bytes) -> list[dict]:
     """Reconstruct the sample index of the FIRST track: a list of
-    {sample, offset, size, duration} in presentation order, built from
-    stsc (chunk runs) + stsz (sizes) + stco/co64 (chunk offsets) +
-    stts (duration runs). Raises ValueError on corrupt tables (counts
-    disagreeing, offsets beyond the file) and NotImplementedError on
-    fragmented files (moof) — their samples live in per-fragment trun
-    tables, a different index entirely."""
+    {sample, offset, size, duration} in presentation order. For
+    progressive files: stsc (chunk runs) + stsz (sizes) + stco/co64
+    (chunk offsets) + stts (duration runs). For fragmented files
+    (any moof present): per-fragment tfhd/trun tables with
+    tfhd→trex default inheritance (_parse_fragmented). Raises
+    ValueError on corrupt tables (counts disagreeing, offsets beyond
+    the file)."""
     data = bytes(payload)
     tops = list(_walk_children(data, 0, len(data)))
     kinds = [k for k, _, _ in tops]
-    if b"moof" in kinds:
-        raise NotImplementedError("fragmented MP4 (moof) not supported")
     if b"moov" not in kinds:
         raise ValueError("no moov box")
+    if b"moof" in kinds:
+        return _parse_fragmented(data, tops)
     moov_s, moov_e = next((s, e) for k, s, e in tops if k == b"moov")
     stbl_s, stbl_e = _find_box(
         data, moov_s, moov_e, [b"trak", b"mdia", b"minf", b"stbl"]
@@ -277,6 +346,110 @@ def parse_mp4_index(payload: bytes) -> list[dict]:
     return index
 
 
+def _parse_fragmented(data: bytes, tops) -> list[dict]:
+    """Fragmented-file index: trex defaults from moov/mvex, then one
+    tfhd+trun per moof. Supported addressing: explicit
+    base-data-offset, or default-base-is-moof, or the spec's implicit
+    first-traf default (offsets relative to moof start); per-sample
+    sizes/durations fall back tfhd default → trex default."""
+    moov_s, moov_e = next((s, e) for k, s, e in tops if k == b"moov")
+    trex_dur, trex_size = None, None
+    try:
+        trex_s, trex_e = _find_box(data, moov_s, moov_e, [b"mvex", b"trex"])
+        _tid, _desc, trex_dur, trex_size, _flags = struct.unpack(
+            ">IIIII", data[trex_s + 4 : trex_s + 24]
+        )
+    except ValueError:
+        pass
+
+    index: list[dict] = []
+    si = 0
+    for kind, moof_body, moof_end in tops:
+        if kind != b"moof":
+            continue
+        moof_start = moof_body - 8
+        traf_s, traf_e = _find_box(data, moof_body, moof_end, [b"traf"])
+        boxes = list(_walk_children(data, traf_s, traf_e))
+        tfhds = [(s, e) for k, s, e in boxes if k == b"tfhd"]
+        truns = [(s, e) for k, s, e in boxes if k == b"trun"]
+        if len(tfhds) != 1 or not truns:
+            raise ValueError("traf needs one tfhd and at least one trun")
+        ts, te = tfhds[0]
+        tf_flags = int.from_bytes(data[ts + 1 : ts + 4], "big")
+        pos = ts + 4 + 4  # fullbox header + track id
+        base = moof_start  # default + default-base-is-moof both land here
+        if tf_flags & 0x01:  # base-data-offset-present (u64)
+            (base,) = struct.unpack(">Q", data[pos : pos + 8])
+            pos += 8
+        if tf_flags & 0x02:
+            pos += 4  # sample-description-index
+        def_dur = def_size = None
+        if tf_flags & 0x08:
+            (def_dur,) = struct.unpack(">I", data[pos : pos + 4])
+            pos += 4
+        if tf_flags & 0x10:
+            (def_size,) = struct.unpack(">I", data[pos : pos + 4])
+            pos += 4
+        if def_dur is None:
+            def_dur = trex_dur
+        if def_size is None:
+            def_size = trex_size
+
+        for rs, re_ in truns:
+            tr_flags = int.from_bytes(data[rs + 1 : rs + 4], "big")
+            p = rs + 4
+            (n_samples,) = struct.unpack(">I", data[p : p + 4])
+            p += 4
+            run_pos = base
+            if tr_flags & 0x01:  # data-offset-present (signed)
+                (doff,) = struct.unpack(">i", data[p : p + 4])
+                p += 4
+                run_pos = base + doff
+            if tr_flags & 0x04:
+                p += 4  # first-sample-flags
+            per_dur = bool(tr_flags & 0x100)
+            per_size = bool(tr_flags & 0x200)
+            per_flags = bool(tr_flags & 0x400)
+            per_cts = bool(tr_flags & 0x800)
+            for _ in range(n_samples):
+                dur, size = def_dur, def_size
+                if per_dur:
+                    (dur,) = struct.unpack(">I", data[p : p + 4])
+                    p += 4
+                if per_size:
+                    (size,) = struct.unpack(">I", data[p : p + 4])
+                    p += 4
+                if per_flags:
+                    p += 4
+                if per_cts:
+                    p += 4
+                if p > re_:
+                    raise ValueError("trun table truncated")
+                if size is None or dur is None:
+                    raise ValueError(
+                        "sample size/duration has no per-sample, tfhd, "
+                        "or trex value"
+                    )
+                if run_pos + size > len(data):
+                    raise ValueError(
+                        f"fragment sample {si} at {run_pos}+{size} "
+                        "beyond file end"
+                    )
+                index.append(
+                    {
+                        "sample": si,
+                        "offset": run_pos,
+                        "size": size,
+                        "duration": dur,
+                    }
+                )
+                run_pos += size
+                si += 1
+    if not index:
+        raise ValueError("fragmented file contains no trun samples")
+    return index
+
+
 def sample_mp4_payloads(payload: bytes, every_k: int = 2) -> list[bytes]:
     """Container-level 1/k sampling: extract every k-th sample's bytes
     by offset/size — no codec, no read of the skipped samples (on an
@@ -339,7 +512,11 @@ def q_multimodal_mp4_index(spark: SparkSession, sf_dir: str) -> DataFrame:
                 cs = int(doc_id) % 7 + 3
                 n = min(len(data) // cs, 32)
                 samples = [data[i * cs : (i + 1) * cs] for i in range(n)]
-                mp4 = encode_mp4_samples(samples, samples_per_chunk=3)
+                if int(doc_id) % 2:  # fragmented (DASH-style) layout
+                    frags = [samples[i : i + 4] for i in range(0, n, 4)]
+                    mp4 = encode_mp4_fragments(frags)
+                else:  # progressive layout
+                    mp4 = encode_mp4_samples(samples, samples_per_chunk=3)
                 idx = parse_mp4_index(mp4)
                 if [s["size"] for s in idx] != [cs] * n:
                     raise ValueError("index sizes disagree after mux")

@@ -62,11 +62,38 @@ def test_offset_beyond_file_detected():
         parse_mp4_index(bytes(bad))
 
 
-def test_fragmented_and_truncated_guards():
-    with pytest.raises(NotImplementedError, match="fragmented"):
-        parse_mp4_index(_box(b"ftyp", b"isom") + _box(b"moof", b""))
+def test_truncated_guards():
     with pytest.raises(ValueError):
         parse_mp4_index(_box(b"ftyp", b"isom"))
     _, mp4 = _mux([4, 4])
     with pytest.raises(ValueError):
         parse_mp4_index(mp4[:-6])
+
+
+def test_fragmented_round_trip_and_defaults():
+    from meta_iterative_mapreduce_spark.operators.mp4 import (
+        encode_mp4_fragments,
+    )
+
+    frags = [[b"aaa", b"bb"], [b"cccc"], [b"d", b"ee", b"fff"]]
+    mp4 = encode_mp4_fragments(frags)
+    idx = parse_mp4_index(mp4)
+    flat = [s for f in frags for s in f]
+    assert [s["size"] for s in idx] == [len(s) for s in flat]
+    got = [mp4[s["offset"] : s["offset"] + s["size"]] for s in idx]
+    assert got == flat
+    # durations inherit from the trex default (no per-sample, no tfhd)
+    assert all(s["duration"] == 1 for s in idx)
+    assert sample_mp4_payloads(mp4, 2) == flat[::2]
+
+
+def test_fragmented_offset_beyond_file_detected():
+    from meta_iterative_mapreduce_spark.operators.mp4 import (
+        encode_mp4_fragments,
+    )
+
+    mp4 = bytearray(encode_mp4_fragments([[b"aaaa", b"bbbb"]]))
+    at = mp4.find(b"trun") + 4 + 4 + 4  # kind + fullbox + count
+    struct.pack_into(">i", mp4, at, len(mp4) + 99)
+    with pytest.raises(ValueError, match="beyond"):
+        parse_mp4_index(bytes(mp4))
