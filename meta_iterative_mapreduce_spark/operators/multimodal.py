@@ -777,9 +777,10 @@ def encode_wav_pcm16(samples: list[int], rate: int = _WAV_RATE) -> bytes:
 def decode_wav_pcm16(payload: bytes) -> dict:
     """Parse a WAV byte stream: RIFF/WAVE magic, chunk walk to fmt and
     data, PCM16 validation, sample decode. Returns n_samples, rate,
-    and the EXACT integer sum of squared samples (engine-neutral —
-    no float summation order). Raises ValueError on corrupt input and
-    NotImplementedError outside mono PCM16 scope."""
+    the decoded samples tuple, and the EXACT integer sum of squared
+    samples (engine-neutral — no float summation order). Raises
+    ValueError on corrupt input and NotImplementedError outside mono
+    PCM16 scope."""
     import struct
 
     data = bytes(payload)
@@ -812,6 +813,7 @@ def decode_wav_pcm16(payload: bytes) -> dict:
         "n_samples": len(samples),
         "sample_rate": rate,
         "sum_sq": sum(int(s) * int(s) for s in samples),
+        "samples": samples,
     }
 
 
@@ -1890,4 +1892,102 @@ def q_multimodal_decode_jpeg_color(spark: SparkSession, sf_dir: str) -> DataFram
         op,
         schema="doc_id long, width int, height int, n_mcus long, "
         "mean_ok_r boolean, mean_ok_g boolean, mean_ok_b boolean",
+    )
+
+
+@register(
+    "q_multimodal_audio_features",
+    oracle="""
+    WITH src AS (
+        SELECT doc_id, text,
+               CAST(LEAST(octet_length(encode(text)), 512) AS INT) AS n
+        FROM documents
+        WHERE octet_length(encode(text)) = length(text)
+          AND octet_length(encode(text)) >= 128
+    ),
+    samp AS (
+        SELECT s.doc_id, s.n, t.i,
+               ascii(SUBSTR(s.text, CAST(t.i AS INT), 1)) - 64 AS a,
+               CAST((t.i - 1) // 64 AS INT) AS frame
+        FROM src s, UNNEST(generate_series(1, s.n)) AS t(i)
+    ),
+    frames AS (
+        SELECT doc_id, frame,
+               CAST(SUM(CAST(a AS BIGINT) * a) AS BIGINT) AS energy
+        FROM samp GROUP BY doc_id, frame
+    ),
+    zc AS (
+        SELECT s1.doc_id,
+               CAST(SUM(CASE WHEN s1.a * s2.a < 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS zcr
+        FROM samp s1 JOIN samp s2
+          ON s2.doc_id = s1.doc_id AND s2.i = s1.i + 1
+        GROUP BY s1.doc_id
+    )
+    SELECT f.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_frames,
+           CAST(MAX(f.energy) AS BIGINT) AS max_frame_energy,
+           CAST(SUM(f.energy) AS BIGINT) AS total_energy,
+           z.zcr
+    FROM frames f JOIN zc z ON z.doc_id = f.doc_id
+    GROUP BY f.doc_id, z.zcr
+    """,
+)
+def q_multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio FEATURE EXTRACTION through the real container — the
+    stage after decode in an audio pipeline: each document's leading
+    bytes (≤512, centered at -64 so sign changes exist) become PCM16
+    samples, round-trip through a spec-correct WAV file, and the
+    DECODED samples yield frame-level features: 64-sample frame
+    energies (max and total — exact integer sums of squares) and the
+    zero-crossing count over consecutive samples (strict sign
+    product < 0). All features are exact integers so the SQL oracle
+    recomputes them from the source characters; a hash match proves
+    container transport AND the vectorized numpy feature math. Frame
+    count uses ceil semantics (the last ragged frame counts)."""
+    d = load_table(spark, sf_dir, "documents").filter(
+        (F.length(F.encode("text", "UTF-8")) == F.length("text"))
+        & (F.length(F.encode("text", "UTF-8")) >= 128)
+    )
+    src = _spread(
+        d.select("doc_id", F.encode("text", "UTF-8").alias("payload")), spark
+    )
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, nf, mfe, te, zc = [], [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                data = bytes(payload)[:512]
+                samples = [b - 64 for b in data]
+                wav = encode_wav_pcm16(samples)
+                back = np.asarray(
+                    decode_wav_pcm16(wav)["samples"], dtype=np.int64
+                )
+                if back.tolist() != samples:
+                    raise ValueError("WAV round trip altered samples")
+                n = back.size
+                n_frames = (n + 63) // 64
+                energies = [
+                    int((back[f * 64 : (f + 1) * 64] ** 2).sum())
+                    for f in range(n_frames)
+                ]
+                ids.append(doc_id)
+                nf.append(n_frames)
+                mfe.append(max(energies))
+                te.append(sum(energies))
+                zc.append(int((back[:-1] * back[1:] < 0).sum()))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "n_frames": pd.Series(nf, dtype="int64"),
+                    "max_frame_energy": pd.Series(mfe, dtype="int64"),
+                    "total_energy": pd.Series(te, dtype="int64"),
+                    "zcr": pd.Series(zc, dtype="int64"),
+                }
+            )
+
+    return src.mapInPandas(
+        op,
+        schema="doc_id long, n_frames long, max_frame_energy long, "
+        "total_energy long, zcr long",
     )
