@@ -68,6 +68,8 @@ def test_relational_plans_stay_jvm_side(spark, sf_dir):
         "q_multimodal_frame_sample",  # frame slicing in mapInPandas
         "q_multimodal_audio",  # WAV codec runs in mapInPandas by design
         "q_multimodal_phash",  # pixel decode + aHash in mapInPandas
+        "q_multimodal_mp4_index",  # ISO BMFF box walk in mapInPandas
+        "q_text_pdf_extract",  # PDF object/stream walk in mapInPandas
         # two-pass distributed rank assigns offsets in a vectorized
         # mapInPandas (operators/distrank.py) — the price of removing
         # the unpartitioned-WindowExec serial sort; see
