@@ -585,3 +585,80 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("component_id", "vec_id").alias("canonical_id"),
         (F.coalesce("component_id", "vec_id") == F.col("vec_id")).alias("keep"),
     )
+
+
+# Deterministic 10-class linear scorer: exact binary fractions
+# (x/8 with x in [-6, 6]) so Spark and DuckDB hold bit-identical
+# weight doubles; scores are sequential double folds in both engines.
+_N_CLASSES = 10
+_CLASS_WEIGHTS = [
+    [(((c * 17 + j * 7) % 13) - 6) / 8.0 for j in range(_DIM)]
+    for c in range(_N_CLASSES)
+]
+
+
+def _score_sql(c: int) -> str:
+    return _dot_sql("embedding", _CLASS_WEIGHTS[c])
+
+
+@register(
+    "q_embed_score_multiclass",
+    oracle=f"""
+    WITH scored AS (
+        SELECT vec_id, label,
+               [{", ".join(_score_sql(c) for c in range(_N_CLASSES))}]
+                   AS scores
+        FROM embeddings
+    ),
+    pred AS (
+        SELECT label,
+               CAST(list_position(scores, list_max(scores)) - 1 AS INT)
+                   AS predicted,
+               list_max(scores) AS best
+        FROM scored
+    )
+    SELECT label,
+           COUNT(*) AS n,
+           CAST(SUM(CASE WHEN predicted = label THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_correct,
+           ROUND(SUM(ROUND(best, 4)), 4) AS sum_best_score
+    FROM pred GROUP BY label
+    """,
+)
+def q_embed_score_multiclass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch ML INFERENCE, fully declarative — the apply side of the
+    engine's model story (regression/k-means/PQ fit models; this
+    SCORES one): a fixed 10-class linear model (64-dim weight rows as
+    literal constants = a broadcast model; exact binary fractions so
+    both engines hold identical doubles) scores every embedding with
+    ten JVM-side sequential double folds, argmax picks the class
+    (first-max tie rule identical in both engines), and the output is
+    the per-label evaluation a training pipeline logs: support,
+    correct-prediction count, and the rounded sum of winning scores.
+    One scan, one 10-group aggregate, zero Python, zero shuffle
+    beyond the final tiny agg — at 100 TB this is embarrassingly
+    parallel model application, the plan every feature-store scoring
+    job should have."""
+    e = load_table(spark, sf_dir, "embeddings")
+    scores = F.array(
+        *[dot_const(F.col("embedding"), w) for w in _CLASS_WEIGHTS]
+    )
+    scored = e.select(
+        "label",
+        scores.alias("scores"),
+    ).select(
+        "label",
+        (F.array_position(F.col("scores"), F.array_max("scores")) - 1)
+        .cast("int")
+        .alias("predicted"),
+        F.array_max("scores").alias("best"),
+    )
+    return scored.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.when(F.col("predicted") == F.col("label"), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_correct"),
+        F.round(F.sum(F.round("best", 4)), 4).alias("sum_best_score"),
+    )

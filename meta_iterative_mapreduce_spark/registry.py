@@ -52,8 +52,8 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # it must lead this window). The round-7 priority below = every query
 # with NO driver stamp in CORRECTNESS_r01..r06 (q_sketch_hll_persisted
 # plus this round's new registrations, led by q_sketch_kll_persisted)
-# + the stalest r03-stamped queries filling the remaining slots. Eleven
-# r03-stamped queries (q_text_repetition, q_ts_anomaly, q_ts_downsample, q_ts_gapfill, q_udaf_grouped, q_udf_grouped_map, q_udf_pandas, q_udf_python, q_udtf_explode, q_udtf_python, q_zorder_layout) are displaced
+# + the stalest r03-stamped queries filling the remaining slots. Twelve
+# r03-stamped queries (q_text_pii_redact, q_text_repetition, q_ts_anomaly, q_ts_downsample, q_ts_gapfill, q_udaf_grouped, q_udf_grouped_map, q_udf_pandas, q_udf_python, q_udtf_explode, q_udtf_python, q_zorder_layout) are displaced
 # to the FRONT of the r8 rotation to make room. tests/test_registry_
 # window.py now DERIVES the never-stamped set from CORRECTNESS_r*.json
 # and asserts each such query leads this list, so a new registration
@@ -74,6 +74,7 @@ WINDOW_PRIORITY: tuple[str, ...] = (
     "q_multimodal_audio_features",
     "q_text_pdf_extract",
     "q_text_warc_extract",
+    "q_embed_score_multiclass",
     "q_agg_incremental",
     "q_cdc_snapshot_diff",
     "q_corpus_mix",
@@ -112,7 +113,6 @@ WINDOW_PRIORITY: tuple[str, ...] = (
     "q_text_html_strip",
     "q_text_inverted_index",
     "q_text_pack",
-    "q_text_pii_redact",
 )
 
 
