@@ -248,7 +248,15 @@ def parse_mp4_index(payload: bytes) -> list[dict]:
     (any moof present): per-fragment tfhd/trun tables with
     tfhd→trex default inheritance (_parse_fragmented). Raises
     ValueError on corrupt tables (counts disagreeing, offsets beyond
-    the file)."""
+    the file) — struct.error from a table truncated mid-field is
+    normalized to ValueError so callers need one except clause."""
+    try:
+        return _parse_index(payload)
+    except struct.error as exc:
+        raise ValueError(f"truncated MP4 table: {exc}") from exc
+
+
+def _parse_index(payload: bytes) -> list[dict]:
     data = bytes(payload)
     tops = list(_walk_children(data, 0, len(data)))
     kinds = [k for k, _, _ in tops]

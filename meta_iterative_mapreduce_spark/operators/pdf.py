@@ -257,7 +257,15 @@ def _extract_stream_text(content: bytes) -> bytes:
 
 def extract_pdf_text(payload: bytes) -> str:
     """Concatenated shown text of every content stream, pages joined
-    by form feed. See module docstring for scope."""
+    by form feed. NOTE: shown text may itself contain form feeds
+    (\\f is a legal PDF string escape); use `extract_pdf_pages` when
+    page boundaries must survive arbitrary content."""
+    return "\x0c".join(extract_pdf_pages(payload))
+
+
+def extract_pdf_pages(payload: bytes) -> list[str]:
+    """Shown text of every content stream, one entry per stream, in
+    object order. See module docstring for scope."""
     data = bytes(payload)
     if not data.startswith(b"%PDF-"):
         raise ValueError("bad PDF header")
@@ -269,7 +277,10 @@ def extract_pdf_text(payload: bytes) -> str:
         if b"/Type /XRef" in d or b"/Type/XRef" in d:
             raise NotImplementedError("cross-reference streams")
         start = m.end()
-        lm = re.search(rb"/Length\s+(\d+)(?!\s+\d+\s+R)", d)
+        # (?!\d) stops backtracking from shrinking the capture (e.g.
+        # '/Length 12 0 R' would otherwise match '1' and defeat the
+        # indirect-reference lookahead)
+        lm = re.search(rb"/Length\s+(\d+)(?!\d)(?!\s+\d+\s+R)", d)
         if lm:  # direct /Length: slice exactly — NEVER rstrip, the
             # compressed bytes may legitimately end in 0x0a/0x0d
             end = start + int(lm.group(1))
@@ -295,7 +306,7 @@ def extract_pdf_text(payload: bytes) -> str:
                 f"unsupported stream filter in {d[:80]!r}"
             )
         pages.append(_extract_stream_text(raw))
-    return "\x0c".join(p.decode("utf-8", errors="replace") for p in pages)
+    return [p.decode("utf-8", errors="replace") for p in pages]
 
 
 @register(
@@ -337,12 +348,13 @@ def q_text_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                     for i in range(0, len(lines), 40)
                 ] or [""]
                 pdf = encode_simple_pdf(page_texts)
-                back = extract_pdf_text(pdf)
+                # page list, not the \x0c join — shown text may
+                # itself contain form feeds
+                back = extract_pdf_pages(pdf)
                 # T* emits a trailing newline per line incl. the last;
                 # pages re-join on the 40-line boundaries
                 got_pages = [
-                    p[:-1] if p.endswith("\n") else p
-                    for p in back.split("\x0c")
+                    p[:-1] if p.endswith("\n") else p for p in back
                 ]
                 got = "\n".join(got_pages)
                 if got != text:

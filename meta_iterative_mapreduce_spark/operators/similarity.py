@@ -621,7 +621,8 @@ def _score_sql(c: int) -> str:
            COUNT(*) AS n,
            CAST(SUM(CASE WHEN predicted = label THEN 1 ELSE 0 END)
                 AS BIGINT) AS n_correct,
-           ROUND(SUM(ROUND(best, 4)), 4) AS sum_best_score
+           CAST(SUM(CAST(FLOOR(best * 10000 + 0.5) AS BIGINT))
+                AS BIGINT) AS sum_best_e4
     FROM pred GROUP BY label
     """,
 )
@@ -660,5 +661,11 @@ def q_embed_score_multiclass(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("bigint")
         .alias("n_correct"),
-        F.round(F.sum(F.round("best", 4)), 4).alias("sum_best_score"),
+        # floor-scaled e4 integers, not ROUND: Spark rounds via exact
+        # BigDecimal HALF_UP, DuckDB via scaled float multiply — a
+        # value within an ulp of a .00005 boundary can round
+        # differently; FLOOR of an identical IEEE double cannot
+        F.sum(F.floor(F.col("best") * 10000 + F.lit(0.5)).cast("long"))
+        .cast("long")
+        .alias("sum_best_e4"),
     )

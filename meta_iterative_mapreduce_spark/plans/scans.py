@@ -309,11 +309,15 @@ def q_scan_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import tempfile
 
+    from meta_iterative_mapreduce_spark.io import fixture_fingerprint
+
     n = load_table(spark, sf_dir, "nation")
+    # content-fingerprint key: a regenerated fixture at the same path
+    # must not serve a stale round-trip (same rule as _binary_docs_dir)
     out = os.path.join(
         tempfile.gettempdir(),
         "mimr_fmt",
-        f"{sf_dir.strip('/').replace('/', '_')}_xml",
+        f"xml_{fixture_fingerprint(sf_dir, 'nation')}",
     )
     if not os.path.exists(os.path.join(out, "_SUCCESS")):
         (

@@ -97,3 +97,19 @@ def test_fragmented_offset_beyond_file_detected():
     struct.pack_into(">i", mp4, at, len(mp4) + 99)
     with pytest.raises(ValueError, match="beyond"):
         parse_mp4_index(bytes(mp4))
+
+
+def test_struct_error_normalized_to_value_error():
+    """A box tree that is SIZE-consistent but whose stsz body ends
+    mid-field at EOF makes the fixed-header unpack see a short
+    buffer — struct.error must surface as the documented ValueError."""
+    stsz_short = _box(b"stsz", b"\x00\x00\x00\x00" + b"\x00" * 5)
+    mp4 = _box(b"ftyp", b"isom") + _box(
+        b"moov",
+        _box(
+            b"trak",
+            _box(b"mdia", _box(b"minf", _box(b"stbl", stsz_short))),
+        ),
+    )
+    with pytest.raises(ValueError, match="truncated MP4 table"):
+        parse_mp4_index(mp4)

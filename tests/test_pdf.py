@@ -15,6 +15,7 @@ from meta_iterative_mapreduce_spark.operators.pdf import (
     _decode_pdf_string,
     _escape_pdf_string,
     encode_simple_pdf,
+    extract_pdf_pages,
     extract_pdf_text,
 )
 
@@ -22,10 +23,8 @@ from meta_iterative_mapreduce_spark.operators.pdf import (
 def _round_trip(text: str) -> str:
     lines = text.split("\n")
     pages = ["\n".join(lines[i : i + 40]) for i in range(0, len(lines), 40)]
-    back = extract_pdf_text(encode_simple_pdf(pages or [""]))
-    return "\n".join(
-        p[:-1] if p.endswith("\n") else p for p in back.split("\x0c")
-    )
+    back = extract_pdf_pages(encode_simple_pdf(pages or [""]))
+    return "\n".join(p[:-1] if p.endswith("\n") else p for p in back)
 
 
 def test_escapes_and_parens_round_trip():
@@ -123,3 +122,34 @@ def test_xref_table_is_valid():
     for i, row in enumerate(rows[1:], start=1):
         off = int(row[:10])
         assert pdf[off:].startswith(f"{i} 0 obj".encode())
+
+
+def test_indirect_length_multidigit_object_number():
+    """'/Length 12 0 R' must take the indirect-length branch: the
+    negative lookahead needs a digit guard or backtracking shrinks
+    the capture to '1' and the lookahead spuriously passes."""
+    content = b"BT (indirect) Tj ET"
+    flate = zlib.compress(content)
+    pdf = (
+        b"%PDF-1.7\n1 0 obj\n<< /Length 12 0 R /Filter /FlateDecode "
+        b">>\nstream\n" + flate + b"\nendstream\nendobj\n"
+        b"12 0 obj\n" + str(len(flate)).encode() + b"\nendobj\n%%EOF"
+    )
+    assert extract_pdf_text(pdf) == "indirect"
+
+
+def test_form_feed_in_document_text_keeps_page_boundaries():
+    """A document containing \\f must round-trip: pages are returned
+    as a list, not re-split on the join character."""
+    text = "before\x0cafter\nsecond line"
+    assert _round_trip(text) == text
+
+
+def test_extract_pdf_pages_returns_one_entry_per_stream():
+    from meta_iterative_mapreduce_spark.operators.pdf import (
+        extract_pdf_pages,
+    )
+
+    pages = extract_pdf_pages(encode_simple_pdf(["a", "b", "c"]))
+    assert len(pages) == 3
+    assert [p.rstrip("\n") for p in pages] == ["a", "b", "c"]
