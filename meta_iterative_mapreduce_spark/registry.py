@@ -46,73 +46,71 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 
 
 # The external verification window records the FIRST 50 queries in the
-# order queries() yields them. Rounds 1-6 certified all 199 then-
-# registered queries at least once except q_sketch_hll_persisted
-# (registered after the r6 window was recorded — VERDICT r6 item 4:
-# it must lead this window). The round-7 priority below = every query
-# with NO driver stamp in CORRECTNESS_r01..r06 (q_sketch_hll_persisted
-# plus this round's new registrations, led by q_sketch_kll_persisted)
-# + the stalest r03-stamped queries filling the remaining slots. Twelve
-# r03-stamped queries (q_text_pii_redact, q_text_repetition, q_ts_anomaly, q_ts_downsample, q_ts_gapfill, q_udaf_grouped, q_udf_grouped_map, q_udf_pandas, q_udf_python, q_udtf_explode, q_udtf_python, q_zorder_layout) are displaced
-# to the FRONT of the r8 rotation to make room. tests/test_registry_
-# window.py now DERIVES the never-stamped set from CORRECTNESS_r*.json
-# and asserts each such query leads this list, so a new registration
-# can never again silently miss its certification round. Every query
-# is additionally verified by the identical in-repo oracle harness
+# order queries() yields them. Rounds 1-7 certified all 211 then-
+# registered queries at least once with zero failures; the debt is
+# staleness only. The round-8 priority below = (a) new round-8
+# registrations (never-stamped — tests/test_registry_window.py derives
+# that set from CORRECTNESS_r*.json and asserts they LEAD), then
+# (b) the twelve r03-stamped queries VERDICT r7 item 2 requires
+# re-certified, then (c) queries whose OUTPUT or fixture rotation
+# changed this round (multiclass sum_best_e4, PDF xref-stream docs,
+# GIF LCT/interlace, tiled TIFF, G.711 WAV), then (d) the stalest
+# r04-stamped queries filling the remaining slots. Every query is
+# additionally verified by the identical in-repo oracle harness
 # (tools/check.py, tests/test_oracle.py) every round regardless of
 # window membership, and every name below must be registered (phantom
 # entries fail CI instead of being silently dropped by _ordered()).
 WINDOW_PRIORITY: tuple[str, ...] = (
-    "q_sketch_hll_persisted",
-    "q_sketch_kll_persisted",
-    "q_scan_binaryfile",
-    "q_multimodal_decode_gif",
-    "q_table_time_travel",
-    "q_multimodal_mp4_index",
-    "q_multimodal_decode_tiff",
-    "q_scan_xml",
-    "q_multimodal_audio_features",
-    "q_text_pdf_extract",
-    "q_text_warc_extract",
+    "q_text_pii_redact",
+    "q_text_repetition",
+    "q_ts_anomaly",
+    "q_ts_downsample",
+    "q_ts_gapfill",
+    "q_udaf_grouped",
+    "q_udf_grouped_map",
+    "q_udf_pandas",
+    "q_udf_python",
+    "q_udtf_explode",
+    "q_udtf_python",
+    "q_zorder_layout",
     "q_embed_score_multiclass",
-    "q_agg_incremental",
-    "q_cdc_snapshot_diff",
-    "q_corpus_mix",
-    "q_dedup_components",
-    "q_embed_gram",
-    "q_embed_pca_power",
-    "q_embed_quantize",
-    "q_events_attribution",
-    "q_events_funnel_k",
-    "q_events_funnel_staged",
-    "q_events_sessionize",
-    "q_events_transition",
-    "q_graph_degree",
-    "q_graph_pagerank",
-    "q_graph_triangles",
-    "q_join_lateral",
-    "q_join_skew_salted",
-    "q_multimodal_decode",
-    "q_multimodal_decode_png",
-    "q_multimodal_frame_sample",
-    "q_multimodal_resize",
-    "q_pipeline_corpus_clean",
-    "q_scalar_variant",
-    "q_sim_recall_at_k",
-    "q_sketch_hll",
-    "q_sketch_kll",
-    "q_source_python_ds",
-    "q_stream_ema",
-    "q_stream_join",
-    "q_stream_session",
-    "q_stream_sliding",
-    "q_stream_tumbling",
-    "q_text_bm25",
-    "q_text_chunk",
-    "q_text_decontaminate",
-    "q_text_html_strip",
-    "q_text_inverted_index",
-    "q_text_pack",
+    "q_text_pdf_extract",
+    "q_multimodal_decode_gif",
+    "q_multimodal_decode_tiff",
+    "q_multimodal_audio_wav",
+    "q_agg_benford",
+    "q_agg_bitmap_distinct",
+    "q_agg_cube",
+    "q_agg_decimal_exact",
+    "q_agg_mode",
+    "q_agg_moments",
+    "q_agg_rollup",
+    "q_corpus_domain_cap",
+    "q_cte_recursive",
+    "q_dedup_containment",
+    "q_dedup_fuzzy_names",
+    "q_dedup_semantic",
+    "q_embed_pq",
+    "q_events_funnel_windowed",
+    "q_events_paths",
+    "q_events_rfm",
+    "q_graph_bfs",
+    "q_graph_link_predict",
+    "q_join_asof_nearest",
+    "q_join_cross",
+    "q_join_interval_overlap",
+    "q_merge_scd2",
+    "q_multimodal_decode_jpeg",
+    "q_multimodal_decode_jpeg_color",
+    "q_multimodal_phash",
+    "q_multimodal_phash_pairs",
+    "q_profile_table",
+    "q_regression_kfold",
+    "q_sample_hash",
+    "q_sample_stratified",
+    "q_sample_weighted",
+    "q_scalar_collation",
+    "q_scalar_hash",
 )
 
 
