@@ -153,3 +153,178 @@ def test_extract_pdf_pages_returns_one_entry_per_stream():
     pages = extract_pdf_pages(encode_simple_pdf(["a", "b", "c"]))
     assert len(pages) == 3
     assert [p.rstrip("\n") for p in pages] == ["a", "b", "c"]
+
+
+# --- PDF 1.5 xref streams / ObjStm / incremental updates ------------
+
+from meta_iterative_mapreduce_spark.operators.pdf import (  # noqa: E402
+    _apply_png_up_predictor,
+    _parse_xref_chain,
+    _undo_png_predictor,
+    encode_pdf_incremental,
+    encode_pdf_xref_stream,
+)
+
+
+def _rt(enc, text):
+    lines = text.split("\n")
+    pages = ["\n".join(lines[i : i + 40]) for i in range(0, len(lines), 40)]
+    back = extract_pdf_pages(enc(pages or [""]))
+    return "\n".join(p[:-1] if p.endswith("\n") else p for p in back)
+
+
+def test_xref_stream_layout_round_trip():
+    text = "alpha\nbeta (x) \\ y\ngamma\x0cdelta"
+    assert _rt(encode_pdf_xref_stream, text) == text
+
+
+def test_incremental_update_round_trip_and_newest_wins():
+    text = "REAL first page\nsecond line"
+    pdf = encode_pdf_incremental([text, "page 2"])
+    # the stale placeholder is physically present in the file...
+    import zlib as _z
+
+    # (the TJ kerning split halves the line, so search a short piece)
+    assert any(
+        b"STALE" in _z.decompress(m) for m in _iter_flate_streams(pdf)
+    )
+    # ...but the xref chain resolves only the replacement
+    pages = extract_pdf_pages(pdf)
+    assert pages[0].rstrip("\n") == text
+    assert "PLACEHOLDER" not in "".join(pages)
+
+
+def _iter_flate_streams(pdf: bytes):
+    import re as _re
+    import zlib as _z
+
+    for m in _re.finditer(rb"stream\r?\n", pdf):
+        start = m.end()
+        end = pdf.find(b"endstream", start)
+        raw = pdf[start:end]
+        for cut in (raw, raw.rstrip(b"\r\n")):
+            try:
+                _z.decompress(cut)
+                yield cut
+                break
+            except _z.error:
+                continue
+
+
+@given(st.text(alphabet=st.characters(codec="utf-8"), max_size=400))
+@settings(max_examples=40, deadline=None)
+def test_xref_stream_round_trip_property(text):
+    assert _rt(encode_pdf_xref_stream, text) == text
+
+
+@given(st.text(alphabet=st.characters(codec="utf-8"), max_size=400))
+@settings(max_examples=25, deadline=None)
+def test_incremental_round_trip_property(text):
+    assert _rt(encode_pdf_incremental, text) == text
+
+
+def test_png_predictor_all_filters():
+    import zlib as _z  # noqa: F401
+
+    cols = 5
+    rows = [bytes([(r * 7 + c * 13) % 256 for c in range(cols)]) for r in range(6)]
+    flat = b"".join(rows)
+    # Up-filter encode (what the writer emits) must invert exactly
+    assert _undo_png_predictor(_apply_png_up_predictor(rows), cols) == flat
+    # hand-encode one row per filter type and invert
+    prev = bytes(cols)
+    enc = bytearray()
+    for ft, row in zip([0, 1, 2, 3, 4, 2], rows):
+        out = bytearray(row)
+        if ft == 1:
+            for i in range(cols - 1, 0, -1):
+                out[i] = (out[i] - row[i - 1]) & 0xFF
+        elif ft == 2:
+            for i in range(cols):
+                out[i] = (out[i] - prev[i]) & 0xFF
+        elif ft == 3:
+            for i in range(cols):
+                left = row[i - 1] if i else 0
+                out[i] = (out[i] - (left + prev[i]) // 2) & 0xFF
+        elif ft == 4:
+            for i in range(cols):
+                a = row[i - 1] if i else 0
+                b = prev[i]
+                c = prev[i - 1] if i else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                out[i] = (out[i] - pr) & 0xFF
+        enc += bytes([ft]) + out
+        prev = row
+    assert _undo_png_predictor(bytes(enc), cols) == flat
+    with pytest.raises(ValueError, match="filter"):
+        _undo_png_predictor(bytes([9]) + bytes(cols), cols)
+    with pytest.raises(ValueError, match="whole rows"):
+        _undo_png_predictor(b"\x00\x01", cols)
+
+
+def test_xref_chain_maps_compressed_and_toplevel_objects():
+    pdf = encode_pdf_xref_stream(["a", "b"])
+    objmap, trailer = _parse_xref_chain(pdf)
+    # catalog/pages/font/page dicts are type-2 (in the ObjStm)
+    assert objmap[1][0] == "c" and objmap[4][0] == "c"
+    # content streams, ObjStm, XRef itself are type-1 offsets
+    kinds = {k: v[0] for k, v in objmap.items()}
+    assert kinds[6] == "o" and kinds[8] == "o" and kinds[9] == "o"
+    assert b"/Root" in trailer
+
+
+def test_corrupt_xref_stream_is_loud_not_salvaged():
+    pdf = bytearray(encode_pdf_xref_stream(["hello"]))
+    # point startxref past EOF
+    at = pdf.rfind(b"startxref")
+    bad = pdf[:at] + b"startxref\n999999\n%%EOF"
+    with pytest.raises(ValueError):
+        extract_pdf_pages(bytes(bad))
+
+
+def test_prev_cycle_detected():
+    base = encode_simple_pdf(["x"])
+    xref_at = int(re.search(rb"startxref\s+(\d+)", base).group(1))
+    size = int(re.search(rb"/Size (\d+)", base).group(1))
+    # append an update whose trailer /Prev points at ITSELF
+    out = bytearray(base) + b"\n"
+    loop_at = len(out)
+    out += (
+        f"xref\n0 0\ntrailer\n<< /Size {size} /Root 1 0 R "
+        f"/Prev {loop_at} >>\nstartxref\n{loop_at}\n%%EOF"
+    ).encode()
+    with pytest.raises(ValueError, match="cycle"):
+        extract_pdf_pages(bytes(out))
+    assert xref_at > 0
+
+
+def test_contents_array_supported():
+    """A page whose /Contents is an ARRAY of streams concatenates
+    them into one page."""
+    import zlib as _z
+
+    c1 = _z.compress(b"BT (first) Tj ET")
+    c2 = _z.compress(b"BT ( and second) Tj ET")
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Page /Parent 2 0 R /Contents [4 0 R 5 0 R] >>",
+        (b"<< /Length " + str(len(c1)).encode() + b" /Filter /FlateDecode >>\nstream\n" + c1 + b"\nendstream"),
+        (b"<< /Length " + str(len(c2)).encode() + b" /Filter /FlateDecode >>\nstream\n" + c2 + b"\nendstream"),
+    ]
+    out = bytearray(b"%PDF-1.4\n")
+    offs = [0]
+    for i, body in enumerate(objs, start=1):
+        offs.append(len(out))
+        out += f"{i} 0 obj\n".encode() + body + b"\nendobj\n"
+    xref_at = len(out)
+    out += f"xref\n0 {len(objs) + 1}\n".encode() + b"0000000000 65535 f \n"
+    for off in offs[1:]:
+        out += f"{off:010d} 00000 n \n".encode()
+    out += (
+        f"trailer\n<< /Size {len(objs) + 1} /Root 1 0 R >>\n"
+        f"startxref\n{xref_at}\n%%EOF"
+    ).encode()
+    assert extract_pdf_pages(bytes(out)) == ["first and second"]
