@@ -9,15 +9,20 @@ variant of LZW with variable-width codes (start min_code_size+1, grow
 at 2^width, cap 12 bits, CLEAR resets the dictionary, EOI terminates).
 
 Scope (honest guards, same policy as webp.py/avi.py):
-- decode: single-image, non-interlaced GIFs with a global color
-  table; 89a extension blocks (graphic control, comment, application)
-  are parsed and skipped. Interlaced images and local color tables
-  raise NotImplementedError; corrupt streams raise ValueError.
-- encode: grayscale-8 frames as GIF89a with a 256-entry gray global
-  palette and a REAL dictionary-building LZW compressor (codes grow
-  9→12 bits and the dictionary resets on overflow, so a round trip
-  exercises the decoder's growth/reset paths, not a degenerate
-  literal-only stream).
+- decode: single-image GIFs with a global OR local color table (the
+  LCT overrides the GCT per spec appendix; animated-frame corpora
+  carry LCTs routinely) and both sequential and INTERLACED row order
+  (the fixed 4-pass 8/8/4/2 permutation); 89a extension blocks
+  (graphic control, comment, application) are parsed and skipped.
+  Multi-image animation playback is out of scope; corrupt streams
+  raise ValueError.
+- encode: grayscale-8 frames as GIF89a with a 256-entry gray palette
+  — global by default, LOCAL (no GCT at all) with `local_palette`,
+  interlaced row order with `interlace` — and a REAL
+  dictionary-building LZW compressor (codes grow 9→12 bits and the
+  dictionary resets on overflow, so a round trip exercises the
+  decoder's growth/reset paths, not a degenerate literal-only
+  stream).
 
 Reference analog: none (kernel.cu:92-104 reads numeric stdin);
 multimodal ingest is brief-mandated surface. Spark-side plumbing is
@@ -181,24 +186,57 @@ def _lzw_decode(data: bytes, min_code_size: int, n_expected: int) -> bytes:
 # ---------------------------------------------------------------------------
 
 
-def encode_gif_gray8(width: int, height: int, pixels: bytes) -> bytes:
+def _interlace_row_order(height: int) -> list[int]:
+    """GIF89a 4-pass interlace: the source row written at storage
+    position k is `order[k]` (pass 1 rows 0,8,16…, pass 2 4,12…,
+    pass 3 2,6,10…, pass 4 odd rows)."""
+    order: list[int] = []
+    for start, step in ((0, 8), (4, 8), (2, 4), (1, 2)):
+        order.extend(range(start, height, step))
+    return order
+
+
+def encode_gif_gray8(
+    width: int,
+    height: int,
+    pixels: bytes,
+    *,
+    local_palette: bool = False,
+    interlace: bool = False,
+) -> bytes:
     """GIF89a with a 256-entry gray palette (index i -> RGB(i,i,i)),
-    one non-interlaced image, real LZW. `pixels` is row-major
-    grayscale-8 of exactly width*height bytes."""
+    one image, real LZW. `pixels` is row-major grayscale-8 of exactly
+    width*height bytes. `local_palette` puts the palette in the image
+    descriptor's LOCAL color table and omits the GCT entirely;
+    `interlace` stores rows in the 4-pass interlaced order."""
     if len(pixels) != width * height:
         raise ValueError("pixel buffer does not match dimensions")
     if not (0 < width <= 0xFFFF and 0 < height <= 0xFFFF):
         raise ValueError("dimensions out of GIF range")
+    gray_palette = bytes(
+        b for i in range(256) for b in (i, i, i)
+    )
     out = bytearray()
     out += _GIF89
-    # LSD: GCT present, 8-bit color resolution, GCT size 2^(7+1)=256
-    out += struct.pack("<HHBBB", width, height, 0b1_111_0_111, 0, 0)
-    for i in range(256):  # gray GCT
-        out += bytes([i, i, i])
-    out += b"\x2C" + struct.pack("<HHHHB", 0, 0, width, height, 0)
+    if local_palette:  # LSD without any GCT
+        out += struct.pack("<HHBBB", width, height, 0b0_111_0_000, 0, 0)
+    else:  # GCT present, 8-bit color resolution, size 2^(7+1)=256
+        out += struct.pack("<HHBBB", width, height, 0b1_111_0_111, 0, 0)
+        out += gray_palette
+    ipacked = (0x80 | 0x07 if local_palette else 0) | (
+        0x40 if interlace else 0
+    )
+    out += b"\x2C" + struct.pack("<HHHHB", 0, 0, width, height, ipacked)
+    if local_palette:
+        out += gray_palette
+    arr = np.frombuffer(pixels, dtype=np.uint8)
+    if interlace:
+        arr = arr.reshape(height, width)[
+            _interlace_row_order(height)
+        ].reshape(-1)
     min_code_size = 8
     out.append(min_code_size)
-    lzw = _lzw_encode(np.frombuffer(pixels, dtype=np.uint8), min_code_size)
+    lzw = _lzw_encode(arr, min_code_size)
     for i in range(0, len(lzw), 255):  # sub-block framing
         chunk = lzw[i : i + 255]
         out.append(len(chunk))
@@ -217,16 +255,15 @@ def decode_gif_gray8(payload: bytes) -> dict:
         raise ValueError("bad GIF header")
     sw, sh, packed, _bg, _aspect = struct.unpack("<HHBBB", data[6:13])
     pos = 13
-    if not packed & 0x80:
-        raise NotImplementedError("GIF without a global color table")
-    gct_len = 2 << (packed & 0x07)
-    gct = np.frombuffer(
-        data[pos : pos + 3 * gct_len], dtype=np.uint8
-    ).reshape(-1, 3)
-    if gct.shape[0] != gct_len:
-        raise ValueError("global color table truncated")
-    pos += 3 * gct_len
-    luma = (gct.astype(np.uint16).sum(axis=1) // 3).astype(np.uint8)
+    gct = None
+    if packed & 0x80:
+        gct_len = 2 << (packed & 0x07)
+        gct = np.frombuffer(
+            data[pos : pos + 3 * gct_len], dtype=np.uint8
+        ).reshape(-1, 3)
+        if gct.shape[0] != gct_len:
+            raise ValueError("global color table truncated")
+        pos += 3 * gct_len
     while True:
         if pos >= len(data):
             raise ValueError("unexpected end of GIF stream")
@@ -252,10 +289,20 @@ def decode_gif_gray8(payload: bytes) -> dict:
         raise ValueError("image descriptor truncated")
     _left, _top, w, h, ipacked = struct.unpack("<HHHHB", data[pos : pos + 9])
     pos += 9
-    if ipacked & 0x80:
-        raise NotImplementedError("local color tables not supported")
-    if ipacked & 0x40:
-        raise NotImplementedError("interlaced GIFs not supported")
+    palette = gct
+    if ipacked & 0x80:  # local color table overrides the GCT
+        lct_len = 2 << (ipacked & 0x07)
+        palette = np.frombuffer(
+            data[pos : pos + 3 * lct_len], dtype=np.uint8
+        ).reshape(-1, 3)
+        if palette.shape[0] != lct_len:
+            raise ValueError("local color table truncated")
+        pos += 3 * lct_len
+    if palette is None:
+        raise ValueError("image has neither global nor local color table")
+    pal_len = palette.shape[0]
+    luma = (palette.astype(np.uint16).sum(axis=1) // 3).astype(np.uint8)
+    interlaced = bool(ipacked & 0x40)
     if w == 0 or h == 0 or w > sw or h > sh:
         raise ValueError("image dimensions inconsistent with screen")
     if pos >= len(data):
@@ -275,9 +322,13 @@ def decode_gif_gray8(payload: bytes) -> dict:
     idx = np.frombuffer(
         _lzw_decode(bytes(lzw), min_code_size, w * h), dtype=np.uint8
     )
-    if idx.max(initial=0) >= gct_len:
+    if idx.max(initial=0) >= pal_len:
         raise ValueError("pixel index beyond palette")
     pix = luma[idx].reshape(h, w)
+    if interlaced:  # stored rows are the 4-pass permutation: undo it
+        img = np.empty_like(pix)
+        img[_interlace_row_order(h)] = pix
+        pix = img
     return {
         "width": w,
         "height": h,
@@ -313,10 +364,13 @@ def q_multimodal_decode_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
     becomes a doc_id%13+4 wide grayscale frame (the PNG family's
     deterministic synth), encoded with the REAL dictionary-building
     LZW and decoded by the full parser — both inside one Arrow-batched
-    mapInPandas. GIF is lossless over a gray palette, so the oracle
-    recomputes the EXACT per-document mean intensity from the source
-    text in SQL (same oracle as q_multimodal_decode_png — the formats
-    must agree byte-for-byte on what they transported)."""
+    mapInPandas. Four container layouts rotate by doc_id%4: global
+    palette, LOCAL color table (no GCT), interlaced 4-pass row order,
+    and LCT+interlaced together. GIF is lossless over a gray palette,
+    so the oracle recomputes the EXACT per-document mean intensity
+    from the source text in SQL (same oracle as
+    q_multimodal_decode_png — the formats must agree byte-for-byte on
+    what they transported)."""
     from meta_iterative_mapreduce_spark.operators.multimodal import (
         _MAX_HEIGHT,
         _spread,
@@ -338,7 +392,14 @@ def q_multimodal_decode_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
                 w = int(doc_id) % 13 + 4
                 h = min(len(data) // w, _MAX_HEIGHT)
                 gray = data[: w * h]
-                gif = encode_gif_gray8(w, h, gray)
+                variant = int(doc_id) % 4
+                gif = encode_gif_gray8(
+                    w,
+                    h,
+                    gray,
+                    local_palette=variant in (1, 3),
+                    interlace=variant in (2, 3),
+                )
                 f = decode_gif_gray8(gif)
                 if (f["width"], f["height"]) != (w, h):
                     raise ValueError("dim mismatch after GIF round trip")

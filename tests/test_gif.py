@@ -80,19 +80,57 @@ def test_gif_corrupt_raises_valueerror():
         decode_gif_gray8(good[:-5])
 
 
-def test_gif_interlace_and_lct_guards():
-    gif = bytearray(encode_gif_gray8(2, 2, bytes([1, 2, 3, 4])))
-    desc_at = 13 + 3 * 256  # image separator 0x2C
+def test_gif_local_color_table_round_trip():
+    """LCT layout: no GCT in the logical screen descriptor at all;
+    the palette rides in the image descriptor."""
+    pix = bytes(range(16))
+    gif = encode_gif_gray8(4, 4, pix, local_palette=True)
+    # LSD packed byte must NOT declare a GCT
+    assert not gif[10] & 0x80
+    f = decode_gif_gray8(gif)
+    assert f["pixels"].tobytes() == pix
+
+
+def test_gif_interlace_round_trip_and_storage_order():
+    from meta_iterative_mapreduce_spark.operators.gif import (
+        _interlace_row_order,
+    )
+
+    h, w = 11, 3
+    pix = bytes(range(h * w))
+    gif = encode_gif_gray8(w, h, pix, interlace=True)
+    f = decode_gif_gray8(gif)
+    assert f["pixels"].tobytes() == pix
+    # the 4-pass permutation for h=11: 0,8 | 4 | 2,6,10 | odd rows
+    assert _interlace_row_order(11) == [0, 8, 4, 2, 6, 10, 1, 3, 5, 7, 9]
+    # every row appears exactly once for any height
+    for hh in (1, 2, 3, 7, 8, 9, 64):
+        assert sorted(_interlace_row_order(hh)) == list(range(hh))
+
+
+def test_gif_lct_plus_interlace_round_trip():
+    h, w = 9, 5
+    pix = bytes((i * 37) % 256 for i in range(h * w))
+    gif = encode_gif_gray8(w, h, pix, local_palette=True, interlace=True)
+    f = decode_gif_gray8(gif)
+    assert f["pixels"].tobytes() == pix
+
+
+def test_gif_truncated_lct_detected():
+    pix = bytes(range(4))
+    gif = encode_gif_gray8(2, 2, pix, local_palette=True)
+    # cut inside the local color table (descriptor ends at 13+10)
+    with pytest.raises(ValueError):
+        decode_gif_gray8(gif[: 13 + 10 + 100])
+
+
+def test_gif_no_color_table_at_all_rejected():
+    gif = bytearray(encode_gif_gray8(2, 2, bytes([1, 2, 3, 4]), local_palette=True))
+    desc_at = 13  # no GCT in this layout
     assert gif[desc_at] == 0x2C
-    packed_at = desc_at + 9
-    g2 = bytearray(gif)
-    g2[packed_at] |= 0x40  # interlace flag
-    with pytest.raises(NotImplementedError, match="interlaced"):
-        decode_gif_gray8(bytes(g2))
-    g3 = bytearray(gif)
-    g3[packed_at] |= 0x80  # local color table flag
-    with pytest.raises(NotImplementedError, match="local color"):
-        decode_gif_gray8(bytes(g3))
+    gif[desc_at + 9] &= ~0x80  # clear the LCT flag, keep the bytes
+    with pytest.raises(ValueError):
+        decode_gif_gray8(bytes(gif))
 
 
 def test_gif_pixel_count_mismatch_detected():

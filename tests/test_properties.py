@@ -249,6 +249,15 @@ def test_gif_container_round_trip_property(w, h, seed):
 
     rng = np.random.default_rng(seed)
     px = rng.integers(0, 256, size=w * h, dtype=np.uint8).tobytes()
-    f = decode_gif_gray8(encode_gif_gray8(w, h, px))
+    variant = seed % 4
+    f = decode_gif_gray8(
+        encode_gif_gray8(
+            w,
+            h,
+            px,
+            local_palette=variant in (1, 3),
+            interlace=variant in (2, 3),
+        )
+    )
     assert (f["width"], f["height"]) == (w, h)
     assert f["pixels"].tobytes() == px
