@@ -11,8 +11,10 @@ public TIFF 6.0 specification:
   (BlackIsZero), any RowsPerStrip; Compression 1 (none), 32773
   (PackBits), and 5 (TIFF-LZW: MSB-first bit order, EarlyChange —
   the width grows one code EARLIER than GIF's LSB variant, a classic
-  cross-codec trap). Tiled TIFFs, other bit depths, palettes, and
-  planar configs raise NotImplementedError; corrupt structures raise
+  cross-codec trap); BOTH strip-based and TILED layouts (tags
+  322-325; edge tiles pad to full tile size and are cropped on
+  read per TIFF 6.0 §15). Other bit depths, palettes, and planar
+  configs raise NotImplementedError; corrupt structures raise
   ValueError.
 - encode: grayscale-8 with the same three compressions and
   configurable RowsPerStrip, so multi-strip layouts and every
@@ -299,9 +301,99 @@ def encode_tiff_gray8(
     )
 
 
+def encode_tiff_gray8_tiled(
+    width: int,
+    height: int,
+    pixels: bytes,
+    compression: str = "packbits",
+    tile_width: int = 16,
+    tile_length: int = 16,
+) -> bytes:
+    """Little-endian grayscale-8 TILED TIFF (TileWidth/TileLength/
+    TileOffsets/TileByteCounts, tags 322-325) — the default layout of
+    imaging/geo pipelines. Edge tiles pad to the full tile size with
+    zeros per TIFF 6.0 §15 (the reader crops); tile dims must be
+    positive multiples of 16."""
+    if len(pixels) != width * height:
+        raise ValueError("pixel buffer does not match dimensions")
+    if compression not in _COMPRESSORS:
+        raise ValueError(f"unknown compression {compression!r}")
+    if tile_width % 16 or tile_length % 16 or tile_width <= 0:
+        raise ValueError("tile dims must be positive multiples of 16")
+    comp_tag, comp_fn = _COMPRESSORS[compression]
+    arr = np.frombuffer(pixels, dtype=np.uint8).reshape(height, width)
+    ta = (width + tile_width - 1) // tile_width
+    td = (height + tile_length - 1) // tile_length
+    tiles: list[bytes] = []
+    for ty in range(td):
+        for tx in range(ta):
+            tile = np.zeros((tile_length, tile_width), dtype=np.uint8)
+            rows = min(tile_length, height - ty * tile_length)
+            cols = min(tile_width, width - tx * tile_width)
+            tile[:rows, :cols] = arr[
+                ty * tile_length : ty * tile_length + rows,
+                tx * tile_width : tx * tile_width + cols,
+            ]
+            tiles.append(comp_fn(tile.tobytes()))
+    pos = 8
+    offsets = []
+    for t in tiles:
+        offsets.append(pos)
+        pos += len(t)
+    counts = [len(t) for t in tiles]
+    extra = b""
+    if len(offsets) == 1:
+        off_val, cnt_val = offsets[0], counts[0]
+    else:
+        off_val = pos
+        extra += struct.pack(f"<{len(offsets)}I", *offsets)
+        cnt_val = pos + len(extra)
+        extra += struct.pack(f"<{len(counts)}I", *counts)
+    ifd_off = pos + len(extra)
+
+    def entry(tag: int, typ: int, count: int, value: int) -> bytes:
+        return struct.pack("<HHII", tag, typ, count, value)
+
+    entries = [
+        entry(256, 3, 1, width),
+        entry(257, 3, 1, height),
+        entry(258, 3, 1, 8),
+        entry(259, 3, 1, comp_tag),
+        entry(262, 3, 1, 1),
+        entry(277, 3, 1, 1),
+        entry(322, 3, 1, tile_width),       # TileWidth
+        entry(323, 3, 1, tile_length),      # TileLength
+        entry(324, 4, len(tiles), off_val),  # TileOffsets
+        entry(325, 4, len(tiles), cnt_val),  # TileByteCounts
+    ]
+    entries.sort(key=lambda b: struct.unpack("<H", b[:2])[0])
+    ifd = struct.pack("<H", len(entries)) + b"".join(entries) + b"\x00" * 4
+    return (
+        b"II*\x00"
+        + struct.pack("<I", ifd_off)
+        + b"".join(tiles)
+        + extra
+        + ifd
+    )
+
+
+def _decode_segment(raw: bytes, comp: int, n_expected: int) -> bytes:
+    """One strip's or tile's bytes → exactly n_expected pixels."""
+    if comp == 1:
+        if len(raw) < n_expected:
+            raise ValueError("segment shorter than its pixel area")
+        return raw[:n_expected]
+    if comp == 32773:
+        return _packbits_decode(raw, n_expected)
+    if comp == 5:
+        return _tlzw_decode(raw, n_expected)
+    raise NotImplementedError(f"TIFF compression {comp}")
+
+
 def decode_tiff_gray8(payload: bytes) -> dict:
-    """Parse II or MM TIFF, first IFD only. Returns dict(width, height,
-    n_pixels, mean_intensity, pixels=(h, w) uint8)."""
+    """Parse II or MM TIFF, first IFD only — strip-based AND tiled
+    layouts. Returns dict(width, height, n_pixels, mean_intensity,
+    pixels=(h, w) uint8)."""
     data = bytes(payload)
     if len(data) < 8:
         raise ValueError("TIFF too short")
@@ -350,8 +442,6 @@ def decode_tiff_gray8(payload: bytes) -> dict:
         fmt = {1: "B", 3: "H", 4: "I"}[typ]
         return list(struct.unpack(f"{e}{count}{fmt}", buf))
 
-    if 322 in tags or 323 in tags:
-        raise NotImplementedError("tiled TIFFs not supported")
     width = values(256)[0]
     height = values(257)[0]
     bps = values(258, [1])
@@ -364,35 +454,62 @@ def decode_tiff_gray8(payload: bytes) -> dict:
     if photo not in (0, 1):
         raise NotImplementedError(f"PhotometricInterpretation {photo}")
     comp = values(259, [1])[0]
-    rps = values(278, [height])[0]
-    offsets = values(273)
-    counts = values(279)
-    if len(offsets) != len(counts):
-        raise ValueError("StripOffsets/StripByteCounts disagree")
-    n_strips_expected = (height + rps - 1) // rps if height else 0
-    if len(offsets) != n_strips_expected:
-        raise ValueError(
-            f"{len(offsets)} strips but {n_strips_expected} expected "
-            f"for {height} rows at {rps}/strip"
+    if 322 in tags or 323 in tags:
+        # tiled layout: TileWidth/TileLength/TileOffsets/TileByteCounts;
+        # tiles pad to full size at the right/bottom edges — crop
+        tw = values(322)[0]
+        tl = values(323)[0]
+        if tw <= 0 or tl <= 0 or tw % 16 or tl % 16:
+            raise ValueError("tile dims must be positive multiples of 16")
+        offsets = values(324)
+        counts = values(325)
+        ta = (width + tw - 1) // tw
+        td = (height + tl - 1) // tl
+        if len(offsets) != len(counts) or len(offsets) != ta * td:
+            raise ValueError(
+                f"{len(offsets)} tiles but {ta}x{td} expected for "
+                f"{width}x{height} at {tw}x{tl}"
+            )
+        pix = np.zeros((height, width), dtype=np.uint8)
+        i = 0
+        for ty in range(td):
+            for tx in range(ta):
+                off, cnt = offsets[i], counts[i]
+                i += 1
+                if off + cnt > len(data):
+                    raise ValueError(
+                        f"tile {i - 1} at {off}+{cnt} beyond file"
+                    )
+                tile = np.frombuffer(
+                    _decode_segment(data[off : off + cnt], comp, tw * tl),
+                    dtype=np.uint8,
+                ).reshape(tl, tw)
+                rows = min(tl, height - ty * tl)
+                cols = min(tw, width - tx * tw)
+                pix[
+                    ty * tl : ty * tl + rows, tx * tw : tx * tw + cols
+                ] = tile[:rows, :cols]
+    else:
+        rps = values(278, [height])[0]
+        offsets = values(273)
+        counts = values(279)
+        if len(offsets) != len(counts):
+            raise ValueError("StripOffsets/StripByteCounts disagree")
+        n_strips_expected = (height + rps - 1) // rps if height else 0
+        if len(offsets) != n_strips_expected:
+            raise ValueError(
+                f"{len(offsets)} strips but {n_strips_expected} expected "
+                f"for {height} rows at {rps}/strip"
+            )
+        out = bytearray()
+        for si, (off, cnt) in enumerate(zip(offsets, counts)):
+            if off + cnt > len(data):
+                raise ValueError(f"strip {si} at {off}+{cnt} beyond file")
+            rows = min(rps, height - si * rps)
+            out += _decode_segment(data[off : off + cnt], comp, rows * width)
+        pix = np.frombuffer(bytes(out), dtype=np.uint8).reshape(
+            height, width
         )
-    out = bytearray()
-    for si, (off, cnt) in enumerate(zip(offsets, counts)):
-        if off + cnt > len(data):
-            raise ValueError(f"strip {si} at {off}+{cnt} beyond file")
-        rows = min(rps, height - si * rps)
-        n_exp = rows * width
-        raw_strip = data[off : off + cnt]
-        if comp == 1:
-            if len(raw_strip) < n_exp:
-                raise ValueError(f"strip {si} shorter than its rows")
-            out += raw_strip[:n_exp]
-        elif comp == 32773:
-            out += _packbits_decode(raw_strip, n_exp)
-        elif comp == 5:
-            out += _tlzw_decode(raw_strip, n_exp)
-        else:
-            raise NotImplementedError(f"TIFF compression {comp}")
-    pix = np.frombuffer(bytes(out), dtype=np.uint8).reshape(height, width)
     if photo == 0:  # WhiteIsZero: invert to BlackIsZero luma
         pix = 255 - pix
     return {
@@ -427,12 +544,14 @@ def decode_tiff_gray8(payload: bytes) -> dict:
 )
 def q_multimodal_decode_tiff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round-trip through strip-based TIFF: each document's byte plane
-    becomes a multi-strip grayscale TIFF — compression ROTATES by
-    doc_id over none/PackBits/TIFF-LZW so all three decompressors are
-    on the certified path — decoded back via the full IFD walk.
-    Lossless, so the oracle is the PNG family's exact mean-intensity
-    recomputation (the five raster formats must agree byte-for-byte
-    on what they transported)."""
+    becomes a grayscale TIFF — compression ROTATES by doc_id over
+    none/PackBits/TIFF-LZW and the LAYOUT rotates between multi-strip
+    and TILED (16x16 tiles, tags 322-325, edge-tile padding cropped
+    by the reader), so all six decompressor x layout paths are on the
+    certified path — decoded back via the full IFD walk. Lossless, so
+    the oracle is the PNG family's exact mean-intensity recomputation
+    (the five raster formats must agree byte-for-byte on what they
+    transported)."""
     from meta_iterative_mapreduce_spark.operators.multimodal import (
         _MAX_HEIGHT,
         _spread,
@@ -455,9 +574,11 @@ def q_multimodal_decode_tiff(spark: SparkSession, sf_dir: str) -> DataFrame:
                 w = int(doc_id) % 13 + 4
                 h = min(len(data) // w, _MAX_HEIGHT)
                 gray = data[: w * h]
-                tif = encode_tiff_gray8(
-                    w, h, gray, compression=comps[int(doc_id) % 3]
-                )
+                comp = comps[int(doc_id) % 3]
+                if int(doc_id) % 6 >= 3:
+                    tif = encode_tiff_gray8_tiled(w, h, gray, compression=comp)
+                else:
+                    tif = encode_tiff_gray8(w, h, gray, compression=comp)
                 f = decode_tiff_gray8(tif)
                 if (f["width"], f["height"]) != (w, h):
                     raise ValueError("dim mismatch after TIFF round trip")

@@ -141,3 +141,99 @@ def test_dispatcher_routes_tiff():
         "n_pixels": 6,
         "mean_intensity": 35.0,
     }
+
+
+# --- tiled layout ----------------------------------------------------
+
+def test_tiled_round_trip_all_compressions():
+    from meta_iterative_mapreduce_spark.operators.tiff import (
+        decode_tiff_gray8,
+        encode_tiff_gray8_tiled,
+    )
+
+    w, h = 13, 37  # forces 1x3 tiles at 16x16 with ragged edges
+    pix = bytes((i * 31) % 256 for i in range(w * h))
+    for comp in ("none", "packbits", "lzw"):
+        tif = encode_tiff_gray8_tiled(w, h, pix, compression=comp)
+        f = decode_tiff_gray8(tif)
+        assert (f["width"], f["height"]) == (w, h)
+        assert f["pixels"].tobytes() == pix, comp
+
+
+def test_tiled_multi_column_grid():
+    from meta_iterative_mapreduce_spark.operators.tiff import (
+        decode_tiff_gray8,
+        encode_tiff_gray8_tiled,
+    )
+
+    w, h = 40, 20  # 3x2 tile grid at 16x16
+    pix = bytes((i * 7 + 3) % 256 for i in range(w * h))
+    tif = encode_tiff_gray8_tiled(w, h, pix, compression="lzw")
+    assert decode_tiff_gray8(tif)["pixels"].tobytes() == pix
+
+
+def test_tiled_exact_multiple_no_padding():
+    from meta_iterative_mapreduce_spark.operators.tiff import (
+        decode_tiff_gray8,
+        encode_tiff_gray8_tiled,
+    )
+
+    w, h = 32, 16
+    pix = bytes(i % 256 for i in range(w * h))
+    tif = encode_tiff_gray8_tiled(w, h, pix, compression="packbits")
+    assert decode_tiff_gray8(tif)["pixels"].tobytes() == pix
+
+
+def test_tiled_corrupt_detected():
+    import struct as _s
+
+    from meta_iterative_mapreduce_spark.operators.tiff import (
+        decode_tiff_gray8,
+        encode_tiff_gray8_tiled,
+    )
+
+    w, h = 13, 37
+    pix = bytes(i % 256 for i in range(w * h))
+    tif = bytearray(encode_tiff_gray8_tiled(w, h, pix, compression="none"))
+    # find the IFD and corrupt TileWidth (322) to a non-multiple of 16
+    (ifd_off,) = _s.unpack("<I", tif[4:8])
+    (n,) = _s.unpack("<H", tif[ifd_off : ifd_off + 2])
+    for i in range(n):
+        o = ifd_off + 2 + 12 * i
+        tag, typ, cnt = _s.unpack("<HHI", tif[o : o + 8])
+        if tag == 322:
+            _s.pack_into("<I", tif, o + 8, 15)
+            break
+    with pytest.raises(ValueError, match="multiples of 16"):
+        decode_tiff_gray8(bytes(tif))
+    # tile count disagreeing with the grid
+    tif2 = bytearray(encode_tiff_gray8_tiled(w, h, pix, compression="none"))
+    for i in range(n):
+        o = ifd_off + 2 + 12 * i
+        tag, typ, cnt = _s.unpack("<HHI", tif2[o : o + 8])
+        if tag == 324:
+            _s.pack_into("<I", tif2, o + 4, cnt - 1)
+            break
+    with pytest.raises(ValueError, match="tiles but"):
+        decode_tiff_gray8(bytes(tif2))
+
+
+@given(
+    w=st.integers(min_value=1, max_value=40),
+    h=st.integers(min_value=1, max_value=40),
+    seed=st.integers(min_value=0, max_value=2**31),
+)
+@settings(max_examples=50, deadline=None)
+def test_tiled_round_trip_property(w, h, seed):
+    import numpy as np
+
+    from meta_iterative_mapreduce_spark.operators.tiff import (
+        decode_tiff_gray8,
+        encode_tiff_gray8_tiled,
+    )
+
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, size=w * h, dtype=np.uint8).tobytes()
+    comp = ("none", "packbits", "lzw")[seed % 3]
+    f = decode_tiff_gray8(encode_tiff_gray8_tiled(w, h, px, compression=comp))
+    assert f["pixels"].tobytes() == px
