@@ -24,6 +24,8 @@ import re
 import sys
 import time
 
+from pyspark.sql.functions import col as F_col
+
 from meta_iterative_mapreduce_spark import registry
 from meta_iterative_mapreduce_spark.operators.regression import (
     flagship,
@@ -127,35 +129,83 @@ def main() -> None:
         lambda: tree_aggregate_fit(li, "l_quantity", "l_extendedprice", depth=2),
     )
 
-    # fixed calibration probe: an untouched, stable plan timed the same
-    # way as everything else. Its cross-run ratio estimates BOX DRIFT
-    # (page cache, co-tenant load, thermal state), which the delta
-    # report divides out so only genuine per-query change remains.
-    # Run it BEFORE and AFTER the ~200-query loop (ADVICE r6): drift
-    # that develops mid-run (cache warmup, co-tenant load) would
-    # otherwise be misattributed to whichever queries it overlapped;
-    # the mean of the two probes centers the estimate on the loop.
-    def _calibrate() -> float:
-        return _best_of(
-            3,
-            lambda: materialize(
-                li.groupBy("l_returnflag", "l_linestatus").agg(
-                    {"l_quantity": "sum", "l_extendedprice": "avg"}
-                )
-            ),
+    # calibration probes: three fixed, untouched plans — one per
+    # execution SHAPE — timed at five stations (quartiles) of the
+    # query loop. A single scan-shaped probe under-measured r7's
+    # JVM-wide ~1.35x contention (BENCH_r07 165 s vs same-commit idle
+    # 132 s, probe drift 1.074): parquet scans barely touch the
+    # shuffle service or the Python workers, so contention there was
+    # invisible. The cross-run ratio PER FAMILY estimates box drift
+    # for that family; the delta report divides each query by ITS
+    # family's drift so only genuine per-query change remains.
+    def _probe_scan() -> None:
+        materialize(
+            li.filter(F_col("l_quantity") > 25).select(
+                "l_orderkey", "l_extendedprice"
+            )
         )
 
-    calibration_pre = _calibrate()
+    def _probe_shuffle() -> None:
+        materialize(
+            li.groupBy("l_returnflag", "l_linestatus").agg(
+                {"l_quantity": "sum", "l_extendedprice": "avg"}
+            )
+        )
 
-    for name, fn in registry.queries().items():
+    def _probe_python() -> None:
+        import pandas as _pd
+
+        def op(batches):
+            for b in batches:
+                yield _pd.DataFrame({"s": [float(b["id"].sum())]})
+
+        materialize(
+            spark.range(0, 1_000_000, 1, 32).mapInPandas(op, "s double")
+        )
+
+    probes = {
+        "scan": _probe_scan,
+        "shuffle": _probe_shuffle,
+        "python": _probe_python,
+    }
+    probe_samples: dict[str, list[float]] = {k: [] for k in probes}
+
+    def _station() -> None:
+        for fam, fn in probes.items():
+            t0 = time.time()
+            fn()
+            probe_samples[fam].append(round(time.time() - t0, 3))
+
+    items = list(registry.queries().items())
+    # stations at 0%, 25%, 50%, 75% and one after the loop — drift
+    # that develops mid-run lands in the nearest station instead of
+    # being misattributed to whichever queries it overlapped
+    station_at = {
+        round(q * len(items)) for q in (0.0, 0.25, 0.5, 0.75)
+    }
+    for i, (name, fn) in enumerate(items):
+        if i in station_at:
+            _station()
         try:
             timings[name] = _timed_adaptive(lambda: materialize(fn(spark, sf_dir)))
         except Exception as exc:  # noqa: BLE001
             timings[name] = -1.0
             print(f"bench error in {name}: {exc}", file=sys.stderr)
+    _station()
 
-    calibration_post = _calibrate()
-    calibration = round((calibration_pre + calibration_post) / 2, 3)
+    def _trimmed_mean(xs: list[float]) -> float:
+        xs = sorted(xs)
+        if len(xs) >= 4:
+            xs = xs[1:-1]  # drop best+worst station
+        return round(sum(xs) / len(xs), 3)
+
+    calibration_by_family = {
+        fam: _trimmed_mean(s) for fam, s in probe_samples.items()
+    }
+    # legacy single number (shuffle probe — same plan the old single
+    # probe used) kept so an old-format BENCH_local.json still gets a
+    # coarse drift estimate on the next run
+    calibration = calibration_by_family["shuffle"]
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     repo_dir = os.path.dirname(__file__) or "."
@@ -166,24 +216,58 @@ def main() -> None:
     # compact summary line.
     prev_path = os.path.join(repo_dir, "BENCH_local.json")
     prev_total, worst_name, worst_ratio, n_reg, drift = None, None, None, 0, None
+    # which probe family normalizes which query: Python-worker-heavy
+    # queries (codec/UDF tier) track the python probe, scan/filter
+    # shapes the scan probe, everything else (joins/aggs/windows) the
+    # shuffle probe. Contention rarely hits the three tiers equally
+    # (r7: Python workers + shuffle inflated ~1.35x while the scan
+    # probe saw 1.07x), so one global divisor misnormalizes.
+    _PY_PAT = re.compile(
+        r"multimodal|gif|tiff|mp4|pdf|warc|webp|avi|audio|udf|udtf|"
+        r"udaf|python|phash"
+    )
+    _SCAN_PAT = re.compile(r"^q_(scan|filter|project)")
+
+    def _family_of(name: str) -> str:
+        if _SCAN_PAT.search(name):
+            return "scan"
+        if _PY_PAT.search(name):
+            return "python"
+        return "shuffle"
+
     try:
         with open(prev_path) as f:
             prev = json.load(f)
         prev_q = {k: v for k, v in prev.get("queries", {}).items() if v > 0}
         prev_total = prev.get("value")
-        prev_cal = prev.get("calibration_sec")
-        if prev_cal and prev_cal > 0:
-            drift = round(calibration / prev_cal, 3)
+        prev_fams = prev.get("calibration_by_family")
+        drift_by_family: dict[str, float] = {}
+        if prev_fams:
+            for fam, now_val in calibration_by_family.items():
+                p = prev_fams.get(fam)
+                if p and p > 0:
+                    drift_by_family[fam] = round(now_val / p, 3)
+        else:  # old-format file: one coarse global estimate
+            prev_cal = prev.get("calibration_sec")
+            if prev_cal and prev_cal > 0:
+                drift_by_family = {
+                    fam: round(calibration / prev_cal, 3)
+                    for fam in calibration_by_family
+                }
+        if drift_by_family:
+            ds = sorted(drift_by_family.values())
+            drift = ds[len(ds) // 2]  # median across families
         rows = []
         for k, t in sorted(timings.items()):
             if t <= 0 or k not in prev_q:
                 continue
             ratio = t / prev_q[k]
-            # drift-normalized ratio: divide out whatever the
-            # calibration probe says the whole box sped up/slowed down
-            # by between the two runs
-            nratio = ratio / drift if drift else ratio
-            rows.append((nratio, ratio, k, prev_q[k], t))
+            fam = _family_of(k)
+            # drift-normalized ratio: divide out whatever THIS query's
+            # probe family says the box sped up/slowed down by
+            fdrift = drift_by_family.get(fam) or drift
+            nratio = ratio / fdrift if fdrift else ratio
+            rows.append((nratio, ratio, k, fam, prev_q[k], t))
             if nratio > 1.5 and t - prev_q[k] > 0.3:  # real, not noise
                 n_reg += 1
         if rows:
@@ -193,18 +277,22 @@ def main() -> None:
             f.write(
                 "# Bench delta vs previous local run\n\n"
                 f"prev total {prev_total}s -> now {total}s (sf={sf})\n\n"
-                f"calibration probe: prev {prev_cal}s -> now {calibration}s "
-                f"(pre {calibration_pre}s / post {calibration_post}s — mean "
-                "of probes bracketing the loop, so mid-run drift is "
-                "centered, not attributed to queries) "
-                f"=> box drift x{drift} (norm_ratio = ratio / drift; "
-                "regressions are flagged on norm_ratio)\n\n"
-                "| query | prev s | now s | ratio | norm_ratio |\n"
-                "|---|---|---|---|---|\n"
+                "calibration: three shape-diverse probes (scan, "
+                "shuffle-agg, Python-worker mapInPandas) timed at five "
+                "stations across the loop; per-family trimmed means "
+                "vs the previous run give PER-FAMILY drift, and each "
+                "query's norm_ratio divides by its own family's "
+                "drift.\n\n"
+                f"probe station samples: {probe_samples}\n\n"
+                f"family means now: {calibration_by_family} => drift "
+                f"{drift_by_family or None} (median x{drift})\n\n"
+                "| query | family | prev s | now s | ratio | norm_ratio |\n"
+                "|---|---|---|---|---|---|\n"
             )
-            for nratio, ratio, k, p, t in sorted(rows, reverse=True):
+            for nratio, ratio, k, fam, p, t in sorted(rows, reverse=True):
                 f.write(
-                    f"| {k} | {p} | {t} | {ratio:.2f} | {nratio:.2f} |\n"
+                    f"| {k} | {fam} | {p} | {t} | {ratio:.2f} "
+                    f"| {nratio:.2f} |\n"
                 )
     except (OSError, ValueError):
         pass  # first run: nothing to compare against
@@ -216,8 +304,8 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
         "calibration_sec": calibration,
-        "calibration_pre_sec": calibration_pre,
-        "calibration_post_sec": calibration_post,
+        "calibration_by_family": calibration_by_family,
+        "calibration_stations": probe_samples,
     }
     with open(prev_path, "w") as f:
         json.dump(full, f, indent=1, sort_keys=True)

@@ -242,3 +242,136 @@ def q_table_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("bigint").alias("n_bucket_null"),
     )
     return r1.unionByName(r2)
+
+
+def ensure_nation_mapped_table(spark: SparkSession, sf_dir: str) -> str:
+    """Five-version column-mapping fixture over nation (idempotent,
+    content-fingerprint keyed, resumable mid-build): v1 snapshot,
+    v2 METADATA-ONLY rename n_name→nation_name, v3 metadata-only drop
+    of n_regionkey, v4 append under the renamed schema, v5 append
+    RE-ADDING the dropped logical name — which must get a fresh
+    physical column (no resurrection of the dropped bytes)."""
+    import os
+    import tempfile
+
+    from meta_iterative_mapreduce_spark.io import fixture_fingerprint
+    from meta_iterative_mapreduce_spark.sources import versioned
+
+    table = os.path.join(
+        tempfile.gettempdir(),
+        "mimr_versioned",
+        f"nation_map_{fixture_fingerprint(sf_dir, 'nation', 'region')}",
+    )
+    if len(versioned.versions(table)) == 0:
+        versioned.write_version(
+            load_table(spark, sf_dir, "nation").select(
+                "n_nationkey", "n_name", "n_regionkey"
+            ),
+            table,
+        )
+    if len(versioned.versions(table)) == 1:
+        versioned.rename_column(spark, table, "n_name", "nation_name")
+    if len(versioned.versions(table)) == 2:
+        versioned.drop_column(spark, table, "n_regionkey")
+    if len(versioned.versions(table)) == 3:
+        versioned.append_version(
+            load_table(spark, sf_dir, "region").select(
+                (F.col("r_regionkey") + 100)
+                .cast("int")
+                .alias("n_nationkey"),
+                F.col("r_name").alias("nation_name"),
+            ),
+            table,
+        )
+    if len(versioned.versions(table)) == 4:
+        versioned.append_version(
+            load_table(spark, sf_dir, "nation")
+            .filter(F.col("n_nationkey") < 5)
+            .select(
+                (F.col("n_nationkey") + 200)
+                .cast("int")
+                .alias("n_nationkey"),
+                F.col("n_name").alias("nation_name"),
+                "n_regionkey",
+            ),
+            table,
+        )
+    return table
+
+
+@register(
+    "q_table_column_mapping",
+    oracle="""
+    WITH s1 AS (
+        SELECT COUNT(*) AS c, CAST(SUM(n_nationkey) AS BIGINT) AS s
+        FROM nation
+    ),
+    s4 AS (
+        SELECT COUNT(*) AS c, CAST(SUM(r_regionkey + 100) AS BIGINT) AS s
+        FROM region
+    ),
+    s5 AS (
+        SELECT COUNT(*) AS c, CAST(SUM(n_nationkey + 200) AS BIGINT) AS s
+        FROM nation WHERE n_nationkey < 5
+    )
+    SELECT 1 AS version, s1.c AS n_rows,
+           'n_nationkey,n_name,n_regionkey' AS cols,
+           s1.s AS sum_key, CAST(s1.c AS BIGINT) AS n_regionkey_nonnull
+    FROM s1
+    UNION ALL
+    SELECT 2, s1.c, 'n_nationkey,nation_name,n_regionkey', s1.s,
+           CAST(s1.c AS BIGINT)
+    FROM s1
+    UNION ALL
+    SELECT 3, s1.c, 'n_nationkey,nation_name', s1.s,
+           CAST(NULL AS BIGINT)
+    FROM s1
+    UNION ALL
+    SELECT 4, s1.c + s4.c, 'n_nationkey,nation_name', s1.s + s4.s,
+           CAST(NULL AS BIGINT)
+    FROM s1, s4
+    UNION ALL
+    SELECT 5, s1.c + s4.c + s5.c,
+           'n_nationkey,nation_name,n_regionkey',
+           s1.s + s4.s + s5.s, CAST(s5.c AS BIGINT)
+    FROM s1, s4, s5
+    """,
+)
+def q_table_column_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-style id-based COLUMN MAPPING, hash-certified across five
+    versions: rename and drop are metadata-only commits (identical
+    file lists — zero data rewritten), every version time-travels back
+    under its own names, appends after the rename land in the ORIGINAL
+    physical column so old and new files union seamlessly, and a
+    column re-added after a drop reads NULL for all pre-drop rows
+    (fresh physical name — the dropped bytes cannot resurrect). The
+    emitted column list comes from each version's reader itself, and
+    the exact integer aggregates pin the row content per version.
+    At 100 TB this is the difference between an O(1) manifest commit
+    and a full-table rewrite for every schema change.
+    Mechanics: sources/versioned.py (rename_column/drop_column)."""
+    from meta_iterative_mapreduce_spark.sources import versioned
+
+    table = ensure_nation_mapped_table(spark, sf_dir)
+
+    def summarize(v: int) -> DataFrame:
+        df = versioned.read_version(spark, table, v)
+        rk = (
+            F.sum(
+                F.when(F.col("n_regionkey").isNotNull(), 1).otherwise(0)
+            ).cast("bigint")
+            if "n_regionkey" in df.columns
+            else F.lit(None).cast("bigint")
+        )
+        return df.agg(
+            F.lit(v).cast("int").alias("version"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.lit(",".join(df.columns)).alias("cols"),
+            F.sum("n_nationkey").cast("bigint").alias("sum_key"),
+            rk.alias("n_regionkey_nonnull"),
+        )
+
+    out = summarize(1)
+    for v in range(2, 6):
+        out = out.unionByName(summarize(v))
+    return out

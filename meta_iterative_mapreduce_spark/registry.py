@@ -61,6 +61,8 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # window membership, and every name below must be registered (phantom
 # entries fail CI instead of being silently dropped by _ordered()).
 WINDOW_PRIORITY: tuple[str, ...] = (
+    # never-stamped round-8 registrations lead
+    "q_table_column_mapping",
     "q_text_pii_redact",
     "q_text_repetition",
     "q_ts_anomaly",
@@ -110,7 +112,6 @@ WINDOW_PRIORITY: tuple[str, ...] = (
     "q_sample_stratified",
     "q_sample_weighted",
     "q_scalar_collation",
-    "q_scalar_hash",
 )
 
 

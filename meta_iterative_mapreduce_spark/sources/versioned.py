@@ -22,6 +22,19 @@ wider type; Spark 4's parquet reader up-casts narrower files at scan
 time when given an explicit read schema, verified in
 tests/test_versioned.py) — any other type change fails at commit
 time. See _merged_schema.
+
+Column mapping (Delta's id-based mapping, the piece that makes
+RENAME and DROP metadata-only): every column carries a stable id and
+a PHYSICAL name — the name actually stored in parquet files, fixed
+at column creation. `rename_column` changes only the LOGICAL name in
+the manifest (zero data files touched; old files keep serving under
+the new name because the physical name never moved); `drop_column`
+removes the field from the manifest and retires its physical name
+(the bytes stay in old files but no reader selects them — and a
+LATER column re-using the dropped logical name gets a fresh id and a
+fresh physical name, so it can never resurrect the dropped data).
+Readers translate physical→logical per the manifest of the version
+being read, so time travel shows each version under its own names.
 """
 
 from __future__ import annotations
@@ -31,6 +44,7 @@ import os
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.types import StructField, StructType
 
 _MANIFEST_DIR = "_manifests"
@@ -96,6 +110,66 @@ def _merged_schema(prev: dict | None, new: dict) -> dict:
             )
         out[f["name"]]["type"] = wide
     return {"type": "struct", "fields": [out[n] for n in order]}
+
+
+def _mapping_state(
+    prev_manifest: dict | None, prev_schema: dict | None
+) -> tuple[list[dict], list[str], int]:
+    """Active column mapping of the previous version →
+    (mapping, retired_physical, max_column_id). Pre-mapping manifests
+    synthesize the identity mapping (physical = logical, ids in field
+    order) — exactly what their files physically contain."""
+    if prev_manifest is not None and "column_mapping" in prev_manifest:
+        return (
+            [dict(m) for m in prev_manifest["column_mapping"]],
+            list(prev_manifest.get("retired_physical", [])),
+            prev_manifest.get(
+                "max_column_id",
+                max(
+                    (m["id"] for m in prev_manifest["column_mapping"]),
+                    default=0,
+                ),
+            ),
+        )
+    fields = prev_schema["fields"] if prev_schema else []
+    mapping = [
+        {"id": i + 1, "name": f["name"], "physical": f["name"]}
+        for i, f in enumerate(fields)
+    ]
+    return mapping, [], len(fields)
+
+
+def _assign_new_columns(
+    schema: dict, mapping: list[dict], retired: list[str], max_id: int
+) -> int:
+    """Give every schema field absent from the mapping a fresh id and
+    a collision-free physical name (a re-added name whose physical is
+    already taken — live or retired — gets a suffixed one, so dropped
+    data can never resurrect). Mutates mapping; returns new max_id."""
+    have = {m["name"] for m in mapping}
+    used = {m["physical"] for m in mapping} | set(retired)
+    for f in schema["fields"]:
+        if f["name"] in have:
+            continue
+        max_id += 1
+        phys = (
+            f["name"]
+            if f["name"] not in used
+            else f"{f['name']}_c{max_id}"
+        )
+        mapping.append({"id": max_id, "name": f["name"], "physical": phys})
+        used.add(phys)
+        have.add(f["name"])
+    return max_id
+
+
+def _to_physical(df: DataFrame, mapping: list[dict]) -> DataFrame:
+    """Rename the batch's LOGICAL columns to their PHYSICAL names
+    before any file is written."""
+    phys = {m["name"]: m["physical"] for m in mapping}
+    return df.select(
+        *[F.col(c).alias(phys.get(c, c)) for c in df.columns]
+    )
 
 
 def _manifest_path(table: str, version: int) -> str:
@@ -182,11 +256,25 @@ def _prev_schema(
 
 
 def write_version(df: DataFrame, table: str) -> int:
-    """Commit df as a full snapshot (next version). Returns version."""
+    """Commit df as a full snapshot (next version). Returns version.
+    A snapshot references ONLY its own files, so the column mapping
+    resets to the identity (fresh ids, physical = logical) — earlier
+    versions keep their own manifests' mappings for time travel."""
     vs = versions(table)
     v = (vs[-1] + 1) if vs else 1
+    schema = df.schema.jsonValue()
+    mapping, retired, max_id = _mapping_state(None, schema)
     files = _write_data_files(df, table, v)
-    _commit(table, v, files, df.count(), schema=df.schema.jsonValue())
+    _commit(
+        table,
+        v,
+        files,
+        df.count(),
+        schema=schema,
+        column_mapping=mapping,
+        retired_physical=retired,
+        max_column_id=max_id,
+    )
     return v
 
 
@@ -196,22 +284,111 @@ def append_version(df: DataFrame, table: str) -> int:
     (log-structured append — no rewrite of existing data). The batch's
     schema may evolve vs the table's (see _merged_schema): additions
     and omissions merge on read as nulls, type changes fail HERE, at
-    commit time, before any file is referenced by a manifest."""
+    commit time, before any file is referenced by a manifest. New
+    columns get fresh mapping ids; files are written under PHYSICAL
+    names so later renames stay metadata-only."""
     vs = versions(table)
     if not vs:
         return write_version(df, table)
     prev = json.load(open(_manifest_path(table, vs[-1])))
-    schema = _merged_schema(
-        _prev_schema(df.sparkSession, table, prev), df.schema.jsonValue()
-    )
+    prev_schema = _prev_schema(df.sparkSession, table, prev)
+    schema = _merged_schema(prev_schema, df.schema.jsonValue())
+    mapping, retired, max_id = _mapping_state(prev, prev_schema)
+    max_id = _assign_new_columns(schema, mapping, retired, max_id)
     v = vs[-1] + 1
-    new_files = _write_data_files(df, table, v)
+    new_files = _write_data_files(_to_physical(df, mapping), table, v)
     _commit(
         table,
         v,
         prev["files"] + new_files,
         prev["n_rows"] + df.count(),
         schema=schema,
+        column_mapping=mapping,
+        retired_physical=retired,
+        max_column_id=max_id,
+    )
+    return v
+
+
+def rename_column(
+    spark: SparkSession, table: str, old: str, new: str
+) -> int:
+    """METADATA-ONLY rename (Delta column-mapping semantics): commits
+    a new version with the identical file list whose manifest carries
+    the new logical name; the physical name — what every parquet file
+    actually stores — never changes, so zero data is rewritten and
+    every pre-rename file serves the renamed column. Time travel to
+    older versions still shows the old name (each manifest maps for
+    itself). Returns the new version."""
+    vs = versions(table)
+    if not vs:
+        raise FileNotFoundError(f"no committed versions in {table}")
+    prev = json.load(open(_manifest_path(table, vs[-1])))
+    prev_schema = _prev_schema(spark, table, prev)
+    names = [f["name"] for f in prev_schema["fields"]]
+    if old not in names:
+        raise ValueError(f"column {old!r} does not exist (have {names})")
+    if new in names:
+        raise ValueError(f"column {new!r} already exists")
+    mapping, retired, max_id = _mapping_state(prev, prev_schema)
+    schema = {
+        "type": "struct",
+        "fields": [
+            {**f, "name": new} if f["name"] == old else f
+            for f in prev_schema["fields"]
+        ],
+    }
+    for m in mapping:
+        if m["name"] == old:
+            m["name"] = new
+    v = vs[-1] + 1
+    _commit(
+        table,
+        v,
+        prev["files"],
+        prev["n_rows"],
+        schema=schema,
+        column_mapping=mapping,
+        retired_physical=retired,
+        max_column_id=max_id,
+    )
+    return v
+
+
+def drop_column(spark: SparkSession, table: str, name: str) -> int:
+    """METADATA-ONLY drop: commits a new version with the identical
+    file list whose manifest no longer carries the column; the bytes
+    stay in old files but no reader selects them, and the RETIRED
+    physical name is recorded so a later column re-using the logical
+    name gets a fresh physical name instead of resurrecting the
+    dropped data. Returns the new version."""
+    vs = versions(table)
+    if not vs:
+        raise FileNotFoundError(f"no committed versions in {table}")
+    prev = json.load(open(_manifest_path(table, vs[-1])))
+    prev_schema = _prev_schema(spark, table, prev)
+    names = [f["name"] for f in prev_schema["fields"]]
+    if name not in names:
+        raise ValueError(f"column {name!r} does not exist (have {names})")
+    if len(names) == 1:
+        raise ValueError("cannot drop the only column")
+    mapping, retired, max_id = _mapping_state(prev, prev_schema)
+    schema = {
+        "type": "struct",
+        "fields": [f for f in prev_schema["fields"] if f["name"] != name],
+    }
+    retired = retired + [m["physical"] for m in mapping if m["name"] == name]
+    mapping = [m for m in mapping if m["name"] != name]
+    v = vs[-1] + 1
+    _commit(
+        table,
+        v,
+        prev["files"],
+        prev["n_rows"],
+        schema=schema,
+        column_mapping=mapping,
+        retired_physical=retired,
+        max_column_id=max_id,
     )
     return v
 
@@ -247,7 +424,25 @@ def read_version(
     want = StructType(
         [StructField(f.name, f.dataType, True, f.metadata) for f in want]
     )
-    return spark.read.schema(want).parquet(*paths)
+    # column mapping: scan under PHYSICAL names (what the files
+    # store), then alias back to THIS manifest's logical names — the
+    # projection that makes rename/drop metadata-only. Pre-mapping
+    # manifests synthesize the identity, so this is a no-op select.
+    mapping, _, _ = _mapping_state(m, m["schema"])
+    phys_of = {mp["name"]: mp["physical"] for mp in mapping}
+    phys_schema = StructType(
+        [
+            StructField(phys_of.get(f.name, f.name), f.dataType, True, f.metadata)
+            for f in want
+        ]
+    )
+    df = spark.read.schema(phys_schema).parquet(*paths)
+    return df.select(
+        *[
+            F.col(phys_of.get(f.name, f.name)).alias(f.name)
+            for f in want
+        ]
+    )
 
 
 def committed_batch_ids(table: str) -> set[int]:
@@ -278,14 +473,15 @@ def versioned_batch_sink(table: str):
         if not vs:
             v, prev_files, prev_rows = 1, [], 0
             schema = batch_df.schema.jsonValue()
+            mapping, retired, max_id = _mapping_state(None, schema)
         else:
             prev = json.load(open(_manifest_path(table, vs[-1])))
             v, prev_files, prev_rows = vs[-1] + 1, prev["files"], prev["n_rows"]
-            schema = _merged_schema(
-                _prev_schema(batch_df.sparkSession, table, prev),
-                batch_df.schema.jsonValue(),
-            )
-        files = _write_data_files(batch_df, table, v)
+            prev_schema = _prev_schema(batch_df.sparkSession, table, prev)
+            schema = _merged_schema(prev_schema, batch_df.schema.jsonValue())
+            mapping, retired, max_id = _mapping_state(prev, prev_schema)
+            max_id = _assign_new_columns(schema, mapping, retired, max_id)
+        files = _write_data_files(_to_physical(batch_df, mapping), table, v)
         _commit(
             table,
             v,
@@ -293,6 +489,9 @@ def versioned_batch_sink(table: str):
             prev_rows + batch_df.count(),
             batch_id=batch_id,
             schema=schema,
+            column_mapping=mapping,
+            retired_physical=retired,
+            max_column_id=max_id,
         )
 
     return apply_batch

@@ -412,3 +412,117 @@ def test_versioned_vacuum_retention(spark, sf_dir, tmp_path):
                     _os.path.relpath(_os.path.join(root, f), table)
                 )
     assert on_disk == live
+
+
+def test_versioned_rename_column_is_metadata_only(spark, tmp_path):
+    """Delta-style column mapping: rename touches ZERO data files —
+    the new manifest carries the same file list, pre-rename files
+    serve the renamed column, and time travel to the old version
+    still shows the old name."""
+    import json
+    import os
+
+    from meta_iterative_mapreduce_spark.sources.versioned import (
+        append_version,
+        read_version,
+        rename_column,
+        write_version,
+    )
+
+    table = str(tmp_path / "ren")
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b")], "k int, payload string"
+    )
+    write_version(df, table)
+    v2 = rename_column(spark, table, "payload", "body")
+    assert v2 == 2
+    m1 = json.load(open(os.path.join(table, "_manifests", "v000001.json")))
+    m2 = json.load(open(os.path.join(table, "_manifests", "v000002.json")))
+    assert m1["files"] == m2["files"]  # metadata-only
+    got = read_version(spark, table, 2)
+    assert got.columns == ["k", "body"]
+    assert {r["body"] for r in got.collect()} == {"a", "b"}
+    # time travel: v1 still shows the pre-rename name
+    assert read_version(spark, table, 1).columns == ["k", "payload"]
+    # an append under the NEW logical name lands in the OLD physical
+    # column: reading back unions both eras seamlessly
+    append_version(
+        spark.createDataFrame([(3, "c")], "k int, body string"), table
+    )
+    got3 = read_version(spark, table, 3)
+    assert {r["body"] for r in got3.collect()} == {"a", "b", "c"}
+    # physical name in the files never moved
+    m3 = json.load(open(os.path.join(table, "_manifests", "v000003.json")))
+    phys = {m["name"]: m["physical"] for m in m3["column_mapping"]}
+    assert phys["body"] == "payload"
+
+
+def test_versioned_drop_column_and_no_resurrection(spark, tmp_path):
+    """Drop is metadata-only, and a LATER column re-using the dropped
+    logical name gets a fresh physical name — old bytes can never
+    resurrect under the new column."""
+    import json
+    import os
+
+    import pytest as _pytest
+
+    from meta_iterative_mapreduce_spark.sources.versioned import (
+        append_version,
+        drop_column,
+        read_version,
+        write_version,
+    )
+
+    table = str(tmp_path / "dropt")
+    write_version(
+        spark.createDataFrame([(1, 10), (2, 20)], "k int, score int"),
+        table,
+    )
+    v2 = drop_column(spark, table, "score")
+    assert read_version(spark, table, v2).columns == ["k"]
+    assert read_version(spark, table, 1).columns == ["k", "score"]
+    # re-add a column with the same name: fresh id, fresh physical
+    append_version(
+        spark.createDataFrame([(3, 99)], "k int, score int"), table
+    )
+    got = read_version(spark, table)
+    rows = {r["k"]: r["score"] for r in got.collect()}
+    # old rows must read NULL for the re-added column (not 10/20)
+    assert rows == {1: None, 2: None, 3: 99}
+    m3 = json.load(
+        open(os.path.join(table, "_manifests", "v000003.json"))
+    )
+    phys = {m["name"]: m["physical"] for m in m3["column_mapping"]}
+    assert phys["score"] != "score"  # retired name not reused
+    assert "score" in m3["retired_physical"]
+    drop_column(spark, table, "score")  # now only k remains
+    with _pytest.raises(ValueError, match="only column"):
+        drop_column(spark, table, "k")
+    with _pytest.raises(ValueError, match="does not exist"):
+        drop_column(spark, table, "nope")
+
+
+def test_versioned_rename_guards_and_drift_still_fails(spark, tmp_path):
+    """Rename validation, and the incompatible-type-drift commit
+    check survives the mapping layer."""
+    import pytest as _pytest
+
+    from meta_iterative_mapreduce_spark.sources.versioned import (
+        append_version,
+        rename_column,
+        write_version,
+    )
+
+    table = str(tmp_path / "guard")
+    write_version(
+        spark.createDataFrame([(1, "x")], "k int, v string"), table
+    )
+    with _pytest.raises(ValueError, match="does not exist"):
+        rename_column(spark, table, "zzz", "w")
+    with _pytest.raises(ValueError, match="already exists"):
+        rename_column(spark, table, "v", "k")
+    rename_column(spark, table, "v", "txt")
+    with _pytest.raises(ValueError, match="schema evolution"):
+        append_version(
+            spark.createDataFrame([(2, 5)], "k int, txt int"), table
+        )
