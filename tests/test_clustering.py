@@ -44,12 +44,11 @@ def test_pca_power_is_eigenpair(spark, sf_dir):
     independently recollected Gram matrix."""
     from meta_iterative_mapreduce_spark.operators.similarity import (
         _gram_matrix,
+        pca_power_fit,
         q_embed_pca_power,
     )
 
-    rows = q_embed_pca_power(spark, sf_dir).collect()
-    eigval = rows[0]["eigval"]
-    v = [r["loading"] for r in sorted(rows, key=lambda r: r["component"])]
+    eigval, v, resid, trace = pca_power_fit(spark, sf_dir)
     g = _gram_matrix(spark, sf_dir)
     d = len(v)
     gv = [sum(g[i][k] * v[k] for k in range(d)) for i in range(d)]
@@ -58,6 +57,11 @@ def test_pca_power_is_eigenpair(spark, sf_dir):
     # unit norm, sign pinned positive on the largest component
     assert abs(sum(x * x for x in v) - 1.0) < 1e-2
     assert max(v, key=abs) > 0
+    assert resid < 0.05 and trace / d <= eigval <= trace
+    # the certified flag row agrees
+    row = q_embed_pca_power(spark, sf_dir).collect()[0]
+    assert row["d"] == d and row["unit_norm"] and row["residual_lt_5pct"]
+    assert row["eigval_ge_mean_eig"] and row["eigval_le_trace"]
 
 
 def test_gram_blas_matches_declarative(spark, sf_dir):
