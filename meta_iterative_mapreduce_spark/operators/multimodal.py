@@ -762,6 +762,41 @@ def q_multimodal_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
 _WAV_RATE = 8000
 
 
+def _g711_ulaw_to_linear(u: int) -> int:
+    """ITU-T G.711 µ-law code byte → 16-bit linear sample (the
+    telephony standard's published expansion: complement, 4-bit
+    mantissa + bias 0x84, 3-bit segment shift)."""
+    u = ~u & 0xFF
+    t = ((u & 0x0F) << 3) + 0x84
+    t <<= (u & 0x70) >> 4
+    return (0x84 - t) if (u & 0x80) else (t - 0x84)
+
+
+def _g711_alaw_to_linear(a: int) -> int:
+    """ITU-T G.711 A-law code byte → 16-bit linear sample (XOR 0x55
+    toggle-bit mask, segmented expansion)."""
+    a ^= 0x55
+    t = (a & 0x0F) << 4
+    seg = (a & 0x70) >> 4
+    if seg == 0:
+        t += 8
+    elif seg == 1:
+        t += 0x108
+    else:
+        t = (t + 0x108) << (seg - 1)
+    return t if (a & 0x80) else -t
+
+
+# full expansion tables (256 entries each) — pure table math, exactly
+# reconstructible, so the DuckDB oracle can carry the same table as a
+# literal list (the audio analog of broadcast model weights)
+_ULAW2LIN: tuple[int, ...] = tuple(_g711_ulaw_to_linear(u) for u in range(256))
+_ALAW2LIN: tuple[int, ...] = tuple(_g711_alaw_to_linear(a) for a in range(256))
+
+# WAVE format codes (RIFF spec): PCM / A-law / µ-law
+_WAV_FMT_PCM, _WAV_FMT_ALAW, _WAV_FMT_ULAW = 1, 6, 7
+
+
 def encode_wav_pcm16(samples: list[int], rate: int = _WAV_RATE) -> bytes:
     """Encode signed 16-bit mono PCM samples as a valid WAV file:
     RIFF header, fmt chunk (PCM, 1 channel), data chunk."""
@@ -774,13 +809,29 @@ def encode_wav_pcm16(samples: list[int], rate: int = _WAV_RATE) -> bytes:
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
+def encode_wav_g711(codes: bytes, law: str, rate: int = _WAV_RATE) -> bytes:
+    """Encode raw G.711 code bytes (one byte per sample) as a valid
+    WAV file with format code 7 (µ-law) or 6 (A-law), 8 bits/sample,
+    mono — the telephony container shape."""
+    import struct
+
+    fmt_code = {"ulaw": _WAV_FMT_ULAW, "alaw": _WAV_FMT_ALAW}[law]
+    fmt = struct.pack("<HHIIHH", fmt_code, 1, rate, rate, 1, 8)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(codes)) + bytes(codes)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
 def decode_wav_pcm16(payload: bytes) -> dict:
     """Parse a WAV byte stream: RIFF/WAVE magic, chunk walk to fmt and
-    data, PCM16 validation, sample decode. Returns n_samples, rate,
-    the decoded samples tuple, and the EXACT integer sum of squared
+    data, then sample decode per the fmt chunk's format code — linear
+    PCM16 (1), A-law (6) or µ-law (7, both expanded through the exact
+    G.711 tables to 16-bit linear). Returns n_samples, rate, the
+    decoded samples tuple, and the EXACT integer sum of squared
     samples (engine-neutral — no float summation order). Raises
-    ValueError on corrupt input and NotImplementedError outside mono
-    PCM16 scope."""
+    ValueError on corrupt input and NotImplementedError outside the
+    mono PCM16/G.711 scope. (Name kept from the PCM16-only era; it is
+    the module's general WAV decoder.)"""
     import struct
 
     data = bytes(payload)
@@ -789,7 +840,7 @@ def decode_wav_pcm16(payload: bytes) -> dict:
     (riff_len,) = struct.unpack("<I", data[4:8])
     if riff_len + 8 != len(data):
         raise ValueError("RIFF length mismatch")
-    pos, rate, samples = 12, None, None
+    pos, fmt_params, raw = 12, None, None
     while pos + 8 <= len(data):
         cid = data[pos : pos + 4]
         (clen,) = struct.unpack("<I", data[pos + 4 : pos + 8])
@@ -797,18 +848,26 @@ def decode_wav_pcm16(payload: bytes) -> dict:
         if len(body) != clen:
             raise ValueError(f"truncated {cid!r} chunk")
         if cid == b"fmt ":
-            audio_fmt, n_ch, rate, _, _, bits = struct.unpack("<HHIIHH", body[:16])
-            if (audio_fmt, n_ch, bits) != (1, 1, 16):
-                raise NotImplementedError(
-                    "only mono PCM16 decoded here (codec injection point)"
-                )
+            fmt_params = struct.unpack("<HHIIHH", body[:16])
         elif cid == b"data":
-            if clen % 2:
-                raise ValueError("odd PCM16 data length")
-            samples = struct.unpack(f"<{clen // 2}h", body)
+            raw = body
         pos += 8 + clen
-    if rate is None or samples is None:
+    if fmt_params is None or raw is None:
         raise ValueError("missing fmt or data chunk")
+    audio_fmt, n_ch, rate, _, _, bits = fmt_params
+    if (audio_fmt, n_ch, bits) == (_WAV_FMT_PCM, 1, 16):
+        if len(raw) % 2:
+            raise ValueError("odd PCM16 data length")
+        samples = struct.unpack(f"<{len(raw) // 2}h", raw)
+    elif (audio_fmt, n_ch, bits) == (_WAV_FMT_ULAW, 1, 8):
+        samples = tuple(_ULAW2LIN[b] for b in raw)
+    elif (audio_fmt, n_ch, bits) == (_WAV_FMT_ALAW, 1, 8):
+        samples = tuple(_ALAW2LIN[b] for b in raw)
+    else:
+        raise NotImplementedError(
+            "only mono PCM16 / G.711 u-law / A-law decoded here "
+            "(codec injection point)"
+        )
     return {
         "n_samples": len(samples),
         "sample_rate": rate,
@@ -819,36 +878,65 @@ def decode_wav_pcm16(payload: bytes) -> dict:
 
 @register(
     "q_multimodal_audio_wav",
-    oracle="""
+    oracle=f"""
     WITH src AS (
         SELECT doc_id, text,
-               octet_length(encode(text)) // 2 AS n_samples
+               octet_length(encode(text)) AS nb,
+               CAST(doc_id % 3 AS INT) AS variant
         FROM documents
         WHERE octet_length(encode(text)) = length(text)
           AND octet_length(encode(text)) >= 2
+    ),
+    tabs AS (
+        SELECT {list(_ULAW2LIN)} AS ul, {list(_ALAW2LIN)} AS al
+    ),
+    pcm AS (
+        SELECT s.doc_id,
+               CAST(s.nb // 2 AS BIGINT) AS n_samples,
+               CAST(SUM(CAST(ascii(SUBSTR(s.text, CAST(2 * t.i - 1 AS INT), 1))
+                        + 256 * ascii(SUBSTR(s.text, CAST(2 * t.i AS INT), 1))
+                        AS BIGINT)
+                   * (ascii(SUBSTR(s.text, CAST(2 * t.i - 1 AS INT), 1))
+                      + 256 * ascii(SUBSTR(s.text, CAST(2 * t.i AS INT), 1))))
+                   AS BIGINT) AS sum_sq
+        FROM src s, UNNEST(generate_series(1, s.nb // 2)) AS t(i)
+        WHERE s.variant = 0
+        GROUP BY s.doc_id, s.nb
+    ),
+    g711 AS (
+        SELECT x.doc_id,
+               CAST(x.nb AS BIGINT) AS n_samples,
+               CAST(SUM(CAST(x.v AS BIGINT) * x.v) AS BIGINT) AS sum_sq
+        FROM (
+            SELECT s.doc_id, s.nb,
+                   list_extract(
+                       CASE WHEN s.variant = 1 THEN tabs.ul ELSE tabs.al END,
+                       ascii(SUBSTR(s.text, CAST(t.i AS INT), 1)) + 1
+                   ) AS v
+            FROM src s CROSS JOIN tabs,
+                 UNNEST(generate_series(1, s.nb)) AS t(i)
+            WHERE s.variant IN (1, 2)
+        ) x
+        GROUP BY x.doc_id, x.nb
     )
-    SELECT d.doc_id,
-           CAST(d.n_samples AS BIGINT) AS n_samples,
-           8000 AS sample_rate,
-           CAST(SUM(CAST(ascii(SUBSTR(d.text, CAST(2 * t.i - 1 AS INT), 1))
-                    + 256 * ascii(SUBSTR(d.text, CAST(2 * t.i AS INT), 1))
-                    AS BIGINT)
-               * (ascii(SUBSTR(d.text, CAST(2 * t.i - 1 AS INT), 1))
-                  + 256 * ascii(SUBSTR(d.text, CAST(2 * t.i AS INT), 1))))
-               AS BIGINT) AS sum_sq
-    FROM src d, UNNEST(generate_series(1, d.n_samples)) AS t(i)
-    GROUP BY d.doc_id, d.n_samples
+    SELECT doc_id, n_samples, 8000 AS sample_rate, sum_sq FROM pcm
+    UNION ALL
+    SELECT doc_id, n_samples, 8000 AS sample_rate, sum_sq FROM g711
     """,
 )
 def q_multimodal_audio_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Audio modality through a REAL public container: document bytes
-    become little-endian PCM16 samples packed into spec-correct WAV
-    files (RIFF + fmt + data), then a full chunk-walking WAV parser
-    recovers the samples — both sides Arrow-batched mapInPandas. The
-    oracle rebuilds each sample from character pairs (ASCII guard ⇒
-    chars == bytes; high byte < 128 ⇒ the signed reinterpretation is
-    the identity) and sums exact integer squares, so a hash match
-    proves sample-exact container round-trip."""
+    """Audio modality through a REAL public container, THREE encodings
+    rotating by doc_id%3: linear PCM16 (document byte pairs become
+    little-endian samples), G.711 u-LAW and G.711 A-LAW (each byte a
+    telephony code byte, WAV format codes 7/6, decoded through the
+    exact ITU expansion tables) — spec-correct RIFF + fmt + data
+    containers, full chunk-walking parser, both sides Arrow-batched
+    mapInPandas. The oracle rebuilds PCM samples from character pairs
+    (ASCII guard: chars == bytes) and expands G.711 codes through the
+    SAME public 256-entry tables carried as SQL literals (the audio
+    analog of broadcast model weights), summing exact integer squares
+    — a hash match proves sample-exact decode across all three
+    encodings."""
     import struct
 
     d = load_table(spark, sf_dir, "documents").filter(
@@ -862,11 +950,17 @@ def q_multimodal_audio_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
-            for payload in pdf["payload"]:
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 data = bytes(payload)
-                n = len(data) // 2
-                samples = list(struct.unpack(f"<{n}h", data[: 2 * n]))
-                out.append(encode_wav_pcm16(samples))
+                variant = int(doc_id) % 3
+                if variant == 0:
+                    n = len(data) // 2
+                    samples = list(struct.unpack(f"<{n}h", data[: 2 * n]))
+                    out.append(encode_wav_pcm16(samples))
+                elif variant == 1:
+                    out.append(encode_wav_g711(data, "ulaw"))
+                else:
+                    out.append(encode_wav_g711(data, "alaw"))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": out})
 
     wavs = src.mapInPandas(op, schema="doc_id long, payload binary")

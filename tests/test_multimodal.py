@@ -160,9 +160,11 @@ def test_wav_rejects_corrupt_containers():
 def test_wav_rejects_out_of_scope_formats():
     import struct as _s
 
-    # stereo fmt chunk: out of mono-PCM16 scope
+    # stereo fmt chunk: out of the mono PCM16/G.711 scope (empty data
+    # chunk present so the walk completes and the format guard fires)
     fmt = _s.pack("<HHIIHH", 1, 2, 8000, 32000, 4, 16)
     body = b"WAVE" + b"fmt " + _s.pack("<I", len(fmt)) + fmt
+    body += b"data" + _s.pack("<I", 0)
     wav = b"RIFF" + _s.pack("<I", len(body)) + body
     with pytest.raises(NotImplementedError, match="mono PCM16"):
         decode_wav_pcm16(wav)
@@ -394,3 +396,57 @@ def test_jpeg_color_restart_markers_round_trip():
     # stream would hit the explicit restart guard)
     with pytest.raises(NotImplementedError):
         decode_jpeg_gray(rst_stream)
+
+
+def test_g711_tables_match_itu_reference_points():
+    """Spot-pin the expansion tables against the published CCITT
+    reference values (the same numbers every telephony stack ships)."""
+    from meta_iterative_mapreduce_spark.operators.multimodal import (
+        _ALAW2LIN,
+        _ULAW2LIN,
+    )
+
+    # mu-law: 0x00 = -32124, 0x80 = +32124, both zero codes decode 0
+    assert _ULAW2LIN[0x00] == -32124 and _ULAW2LIN[0x80] == 32124
+    assert _ULAW2LIN[0x7F] == 0 and _ULAW2LIN[0xFF] == 0
+    assert _ULAW2LIN[0x01] == -31100 and _ULAW2LIN[0x81] == 31100
+    # A-law: 0x55 = -8 (smallest), 0xD5 = +8, 0x2A = -32256 (largest)
+    assert _ALAW2LIN[0x55] == -8 and _ALAW2LIN[0xD5] == 8
+    assert min(_ALAW2LIN) == -32256 and max(_ALAW2LIN) == 32256
+    # both tables are odd-symmetric under the sign bit
+    for c in range(128):
+        assert _ULAW2LIN[c] == -_ULAW2LIN[c | 0x80]
+        assert _ALAW2LIN[c] == -_ALAW2LIN[c | 0x80]
+
+
+def test_wav_g711_round_trip_code_exact():
+    """G.711 WAV: every code byte written must decode to exactly its
+    table expansion, for both laws, through the full container."""
+    from meta_iterative_mapreduce_spark.operators.multimodal import (
+        _ALAW2LIN,
+        _ULAW2LIN,
+        decode_wav_pcm16,
+        encode_wav_g711,
+    )
+
+    codes = bytes(range(256))
+    for law, table in (("ulaw", _ULAW2LIN), ("alaw", _ALAW2LIN)):
+        f = decode_wav_pcm16(encode_wav_g711(codes, law))
+        assert f["n_samples"] == 256
+        assert f["samples"] == table
+        assert f["sum_sq"] == sum(v * v for v in table)
+
+
+def test_wav_unsupported_format_still_guarded():
+    import struct
+
+    from meta_iterative_mapreduce_spark.operators.multimodal import (
+        decode_wav_pcm16,
+        encode_wav_g711,
+    )
+
+    wav = bytearray(encode_wav_g711(b"\x00\x01", "ulaw"))
+    at = wav.find(b"fmt ") + 8
+    struct.pack_into("<H", wav, at, 3)  # IEEE float: out of scope
+    with pytest.raises(NotImplementedError):
+        decode_wav_pcm16(bytes(wav))
