@@ -346,3 +346,107 @@ def session_close_stateful(
         outputMode="Append",
         timeMode="EventTime",
     )
+
+
+@register(
+    "q_stream_session_timer",
+    oracle=f"""
+    WITH ordered AS (
+        SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+               LAG(epoch_us(ts)) OVER (
+                   PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+               ) AS prev_us
+        FROM events
+    ), marked AS (
+        SELECT *,
+               CASE WHEN prev_us IS NULL
+                         OR ts_us - prev_us > {_SESSION_GAP_US}
+                    THEN 1 ELSE 0 END AS is_new
+        FROM ordered
+    ), sessions AS (
+        SELECT user_id,
+               CAST(SUM(is_new) OVER (
+                   PARTITION BY user_id ORDER BY ts_us, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS session_idx,
+               ts_us
+        FROM marked
+    ), agg AS (
+        SELECT user_id, session_idx,
+               MIN(ts_us) AS session_start_us,
+               MAX(ts_us) AS session_end_us,
+               COUNT(*) AS n_events,
+               MAX(session_idx) OVER (PARTITION BY user_id)
+                   AS final_idx
+        FROM sessions
+        GROUP BY user_id, session_idx
+    ), wm AS (
+        SELECT MAX(epoch_us(ts)) AS wm_us FROM events
+    )
+    SELECT user_id, session_start_us, session_end_us,
+           CAST(n_events AS BIGINT) AS n_events,
+           CASE WHEN session_idx = final_idx THEN 'timer' ELSE 'gap' END
+               AS close_reason
+    FROM agg, wm
+    WHERE session_idx < final_idx
+       OR session_end_us + {_SESSION_GAP_US} < wm.wm_us
+    """,
+)
+def q_stream_session_timer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-equality twin of the event-time TIMER sessionizer
+    (session_close_stateful / transformWithStateInPandas,
+    timeMode='EventTime'): emits exactly the sessions the stream
+    CLOSES when the whole table has been consumed and the watermark
+    rests at max(ts) — non-final sessions close inline on the >30 min
+    gap ('gap'), the final session of a user closes only if the
+    terminal watermark passed its last event + gap ('timer'); a user
+    whose tail session is still inside the gap window emits NOTHING
+    for it, exactly like the stream (tests/test_stateful.py pins the
+    stream's closes to the q_events_sessionize rows; this query pins
+    the SELECTION — which sessions may appear — plus the close path
+    each takes, and gives the modern transformWithState surface its
+    own driver-stamped hash oracle). Plan: the one exchange on
+    user_id is shared by lag, the running sum, the session aggregate
+    and the final-session window; the terminal watermark is an O(1)
+    driver scalar folded in as a literal (the R2 broadcast pattern,
+    kernel.cu:106)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", ts_us("ts").alias("ts_us")
+    )
+    wm_us = ev.agg(F.max("ts_us")).collect()[0][0]
+    order = W.partitionBy("user_id").orderBy("ts_us", "event_id")
+    marked = ev.withColumn(
+        "is_new",
+        F.when(
+            F.lag("ts_us").over(order).isNull()
+            | (F.col("ts_us") - F.lag("ts_us").over(order) > _SESSION_GAP_US),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    sessions = marked.withColumn(
+        "session_idx",
+        F.sum("is_new").over(
+            order.rowsBetween(W.unboundedPreceding, W.currentRow)
+        ),
+    )
+    agg = sessions.groupBy("user_id", "session_idx").agg(
+        F.min("ts_us").alias("session_start_us"),
+        F.max("ts_us").alias("session_end_us"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    agg = agg.withColumn(
+        "final_idx",
+        F.max("session_idx").over(W.partitionBy("user_id")),
+    )
+    return agg.filter(
+        (F.col("session_idx") < F.col("final_idx"))
+        | (F.col("session_end_us") + _SESSION_GAP_US < F.lit(wm_us))
+    ).select(
+        "user_id",
+        "session_start_us",
+        "session_end_us",
+        F.col("n_events").cast("bigint").alias("n_events"),
+        F.when(F.col("session_idx") == F.col("final_idx"), "timer")
+        .otherwise("gap")
+        .alias("close_reason"),
+    )
