@@ -14,8 +14,11 @@ Scope (honest guards, same policy as webp.py/avi.py):
   carry LCTs routinely) and both sequential and INTERLACED row order
   (the fixed 4-pass 8/8/4/2 permutation); 89a extension blocks
   (graphic control, comment, application) are parsed and skipped.
-  Multi-image animation playback is out of scope; corrupt streams
-  raise ValueError.
+  ANIMATIONS: container-level frame indexing + 1/k frame sampling
+  (parse_gif_frame_index / sample_gif_frames — only sampled frames'
+  LZW streams are decoded, the AVI/MP4 contract); full playback
+  compositing (disposal methods, partial-frame blits onto a canvas)
+  is out of scope. Corrupt streams raise ValueError.
 - encode: grayscale-8 frames as GIF89a with a 256-entry gray palette
   — global by default, LOCAL (no GCT at all) with `local_palette`,
   interlaced row order with `interlace` — and a REAL
@@ -245,46 +248,10 @@ def encode_gif_gray8(
     return bytes(out)
 
 
-def decode_gif_gray8(payload: bytes) -> dict:
-    """Parse a single-image GIF: header, LSD, GCT, skip 89a extension
-    blocks, image descriptor, LZW data. Returns dict(width, height,
-    n_pixels, mean_intensity, pixels=(h, w) uint8 luma) where luma is
-    the palette's (r+g+b)/3 rounded down per entry."""
-    data = bytes(payload)
-    if len(data) < 13 or data[:6] not in (_GIF87, _GIF89):
-        raise ValueError("bad GIF header")
-    sw, sh, packed, _bg, _aspect = struct.unpack("<HHBBB", data[6:13])
-    pos = 13
-    gct = None
-    if packed & 0x80:
-        gct_len = 2 << (packed & 0x07)
-        gct = np.frombuffer(
-            data[pos : pos + 3 * gct_len], dtype=np.uint8
-        ).reshape(-1, 3)
-        if gct.shape[0] != gct_len:
-            raise ValueError("global color table truncated")
-        pos += 3 * gct_len
-    while True:
-        if pos >= len(data):
-            raise ValueError("unexpected end of GIF stream")
-        block = data[pos]
-        pos += 1
-        if block == 0x3B:  # trailer before any image
-            raise ValueError("GIF contains no image data")
-        if block == 0x21:  # extension: label + sub-blocks, skip
-            pos += 1
-            while True:
-                if pos >= len(data):
-                    raise ValueError("extension block truncated")
-                n = data[pos]
-                pos += 1
-                if n == 0:
-                    break
-                pos += n
-            continue
-        if block == 0x2C:
-            break
-        raise ValueError(f"unknown GIF block 0x{block:02X}")
+def _decode_image_at(data: bytes, pos: int, gct, sw: int, sh: int):
+    """Decode ONE image block starting at its descriptor byte `pos`
+    (after the 0x2C separator): descriptor, optional LCT, LZW data.
+    Returns ((h, w) uint8 luma array, position after the block)."""
     if pos + 9 > len(data):
         raise ValueError("image descriptor truncated")
     _left, _top, w, h, ipacked = struct.unpack("<HHHHB", data[pos : pos + 9])
@@ -329,6 +296,53 @@ def decode_gif_gray8(payload: bytes) -> dict:
         img = np.empty_like(pix)
         img[_interlace_row_order(h)] = pix
         pix = img
+    return pix, pos
+
+
+def decode_gif_gray8(payload: bytes) -> dict:
+    """Parse a single-image GIF: header, LSD, GCT, skip 89a extension
+    blocks, image descriptor, LZW data. Returns dict(width, height,
+    n_pixels, mean_intensity, pixels=(h, w) uint8 luma) where luma is
+    the palette's (r+g+b)/3 rounded down per entry."""
+    data = bytes(payload)
+    if len(data) < 13 or data[:6] not in (_GIF87, _GIF89):
+        raise ValueError("bad GIF header")
+    sw, sh, packed, _bg, _aspect = struct.unpack("<HHBBB", data[6:13])
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        gct_len = 2 << (packed & 0x07)
+        gct = np.frombuffer(
+            data[pos : pos + 3 * gct_len], dtype=np.uint8
+        ).reshape(-1, 3)
+        if gct.shape[0] != gct_len:
+            raise ValueError("global color table truncated")
+        pos += 3 * gct_len
+    while True:
+        if pos >= len(data):
+            raise ValueError("unexpected end of GIF stream")
+        block = data[pos]
+        pos += 1
+        if block == 0x3B:  # trailer before any image
+            raise ValueError("GIF contains no image data")
+        if block == 0x21:  # extension: label + sub-blocks, skip
+            pos += 1
+            while True:
+                if pos >= len(data):
+                    raise ValueError("extension block truncated")
+                n = data[pos]
+                pos += 1
+                if n == 0:
+                    break
+                pos += n
+            continue
+        if block == 0x2C:
+            break
+        raise ValueError(f"unknown GIF block 0x{block:02X}")
+    if pos + 9 > len(data):
+        raise ValueError("image descriptor truncated")
+    pix, pos = _decode_image_at(data, pos, gct, sw, sh)
+    h, w = pix.shape
     return {
         "width": w,
         "height": h,
@@ -424,4 +438,217 @@ def q_multimodal_decode_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
         op,
         schema="doc_id long, width int, height int, n_pixels long, "
         "mean_intensity double",
+    )
+
+
+# ---------------------------------------------------------------------------
+# animated GIF: container-level frame index + 1/k frame sampling (the
+# GIF analog of avi.py/mp4.py — training pipelines sample animation
+# frames without decoding the skipped ones)
+# ---------------------------------------------------------------------------
+
+
+def encode_gif_animation(
+    width: int, height: int, frames: list[bytes], delay_cs: int = 4
+) -> bytes:
+    """GIF89a animation: gray GCT, NETSCAPE2.0 loop extension, then
+    per frame a Graphic Control Extension (delay, disposal=1) and a
+    full-size image block compressed with the real LZW."""
+    if not frames:
+        raise ValueError("need at least one frame")
+    for i, fr in enumerate(frames):
+        if len(fr) != width * height:
+            raise ValueError(f"frame {i} does not match dimensions")
+    out = bytearray()
+    out += _GIF89
+    out += struct.pack("<HHBBB", width, height, 0b1_111_0_111, 0, 0)
+    out += bytes(b for i in range(256) for b in (i, i, i))
+    # NETSCAPE2.0 application extension: loop forever
+    out += b"\x21\xff\x0bNETSCAPE2.0\x03\x01\x00\x00\x00"
+    for fr in frames:
+        out += b"\x21\xf9\x04" + struct.pack("<BHB", 0x04, delay_cs, 0)
+        out += b"\x00"  # GCE terminator
+        out += b"\x2c" + struct.pack("<HHHHB", 0, 0, width, height, 0)
+        out.append(8)  # min code size
+        lzw = _lzw_encode(np.frombuffer(fr, dtype=np.uint8), 8)
+        for i in range(0, len(lzw), 255):
+            chunk = lzw[i : i + 255]
+            out.append(len(chunk))
+            out += chunk
+        out += b"\x00"
+    out += b"\x3b"
+    return bytes(out)
+
+
+def parse_gif_frame_index(payload: bytes) -> list[dict]:
+    """CONTAINER-LEVEL frame index: walk the block structure without
+    any LZW decode, recording each image block's descriptor offset
+    and byte length — on an object store these are the ranged GETs a
+    sampler would issue. Returns [{frame, offset, n_bytes}]; raises
+    ValueError on corrupt framing."""
+    data = bytes(payload)
+    if len(data) < 13 or data[:6] not in (_GIF87, _GIF89):
+        raise ValueError("bad GIF header")
+    _sw, _sh, packed, _bg, _aspect = struct.unpack("<HHBBB", data[6:13])
+    pos = 13
+    if packed & 0x80:
+        pos += 3 * (2 << (packed & 0x07))
+    index: list[dict] = []
+    while True:
+        if pos >= len(data):
+            raise ValueError("unexpected end of GIF stream")
+        block = data[pos]
+        pos += 1
+        if block == 0x3B:
+            break
+        if block == 0x21:  # extension: label + sub-blocks
+            pos += 1
+            while True:
+                if pos >= len(data):
+                    raise ValueError("extension block truncated")
+                n = data[pos]
+                pos += 1
+                if n == 0:
+                    break
+                pos += n
+            continue
+        if block != 0x2C:
+            raise ValueError(f"unknown GIF block 0x{block:02X}")
+        start = pos
+        if pos + 9 > len(data):
+            raise ValueError("image descriptor truncated")
+        ipacked = data[pos + 8]
+        pos += 9
+        if ipacked & 0x80:
+            pos += 3 * (2 << (ipacked & 0x07))
+        pos += 1  # min code size
+        while True:  # data sub-blocks
+            if pos >= len(data):
+                raise ValueError("image data sub-blocks truncated")
+            n = data[pos]
+            pos += 1
+            if n == 0:
+                break
+            pos += n
+        index.append(
+            {
+                "frame": len(index),
+                "offset": start,
+                "n_bytes": pos - start,
+            }
+        )
+    if not index:
+        raise ValueError("GIF contains no image data")
+    return index
+
+
+def sample_gif_frames(payload: bytes, every_k: int = 2) -> list[np.ndarray]:
+    """Decode every k-th frame of an animation — ONLY those frames'
+    LZW streams are touched (the index walk reads block lengths, not
+    pixel data), the same 1/k contract as sample_mp4_payloads /
+    the AVI sampler."""
+    data = bytes(payload)
+    sw, sh, packed, _bg, _aspect = struct.unpack("<HHBBB", data[6:13])
+    gct = None
+    if packed & 0x80:
+        gct_len = 2 << (packed & 0x07)
+        gct = np.frombuffer(
+            data[13 : 13 + 3 * gct_len], dtype=np.uint8
+        ).reshape(-1, 3)
+    out = []
+    for entry in parse_gif_frame_index(data)[::every_k]:
+        pix, _ = _decode_image_at(data, entry["offset"], gct, sw, sh)
+        out.append(pix)
+    return out
+
+
+@register(
+    "q_multimodal_frame_sample_gif",
+    oracle="""
+    WITH dims AS (
+        SELECT doc_id, text,
+               CAST(doc_id % 13 + 4 AS INT) AS width,
+               4 AS height,
+               LEAST(octet_length(encode(text))
+                         // ((doc_id % 13 + 4) * 4), 24) AS n_frames
+        FROM documents
+        WHERE octet_length(encode(text)) = length(text)
+          AND octet_length(encode(text)) >= (doc_id % 13 + 4) * 4
+    )
+    SELECT d.doc_id,
+           CAST(d.n_frames AS INT) AS n_frames,
+           CAST((d.n_frames + 1) // 2 AS INT) AS n_sampled,
+           CAST(SUM(CASE WHEN ((t.i - 1) // (d.width * d.height)) % 2 = 0
+                         THEN ascii(SUBSTR(d.text, CAST(t.i AS INT), 1))
+                         ELSE 0 END) AS BIGINT) AS sampled_pixel_sum
+    FROM dims d,
+         UNNEST(generate_series(1, d.n_frames * d.width * d.height)) AS t(i)
+    GROUP BY d.doc_id, d.n_frames
+    """,
+)
+def q_multimodal_frame_sample_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANIMATED-GIF frame sampling, container-level — the GIF analog
+    of q_multimodal_frame_sample_avi / q_multimodal_mp4_index: each
+    document's bytes become the frames of a real GIF89a animation
+    (gray GCT, NETSCAPE loop extension, per-frame GCE + LZW image
+    blocks), the INDEX walk records every frame's byte range without
+    touching pixel data, and only every 2nd frame is LZW-decoded.
+    Output pins the frame count, the sampled count, and the exact
+    integer pixel sum of the SAMPLED frames, which the oracle
+    recomputes from the source text by frame parity — a decoded-
+    skipped frame or an off-by-one in the index shifts the sum. At
+    100 TB the index walk is a metadata read and the sampler issues
+    1/k ranged reads, the same contract as the MP4/AVI paths."""
+    from meta_iterative_mapreduce_spark.operators.multimodal import _spread
+
+    width_of = F.col("doc_id") % 13 + 4
+    d = load_table(spark, sf_dir, "documents").filter(
+        (F.length(F.encode("text", "UTF-8")) == F.length("text"))
+        & (F.length(F.encode("text", "UTF-8")) >= width_of * 4)
+    )
+    src = _spread(
+        d.select("doc_id", F.encode("text", "UTF-8").alias("payload")), spark
+    )
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, nf, ns, ps = [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                data = bytes(payload)
+                w = int(doc_id) % 13 + 4
+                h = 4
+                n_frames = min(len(data) // (w * h), 24)
+                frames = [
+                    data[i * w * h : (i + 1) * w * h]
+                    for i in range(n_frames)
+                ]
+                gif = encode_gif_animation(w, h, frames)
+                idx = parse_gif_frame_index(gif)
+                if len(idx) != n_frames:
+                    raise ValueError("frame index count mismatch")
+                sampled = sample_gif_frames(gif, 2)
+                if len(sampled) != (n_frames + 1) // 2:
+                    raise ValueError("sampled count mismatch")
+                for k, pix in enumerate(sampled):
+                    if pix.tobytes() != frames[2 * k]:
+                        raise ValueError(
+                            f"sampled frame {2 * k} decoded wrong"
+                        )
+                ids.append(doc_id)
+                nf.append(n_frames)
+                ns.append(len(sampled))
+                ps.append(int(sum(int(p.sum()) for p in sampled)))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "n_frames": pd.Series(nf, dtype="int32"),
+                    "n_sampled": pd.Series(ns, dtype="int32"),
+                    "sampled_pixel_sum": pd.Series(ps, dtype="int64"),
+                }
+            )
+
+    return src.mapInPandas(
+        op,
+        schema="doc_id long, n_frames int, n_sampled int, "
+        "sampled_pixel_sum long",
     )

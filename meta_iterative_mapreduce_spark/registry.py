@@ -64,6 +64,7 @@ WINDOW_PRIORITY: tuple[str, ...] = (
     # never-stamped round-8 registrations lead
     "q_table_column_mapping",
     "q_stream_session_timer",
+    "q_multimodal_frame_sample_gif",
     "q_text_pii_redact",
     "q_text_repetition",
     "q_ts_anomaly",
@@ -111,7 +112,6 @@ WINDOW_PRIORITY: tuple[str, ...] = (
     "q_regression_kfold",
     "q_sample_hash",
     "q_sample_stratified",
-    "q_sample_weighted",
 )
 
 

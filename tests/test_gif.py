@@ -148,3 +148,44 @@ def test_gif_pixel_count_mismatch_detected():
 def test_dispatcher_routes_gif():
     f = decode_image_features(encode_gif_gray8(3, 2, bytes([0] * 6)))
     assert (f["width"], f["height"], f["mean_intensity"]) == (3, 2, 0.0)
+
+
+# --- animated GIF: frame index + 1/k sampling ------------------------
+
+def test_gif_animation_index_and_sampling():
+    from meta_iterative_mapreduce_spark.operators.gif import (
+        encode_gif_animation,
+        parse_gif_frame_index,
+        sample_gif_frames,
+    )
+
+    w, h = 5, 3
+    frames = [bytes([(f * 31 + i) % 256 for i in range(w * h)]) for f in range(7)]
+    gif = encode_gif_animation(w, h, frames)
+    idx = parse_gif_frame_index(gif)
+    assert [e["frame"] for e in idx] == list(range(7))
+    # every indexed range starts at an image descriptor and spans to
+    # the next block
+    for e in idx:
+        assert gif[e["offset"] - 1] == 0x2C
+    for k in (1, 2, 3, 7):
+        got = sample_gif_frames(gif, k)
+        assert [p.tobytes() for p in got] == frames[::k]
+
+
+def test_gif_animation_single_frame_and_corrupt():
+    import pytest as _p
+
+    from meta_iterative_mapreduce_spark.operators.gif import (
+        encode_gif_animation,
+        parse_gif_frame_index,
+    )
+
+    gif = encode_gif_animation(2, 2, [bytes(4)])
+    assert len(parse_gif_frame_index(gif)) == 1
+    with _p.raises(ValueError):
+        parse_gif_frame_index(gif[:-4])  # cut mid sub-blocks
+    with _p.raises(ValueError):
+        encode_gif_animation(2, 2, [])
+    with _p.raises(ValueError):
+        encode_gif_animation(2, 2, [bytes(3)])
