@@ -332,3 +332,258 @@ def q_tpch_q21_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("numwait"), "s_suppkey")
         .limit(100)
     )
+
+
+@register(
+    "q_tpch_q2_shape",
+    oracle="""
+    WITH cost AS (
+        SELECT l_partkey, l_suppkey,
+               MIN(l_extendedprice / l_quantity) AS unit
+        FROM lineitem GROUP BY l_partkey, l_suppkey
+    ), best AS (
+        SELECT l_partkey, MIN(unit) AS best_unit
+        FROM cost GROUP BY l_partkey
+    )
+    SELECT p.p_partkey,
+           CAST(MIN(c.l_suppkey) AS BIGINT) AS best_suppkey,
+           CAST(FLOOR(b.best_unit * 10000 + 0.5) AS BIGINT) AS unit_e4
+    FROM part p
+    JOIN best b ON b.l_partkey = p.p_partkey
+    JOIN cost c ON c.l_partkey = b.l_partkey AND c.unit = b.best_unit
+    WHERE p.p_size % 7 = 0
+    GROUP BY p.p_partkey, b.best_unit
+    """,
+)
+def q_tpch_q2_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2's plan shape — MIN-per-group then JOIN-BACK to
+    recover the row achieving the minimum (the schema has no
+    partsupp, so 'supply cost' is the best observed unit price per
+    (part, supplier) from lineitem). The per-part best and the
+    (part, supplier) costs share ONE hash partitioning on partkey,
+    so the join-back adds no exchange beyond the two aggregates;
+    suppliers tying on the minimum collapse deterministically to
+    MIN(suppkey). The double-equality join is safe cross-engine
+    because both sides compute the identical IEEE quotient and MIN
+    selects (not recombines) values; emission is floor-scaled e4 per
+    the house float convention."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cost = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit")
+    )
+    best = cost.groupBy("l_partkey").agg(F.min("unit").alias("best_unit"))
+    p = load_table(spark, sf_dir, "part").filter(
+        F.col("p_size") % 7 == 0
+    ).select("p_partkey")
+    return (
+        p.join(best, p.p_partkey == best.l_partkey)
+        .join(
+            cost,
+            (cost.l_partkey == best.l_partkey)
+            & (cost.unit == best.best_unit),
+        )
+        .groupBy("p_partkey", "best_unit")
+        .agg(F.min("l_suppkey").cast("bigint").alias("best_suppkey"))
+        .select(
+            "p_partkey",
+            "best_suppkey",
+            F.floor(F.col("best_unit") * 10000 + F.lit(0.5))
+            .cast("bigint")
+            .alias("unit_e4"),
+        )
+    )
+
+
+@register(
+    "q_tpch_q4_shape",
+    oracle="""
+    SELECT o.o_orderpriority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-07-01'
+      AND o.o_orderdate < TIMESTAMP '1996-10-01'
+      AND EXISTS (
+          SELECT 1 FROM lineitem l
+          WHERE l.l_orderkey = o.o_orderkey
+            AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      )
+    GROUP BY o.o_orderpriority
+    """,
+)
+def q_tpch_q4_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 order-priority checking — the canonical EXISTS
+    correlated subquery, rendered as a LEFT SEMI join whose condition
+    spans both sides (late shipment: any line shipped >60 days after
+    the order date). The semi join materializes no lineitem columns
+    and deduplicates by construction — at 100 TB the probe side
+    carries only (orderkey, shipdate) and the date filter prunes the
+    orders scan to one quarter before the shuffle."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-07-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate"
+    )
+    late = o.join(
+        li,
+        (li.l_orderkey == o.o_orderkey)
+        & (li.l_shipdate > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("order_count")
+    )
+
+
+@register(
+    "q_tpch_q13_shape",
+    oracle="""
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+        SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+        FROM customer c
+        LEFT JOIN orders o
+          ON o.o_custkey = c.c_custkey
+         AND o.o_orderpriority <> '1-URGENT'
+        GROUP BY c.c_custkey
+    )
+    GROUP BY c_count
+    """,
+)
+def q_tpch_q13_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 customer distribution — LEFT OUTER join with the
+    filter INSIDE the join condition (a customer with only urgent
+    orders must still appear with count 0, so the predicate cannot
+    be pushed below the outer join as a WHERE), then a two-level
+    aggregate: orders per customer, customers per order-count. The
+    second aggregate's key space is tiny (~max orders per customer),
+    so the plan is one big hash join + one big agg + one trivial
+    agg."""
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    ).select("o_custkey", "o_orderkey")
+    per_cust = (
+        c.join(o, o.o_custkey == c.c_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).alias("custdist")
+    )
+
+
+@register(
+    "q_tpch_q17_shape",
+    oracle="""
+    WITH pa AS (
+        SELECT l_partkey, AVG(l_quantity) AS avg_qty
+        FROM lineitem GROUP BY l_partkey
+    )
+    SELECT CAST(SUM(CAST(FLOOR(l.l_extendedprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS revenue_c,
+           COUNT(*) AS n_rows
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey AND p.p_brand = 'Brand#13'
+    JOIN pa ON pa.l_partkey = l.l_partkey
+    WHERE l.l_quantity < 0.2 * pa.avg_qty
+    """,
+)
+def q_tpch_q17_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 small-quantity-order revenue — the correlated
+    per-group AVERAGE THRESHOLD: each lineitem compares against its
+    part's average quantity. Both the per-part average and the probe
+    share the partkey partitioning (one exchange), and the brand
+    filter semi-prunes before the threshold join. Cross-engine float
+    safety: l_quantity is integral, so AVG is an exact
+    integer-sum/count on both engines and the 0.2x threshold compare
+    is deterministic; revenue is summed in floor-scaled integer
+    cents."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pa = li.groupBy("l_partkey").agg(F.avg("l_quantity").alias("avg_qty"))
+    p = load_table(spark, sf_dir, "part").filter(
+        F.col("p_brand") == "Brand#13"
+    ).select("p_partkey")
+    probe = li.select("l_partkey", "l_quantity", "l_extendedprice")
+    return (
+        probe.join(p, probe.l_partkey == p.p_partkey)
+        .join(pa, "l_partkey")
+        .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg(
+            F.sum(
+                F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast(
+                    "bigint"
+                )
+            )
+            .cast("bigint")
+            .alias("revenue_c"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+@register(
+    "q_tpch_q22_shape",
+    oracle="""
+    WITH bal AS (
+        SELECT c_custkey, c_nationkey,
+               CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) AS cents
+        FROM customer
+        WHERE c_nationkey IN (1, 3, 5, 7, 9, 11, 13)
+    ), avg_bal AS (
+        SELECT CAST(SUM(cents) AS BIGINT) AS total_c,
+               COUNT(*) AS n_pos
+        FROM bal WHERE cents > 0
+    )
+    SELECT b.c_nationkey,
+           COUNT(*) AS numcust,
+           CAST(SUM(b.cents) AS BIGINT) AS totacctbal_c
+    FROM bal b, avg_bal a
+    WHERE b.cents * a.n_pos > a.total_c
+      AND NOT EXISTS (
+          SELECT 1 FROM orders o
+          WHERE o.o_custkey = b.c_custkey
+            AND o.o_orderdate >= TIMESTAMP '1999-01-01'
+      )
+    GROUP BY b.c_nationkey
+    """,
+)
+def q_tpch_q22_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 global-sales-opportunity — scalar subquery threshold
+    + ANTI join: above-average-balance customers in selected nations
+    with NO recent orders (every synthetic customer has SOME order,
+    so the dormancy window keeps the anti join non-vacuous). The
+    average-balance comparison is exact cross-engine: balances become
+    floor-scaled integer CENTS first, and 'cents > avg' is the
+    cross-multiplied integer test cents*n > total — no float
+    summation-order hazard (the repo's float-determinism rule). The
+    1-row aggregate broadcasts; the anti join streams orders pruned
+    to the dormancy window."""
+    nations = [1, 3, 5, 7, 9, 11, 13]
+    bal = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_nationkey").isin(nations))
+        .select(
+            "c_custkey",
+            "c_nationkey",
+            F.floor(F.col("c_acctbal") * 100 + F.lit(0.5))
+            .cast("bigint")
+            .alias("cents"),
+        )
+    )
+    stats = bal.filter(F.col("cents") > 0).agg(
+        F.sum("cents").cast("bigint").alias("total_c"),
+        F.count(F.lit(1)).alias("n_pos"),
+    )
+    recent = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp")
+    ).select("o_custkey")
+    rich = (
+        bal.crossJoin(F.broadcast(stats))
+        .filter(F.col("cents") * F.col("n_pos") > F.col("total_c"))
+        .join(recent, bal.c_custkey == recent.o_custkey, "left_anti")
+    )
+    return rich.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("numcust"),
+        F.sum("cents").cast("bigint").alias("totacctbal_c"),
+    )

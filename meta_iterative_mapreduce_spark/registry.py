@@ -65,6 +65,11 @@ WINDOW_PRIORITY: tuple[str, ...] = (
     "q_table_column_mapping",
     "q_stream_session_timer",
     "q_multimodal_frame_sample_gif",
+    "q_tpch_q2_shape",
+    "q_tpch_q4_shape",
+    "q_tpch_q13_shape",
+    "q_tpch_q17_shape",
+    "q_tpch_q22_shape",
     "q_text_pii_redact",
     "q_text_repetition",
     "q_ts_anomaly",
@@ -107,11 +112,6 @@ WINDOW_PRIORITY: tuple[str, ...] = (
     "q_multimodal_decode_jpeg",
     "q_multimodal_decode_jpeg_color",
     "q_multimodal_phash",
-    "q_multimodal_phash_pairs",
-    "q_profile_table",
-    "q_regression_kfold",
-    "q_sample_hash",
-    "q_sample_stratified",
 )
 
 
