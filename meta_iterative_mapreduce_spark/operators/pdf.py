@@ -46,6 +46,7 @@ codec family. Reference analog: none (kernel.cu reads numeric stdin).
 
 from __future__ import annotations
 
+import binascii
 import re
 import zlib
 from collections.abc import Iterator
@@ -234,6 +235,70 @@ def encode_pdf_xref_stream(page_texts: list[str]) -> bytes:
         f"/Length {len(table)} >>\nstream\n"
     ).encode() + table + b"\nendstream\nendobj\n"
     out += f"startxref\n{xref_at}\n%%EOF".encode()
+    return bytes(out)
+
+
+def encode_pdf_filter_chain(page_texts: list[str]) -> bytes:
+    """Classic-layout PDF whose content streams cycle through the
+    non-Flate filters real writers emit (PDF 1.7 §7.4), page i % 4:
+    /FlateDecode; /LZWDecode (the TIFF MSB EarlyChange variant);
+    [/ASCII85Decode /FlateDecode] (mail-safe armored deflate — the
+    array lists DECODE order, so the stored bytes are
+    ascii85(flate(content))); [/ASCIIHexDecode /RunLengthDecode]."""
+    from meta_iterative_mapreduce_spark.operators.tiff import _tlzw_encode
+
+    if not page_texts:
+        raise ValueError("need at least one page")
+    objects: list[bytes] = []
+    n_pages = len(page_texts)
+    page_obj_ids = [4 + 2 * i for i in range(n_pages)]
+    kids = " ".join(f"{i} 0 R" for i in page_obj_ids)
+    objects.append(b"<< /Type /Catalog /Pages 2 0 R >>")
+    objects.append(
+        f"<< /Type /Pages /Kids [{kids}] /Count {n_pages} >>".encode()
+    )
+    objects.append(
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
+    )
+    for i, text in enumerate(page_texts):
+        content = zlib.decompress(_page_content_flate(text))
+        variant = i % 4
+        if variant == 0:
+            stored, filt = zlib.compress(content), b"/FlateDecode"
+        elif variant == 1:
+            stored, filt = _tlzw_encode(content), b"/LZWDecode"
+        elif variant == 2:
+            stored = _ascii85_encode(zlib.compress(content))
+            filt = b"[/ASCII85Decode /FlateDecode]"
+        else:
+            stored = binascii.hexlify(_rle_encode(content)) + b">"
+            filt = b"[/ASCIIHexDecode /RunLengthDecode]"
+        objects.append(
+            f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            f"/Resources << /Font << /F1 3 0 R >> >> "
+            f"/Contents {page_obj_ids[i] + 1} 0 R >>".encode()
+        )
+        objects.append(
+            f"<< /Length {len(stored)} /Filter ".encode()
+            + filt
+            + b" >>\nstream\n"
+            + stored
+            + b"\nendstream"
+        )
+    out = bytearray(b"%PDF-1.7\n%\xe2\xe3\xcf\xd3\n")
+    offsets = [0]
+    for i, body in enumerate(objects, start=1):
+        offsets.append(len(out))
+        out += f"{i} 0 obj\n".encode() + body + b"\nendobj\n"
+    xref_at = len(out)
+    out += f"xref\n0 {len(objects) + 1}\n".encode()
+    out += b"0000000000 65535 f \n"
+    for off in offsets[1:]:
+        out += f"{off:010d} 00000 n \n".encode()
+    out += (
+        f"trailer\n<< /Size {len(objects) + 1} /Root 1 0 R >>\n"
+        f"startxref\n{xref_at}\n%%EOF"
+    ).encode()
     return bytes(out)
 
 
@@ -497,20 +562,213 @@ def _undo_png_predictor(data: bytes, columns: int) -> bytes:
     return bytes(out)
 
 
+# --- stream filters beyond Flate (PDF 1.7 §7.4) ---------------------
+# The /Filter value may be a NAME or an ARRAY listing filters in
+# DECODE order; real writers chain them (e.g. [/ASCII85Decode
+# /FlateDecode] for mail-safe transport of compressed streams).
+
+
+def _pdf_lzw_decode(data: bytes) -> bytes:
+    """PDF LZWDecode: the TIFF LZW variant (MSB-first bit packing,
+    EarlyChange=1 — the width grows at table size 2^w - 1, one code
+    EARLIER than GIF's LSB variant; see operators/tiff.py for the
+    shared trap), without TIFF's known-output-size contract: PDF
+    streams end at the EOD code."""
+    clear, eod = 256, 257
+    table: list[bytes] = [bytes([i]) for i in range(256)] + [b"", b""]
+    width = 9
+    out = bytearray()
+    acc = nbits = pos = 0
+    prev: bytes | None = None
+    while True:
+        while nbits < width:
+            if pos >= len(data):
+                raise ValueError("LZWDecode stream truncated (no EOD)")
+            acc = (acc << 8) | data[pos]
+            nbits += 8
+            pos += 1
+        code = (acc >> (nbits - width)) & ((1 << width) - 1)
+        nbits -= width
+        if code == eod:
+            return bytes(out)
+        if code == clear:
+            table = [bytes([i]) for i in range(256)] + [b"", b""]
+            width = 9
+            prev = None
+            continue
+        if prev is None:
+            if code >= 256:
+                raise ValueError(f"first LZWDecode code {code} not a root")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError(
+                f"LZWDecode code {code} beyond table {len(table)}"
+            )
+        out += entry
+        if len(table) == (1 << width) - 1 and width < 12:
+            width += 1  # EarlyChange
+        prev = entry
+
+
+def _ascii85_decode(data: bytes) -> bytes:
+    data = re.sub(rb"\s", b"", data)
+    if data.startswith(b"<~"):
+        data = data[2:]
+    if data.endswith(b"~>"):
+        data = data[:-2]
+    out = bytearray()
+    group: list[int] = []
+    for ch in data:
+        if ch == 0x7A:  # 'z' = four zero bytes, only between groups
+            if group:
+                raise ValueError("'z' inside an ASCII85 group")
+            out += b"\x00\x00\x00\x00"
+            continue
+        if not 33 <= ch <= 117:
+            raise ValueError(f"byte {ch} outside the ASCII85 alphabet")
+        group.append(ch - 33)
+        if len(group) == 5:
+            n = 0
+            for g in group:
+                n = n * 85 + g
+            if n > 0xFFFFFFFF:
+                raise ValueError("ASCII85 group overflows 32 bits")
+            out += n.to_bytes(4, "big")
+            group = []
+    if group:
+        if len(group) == 1:
+            raise ValueError("ASCII85 final group of one char")
+        k = len(group)
+        n = 0
+        for g in group + [84] * (5 - k):
+            n = n * 85 + g
+        out += n.to_bytes(4, "big")[: k - 1]
+    return bytes(out)
+
+
+def _ascii85_encode(data: bytes) -> bytes:
+    out = bytearray()
+    for i in range(0, len(data), 4):
+        chunk = data[i : i + 4]
+        k = len(chunk)
+        n = int.from_bytes(chunk + b"\x00" * (4 - k), "big")
+        if k == 4 and n == 0:
+            out += b"z"
+            continue
+        digits = []
+        for _ in range(5):
+            digits.append(n % 85)
+            n //= 85
+        out += bytes(dg + 33 for dg in reversed(digits))[: k + 1]
+    return bytes(out) + b"~>"
+
+
+def _asciihex_decode(data: bytes) -> bytes:
+    end = data.find(b">")
+    if end != -1:
+        data = data[:end]
+    data = re.sub(rb"\s", b"", data)
+    if len(data) % 2:
+        data += b"0"  # odd final digit pads with zero per spec
+    try:
+        return bytes.fromhex(data.decode("ascii"))
+    except ValueError as exc:
+        raise ValueError(f"bad ASCIIHex stream: {exc}") from exc
+
+
+def _rle_decode(data: bytes) -> bytes:
+    out = bytearray()
+    i = 0
+    while i < len(data):
+        length = data[i]
+        i += 1
+        if length == 128:  # EOD
+            return bytes(out)
+        if length < 128:
+            chunk = data[i : i + length + 1]
+            if len(chunk) != length + 1:
+                raise ValueError("RunLength literal truncated")
+            out += chunk
+            i += length + 1
+        else:
+            if i >= len(data):
+                raise ValueError("RunLength repeat truncated")
+            out += bytes([data[i]]) * (257 - length)
+            i += 1
+    raise ValueError("RunLength stream without EOD")
+
+
+def _rle_encode(data: bytes) -> bytes:
+    out = bytearray()
+    i = 0
+    while i < len(data):
+        j = i
+        while (
+            j < len(data) - 1 and data[j] == data[j + 1] and j - i < 126
+        ):
+            j += 1
+        if j > i:  # run of length >= 2
+            out.append(257 - (j - i + 1))
+            out.append(data[i])
+            i = j + 1
+        else:  # literal stretch up to 128 bytes or next run
+            k = i
+            while (
+                k < len(data)
+                and k - i < 128
+                and not (k < len(data) - 1 and data[k] == data[k + 1])
+            ):
+                k += 1
+            out.append(k - i - 1)
+            out += data[i:k]
+            i = k
+    out.append(128)
+    return bytes(out)
+
+
+def _filter_names(d: bytes) -> list[bytes]:
+    """The /Filter value as an ordered name list (empty = no filter)."""
+    m = re.search(rb"/Filter\s*(\[[^\]]*\]|/[A-Za-z0-9]+)", d)
+    if not m:
+        return []
+    return re.findall(rb"/([A-Za-z0-9]+)", m.group(1))
+
+
 def _decode_stream(d: bytes, raw: bytes) -> bytes:
-    """Apply the dict's filter chain to a raw stream payload."""
-    if b"FlateDecode" in d:
-        try:
-            raw = zlib.decompress(raw)
-        except zlib.error as exc:
-            raise ValueError(f"bad FlateDecode stream: {exc}") from exc
-        pred = _dict_int(d, b"Predictor")
-        if pred is not None and pred >= 10:
-            raw = _undo_png_predictor(raw, _dict_int(d, b"Columns") or 1)
-        elif pred is not None and pred not in (None, 1):
-            raise NotImplementedError(f"predictor {pred} not supported")
-    elif b"/Filter" in d:
-        raise NotImplementedError(f"unsupported stream filter in {d[:80]!r}")
+    """Apply the dict's filter CHAIN in decode order. Supported:
+    FlateDecode (+PNG predictor), LZWDecode (+predictor),
+    ASCII85Decode, ASCIIHexDecode, RunLengthDecode; anything else
+    (DCT, JBIG2, JPX, CCITT, Crypt) raises NotImplementedError."""
+    for name in _filter_names(d):
+        if name == b"FlateDecode":
+            try:
+                raw = zlib.decompress(raw)
+            except zlib.error as exc:
+                raise ValueError(f"bad FlateDecode stream: {exc}") from exc
+        elif name == b"LZWDecode":
+            raw = _pdf_lzw_decode(raw)
+        elif name == b"ASCII85Decode":
+            raw = _ascii85_decode(raw)
+        elif name == b"ASCIIHexDecode":
+            raw = _asciihex_decode(raw)
+        elif name == b"RunLengthDecode":
+            raw = _rle_decode(raw)
+        else:
+            raise NotImplementedError(f"stream filter /{name.decode()}")
+        if name in (b"FlateDecode", b"LZWDecode"):
+            pred = _dict_int(d, b"Predictor")
+            if pred is not None and pred >= 10:
+                raw = _undo_png_predictor(
+                    raw, _dict_int(d, b"Columns") or 1
+                )
+            elif pred is not None and pred != 1:
+                raise NotImplementedError(f"predictor {pred} not supported")
     return raw
 
 
@@ -835,11 +1093,13 @@ def extract_pdf_pages(payload: bytes) -> list[str]:
     """,
 )
 def q_text_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PDF → text, byte-exact, over THREE rotating file layouts
-    (doc_id % 3): classic PDF 1.4 xref table, PDF 1.5 xref STREAM +
-    ObjStm compressed objects (the post-2005 writer default), and an
+    """PDF → text, byte-exact, over FOUR rotating file layouts
+    (doc_id % 4): classic PDF 1.4 xref table, PDF 1.5 xref STREAM +
+    ObjStm compressed objects (the post-2005 writer default), an
     incrementally-updated file whose stale placeholder page is only
-    resolved away by walking the /Prev xref chain newest-first. The
+    resolved away by walking the /Prev xref chain newest-first, and
+    a classic file whose content streams cycle the non-Flate filter
+    chains (LZWDecode, [ASCII85 Flate], [ASCIIHex RunLength]). The
     extractor must recover the EXACT original text — md5-compared
     against the source by the oracle. Pages split on line boundaries
     every 40 lines; T* line advances reconstruct the newlines, so
@@ -867,7 +1127,8 @@ def q_text_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                     encode_simple_pdf,
                     encode_pdf_xref_stream,
                     encode_pdf_incremental,
-                )[doc_id % 3]
+                    encode_pdf_filter_chain,
+                )[doc_id % 4]
                 pdf = writer(page_texts)
                 # page list, not the \x0c join — shown text may
                 # itself contain form feeds

@@ -328,3 +328,103 @@ def test_contents_array_supported():
         f"startxref\n{xref_at}\n%%EOF"
     ).encode()
     assert extract_pdf_pages(bytes(out)) == ["first and second"]
+
+
+# --- stream filter chains (PDF 1.7 §7.4) -----------------------------
+
+from meta_iterative_mapreduce_spark.operators.pdf import (  # noqa: E402
+    _ascii85_decode,
+    _ascii85_encode,
+    _asciihex_decode,
+    _pdf_lzw_decode,
+    _rle_decode,
+    _rle_encode,
+    encode_pdf_filter_chain,
+)
+
+
+def test_filter_chain_layout_round_trip():
+    texts = ["flate page", "lzw page", "a85+flate page", "hex+rle page",
+             "flate again"]
+    pages = extract_pdf_pages(encode_pdf_filter_chain(texts))
+    assert [p[:-1] if p.endswith("\n") else p for p in pages] == texts
+
+
+@given(st.binary(max_size=600))
+@settings(max_examples=80, deadline=None)
+def test_ascii85_round_trip_property(blob):
+    assert _ascii85_decode(_ascii85_encode(blob)) == blob
+
+
+@given(st.binary(max_size=600))
+@settings(max_examples=80, deadline=None)
+def test_runlength_round_trip_property(blob):
+    assert _rle_decode(_rle_encode(blob)) == blob
+
+
+@given(st.binary(max_size=600))
+@settings(max_examples=40, deadline=None)
+def test_pdf_lzw_round_trip_property(blob):
+    from meta_iterative_mapreduce_spark.operators.tiff import _tlzw_encode
+
+    assert _pdf_lzw_decode(_tlzw_encode(blob)) == blob
+
+
+def test_filter_codec_edges_and_guards():
+    # ASCII85 specials: 'z' zero group, <~ ~> delimiters, whitespace
+    assert _ascii85_decode(b"z~>") == b"\x00\x00\x00\x00"
+    assert _ascii85_decode(b"<~ z ~>") == b"\x00\x00\x00\x00"
+    with pytest.raises(ValueError, match="alphabet"):
+        _ascii85_decode(b"\x00\x00")
+    with pytest.raises(ValueError, match="one char"):
+        _ascii85_decode(b"a")
+    with pytest.raises(ValueError, match="'z' inside"):
+        _ascii85_decode(b"az~>")
+    # ASCIIHex: EOD marker, whitespace, odd-digit zero pad
+    assert _asciihex_decode(b"48 65\n6C>garbage-after-eod") == b"Hel"
+    assert _asciihex_decode(b"4") == b"@"
+    with pytest.raises(ValueError):
+        _asciihex_decode(b"4G>")
+    # RunLength: truncations and missing EOD are loud
+    with pytest.raises(ValueError, match="EOD"):
+        _rle_decode(b"\x02abc")
+    with pytest.raises(ValueError, match="truncated"):
+        _rle_decode(b"\x05ab")
+    with pytest.raises(ValueError, match="truncated"):
+        _rle_decode(b"\xfe")
+    # unsupported filter stays an honest guard
+    import zlib as _z
+
+    content = _z.compress(b"BT (x) Tj ET")
+    pdf = (
+        b"%PDF-1.7\n1 0 obj\n<< /Length "
+        + str(len(content)).encode()
+        + b" /Filter /DCTDecode >>\nstream\n"
+        + content
+        + b"\nendstream\nendobj\n%%EOF"
+    )
+    with pytest.raises(NotImplementedError, match="DCTDecode"):
+        extract_pdf_text(pdf)
+
+
+def test_filter_array_decode_order():
+    """[/ASCII85Decode /FlateDecode] means ascii85 FIRST, then
+    inflate — the array is decode order, a classic direction trap."""
+    import zlib as _z
+
+    content = b"BT (ordered) Tj ET"
+    stored = _ascii85_encode(_z.compress(content))
+    pdf = (
+        b"%PDF-1.7\n1 0 obj\n<< /Length "
+        + str(len(stored)).encode()
+        + b" /Filter [/ASCII85Decode /FlateDecode] >>\nstream\n"
+        + stored
+        + b"\nendstream\nendobj\n%%EOF"
+    )
+    assert extract_pdf_text(pdf) == "ordered"
+
+
+@given(st.text(alphabet=st.characters(codec="utf-8"), max_size=400))
+@settings(max_examples=25, deadline=None)
+def test_filter_chain_round_trip_property(text):
+    assert _rt(encode_pdf_filter_chain, text) == text
