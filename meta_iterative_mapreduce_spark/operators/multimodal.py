@@ -400,20 +400,19 @@ def _png_chunk(ctype: bytes, data: bytes) -> bytes:
     )
 
 
-def encode_png_gray8(width: int, height: int, pix: bytes, filter_type: int = 0) -> bytes:
-    """Encode an 8-bit grayscale pixel plane as a valid PNG.
+# Adam7 pass grid (RFC 2083 §2): (x0, y0, dx, dy) per pass; each
+# non-empty pass is an independently-filtered sub-image.
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
 
-    `filter_type` selects the per-scanline PNG filter (0..4) so tests
-    can exercise every branch of the decoder's un-filter logic; real
-    encoders pick per-line, which changes bytes but not decoded pixels.
-    """
-    import zlib
 
-    import struct
-
-    if len(pix) != width * height:
-        raise ValueError("pixel plane size != width*height")
-    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+def _filter_scanlines(
+    pix: bytes, width: int, height: int, filter_type: int
+) -> bytes:
+    """Apply one PNG filter to every scanline of a pixel plane
+    (filter byte + filtered bytes per row)."""
     rows = []
     prev = bytes(width)
     for r in range(height):
@@ -439,7 +438,50 @@ def encode_png_gray8(width: int, height: int, pix: bytes, filter_type: int = 0) 
             raise ValueError(f"unknown PNG filter {filter_type}")
         rows.append(bytes([filter_type]) + enc)
         prev = line
-    idat = zlib.compress(b"".join(rows))
+    return b"".join(rows)
+
+
+def encode_png_gray8(
+    width: int,
+    height: int,
+    pix: bytes,
+    filter_type: int = 0,
+    interlace: bool = False,
+) -> bytes:
+    """Encode an 8-bit grayscale pixel plane as a valid PNG.
+
+    `filter_type` selects the per-scanline PNG filter (0..4) so tests
+    can exercise every branch of the decoder's un-filter logic; real
+    encoders pick per-line, which changes bytes but not decoded pixels.
+    `interlace` stores the image in Adam7 order: seven independently
+    filtered sub-images on the 8x8 pass grid."""
+    import zlib
+
+    import struct
+
+    if len(pix) != width * height:
+        raise ValueError("pixel plane size != width*height")
+    ihdr = struct.pack(
+        ">IIBBBBB", width, height, 8, 0, 0, 0, 1 if interlace else 0
+    )
+    if interlace:
+        parts = []
+        for x0, y0, dx, dy in _ADAM7:
+            cols = range(x0, width, dx)
+            prows = range(y0, height, dy)
+            if not cols or not prows:
+                continue  # empty pass emits nothing, per spec
+            sub = bytes(
+                pix[r * width + c] for r in prows for c in cols
+            )
+            parts.append(
+                _filter_scanlines(sub, len(cols), len(prows), filter_type)
+            )
+        idat = zlib.compress(b"".join(parts))
+    else:
+        idat = zlib.compress(
+            _filter_scanlines(pix, width, height, filter_type)
+        )
     return (
         _PNG_SIG
         + _png_chunk(b"IHDR", ihdr)
@@ -457,6 +499,38 @@ def _paeth(a: int, b: int, c: int) -> int:
     if pb <= pc:
         return b
     return c
+
+
+def _unfilter_scanlines(raw: bytes, width: int, height: int) -> bytes:
+    """Reverse the per-scanline PNG filters over a (filter byte +
+    row) x height block — all five filter types (RFC 2083 §6)."""
+    if len(raw) != (width + 1) * height:
+        raise ValueError("filtered block size != (width+1)*height")
+    out = bytearray()
+    prev = bytes(width)
+    for r in range(height):
+        ft = raw[r * (width + 1)]
+        line = bytearray(raw[r * (width + 1) + 1 : (r + 1) * (width + 1)])
+        if ft == 1:  # Sub
+            for i in range(1, width):
+                line[i] = (line[i] + line[i - 1]) & 0xFF
+        elif ft == 2:  # Up
+            for i in range(width):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif ft == 3:  # Average
+            for i in range(width):
+                left = line[i - 1] if i else 0
+                line[i] = (line[i] + ((left + prev[i]) >> 1)) & 0xFF
+        elif ft == 4:  # Paeth
+            for i in range(width):
+                left = line[i - 1] if i else 0
+                ul = prev[i - 1] if i else 0
+                line[i] = (line[i] + _paeth(left, prev[i], ul)) & 0xFF
+        elif ft != 0:
+            raise ValueError(f"unknown scanline filter {ft}")
+        prev = bytes(line)
+        out += line
+    return bytes(out)
 
 
 def decode_png_gray8(payload: bytes) -> dict:
@@ -493,8 +567,10 @@ def decode_png_gray8(payload: bytes) -> dict:
                     "only 8-bit grayscale PNGs decoded here; other color "
                     "types need an imaging library (Pillow injection point)"
                 )
-            if comp != 0 or filt != 0 or ilace != 0:
-                raise NotImplementedError("unsupported compression/interlace")
+            if comp != 0 or filt != 0 or ilace not in (0, 1):
+                raise NotImplementedError(
+                    "unsupported compression/filter-method/interlace code"
+                )
         elif ctype == b"IDAT":
             idat += body
         elif ctype == b"IEND":
@@ -503,33 +579,32 @@ def decode_png_gray8(payload: bytes) -> dict:
     if width is None or not idat:
         raise ValueError("missing IHDR or IDAT")
     raw = zlib.decompress(idat)
-    if len(raw) != (width + 1) * height:
-        raise ValueError("inflated size != (width+1)*height")
-    out = bytearray()
-    prev = bytes(width)
-    for r in range(height):
-        ft = raw[r * (width + 1)]
-        line = bytearray(raw[r * (width + 1) + 1 : (r + 1) * (width + 1)])
-        if ft == 1:  # Sub
-            for i in range(1, width):
-                line[i] = (line[i] + line[i - 1]) & 0xFF
-        elif ft == 2:  # Up
-            for i in range(width):
-                line[i] = (line[i] + prev[i]) & 0xFF
-        elif ft == 3:  # Average
-            for i in range(width):
-                left = line[i - 1] if i else 0
-                line[i] = (line[i] + ((left + prev[i]) >> 1)) & 0xFF
-        elif ft == 4:  # Paeth
-            for i in range(width):
-                left = line[i - 1] if i else 0
-                ul = prev[i - 1] if i else 0
-                line[i] = (line[i] + _paeth(left, prev[i], ul)) & 0xFF
-        elif ft != 0:
-            raise ValueError(f"unknown scanline filter {ft}")
-        prev = bytes(line)
-        out += line
-    pix = bytes(out)
+    if ilace == 1:  # Adam7: seven independently-filtered sub-images
+        arr = bytearray(width * height)
+        off = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = len(range(x0, width, dx))
+            ph = len(range(y0, height, dy))
+            if pw == 0 or ph == 0:
+                continue
+            need = (pw + 1) * ph
+            if off + need > len(raw):
+                raise ValueError("Adam7 pass truncated")
+            sub = _unfilter_scanlines(raw[off : off + need], pw, ph)
+            off += need
+            i = 0
+            for r in range(y0, height, dy):
+                base = r * width
+                for c in range(x0, width, dx):
+                    arr[base + c] = sub[i]
+                    i += 1
+        if off != len(raw):
+            raise ValueError("Adam7 data longer than its passes")
+        pix = bytes(arr)
+    else:
+        if len(raw) != (width + 1) * height:
+            raise ValueError("inflated size != (width+1)*height")
+        pix = _unfilter_scanlines(raw, width, height)
     return {
         "width": width,
         "height": height,
@@ -565,7 +640,17 @@ def synthetic_png_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
                 data = bytes(payload)
                 w = int(doc_id) % 13 + 4
                 h = min(len(data) // w, _MAX_HEIGHT)
-                out.append(encode_png_gray8(w, h, data[: w * h]))
+                # rotate the scanline filter AND Adam7 interlace so
+                # every decoder branch sits on the certified path
+                out.append(
+                    encode_png_gray8(
+                        w,
+                        h,
+                        data[: w * h],
+                        filter_type=int(doc_id) % 5,
+                        interlace=(int(doc_id) // 5) % 2 == 1,
+                    )
+                )
             yield pd.DataFrame(
                 {"doc_id": pdf["doc_id"], "payload": out}
             )

@@ -450,3 +450,51 @@ def test_wav_unsupported_format_still_guarded():
     struct.pack_into("<H", wav, at, 3)  # IEEE float: out of scope
     with pytest.raises(NotImplementedError):
         decode_wav_pcm16(bytes(wav))
+
+
+def test_png_adam7_round_trip_all_filters():
+    """Adam7 interlace: seven independently-filtered sub-images on
+    the 8x8 pass grid, every filter type, awkward dims (passes
+    empty / single-pixel)."""
+    import os as _os
+
+    from meta_iterative_mapreduce_spark.operators.multimodal import (
+        decode_png_gray8,
+        encode_png_gray8,
+    )
+
+    rng = __import__("random").Random(7)
+    for w, h in [(1, 1), (2, 2), (7, 11), (8, 8), (9, 17), (3, 40)]:
+        pix = bytes(rng.randrange(256) for _ in range(w * h))
+        for ft in range(5):
+            f = decode_png_gray8(
+                encode_png_gray8(w, h, pix, filter_type=ft, interlace=True)
+            )
+            assert f["pixels"] == pix, (w, h, ft)
+
+
+def test_png_adam7_truncated_pass_detected():
+    import struct as _s
+    import zlib as _z
+
+    from meta_iterative_mapreduce_spark.operators.multimodal import (
+        _png_chunk,
+        _PNG_SIG,
+        decode_png_gray8,
+        encode_png_gray8,
+    )
+
+    png = encode_png_gray8(9, 9, bytes(81), interlace=True)
+    # rebuild with the last 8 inflated bytes missing
+    ihdr = png[8 + 8 : 8 + 8 + 13]
+    start = png.find(b"IDAT") + 4
+    (ln,) = _s.unpack(">I", png[png.find(b"IDAT") - 4 : png.find(b"IDAT")])
+    raw = _z.decompress(png[start : start + ln])
+    bad = (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", _z.compress(raw[:-8]))
+        + _png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="Adam7"):
+        decode_png_gray8(bad)
