@@ -11,7 +11,8 @@ n), and the candidate set stays O(planted), not O(n²) — the
 all-pairs blowup LSH exists to avoid.
 
 Usage: python tools/lsh_profile.py [n_docs ...]  (default 2M, 4M)
-Run with MIMR_DRIVER_MEM=48g at 4M docs (single local JVM).
+Run with MIMR_DRIVER_MEM=48g at 4M docs, 64g at 8M (single local
+JVM; same ~1 GB heap per 1M-row working-set rule as cc_profile).
 """
 
 from __future__ import annotations
