@@ -16,7 +16,9 @@ public TIFF 6.0 specification:
   read per TIFF 6.0 §15). Other bit depths, palettes, and planar
   configs raise NotImplementedError; corrupt structures raise
   ValueError.
-- encode: grayscale-8 with the same three compressions and
+- encode: grayscale-8 with the same three compressions, BOTH byte
+  orders (II and MM — inline tag values keep the leading-bytes rule
+  of TIFF 6.0 §2 under big-endian packing), and
   configurable RowsPerStrip, so multi-strip layouts and every
   decompressor have a real round-trip partner.
 
@@ -238,13 +240,20 @@ def encode_tiff_gray8(
     pixels: bytes,
     compression: str = "packbits",
     rows_per_strip: int = 8,
+    byte_order: str = "II",
 ) -> bytes:
-    """Little-endian (II) grayscale-8 TIFF with `height/rows_per_strip`
-    strips, each independently compressed."""
+    """Grayscale-8 TIFF with `height/rows_per_strip` strips, each
+    independently compressed; `byte_order` picks II (little-endian,
+    the PC default) or MM (big-endian — scanners/Mac-era writers),
+    so the certified rotation exercises the reader's endian handling
+    with real files, not just hand-built test fixtures."""
     if len(pixels) != width * height:
         raise ValueError("pixel buffer does not match dimensions")
     if compression not in _COMPRESSORS:
         raise ValueError(f"unknown compression {compression!r}")
+    if byte_order not in ("II", "MM"):
+        raise ValueError(f"byte_order must be II or MM, not {byte_order!r}")
+    e = "<" if byte_order == "II" else ">"
     comp_tag, comp_fn = _COMPRESSORS[compression]
     rps = max(1, rows_per_strip)
     strips = [
@@ -264,7 +273,7 @@ def encode_tiff_gray8(
         """LONG array: inline if count==1, else appended after data."""
         if len(values) == 1:
             return values[0], None
-        return -1, struct.pack(f"<{len(values)}I", *values)
+        return -1, struct.pack(f"{e}{len(values)}I", *values)
 
     extra = b""
     off_val, off_arr = arr_or_inline(offsets)
@@ -278,7 +287,13 @@ def encode_tiff_gray8(
     ifd_off = pos + len(extra)
 
     def entry(tag: int, typ: int, count: int, value: int) -> bytes:
-        return struct.pack("<HHII", tag, typ, count, value)
+        # SHORT values inline in the LEADING bytes of the 4-byte value
+        # field in BOTH byte orders (TIFF 6.0 §2): pack the value at
+        # its type width, then pad to 4
+        size = {3: 2, 4: 4}[typ]
+        fmt = {3: "H", 4: "I"}[typ]
+        val = struct.pack(f"{e}{fmt}", value) + b"\x00" * (4 - size)
+        return struct.pack(f"{e}HHI", tag, typ, count) + val
 
     entries = [
         entry(256, 3, 1, width),        # ImageWidth SHORT
@@ -291,10 +306,11 @@ def encode_tiff_gray8(
         entry(278, 3, 1, rps),          # RowsPerStrip
         entry(279, 4, n_strips, cnt_val),  # StripByteCounts
     ]
-    ifd = struct.pack("<H", len(entries)) + b"".join(entries) + b"\x00" * 4
+    ifd = struct.pack(f"{e}H", len(entries)) + b"".join(entries) + b"\x00" * 4
+    head = b"II*\x00" if byte_order == "II" else b"MM\x00*"
     return (
-        b"II*\x00"
-        + struct.pack("<I", ifd_off)
+        head
+        + struct.pack(f"{e}I", ifd_off)
         + b"".join(strips)
         + extra
         + ifd
@@ -308,18 +324,22 @@ def encode_tiff_gray8_tiled(
     compression: str = "packbits",
     tile_width: int = 16,
     tile_length: int = 16,
+    byte_order: str = "II",
 ) -> bytes:
-    """Little-endian grayscale-8 TILED TIFF (TileWidth/TileLength/
-    TileOffsets/TileByteCounts, tags 322-325) — the default layout of
-    imaging/geo pipelines. Edge tiles pad to the full tile size with
-    zeros per TIFF 6.0 §15 (the reader crops); tile dims must be
-    positive multiples of 16."""
+    """Grayscale-8 TILED TIFF (TileWidth/TileLength/TileOffsets/
+    TileByteCounts, tags 322-325) in either byte order — the default
+    layout of imaging/geo pipelines. Edge tiles pad to the full tile
+    size with zeros per TIFF 6.0 §15 (the reader crops); tile dims
+    must be positive multiples of 16."""
     if len(pixels) != width * height:
         raise ValueError("pixel buffer does not match dimensions")
     if compression not in _COMPRESSORS:
         raise ValueError(f"unknown compression {compression!r}")
     if tile_width % 16 or tile_length % 16 or tile_width <= 0:
         raise ValueError("tile dims must be positive multiples of 16")
+    if byte_order not in ("II", "MM"):
+        raise ValueError(f"byte_order must be II or MM, not {byte_order!r}")
+    e = "<" if byte_order == "II" else ">"
     comp_tag, comp_fn = _COMPRESSORS[compression]
     arr = np.frombuffer(pixels, dtype=np.uint8).reshape(height, width)
     ta = (width + tile_width - 1) // tile_width
@@ -346,13 +366,18 @@ def encode_tiff_gray8_tiled(
         off_val, cnt_val = offsets[0], counts[0]
     else:
         off_val = pos
-        extra += struct.pack(f"<{len(offsets)}I", *offsets)
+        extra += struct.pack(f"{e}{len(offsets)}I", *offsets)
         cnt_val = pos + len(extra)
-        extra += struct.pack(f"<{len(counts)}I", *counts)
+        extra += struct.pack(f"{e}{len(counts)}I", *counts)
     ifd_off = pos + len(extra)
 
     def entry(tag: int, typ: int, count: int, value: int) -> bytes:
-        return struct.pack("<HHII", tag, typ, count, value)
+        # inline values occupy the LEADING bytes of the value field
+        # in BOTH byte orders (TIFF 6.0 §2)
+        size = {3: 2, 4: 4}[typ]
+        fmt = {3: "H", 4: "I"}[typ]
+        val = struct.pack(f"{e}{fmt}", value) + b"\x00" * (4 - size)
+        return struct.pack(f"{e}HHI", tag, typ, count) + val
 
     entries = [
         entry(256, 3, 1, width),
@@ -366,11 +391,12 @@ def encode_tiff_gray8_tiled(
         entry(324, 4, len(tiles), off_val),  # TileOffsets
         entry(325, 4, len(tiles), cnt_val),  # TileByteCounts
     ]
-    entries.sort(key=lambda b: struct.unpack("<H", b[:2])[0])
-    ifd = struct.pack("<H", len(entries)) + b"".join(entries) + b"\x00" * 4
+    entries.sort(key=lambda b: struct.unpack(f"{e}H", b[:2])[0])
+    ifd = struct.pack(f"{e}H", len(entries)) + b"".join(entries) + b"\x00" * 4
+    head = b"II*\x00" if byte_order == "II" else b"MM\x00*"
     return (
-        b"II*\x00"
-        + struct.pack("<I", ifd_off)
+        head
+        + struct.pack(f"{e}I", ifd_off)
         + b"".join(tiles)
         + extra
         + ifd
@@ -545,10 +571,11 @@ def decode_tiff_gray8(payload: bytes) -> dict:
 def q_multimodal_decode_tiff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round-trip through strip-based TIFF: each document's byte plane
     becomes a grayscale TIFF — compression ROTATES by doc_id over
-    none/PackBits/TIFF-LZW and the LAYOUT rotates between multi-strip
+    none/PackBits/TIFF-LZW, the LAYOUT rotates between multi-strip
     and TILED (16x16 tiles, tags 322-325, edge-tile padding cropped
-    by the reader), so all six decompressor x layout paths are on the
-    certified path — decoded back via the full IFD walk. Lossless, so
+    by the reader), and the BYTE ORDER rotates II/MM, so all twelve
+    decompressor x layout x endian paths are on the certified path —
+    decoded back via the full IFD walk. Lossless, so
     the oracle is the PNG family's exact mean-intensity recomputation
     (the five raster formats must agree byte-for-byte on what they
     transported)."""
@@ -575,10 +602,15 @@ def q_multimodal_decode_tiff(spark: SparkSession, sf_dir: str) -> DataFrame:
                 h = min(len(data) // w, _MAX_HEIGHT)
                 gray = data[: w * h]
                 comp = comps[int(doc_id) % 3]
+                bo = "MM" if int(doc_id) % 12 >= 6 else "II"
                 if int(doc_id) % 6 >= 3:
-                    tif = encode_tiff_gray8_tiled(w, h, gray, compression=comp)
+                    tif = encode_tiff_gray8_tiled(
+                        w, h, gray, compression=comp, byte_order=bo
+                    )
                 else:
-                    tif = encode_tiff_gray8(w, h, gray, compression=comp)
+                    tif = encode_tiff_gray8(
+                        w, h, gray, compression=comp, byte_order=bo
+                    )
                 f = decode_tiff_gray8(tif)
                 if (f["width"], f["height"]) != (w, h):
                     raise ValueError("dim mismatch after TIFF round trip")

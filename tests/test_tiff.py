@@ -237,3 +237,25 @@ def test_tiled_round_trip_property(w, h, seed):
     comp = ("none", "packbits", "lzw")[seed % 3]
     f = decode_tiff_gray8(encode_tiff_gray8_tiled(w, h, px, compression=comp))
     assert f["pixels"].tobytes() == px
+
+
+def test_mm_byte_order_writers_round_trip():
+    """MM (big-endian) output from BOTH writers: header, IFD counts,
+    inline SHORT values (leading-bytes rule), offset arrays — all
+    must survive the endian-generic reader."""
+    from meta_iterative_mapreduce_spark.operators.tiff import (
+        decode_tiff_gray8,
+        encode_tiff_gray8,
+        encode_tiff_gray8_tiled,
+    )
+
+    w, h = 13, 37
+    pix = bytes((i * 31) % 256 for i in range(w * h))
+    for comp in ("none", "packbits", "lzw"):
+        for enc in (encode_tiff_gray8, encode_tiff_gray8_tiled):
+            tif = enc(w, h, pix, compression=comp, byte_order="MM")
+            assert tif[:4] == b"MM\x00*"
+            f = decode_tiff_gray8(tif)
+            assert f["pixels"].tobytes() == pix, (comp, enc.__name__)
+    with pytest.raises(ValueError, match="byte_order"):
+        encode_tiff_gray8(2, 2, bytes(4), byte_order="XX")
