@@ -23,6 +23,23 @@ time when given an explicit read schema, verified in
 tests/test_versioned.py) — any other type change fails at commit
 time. See _merged_schema.
 
+Row-level mutation is COPY-ON-WRITE (`delete_where`, `merge_version`):
+only the files that CONTAIN affected rows are rewritten — every other
+file is referenced unchanged by the new manifest, old versions still
+time-travel to the pre-mutation rows, and vacuum reclaims the
+rewritten files' ancestors. Each manifest records its file-level
+`added`/`removed` delta, which is what `read_changes` turns into a
+CDC stream (I/U/D) by reading ONLY the files that differ between two
+versions — never the unchanged ones.
+
+File skipping: at commit time the writer collects per-file column
+min/max from the parquet FOOTERS (no data scan — the same stats the
+files already carry) into the manifest; `read_version(where=...)`
+prunes files whose range excludes a comparison predicate before the
+scan starts. Composed with Z-order clustering (plans/layout.py) this
+is the manifest-level skip that makes selective reads O(matching
+files), not O(table).
+
 Column mapping (Delta's id-based mapping, the piece that makes
 RENAME and DROP metadata-only): every column carries a stable id and
 a PHYSICAL name — the name actually stored in parquet files, fixed
@@ -239,6 +256,121 @@ def _write_data_files(df: DataFrame, table: str, version: int) -> list[str]:
     return sorted(out)
 
 
+def _collect_file_stats(table: str, files: list[str]) -> dict:
+    """Per-file column min/max harvested from the parquet FOOTERS the
+    writer just produced — zero data reads; this is exactly how a real
+    lakehouse writer populates its manifest stats. Only top-level
+    columns whose footer min/max are JSON-safe scalars (int/float/str/
+    bool, no NaN) are recorded, and a column missing stats in ANY row
+    group of a file is dropped for that file (pruning must stay
+    conservative). Keys are PHYSICAL column names — what the footers
+    actually say."""
+    import math
+
+    import pyarrow.parquet as pq
+
+    out: dict[str, dict[str, list]] = {}
+    for rel in files:
+        md = pq.ParquetFile(os.path.join(table, rel)).metadata
+        acc: dict[str, list] = {}
+        bad: set[str] = set()
+        for rg in range(md.num_row_groups):
+            grp = md.row_group(rg)
+            for ci in range(grp.num_columns):
+                col = grp.column(ci)
+                name = col.path_in_schema
+                if "." in name or name in bad:
+                    continue  # nested leaf: not a top-level column
+                st = col.statistics
+                mn = st.min if st is not None and st.has_min_max else None
+                mx = st.max if st is not None and st.has_min_max else None
+                if isinstance(mn, bytes):
+                    try:
+                        mn, mx = mn.decode(), mx.decode()
+                    except UnicodeDecodeError:
+                        mn = None
+                ok = all(
+                    isinstance(v, (int, float, str, bool))
+                    and not (isinstance(v, float) and math.isnan(v))
+                    for v in (mn, mx)
+                )
+                if not ok:
+                    bad.add(name)
+                    acc.pop(name, None)
+                    continue
+                if name in acc:
+                    acc[name] = [min(acc[name][0], mn), max(acc[name][1], mx)]
+                else:
+                    acc[name] = [mn, mx]
+        out[rel] = acc
+    return out
+
+
+def _file_may_match(
+    stats: dict | None, col: str, op: str, value
+) -> bool:
+    """False only when the file's [min, max] range PROVES no row can
+    satisfy `col op value` (comparison predicates are null-rejecting,
+    so all-null columns prune safely too). Missing stats, or a type
+    family mismatch between the stats and the literal, keep the file —
+    pruning is an optimization, never a correctness lever."""
+    if not stats or col not in stats:
+        return True
+    mn, mx = stats[col]
+    numeric = isinstance(value, (int, float)) and not isinstance(value, bool)
+    stats_numeric = isinstance(mn, (int, float)) and not isinstance(mn, bool)
+    if numeric != stats_numeric:
+        return True
+    if op == "<":
+        return mn < value
+    if op == "<=":
+        return mn <= value
+    if op == ">":
+        return mx > value
+    if op == ">=":
+        return mx >= value
+    if op in ("=", "=="):
+        return mn <= value <= mx
+    raise ValueError(f"unsupported prune op {op!r} (use < <= > >= =)")
+
+
+def manifest_info(table: str, version: int | None = None) -> dict:
+    """The raw committed manifest of `version` (latest if None) — the
+    supported way for operators to read manifest EXTRAS (persisted
+    model artifacts, file deltas, stats) without touching layout
+    internals."""
+    vs = versions(table)
+    if not vs:
+        raise FileNotFoundError(f"no committed versions in {table}")
+    v = vs[-1] if version is None else version
+    if v not in vs:
+        raise ValueError(f"version {v} not in {vs}")
+    return json.load(open(_manifest_path(table, v)))
+
+
+def plan_files(
+    table: str,
+    version: int | None = None,
+    where: tuple[str, str, object] | None = None,
+) -> tuple[list[str], int]:
+    """(selected_files, total_files) for a read of `version` under an
+    optional `where = (logical_col, op, literal)` skip predicate —
+    the file-pruning decision exposed so tests and queries can PIN how
+    many files a selective read actually opens."""
+    m = manifest_info(table, version)
+    files = list(m["files"])
+    if where is None:
+        return files, len(files)
+    col, op, value = where
+    mapping, _, _ = _mapping_state(m, m.get("schema"))
+    phys = {mp["name"]: mp["physical"] for mp in mapping}.get(col, col)
+    fstats = m.get("file_stats", {})
+    kept = [
+        f for f in files if _file_may_match(fstats.get(f), phys, op, value)
+    ]
+    return kept, len(files)
+
+
 def _prev_schema(
     spark: SparkSession, table: str, prev_manifest: dict
 ) -> dict:
@@ -264,6 +396,9 @@ def write_version(df: DataFrame, table: str) -> int:
     v = (vs[-1] + 1) if vs else 1
     schema = df.schema.jsonValue()
     mapping, retired, max_id = _mapping_state(None, schema)
+    prev_files = (
+        manifest_info(table, vs[-1])["files"] if vs else []
+    )
     files = _write_data_files(df, table, v)
     _commit(
         table,
@@ -274,6 +409,9 @@ def write_version(df: DataFrame, table: str) -> int:
         column_mapping=mapping,
         retired_physical=retired,
         max_column_id=max_id,
+        file_stats=_collect_file_stats(table, files),
+        added=files,
+        removed=prev_files,
     )
     return v
 
@@ -297,6 +435,11 @@ def append_version(df: DataFrame, table: str) -> int:
     max_id = _assign_new_columns(schema, mapping, retired, max_id)
     v = vs[-1] + 1
     new_files = _write_data_files(_to_physical(df, mapping), table, v)
+    carried = {
+        f: s
+        for f, s in prev.get("file_stats", {}).items()
+        if f in set(prev["files"])
+    }
     _commit(
         table,
         v,
@@ -306,6 +449,9 @@ def append_version(df: DataFrame, table: str) -> int:
         column_mapping=mapping,
         retired_physical=retired,
         max_column_id=max_id,
+        file_stats={**carried, **_collect_file_stats(table, new_files)},
+        added=new_files,
+        removed=[],
     )
     return v
 
@@ -351,6 +497,9 @@ def rename_column(
         column_mapping=mapping,
         retired_physical=retired,
         max_column_id=max_id,
+        file_stats=prev.get("file_stats", {}),
+        added=[],
+        removed=[],
     )
     return v
 
@@ -389,15 +538,41 @@ def drop_column(spark: SparkSession, table: str, name: str) -> int:
         column_mapping=mapping,
         retired_physical=retired,
         max_column_id=max_id,
+        file_stats=prev.get("file_stats", {}),
+        added=[],
+        removed=[],
     )
     return v
 
 
+def _where_column(where: tuple[str, str, object]) -> F.Column:
+    col, op, value = where
+    c = F.col(col)
+    if op == "<":
+        return c < F.lit(value)
+    if op == "<=":
+        return c <= F.lit(value)
+    if op == ">":
+        return c > F.lit(value)
+    if op == ">=":
+        return c >= F.lit(value)
+    if op in ("=", "=="):
+        return c == F.lit(value)
+    raise ValueError(f"unsupported prune op {op!r}")
+
+
 def read_version(
-    spark: SparkSession, table: str, version: int | None = None
+    spark: SparkSession,
+    table: str,
+    version: int | None = None,
+    where: tuple[str, str, object] | None = None,
 ) -> DataFrame:
     """Time-travel read: the exact immutable file list of `version`
-    (latest if None)."""
+    (latest if None). With `where = (logical_col, op, literal)` the
+    read first SKIPS every file whose manifest min/max range proves it
+    holds no matching row (plan_files), then applies the same
+    predicate as a filter — identical answer to a full scan + filter,
+    opening only the files that can matter."""
     vs = versions(table)
     if not vs:
         raise FileNotFoundError(f"no committed versions in {table}")
@@ -405,9 +580,12 @@ def read_version(
     if v not in vs:
         raise ValueError(f"version {v} not in {vs}")
     m = json.load(open(_manifest_path(table, v)))
-    paths = [os.path.join(table, f) for f in m["files"]]
+    kept, _total = plan_files(table, v, where)
+    paths = [os.path.join(table, f) for f in kept]
+    filt = _where_column(where) if where is not None else None
     if "schema" not in m:  # pre-evolution manifest: plain read
-        return spark.read.parquet(*paths)
+        df = spark.read.parquet(*paths)
+        return df.filter(filt) if filt is not None else df
     # Merge-on-read via an EXPLICIT read schema (the manifest's):
     # files written before a column was added read it back as null,
     # files written with a narrower type up-cast at scan time
@@ -436,12 +614,245 @@ def read_version(
             for f in want
         ]
     )
+    if not paths:  # every file pruned: provably empty result
+        return spark.createDataFrame([], want)
     df = spark.read.schema(phys_schema).parquet(*paths)
-    return df.select(
+    out = df.select(
         *[
             F.col(phys_of.get(f.name, f.name)).alias(f.name)
             for f in want
         ]
+    )
+    return out.filter(filt) if filt is not None else out
+
+
+def _read_files_logical(
+    spark: SparkSession, table: str, m: dict, files: list[str]
+) -> DataFrame:
+    """Read a SUBSET of a manifest's files under its column mapping,
+    returning LOGICAL columns — the building block copy-on-write
+    rewrites and CDC reads share with read_version."""
+    want = StructType.fromJson(m["schema"])
+    want = StructType(
+        [StructField(f.name, f.dataType, True, f.metadata) for f in want]
+    )
+    if not files:
+        return spark.createDataFrame([], want)
+    mapping, _, _ = _mapping_state(m, m["schema"])
+    phys_of = {mp["name"]: mp["physical"] for mp in mapping}
+    phys_schema = StructType(
+        [
+            StructField(phys_of.get(f.name, f.name), f.dataType, True, f.metadata)
+            for f in want
+        ]
+    )
+    df = spark.read.schema(phys_schema).parquet(
+        *[os.path.join(table, f) for f in files]
+    )
+    return df.select(
+        *[F.col(phys_of.get(f.name, f.name)).alias(f.name) for f in want]
+    )
+
+
+def _commit_rewrite(
+    spark: SparkSession,
+    table: str,
+    prev: dict,
+    touched: list[str],
+    replacement: DataFrame | None,
+    **extra,
+) -> int:
+    """Shared copy-on-write commit: replace `touched` files with the
+    files materialized from `replacement` (None/empty ⇒ pure removal),
+    carry every untouched file and its stats unchanged, and record the
+    file-level added/removed delta read_changes consumes. Returns the
+    new version number."""
+    v = prev["version"] + 1
+    mapping, retired, max_id = _mapping_state(prev, prev["schema"])
+    new_files: list[str] = []
+    n_new = 0
+    if replacement is not None:
+        n_new = replacement.count()
+        if n_new:
+            new_files = _write_data_files(
+                _to_physical(replacement, mapping), table, v
+            )
+    untouched = [f for f in prev["files"] if f not in set(touched)]
+    n_untouched_unknown = prev["n_rows"]  # rows in touched files unknown
+    # n_rows: count rows actually surviving outside the rewrite set
+    # once, from the untouched files' footers (metadata-only).
+    import pyarrow.parquet as pq
+
+    n_untouched = sum(
+        pq.ParquetFile(os.path.join(table, f)).metadata.num_rows
+        for f in untouched
+    )
+    del n_untouched_unknown
+    carried = {
+        f: s
+        for f, s in prev.get("file_stats", {}).items()
+        if f in set(untouched)
+    }
+    _commit(
+        table,
+        v,
+        untouched + new_files,
+        n_untouched + n_new,
+        schema=prev["schema"],
+        column_mapping=mapping,
+        retired_physical=retired,
+        max_column_id=max_id,
+        file_stats={**carried, **_collect_file_stats(table, new_files)},
+        added=new_files,
+        removed=list(touched),
+        **extra,
+    )
+    return v
+
+
+def delete_where(
+    spark: SparkSession, table: str, predicate: str
+) -> int:
+    """Row-level DELETE as copy-on-write — the GDPR-delete path a real
+    100 TB pipeline needs: find the files that CONTAIN matching rows
+    (one scan classifying rows by input file; at scale the manifest
+    stats pre-prune this probe), rewrite ONLY those files without the
+    matching rows, and commit a new version referencing every other
+    file unchanged. Old versions still time-travel to the pre-delete
+    rows; vacuum reclaims the rewritten files' ancestors. `predicate`
+    is a SQL boolean expression over LOGICAL columns selecting the
+    rows to delete. Returns the new version.
+
+    Reference analog: the batch-mutation loop kernel.cu:190-196 —
+    state updated in place each round; here the "in place" is a
+    manifest swap over immutable files."""
+    m = manifest_info(table)
+    if "schema" not in m:
+        raise ValueError(
+            "delete_where needs a schema-tracking manifest; "
+            "rewrite the table with write_version first"
+        )
+    tagged = _read_files_logical(spark, table, m, m["files"]).withColumn(
+        "__file", F.element_at(F.split(F.input_file_name(), "/"), -1)
+    )
+    cond = F.expr(predicate)
+    touched_names = {
+        r["__file"]
+        for r in tagged.filter(cond).select("__file").distinct().collect()
+    }
+    touched = [
+        f for f in m["files"] if os.path.basename(f) in touched_names
+    ]
+    if not touched:  # nothing matched: commit an explicit no-op version
+        return _commit_rewrite(spark, table, m, [], None)
+    survivors = _read_files_logical(spark, table, m, touched).filter(
+        ~F.coalesce(cond, F.lit(False))
+    )
+    return _commit_rewrite(spark, table, m, touched, survivors)
+
+
+def merge_version(
+    spark: SparkSession,
+    table: str,
+    updates: DataFrame,
+    key: str,
+    batch_id: int | None = None,
+) -> int:
+    """MERGE INTO the versioned log, copy-on-write, in ONE commit:
+    rows of `updates` whose `key` exists in the table REPLACE the old
+    rows (only the files containing a matched key are rewritten),
+    rows with new keys are APPENDED — upsert semantics with file-level
+    granularity, exactly the Delta MERGE execution shape. Old versions
+    time-travel to the pre-merge state. With `batch_id`, replayed
+    batches are skipped exactly-once style (the versioned_batch_sink
+    contract), so a retried CDC micro-batch cannot double-apply.
+    Returns the committed (or already-committed) latest version."""
+    if batch_id is not None and batch_id in committed_batch_ids(table):
+        return versions(table)[-1]
+    m = manifest_info(table)
+    if "schema" not in m:
+        raise ValueError(
+            "merge_version needs a schema-tracking manifest; "
+            "rewrite the table with write_version first"
+        )
+    table_cols = [f["name"] for f in m["schema"]["fields"]]
+    if sorted(updates.columns) != sorted(table_cols):
+        raise ValueError(
+            f"merge updates columns {sorted(updates.columns)} != table "
+            f"columns {sorted(table_cols)}"
+        )
+    updates = updates.select(*table_cols)
+    keys = updates.select(key).distinct()
+    tagged = _read_files_logical(spark, table, m, m["files"]).withColumn(
+        "__file", F.element_at(F.split(F.input_file_name(), "/"), -1)
+    )
+    touched_names = {
+        r["__file"]
+        for r in tagged.join(keys, key, "left_semi")
+        .select("__file")
+        .distinct()
+        .collect()
+    }
+    touched = [
+        f for f in m["files"] if os.path.basename(f) in touched_names
+    ]
+    # new content = untouched rows of the touched files + EVERY update
+    # row (replacements for matched keys, inserts for new keys)
+    carried = _read_files_logical(spark, table, m, touched).join(
+        keys, key, "left_anti"
+    )
+    replacement = carried.unionByName(updates)
+    extra = {} if batch_id is None else {"batch_id": batch_id}
+    return _commit_rewrite(spark, table, m, touched, replacement, **extra)
+
+
+def read_changes(
+    spark: SparkSession,
+    table: str,
+    v_from: int,
+    v_to: int,
+    key: str,
+) -> DataFrame:
+    """Change-data-feed between two committed versions from the
+    manifests' FILE diff — reads ONLY files that differ, never the
+    unchanged ones (the whole point at 100 TB: a merge touching 2 of
+    20k files costs a 2-file read, not a snapshot diff). Rows living
+    in files carried between the versions cancel out by construction;
+    removed-file rows full-outer-join added-file rows on `key` to
+    classify Insert / Update / Delete, and rewritten-but-identical
+    rows (copy-on-write carryover) are filtered like
+    q_cdc_snapshot_diff filters unchanged keys. Returns
+    (key, op, old_<col>..., new_<col>...) sorted-stable columns."""
+    vs = versions(table)
+    if v_from not in vs or v_to not in vs or v_from >= v_to:
+        raise ValueError(f"need committed v_from < v_to, got {v_from}->{v_to} in {vs}")
+    m_from, m_to = manifest_info(table, v_from), manifest_info(table, v_to)
+    files_from, files_to = set(m_from["files"]), set(m_to["files"])
+    removed = [f for f in m_from["files"] if f not in files_to]
+    added = [f for f in m_to["files"] if f not in files_from]
+    old = _read_files_logical(spark, table, m_from, removed)
+    new = _read_files_logical(spark, table, m_to, added)
+    cols = [c for c in new.columns if c != key]
+    o, n = old.alias("o"), new.alias("n")
+    joined = o.join(n, F.col(f"o.{key}") == F.col(f"n.{key}"), "full")
+    changed = F.lit(False)
+    for c in cols:
+        if c in old.columns:
+            changed = changed | ~F.col(f"o.{c}").eqNullSafe(F.col(f"n.{c}"))
+    return joined.filter(
+        F.col(f"o.{key}").isNull() | F.col(f"n.{key}").isNull() | changed
+    ).select(
+        F.coalesce(F.col(f"o.{key}"), F.col(f"n.{key}")).alias(key),
+        F.when(F.col(f"o.{key}").isNull(), F.lit("I"))
+        .when(F.col(f"n.{key}").isNull(), F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+        *[
+            F.col(f"o.{c}").alias(f"old_{c}")
+            for c in cols
+            if c in old.columns
+        ],
+        *[F.col(f"n.{c}").alias(f"new_{c}") for c in cols],
     )
 
 
@@ -482,6 +893,15 @@ def versioned_batch_sink(table: str):
             mapping, retired, max_id = _mapping_state(prev, prev_schema)
             max_id = _assign_new_columns(schema, mapping, retired, max_id)
         files = _write_data_files(_to_physical(batch_df, mapping), table, v)
+        carried = (
+            {
+                f: s
+                for f, s in prev.get("file_stats", {}).items()
+                if f in set(prev_files)
+            }
+            if vs
+            else {}
+        )
         _commit(
             table,
             v,
@@ -492,6 +912,9 @@ def versioned_batch_sink(table: str):
             column_mapping=mapping,
             retired_physical=retired,
             max_column_id=max_id,
+            file_stats={**carried, **_collect_file_stats(table, files)},
+            added=files,
+            removed=[],
         )
 
     return apply_batch
