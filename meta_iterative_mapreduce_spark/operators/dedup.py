@@ -275,15 +275,14 @@ def q_dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_a", "doc_b")
 
 
-def minhash_band_pairs(sigs: DataFrame) -> DataFrame:
-    """LSH banding over a persisted (doc_id, sig) table: 8 bands of 4
-    rows -> band-bucket self-join -> per-pair signature-agreement
-    Jaccard estimate. The ONLY data-proportional exchange is on
-    (band_id, band_sig); quadratic expansion happens strictly within
-    buckets. Reused by q_dedup_near_minhash and the 1M-doc recall
-    smoke (tools/scale_smoke.py)."""
+def band_rows(sigs: DataFrame) -> DataFrame:
+    """(doc_id, sig, band_id, band_sig): each signature exploded into
+    its 8 LSH band keys — the bucket table banding joins on, and the
+    EXACT rows the incremental path persists to the versioned log (so
+    a future batch joins against these instead of rescanning the
+    corpus)."""
     rows_per_band = _N_HASHES // _N_BANDS
-    banded = sigs.select(
+    return sigs.select(
         "doc_id",
         "sig",
         F.posexplode(
@@ -301,6 +300,16 @@ def minhash_band_pairs(sigs: DataFrame) -> DataFrame:
             )
         ).alias("band_id", "band_sig"),
     )
+
+
+def minhash_band_pairs(sigs: DataFrame) -> DataFrame:
+    """LSH banding over a persisted (doc_id, sig) table: 8 bands of 4
+    rows -> band-bucket self-join -> per-pair signature-agreement
+    Jaccard estimate. The ONLY data-proportional exchange is on
+    (band_id, band_sig); quadratic expansion happens strictly within
+    buckets. Reused by q_dedup_near_minhash and the 1M-doc recall
+    smoke (tools/scale_smoke.py)."""
+    banded = band_rows(sigs)
     a = banded.alias("a")
     b = banded.alias("b")
     pairs = (
@@ -639,3 +648,110 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.filter(
         F.col("containment_e4") >= _CONTAINMENT_THRESHOLD_E4
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental corpus dedup (VERDICT r8 item 6): the 100 TB corpus is
+# deduped ONCE, its MinHash band table persisted to the versioned log
+# (sources/versioned.py — the sketch_persist.py pattern applied to LSH
+# state); every NEW batch then dedups against the corpus by joining its
+# own band rows to the persisted band table — no corpus rescan, ever.
+# Batch cost: O(|batch| signatures) + one bucket join against the band
+# log; appending the batch's band rows (append_version) extends the log
+# for the next batch at O(|batch|) I/O.
+# ---------------------------------------------------------------------------
+
+
+def incremental_band_pairs(
+    new_bands: DataFrame, corpus_bands: DataFrame
+) -> DataFrame:
+    """Candidate near-dup pairs INVOLVING the new batch: join the
+    batch's band rows against (corpus ∪ batch) band rows on the LSH
+    bucket key, normalize each pair to (lower id, higher id) so
+    batch-vs-batch pairs found from both sides dedup away, and score
+    by signature agreement — identical estimator to
+    minhash_band_pairs, so incremental ∪ corpus-internal == full
+    recompute exactly (pinned by tests/test_dedup.py). Corpus-internal
+    pairs never form: the left leg is always a batch row."""
+    all_bands = corpus_bands.unionByName(new_bands)
+    n, c = new_bands.alias("n"), all_bands.alias("c")
+    lo_first = F.col("n.doc_id") < F.col("c.doc_id")
+    lo = F.when(
+        lo_first, F.struct(F.col("n.doc_id").alias("doc_id"), F.col("n.sig").alias("sig"))
+    ).otherwise(F.struct(F.col("c.doc_id").alias("doc_id"), F.col("c.sig").alias("sig")))
+    hi = F.when(
+        lo_first, F.struct(F.col("c.doc_id").alias("doc_id"), F.col("c.sig").alias("sig"))
+    ).otherwise(F.struct(F.col("n.doc_id").alias("doc_id"), F.col("n.sig").alias("sig")))
+    pairs = (
+        n.join(
+            c,
+            (F.col("n.band_id") == F.col("c.band_id"))
+            & (F.col("n.band_sig") == F.col("c.band_sig"))
+            & (F.col("n.doc_id") != F.col("c.doc_id")),
+        )
+        .select(
+            lo["doc_id"].alias("doc_a"),
+            lo["sig"].alias("sig_a"),
+            hi["doc_id"].alias("doc_b"),
+            hi["sig"].alias("sig_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    est = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+            lambda m: m,
+        )
+    ).cast("double") / F.lit(float(_N_HASHES))
+    return pairs.select("doc_a", "doc_b", est.alias("jaccard_est"))
+
+
+def ensure_minhash_band_log(spark: SparkSession, sf_dir: str) -> str:
+    """Versioned band log of the BASE corpus (doc_id % 4 != 0):
+    (doc_id, sig, band_id, band_sig) rows committed once per fixture
+    content (idempotent, fingerprint-keyed)."""
+    import os
+    import tempfile
+
+    from meta_iterative_mapreduce_spark.io import fixture_fingerprint
+    from meta_iterative_mapreduce_spark.sources import versioned
+
+    table = os.path.join(
+        tempfile.gettempdir(),
+        "mimr_versioned",
+        f"minhash_bands_{fixture_fingerprint(sf_dir, 'documents')}",
+    )
+    if len(versioned.versions(table)) == 0:
+        base = load_table(spark, sf_dir, "documents").filter(
+            F.col("doc_id") % 4 != 0
+        )
+        versioned.write_version(
+            band_rows(minhash_signatures(base)), table
+        )
+    return table
+
+
+@register("q_dedup_incremental")  # rows-only: xxhash64-based signatures
+# (same rationale as q_dedup_near_minhash); exact-equality oracle tier:
+# tests/test_dedup.py::test_incremental_dedup_equals_full_recompute
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-incremental near-dup detection WITHOUT a corpus rescan:
+    the base corpus's LSH band table lives in the versioned log
+    (ensure_minhash_band_log — written once, appended per batch); a
+    new batch (doc_id % 4 == 0) computes only ITS signatures and joins
+    them against the persisted bands. Union with the corpus-internal
+    pair set equals the full recompute exactly (pytest-pinned), at
+    per-batch cost independent of corpus size — the only sustainable
+    dedup shape for a growing 100 TB corpus."""
+    from meta_iterative_mapreduce_spark.sources import versioned
+
+    table = ensure_minhash_band_log(spark, sf_dir)
+    corpus_bands = versioned.read_version(spark, table)
+    batch = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 4 == 0
+    )
+    new_bands = band_rows(minhash_signatures(batch)).persist()
+    pairs = incremental_band_pairs(new_bands, corpus_bands)
+    return pairs.select(
+        "doc_a", "doc_b", F.round("jaccard_est", 4).alias("jaccard_est")
+    ).orderBy("doc_a", "doc_b")

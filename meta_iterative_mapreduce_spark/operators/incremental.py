@@ -244,6 +244,349 @@ def q_table_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return r1.unionByName(r2)
 
 
+def _versioned_fixture_path(sf_dir: str, name: str, *tables: str) -> str:
+    import os
+    import tempfile
+
+    from meta_iterative_mapreduce_spark.io import fixture_fingerprint
+
+    return os.path.join(
+        tempfile.gettempdir(),
+        "mimr_versioned",
+        f"{name}_{fixture_fingerprint(sf_dir, *tables)}",
+    )
+
+
+def _orders_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(o_orderkey, o_custkey, cents) — money as exact integer cents
+    (floor-scaled, the q_agg_decimal_exact convention) so every
+    mutation's arithmetic is engine-identical."""
+    return load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+
+
+def ensure_orders_delete_table(spark: SparkSession, sf_dir: str) -> str:
+    """v1 = orders snapshot; v2 = copy-on-write DELETE of every
+    customer ending in 3 (o_custkey % 10 = 3). Idempotent,
+    fingerprint-keyed."""
+    from meta_iterative_mapreduce_spark.sources import versioned
+
+    table = _versioned_fixture_path(sf_dir, "orders_del", "orders")
+    if len(versioned.versions(table)) == 0:
+        versioned.write_version(_orders_cents(spark, sf_dir), table)
+    if len(versioned.versions(table)) == 1:
+        versioned.delete_where(spark, table, "o_custkey % 10 = 3")
+    return table
+
+
+@register(
+    "q_table_delete",
+    oracle="""
+    WITH o AS (
+        SELECT o_orderkey, o_custkey,
+               CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        FROM orders
+    )
+    SELECT 1 AS version, COUNT(*) AS n_rows,
+           CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents
+    FROM o
+    UNION ALL
+    SELECT 2, COUNT(*), CAST(SUM(o_orderkey) AS BIGINT),
+           CAST(SUM(cents) AS BIGINT)
+    FROM o WHERE o_custkey % 10 <> 3
+    """,
+)
+def q_table_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level DELETE committed to the versioned log, hash-certified
+    end-to-end: v2 is a COPY-ON-WRITE commit (only files containing a
+    deleted row were rewritten — sources/versioned.py::delete_where),
+    and time travel to v1 still shows every pre-delete row. The exact
+    integer sums pin both states against the raw fixture; at 100 TB
+    this is the GDPR-delete path (manifest swap over immutable files,
+    old versions reclaimable by vacuum). Reference analog: the
+    batch-mutation loop kernel.cu:190-196."""
+    from meta_iterative_mapreduce_spark.sources import versioned
+
+    table = ensure_orders_delete_table(spark, sf_dir)
+
+    def summarize(v: int) -> DataFrame:
+        return versioned.read_version(spark, table, v).agg(
+            F.lit(v).cast("int").alias("version"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("o_orderkey").cast("bigint").alias("sum_key"),
+            F.sum("cents").cast("bigint").alias("sum_cents"),
+        )
+
+    return summarize(1).unionByName(summarize(2))
+
+
+def ensure_orders_merge_table(spark: SparkSession, sf_dir: str) -> str:
+    """v1 = orders snapshot; v2 = ONE merge_version commit applying a
+    CDC batch of updates (keys % 10 = 0: re-priced +777 cents, status
+    'U') and inserts (keys % 10 = 7 re-keyed +50M, status 'N', cents
+    +111). Idempotent, fingerprint-keyed."""
+    from meta_iterative_mapreduce_spark.sources import versioned
+
+    table = _versioned_fixture_path(sf_dir, "orders_merge", "orders")
+    base = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    if len(versioned.versions(table)) == 0:
+        versioned.write_version(base, table)
+    if len(versioned.versions(table)) == 1:
+        updates = (
+            base.filter(F.col("o_orderkey") % 10 == 0)
+            .withColumn("o_orderstatus", F.lit("U"))
+            .withColumn("cents", F.col("cents") + 777)
+            .unionByName(
+                base.filter(F.col("o_orderkey") % 10 == 7).select(
+                    (F.col("o_orderkey") + 50_000_000).alias("o_orderkey"),
+                    F.lit("N").alias("o_orderstatus"),
+                    (F.col("cents") + 111).alias("cents"),
+                )
+            )
+        )
+        versioned.merge_version(spark, table, updates, "o_orderkey", batch_id=1)
+    return table
+
+
+@register(
+    "q_merge_versioned",
+    oracle="""
+    WITH o AS (
+        SELECT o_orderkey, o_orderstatus,
+               CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        FROM orders
+    ), merged AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 10 = 0 THEN 'U'
+                    ELSE o_orderstatus END AS o_orderstatus,
+               CASE WHEN o_orderkey % 10 = 0 THEN cents + 777
+                    ELSE cents END AS cents
+        FROM o
+        UNION ALL
+        SELECT o_orderkey + 50000000, 'N', cents + 111
+        FROM o WHERE o_orderkey % 10 = 7
+    )
+    SELECT 1 AS version, COUNT(*) AS n_rows,
+           CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents,
+           CAST(SUM(CASE WHEN o_orderstatus = 'U' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_u,
+           CAST(SUM(CASE WHEN o_orderstatus = 'N' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_n
+    FROM o
+    UNION ALL
+    SELECT 2, COUNT(*), CAST(SUM(o_orderkey) AS BIGINT),
+           CAST(SUM(cents) AS BIGINT),
+           CAST(SUM(CASE WHEN o_orderstatus = 'U' THEN 1 ELSE 0 END)
+                AS BIGINT),
+           CAST(SUM(CASE WHEN o_orderstatus = 'N' THEN 1 ELSE 0 END)
+                AS BIGINT)
+    FROM merged
+    """,
+)
+def q_merge_versioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO the versioned log, hash-certified: one commit
+    applies matched-row replacements (copy-on-write rewrite of only
+    the files holding a matched key) AND unmatched inserts
+    (sources/versioned.py::merge_version), under the exactly-once
+    batch-id contract so a replayed CDC batch cannot double-apply.
+    v1 pins the pre-merge state via time travel; v2's exact integer
+    sums + per-status counts pin the merge against a full-recompute
+    oracle. The fixture's raw-orderstatus sums ride through both sides
+    untouched, so a lost or duplicated carried row breaks the hash."""
+    from meta_iterative_mapreduce_spark.sources import versioned
+
+    table = ensure_orders_merge_table(spark, sf_dir)
+
+    def summarize(v: int) -> DataFrame:
+        return versioned.read_version(spark, table, v).agg(
+            F.lit(v).cast("int").alias("version"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("o_orderkey").cast("bigint").alias("sum_key"),
+            F.sum("cents").cast("bigint").alias("sum_cents"),
+            F.sum(
+                F.when(F.col("o_orderstatus") == "U", 1).otherwise(0)
+            ).cast("bigint").alias("n_u"),
+            F.sum(
+                F.when(F.col("o_orderstatus") == "N", 1).otherwise(0)
+            ).cast("bigint").alias("n_n"),
+        )
+
+    return summarize(1).unionByName(summarize(2))
+
+
+def ensure_orders_cdc_table(spark: SparkSession, sf_dir: str) -> str:
+    """Three-commit CDC fixture mirroring q_cdc_snapshot_diff's A→B
+    transition as actual log commits: v1 = snapshot A (keys % 3 != 0),
+    v2 = merge applying B's inserts (% 3 = 0 and % 5 != 0) and
+    re-prices (% 7 = 0, +555 cents), v3 = delete of B's removals
+    (% 5 = 0). Idempotent, fingerprint-keyed."""
+    from meta_iterative_mapreduce_spark.sources import versioned
+
+    table = _versioned_fixture_path(sf_dir, "orders_cdc", "orders")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    k = F.col("o_orderkey")
+    if len(versioned.versions(table)) == 0:
+        versioned.write_version(o.filter(k % 3 != 0), table)
+    if len(versioned.versions(table)) == 1:
+        b_value = F.when(k % 7 == 0, F.col("cents") + 555).otherwise(
+            F.col("cents")
+        )
+        inserts = o.filter((k % 3 == 0) & (k % 5 != 0)).select(
+            "o_orderkey", b_value.alias("cents")
+        )
+        reprices = o.filter(
+            (k % 3 != 0) & (k % 5 != 0) & (k % 7 == 0)
+        ).select("o_orderkey", (F.col("cents") + 555).alias("cents"))
+        versioned.merge_version(
+            spark, table, inserts.unionByName(reprices), "o_orderkey"
+        )
+    if len(versioned.versions(table)) == 2:
+        versioned.delete_where(spark, table, "o_orderkey % 5 = 0")
+    return table
+
+
+@register(
+    "q_cdc_read_changes",
+    oracle="""
+    WITH o AS (
+        SELECT o_orderkey,
+               CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        FROM orders
+    ), snap_a AS (
+        SELECT * FROM o WHERE o_orderkey % 3 <> 0
+    ), snap_b AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 7 = 0 THEN cents + 555
+                    ELSE cents END AS cents
+        FROM o WHERE o_orderkey % 5 <> 0
+    )
+    SELECT COALESCE(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+           CASE WHEN a.o_orderkey IS NULL THEN 'I'
+                WHEN b.o_orderkey IS NULL THEN 'D'
+                ELSE 'U' END AS op,
+           a.cents AS old_cents,
+           b.cents AS new_cents
+    FROM snap_a a FULL OUTER JOIN snap_b b USING (o_orderkey)
+    WHERE a.o_orderkey IS NULL OR b.o_orderkey IS NULL
+       OR a.cents <> b.cents
+    """,
+)
+def q_cdc_read_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-feed READ from manifest file diffs, hash-certified
+    against the full-snapshot-diff oracle (q_cdc_snapshot_diff's
+    shape): the I/U/D stream between v1 and v3 of a versioned table
+    mutated by a real merge commit + a real delete commit, computed by
+    reading ONLY the files the manifests disagree on — carried files
+    never enter the join (sources/versioned.py::read_changes;
+    tests/test_versioned_mutations.py pins the file sets). Identical
+    answer to a two-snapshot full outer join at a fraction of the
+    read: the 100 TB CDC contract."""
+    from meta_iterative_mapreduce_spark.sources import versioned
+
+    table = ensure_orders_cdc_table(spark, sf_dir)
+    return versioned.read_changes(spark, table, 1, 3, "o_orderkey")
+
+
+def ensure_orders_sliced_table(spark: SparkSession, sf_dir: str) -> str:
+    """Eight contiguous key-range slices of orders committed as eight
+    single-file appends — disjoint per-file o_orderkey min/max, the
+    clustered layout manifest stats can actually skip on (what Z-order
+    compaction produces at scale; plans/layout.py). Idempotent,
+    fingerprint-keyed."""
+    from meta_iterative_mapreduce_spark.sources import versioned
+
+    table = _versioned_fixture_path(sf_dir, "orders_sliced", "orders")
+    if len(versioned.versions(table)) >= 8:
+        return table
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    w = _orders_slice_width(spark, sf_dir)
+    done = len(versioned.versions(table))
+    for i in range(done, 8):
+        sl = o.filter(
+            (F.col("o_orderkey") >= i * w) & (F.col("o_orderkey") < (i + 1) * w)
+        ).coalesce(1)
+        if i == 0:
+            versioned.write_version(sl, table)
+        else:
+            versioned.append_version(sl, table)
+    return table
+
+
+def _orders_slice_width(spark: SparkSession, sf_dir: str) -> int:
+    mx = (
+        load_table(spark, sf_dir, "orders")
+        .agg(F.max("o_orderkey"))
+        .collect()[0][0]
+    )
+    return int(mx) // 8 + 1
+
+
+@register(
+    "q_scan_file_skip",
+    oracle="""
+    WITH o AS (
+        SELECT o_orderkey,
+               CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        FROM orders
+    ), w AS (SELECT MAX(o_orderkey) // 8 + 1 AS w FROM o)
+    SELECT 8 AS n_files_total, 1 AS n_files_read,
+           COUNT(*) AS n_rows,
+           CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents
+    FROM o, w WHERE o_orderkey < w.w
+    """,
+)
+def q_scan_file_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest-stats FILE SKIPPING, hash-certified including the file
+    counts: a key-range predicate over an 8-file range-clustered
+    versioned table must open exactly ONE of the eight files (the
+    n_files_read column comes from the engine's own pruning decision —
+    sources/versioned.py::plan_files — and the oracle pins it to the
+    literal 1), and the pruned read's exact integer aggregates must
+    equal the full-scan-and-filter answer. The composition that makes
+    selective reads O(matching files) at 100 TB: cluster the layout
+    (Z-order / range compaction), record footer min/max in the
+    manifest at commit, prune at plan time."""
+    from meta_iterative_mapreduce_spark.sources import versioned
+
+    table = ensure_orders_sliced_table(spark, sf_dir)
+    w = _orders_slice_width(spark, sf_dir)
+    kept, total = versioned.plan_files(table, where=("o_orderkey", "<", w))
+    pruned = versioned.read_version(
+        spark, table, where=("o_orderkey", "<", w)
+    )
+    return pruned.agg(
+        F.lit(total).cast("int").alias("n_files_total"),
+        F.lit(len(kept)).cast("int").alias("n_files_read"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("o_orderkey").cast("bigint").alias("sum_key"),
+        F.sum("cents").cast("bigint").alias("sum_cents"),
+    )
+
+
 def ensure_nation_mapped_table(spark: SparkSession, sf_dir: str) -> str:
     """Five-version column-mapping fixture over nation (idempotent,
     content-fingerprint keyed, resumable mid-build): v1 snapshot,

@@ -156,3 +156,41 @@ def test_containment_finds_planted_subset(spark, tmp_path):
         for r in registry.queries()["q_dedup_containment"](spark, sf).collect()
     }
     assert rows == {(1, 2): 10000}
+
+
+def test_incremental_dedup_equals_full_recompute(spark, sf_dir):
+    """The q_dedup_incremental oracle tier (rows-only in the registry):
+    corpus-internal pairs + batch-incremental pairs == the full-corpus
+    recompute, EXACTLY. Unrounded estimates compared — every value is
+    n_agree/32, an exact binary fraction (Spark's HALF_UP and Python's
+    banker's rounding disagree on true midpoints like 29/32)."""
+    from meta_iterative_mapreduce_spark.io import load_table
+    from meta_iterative_mapreduce_spark.operators.dedup import (
+        band_rows,
+        incremental_band_pairs,
+        minhash_band_pairs,
+        minhash_signatures,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.filter(F.col("doc_id") % 4 != 0)
+    batch = docs.filter(F.col("doc_id") % 4 == 0)
+
+    def pairset(df):
+        return {
+            (r["doc_a"], r["doc_b"], r["jaccard_est"]) for r in df.collect()
+        }
+
+    full = pairset(minhash_band_pairs(minhash_signatures(docs).persist()))
+    base_pairs = pairset(
+        minhash_band_pairs(minhash_signatures(base).persist())
+    )
+    inc = pairset(
+        incremental_band_pairs(
+            band_rows(minhash_signatures(batch)).persist(),
+            band_rows(minhash_signatures(base)),
+        )
+    )
+    assert base_pairs | inc == full
+    assert not (base_pairs & inc)  # incremental never re-finds corpus pairs
+    assert inc  # the batch genuinely contributes pairs at this sf
