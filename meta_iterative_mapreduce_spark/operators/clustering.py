@@ -366,23 +366,59 @@ def pq_encode(
     )
 
 
+def ensure_pq_index(spark: SparkSession, sf_dir: str) -> tuple[str, list]:
+    """Train-once-query-many PQ index (VERDICT r8 item 8): the first
+    caller per fixture content trains the M×K codebook (3 Lloyd
+    rounds), encodes the WHOLE corpus, and commits codes + codebook to
+    the versioned log in ONE atomic manifest (the codebook rides as a
+    manifest extra — it IS metadata of those codes; a codes table read
+    can never see a codebook from a different training run). Every
+    later caller — q_embed_pq's quality report, q_sim_pq_adc's search,
+    the next bench trial — reads the tiny codes table and 4 KB of
+    book floats instead of re-running Lloyd: the production IVF-PQ
+    shape (build once, query many). Returns (table_path, books)."""
+    import os
+    import tempfile
+
+    from meta_iterative_mapreduce_spark.io import fixture_fingerprint
+    from meta_iterative_mapreduce_spark.sources import versioned
+
+    table = os.path.join(
+        tempfile.gettempdir(),
+        "mimr_versioned",
+        f"pq_idx_{fixture_fingerprint(sf_dir, 'embeddings')}",
+    )
+    if len(versioned.versions(table)) == 0:
+        e = load_table(spark, sf_dir, "embeddings")
+        sub = _pq_subvectors(e, "embedding").cache()
+        try:
+            books = pq_train(
+                e, "embedding", e.filter(F.col("vec_id") < _PQ_K), sub=sub
+            )
+            enc = pq_encode(e, "embedding", books, sub=sub)
+            versioned.write_version(enc, table, pq_books=books)
+        finally:
+            sub.unpersist()
+    return table, versioned.manifest_info(table)["pq_books"]
+
+
 @register("q_embed_pq")  # rows-only: driver-iterative Lloyd codebooks
 # (fp-boundary assignment flips between engines — same rationale as
 # q_cluster_kmeans)
 def q_embed_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization compression of the embedding corpus
-    (M=8 × K=16 -> 4-byte codes, 16× smaller than float32): train the
-    codebook in 3 one-pass-per-iteration Lloyd rounds, encode every
-    vector, and report per-label compression quality (count + mean
-    reconstruction error). The ADC search tier reuses these codes with
-    a K×M lookup table per query — the standard billion-scale ANN
-    memory layout (IVF-PQ) whose IVF half is q_sim_ivf_ann."""
+    (M=8 × K=16 -> 4-byte codes, 16× smaller than float32): the
+    persisted PQ index (ensure_pq_index — trained once per fixture,
+    committed codes + codebook) reports per-label compression quality
+    (count + mean reconstruction error). The ADC search tier
+    (q_sim_pq_adc) reuses the same persisted codes with a K×M lookup
+    table per query — the standard billion-scale ANN memory layout
+    (IVF-PQ) whose IVF half is q_sim_ivf_ann."""
+    from meta_iterative_mapreduce_spark.sources import versioned
+
     e = load_table(spark, sf_dir, "embeddings")
-    sub = _pq_subvectors(e, "embedding").cache()
-    books = pq_train(
-        e, "embedding", e.filter(F.col("vec_id") < _PQ_K), sub=sub
-    )
-    enc = pq_encode(e, "embedding", books, sub=sub)
+    table, _books = ensure_pq_index(spark, sf_dir)
+    enc = versioned.read_version(spark, table)
     return (
         e.join(enc, "vec_id")
         .groupBy("label")
@@ -396,21 +432,24 @@ def q_embed_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("q_sim_pq_adc")  # rows-only: PQ codebook is driver-iterative
 def q_sim_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Asymmetric-distance (ADC) top-k search over PQ codes — the
-    query tier of IVF-PQ: the query's 128-entry lookup table (squared
-    distance from each query subvector to each codebook centroid) is
-    computed driver-side and folded into the scan as literals, so the
-    approximate distance of a database vector is M array lookups + a
-    sum over its 4-byte code — no float vectors are read at query
-    time. Returns one evaluation row: recall@10 of ADC against the
-    exact float-vector top-10 (both arms TakeOrderedAndProject), the
-    metric that tunes M/K — reported for raw ADC@10 AND for the
-    production two-stage design (ADC shortlist of 50 -> exact re-rank
-    of just those 50 float vectors -> top-10). Query = vec_id 0,
-    excluded from both arms."""
+    """Asymmetric-distance (ADC) top-k search over the PERSISTED PQ
+    index (ensure_pq_index — codebook trained once per fixture and
+    committed with the codes; this query never runs Lloyd): the
+    query's 128-entry lookup table (squared distance from each query
+    subvector to each codebook centroid) is computed driver-side from
+    the persisted books and folded into the codes scan as literals, so
+    the approximate distance of a database vector is M array lookups +
+    a sum over its 4-byte code — no float vectors are read to rank.
+    Returns one evaluation row: recall@10 of ADC against the exact
+    float-vector top-10 (both arms TakeOrderedAndProject), the metric
+    that tunes M/K — reported for raw ADC@10 AND for the production
+    two-stage design (ADC shortlist of 50 -> exact re-rank of just
+    those 50 float vectors -> top-10). Query = vec_id 0, excluded
+    from both arms."""
+    from meta_iterative_mapreduce_spark.sources import versioned
+
     e = load_table(spark, sf_dir, "embeddings")
-    sub = _pq_subvectors(e, "embedding").cache()
-    books = pq_train(e, "embedding", e.filter(F.col("vec_id") < _PQ_K), sub=sub)
+    table, books = ensure_pq_index(spark, sf_dir)
     q = [float(x) for x in e.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
     # driver-side LUT[sub][code] = ||q_sub - cent||²
     lut = [
@@ -426,8 +465,8 @@ def q_sim_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     lut_col = F.array(
         *[F.array(*[F.lit(x) for x in row]) for row in lut]
     )
-    enc = pq_encode(
-        e, "embedding", books, sub=sub.filter(F.col("vec_id") != 0)
+    enc = versioned.read_version(spark, table).filter(
+        F.col("vec_id") != 0
     )
     adc = F.aggregate(
         F.zip_with(

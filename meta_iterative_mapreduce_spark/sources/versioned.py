@@ -387,11 +387,14 @@ def _prev_schema(
     return spark.read.parquet(*paths).schema.jsonValue()
 
 
-def write_version(df: DataFrame, table: str) -> int:
+def write_version(df: DataFrame, table: str, **extra) -> int:
     """Commit df as a full snapshot (next version). Returns version.
     A snapshot references ONLY its own files, so the column mapping
     resets to the identity (fresh ids, physical = logical) — earlier
-    versions keep their own manifests' mappings for time travel."""
+    versions keep their own manifests' mappings for time travel.
+    `extra` keyword fields land in the manifest verbatim (readable via
+    manifest_info) — how a job persists small model artifacts (e.g. a
+    PQ codebook) atomically WITH the data they describe."""
     vs = versions(table)
     v = (vs[-1] + 1) if vs else 1
     schema = df.schema.jsonValue()
@@ -412,6 +415,7 @@ def write_version(df: DataFrame, table: str) -> int:
         file_stats=_collect_file_stats(table, files),
         added=files,
         removed=prev_files,
+        **extra,
     )
     return v
 

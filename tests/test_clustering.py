@@ -153,3 +153,27 @@ def test_pq_adc_recall_row_sane(spark, sf_dir):
     assert len(r) == 1
     row = r[0]
     assert 0.0 <= row["recall_adc"] <= row["recall_rerank"] <= 1.0
+
+
+def test_pq_index_is_persisted_and_reused(spark, sf_dir):
+    """ensure_pq_index trains at most once per fixture content: a
+    second call commits nothing new (same single version) and returns
+    the identical codebook; the ADC query therefore runs at scan cost
+    with recall unchanged (VERDICT r8 item 8)."""
+    from meta_iterative_mapreduce_spark.operators.clustering import (
+        ensure_pq_index,
+        q_sim_pq_adc,
+    )
+    from meta_iterative_mapreduce_spark.sources import versioned
+
+    table, books1 = ensure_pq_index(spark, sf_dir)
+    v_before = versioned.versions(table)
+    table2, books2 = ensure_pq_index(spark, sf_dir)
+    assert table2 == table
+    assert versioned.versions(table) == v_before == [1]
+    assert books2 == books1
+    # codebook shape: M subspaces x K codes x dim floats
+    assert len(books1) == 8 and all(len(b) == 16 for b in books1)
+    row = q_sim_pq_adc(spark, sf_dir).collect()[0]
+    # two-stage re-rank must dominate raw ADC and stay a valid recall
+    assert 0.0 <= row["recall_adc"] <= row["recall_rerank"] <= 1.0
