@@ -548,6 +548,10 @@ def sample_gif_frames(payload: bytes, every_k: int = 2) -> list[np.ndarray]:
     pixel data), the same 1/k contract as sample_mp4_payloads /
     the AVI sampler."""
     data = bytes(payload)
+    # index FIRST: it validates header magic + length, so a short or
+    # non-GIF payload raises the documented ValueError instead of a
+    # struct.error from the LSD unpack below (ADVICE r8)
+    entries = parse_gif_frame_index(data)
     sw, sh, packed, _bg, _aspect = struct.unpack("<HHBBB", data[6:13])
     gct = None
     if packed & 0x80:
@@ -556,7 +560,7 @@ def sample_gif_frames(payload: bytes, every_k: int = 2) -> list[np.ndarray]:
             data[13 : 13 + 3 * gct_len], dtype=np.uint8
         ).reshape(-1, 3)
     out = []
-    for entry in parse_gif_frame_index(data)[::every_k]:
+    for entry in entries[::every_k]:
         pix, _ = _decode_image_at(data, entry["offset"], gct, sw, sh)
         out.append(pix)
     return out

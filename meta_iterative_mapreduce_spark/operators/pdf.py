@@ -648,6 +648,11 @@ def _ascii85_decode(data: bytes) -> bytes:
         n = 0
         for g in group + [84] * (5 - k):
             n = n * 85 + g
+        if n > 0xFFFFFFFF:
+            # 'u'-padded partial groups can exceed 32 bits too (e.g.
+            # b"uu"): same contract as the full-group check — ValueError,
+            # not an OverflowError escaping from to_bytes (ADVICE r8)
+            raise ValueError("ASCII85 group overflows 32 bits")
         out += n.to_bytes(4, "big")[: k - 1]
     return bytes(out)
 
@@ -1073,7 +1078,12 @@ def extract_pdf_pages(payload: bytes) -> list[str]:
         raise ValueError("bad PDF header")
     if b"/Encrypt" in data:
         raise NotImplementedError("encrypted PDFs not supported")
-    if b"startxref" in data:
+    # strict-xref vs salvage is decided by startxref in the TAIL only
+    # (the spec places it in the last line before %%EOF): an xref-less
+    # fragment whose compressed stream bytes happen to contain
+    # 'startxref' must salvage, not raise (ADVICE r8 — same
+    # false-positive class as an /Encrypt substring sniff)
+    if b"startxref" in data[-2048:]:
         objmap, trailer = _parse_xref_chain(data)
         pages = _walk_pages(data, objmap, trailer)
     else:

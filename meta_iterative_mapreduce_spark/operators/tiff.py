@@ -335,7 +335,7 @@ def encode_tiff_gray8_tiled(
         raise ValueError("pixel buffer does not match dimensions")
     if compression not in _COMPRESSORS:
         raise ValueError(f"unknown compression {compression!r}")
-    if tile_width % 16 or tile_length % 16 or tile_width <= 0:
+    if tile_width % 16 or tile_length % 16 or tile_width <= 0 or tile_length <= 0:
         raise ValueError("tile dims must be positive multiples of 16")
     if byte_order not in ("II", "MM"):
         raise ValueError(f"byte_order must be II or MM, not {byte_order!r}")

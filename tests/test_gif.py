@@ -189,3 +189,18 @@ def test_gif_animation_single_frame_and_corrupt():
         encode_gif_animation(2, 2, [])
     with _p.raises(ValueError):
         encode_gif_animation(2, 2, [bytes(3)])
+
+
+def test_sample_gif_frames_validates_header_first():
+    """ADVICE r9: a short or non-GIF payload raises the module's
+    documented ValueError (header validation precedes the LSD/GCT
+    unpack), never a struct.error."""
+    import pytest
+
+    from meta_iterative_mapreduce_spark.operators.gif import (
+        sample_gif_frames,
+    )
+
+    for bad in (b"", b"GIF8", b"NOTAGIF\x00\x00\x00\x00\x00\x00\x00"):
+        with pytest.raises(ValueError, match="bad GIF header"):
+            sample_gif_frames(bad)

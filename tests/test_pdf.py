@@ -428,3 +428,38 @@ def test_filter_array_decode_order():
 @settings(max_examples=25, deadline=None)
 def test_filter_chain_round_trip_property(text):
     assert _rt(encode_pdf_filter_chain, text) == text
+
+
+def test_ascii85_partial_group_overflow_is_valueerror():
+    """ADVICE r9: a 'u'-padded FINAL partial group can exceed 32 bits
+    (b'uu' pads to base-85 digits 84,84,84,84,84 > 2^32) — must raise
+    the documented ValueError like the full-group path, not leak an
+    OverflowError from int.to_bytes."""
+    with pytest.raises(ValueError, match="overflows"):
+        _ascii85_decode(b"uu")
+    with pytest.raises(ValueError, match="overflows"):
+        _ascii85_decode(b"uuuu~>")
+
+
+def test_startxref_sniff_reads_tail_only():
+    """ADVICE r9: strict-xref vs salvage mode keys on startxref in the
+    file TAIL (where the spec puts it), so an xref-less fragment whose
+    body bytes happen to contain 'startxref' still salvages instead of
+    failing the xref walk."""
+    from meta_iterative_mapreduce_spark.operators.pdf import (
+        encode_simple_pdf,
+        extract_pdf_pages,
+    )
+
+    full = encode_simple_pdf(["tail sniff page"])
+    frag = (
+        full[: full.index(b"xref")]
+        + b"% stream junk: startxref 12345\n"
+        + b"%" + b"x" * 3000 + b"\n"
+    )
+    assert b"startxref" in frag and b"startxref" not in frag[-2048:]
+    pages = extract_pdf_pages(frag)
+    assert len(pages) == 1 and "tail sniff page" in pages[0]
+    # and a REAL file keeps the strict path: the same writer's intact
+    # output still parses via its tail startxref
+    assert extract_pdf_pages(full) == pages

@@ -259,3 +259,18 @@ def test_mm_byte_order_writers_round_trip():
             assert f["pixels"].tobytes() == pix, (comp, enc.__name__)
     with pytest.raises(ValueError, match="byte_order"):
         encode_tiff_gray8(2, 2, bytes(4), byte_order="XX")
+
+
+def test_tiled_writer_rejects_nonpositive_tile_length():
+    """ADVICE r9: tile_length <= 0 (e.g. -16, a negative multiple of
+    16) must fail the dim guard, not produce nonsense tile counts."""
+    import pytest
+
+    from meta_iterative_mapreduce_spark.operators.tiff import (
+        encode_tiff_gray8_tiled,
+    )
+
+    pix = bytes(range(64)) * 4
+    for bad_w, bad_h in ((-16, 16), (16, -16), (16, 0)):
+        with pytest.raises(ValueError, match="positive multiples"):
+            encode_tiff_gray8_tiled(16, 16, pix, tile_width=bad_w, tile_length=bad_h)
