@@ -85,6 +85,17 @@ def _best_of(trials: int, fn) -> float:
     return round(best, 3)
 
 
+# Queries that get ONE untimed warmup run before the timed trials:
+# q_graph_triangles builds two persisted tables whose first
+# population races across all cores (VERDICT r8 item 7 — it topped
+# BENCH_DELTA three rounds on unchanged code; its cold first trial
+# runs ~2.5x its converged time, so min-of-2 still caught a
+# half-warm number). The warmup populates the caches; the timed
+# trials then measure the plan, consistent with every other query's
+# min-of-N warm-measurement contract.
+WARMUP_FIRST = {"q_graph_triangles"}
+
+
 def _timed_adaptive(fn) -> float:
     """Noise control (VERDICT r4 item 9 / r5 carry): sub-second
     queries are the ones BENCH_DELTA kept flagging at 1.3-1.9x with
@@ -187,6 +198,8 @@ def main() -> None:
         if i in station_at:
             _station()
         try:
+            if name in WARMUP_FIRST:
+                materialize(fn(spark, sf_dir))
             timings[name] = _timed_adaptive(lambda: materialize(fn(spark, sf_dir)))
         except Exception as exc:  # noqa: BLE001
             timings[name] = -1.0

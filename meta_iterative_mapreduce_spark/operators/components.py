@@ -483,6 +483,13 @@ def triangle_stats(pairs: DataFrame, force_shuffle: bool = False) -> DataFrame:
         // 2
     )
     n_edges = pairs.count()  # cached — no recompute
+    # populate the oriented cache DETERMINISTICALLY before the three
+    # join legs fan out: otherwise both broadcast builds and the probe
+    # leg race to compute it concurrently across all cores — sometimes
+    # 3x the orientation work, and the reason q_graph_triangles topped
+    # BENCH_DELTA's noise list three rounds running (3.9→7.2→5.8 s on
+    # unchanged code; VERDICT r8 item 7)
+    oriented.count()
     e1 = oriented.alias("e1")
     e2, e3 = oriented.alias("e2"), oriented.alias("e3")
     if n_edges <= _BCAST_EDGE_LIMIT and not force_shuffle:

@@ -46,72 +46,79 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 
 
 # The external verification window records the FIRST 50 queries in the
-# order queries() yields them. Rounds 1-7 certified all 211 then-
+# order queries() yields them. Rounds 1-8 certified all 219 then-
 # registered queries at least once with zero failures; the debt is
-# staleness only. The round-8 priority below = (a) new round-8
+# staleness only. The round-9 priority below = (a) new round-9
 # registrations (never-stamped — tests/test_registry_window.py derives
-# that set from CORRECTNESS_r*.json and asserts they LEAD), then
-# (b) the twelve r03-stamped queries VERDICT r7 item 2 requires
-# re-certified, then (c) queries whose OUTPUT or fixture rotation
-# changed this round (multiclass sum_best_e4, PDF xref-stream docs,
-# GIF LCT/interlace, tiled TIFF, G.711 WAV), then (d) the stalest
-# r04-stamped queries filling the remaining slots. Every query is
-# additionally verified by the identical in-repo oracle harness
-# (tools/check.py, tests/test_oracle.py) every round regardless of
-# window membership, and every name below must be registered (phantom
-# entries fail CI instead of being silently dropped by _ordered()).
+# that set from CORRECTNESS_r*.json and asserts they LEAD: the four
+# versioned-log mutation queries + incremental dedup), then
+# (b) q_embed_pca_power, whose oracle was upgraded rows-only→hash in
+# r8 but missed the r8 window (VERDICT r8 item 1: never-hash-stamped
+# leads), then (c) ALL 23 r04-stamped queries — after this round every
+# declared query carries a ≤5-round-old stamp and nothing older than
+# r05 remains, then (d) q_embed_pq, whose implementation moved to the
+# persisted PQ index this round, then (e) the stalest r05-stamped
+# queries filling the remaining slots. Every query is additionally
+# verified by the identical in-repo oracle harness (tools/check.py,
+# tests/test_oracle.py) every round regardless of window membership,
+# and every name below must be registered (phantom entries fail CI
+# instead of being silently dropped by _ordered()).
 WINDOW_PRIORITY: tuple[str, ...] = (
-    # never-stamped round-8 registrations lead
-    "q_table_column_mapping",
-    "q_stream_session_timer",
-    "q_multimodal_frame_sample_gif",
-    "q_tpch_q2_shape",
-    "q_tpch_q4_shape",
-    "q_tpch_q13_shape",
-    "q_tpch_q17_shape",
-    "q_tpch_q22_shape",
-    "q_text_pii_redact",
-    "q_text_repetition",
-    "q_ts_anomaly",
-    "q_ts_downsample",
-    "q_ts_gapfill",
-    "q_udaf_grouped",
-    "q_udf_grouped_map",
-    "q_udf_pandas",
-    "q_udf_python",
-    "q_udtf_explode",
-    "q_udtf_python",
-    "q_zorder_layout",
-    "q_embed_score_multiclass",
-    "q_text_pdf_extract",
-    "q_multimodal_decode_gif",
-    "q_multimodal_decode_tiff",
-    "q_multimodal_audio_wav",
-    "q_agg_benford",
-    "q_agg_bitmap_distinct",
-    "q_agg_cube",
-    "q_agg_decimal_exact",
-    "q_agg_mode",
-    "q_agg_moments",
-    "q_agg_rollup",
-    "q_corpus_domain_cap",
-    "q_cte_recursive",
-    "q_dedup_containment",
-    "q_dedup_fuzzy_names",
-    "q_dedup_semantic",
+    # never-stamped round-9 registrations lead
+    "q_table_delete",
+    "q_merge_versioned",
+    "q_cdc_read_changes",
+    "q_scan_file_skip",
+    "q_dedup_incremental",
+    # oracle upgraded r8, no driver hash stamp yet
+    "q_embed_pca_power",
+    # the 23 r04-stamped queries (VERDICT r8 item 1)
+    "q_multimodal_phash_pairs",
+    "q_profile_table",
+    "q_regression_kfold",
+    "q_sample_hash",
+    "q_sample_stratified",
+    "q_sample_weighted",
+    "q_scalar_collation",
+    "q_scalar_hash",
+    "q_sim_pq_adc",
+    "q_sketch_hll_intersect",
+    "q_stream_enrich",
+    "q_stream_running_totals",
+    "q_table_checksum",
+    "q_text_boilerplate",
+    "q_text_bpe_learn",
+    "q_text_entropy",
+    "q_tpch_q21_shape",
+    "q_ts_autocorr",
+    "q_ts_changepoint",
+    "q_ts_interpolate",
+    "q_ts_rollup_hier",
+    "q_ts_seasonal",
+    "q_window_distribution",
+    # implementation moved to the persisted PQ index this round
     "q_embed_pq",
-    "q_events_funnel_windowed",
-    "q_events_paths",
-    "q_events_rfm",
-    "q_graph_bfs",
-    "q_graph_link_predict",
-    "q_join_asof_nearest",
-    "q_join_cross",
-    "q_join_interval_overlap",
-    "q_merge_scd2",
-    "q_multimodal_decode_jpeg",
-    "q_multimodal_decode_jpeg_color",
-    "q_multimodal_phash",
+    # stalest r05-stamped fill
+    "q_agg_approx_distinct",
+    "q_agg_approx_quantile",
+    "q_agg_arg_minmax",
+    "q_agg_bitwise",
+    "q_agg_bool",
+    "q_agg_count_distinct",
+    "q_agg_global",
+    "q_agg_groupby",
+    "q_agg_grouping_sets",
+    "q_agg_histogram",
+    "q_agg_percentile",
+    "q_agg_pivot",
+    "q_agg_regression_exact",
+    "q_agg_stats",
+    "q_agg_string_agg",
+    "q_cluster_kmeans",
+    "q_cte_multi",
+    "q_dedup_exact",
+    "q_dedup_exact_norm",
+    "q_dedup_near_minhash",
 )
 
 

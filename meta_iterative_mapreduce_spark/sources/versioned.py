@@ -924,6 +924,54 @@ def versioned_batch_sink(table: str):
     return apply_batch
 
 
+def compact_version(
+    spark: SparkSession,
+    table: str,
+    sort_col: str | None = None,
+    target_files: int = 8,
+) -> int:
+    """OPTIMIZE analog: rewrite the latest version's data as
+    `target_files` files, range-clustered on `sort_col` when given
+    (repartitionByRange + intra-file sort), and commit the result as a
+    new version — small-file compaction and stats-friendly clustering
+    in one log-structured commit. After compacting on a column, the
+    manifest's per-file min/max ranges for it are near-disjoint, so
+    `read_version(where=...)` skipping actually bites (the
+    `q_zorder_layout` composition at the file level). Old versions
+    still time-travel to the pre-compaction layout; vacuum reclaims
+    it. Returns the new version."""
+    m = manifest_info(table)
+    if "schema" not in m:
+        raise ValueError(
+            "compact_version needs a schema-tracking manifest; "
+            "rewrite the table with write_version first"
+        )
+    df = _read_files_logical(spark, table, m, m["files"])
+    if sort_col is not None:
+        df = df.repartitionByRange(target_files, F.col(sort_col)).sortWithinPartitions(sort_col)
+    else:
+        df = df.coalesce(target_files)
+    return _commit_rewrite(spark, table, m, list(m["files"]), df)
+
+
+def versioned_merge_sink(table: str, key: str):
+    """foreachBatch function applying a CDC stream as EXACTLY-ONCE
+    MERGE commits: each micro-batch upserts by `key` via
+    merge_version, whose batch-id ledger skips replayed batches — the
+    apply side of CDC (complementing read_changes, the extract side),
+    with copy-on-write file granularity instead of append-only.
+    Usage:
+        df.writeStream.foreachBatch(versioned_merge_sink(path, "k"))...
+    """
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        merge_version(
+            batch_df.sparkSession, table, batch_df, key, batch_id=batch_id
+        )
+
+    return apply_batch
+
+
 def vacuum(table: str, keep_versions: int = 2) -> dict:
     """Retention GC, the Delta VACUUM analog: drop all but the newest
     `keep_versions` manifests, then delete every data file no longer

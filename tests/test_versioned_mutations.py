@@ -181,3 +181,50 @@ def test_read_changes_pure_append_is_all_inserts(spark, tmp_path):
     ch = V.read_changes(spark, table, v_from, v_to, "k")
     assert {r["op"] for r in ch.collect()} == {"I"}
     assert ch.count() == 2
+
+
+def test_compact_version_clusters_files_for_skipping(spark, tmp_path):
+    """OPTIMIZE analog: an interleaved (hash-like) layout prunes
+    nothing; after compact_version(sort_col=...) the per-file ranges
+    are near-disjoint and the same predicate skips most files — same
+    rows before and after, pre-compaction layout still time-travels."""
+    table = str(tmp_path / "c")
+    df = spark.range(0, 400).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("v")
+    )
+    # interleaved: file i holds keys with k % 4 == i -> every file
+    # spans [i, ~400), no range is selective
+    for i in range(4):
+        sl = df.filter(F.col("k") % 4 == i).coalesce(1)
+        (V.write_version if i == 0 else V.append_version)(sl, table)
+    pre_v = V.versions(table)[-1]
+    kept_pre, total_pre = V.plan_files(table, where=("k", "<", 100))
+    assert len(kept_pre) == total_pre == 4  # nothing skippable
+    V.compact_version(spark, table, sort_col="k", target_files=4)
+    kept_post, total_post = V.plan_files(table, where=("k", "<", 100))
+    assert len(kept_post) < total_post  # clustering made skipping bite
+    post = V.read_version(spark, table)
+    assert post.count() == 400
+    assert sorted(map(tuple, post.collect())) == sorted(
+        map(tuple, V.read_version(spark, table, pre_v).collect())
+    )
+    pruned = V.read_version(spark, table, where=("k", "<", 100))
+    assert pruned.count() == 100
+
+
+def test_versioned_merge_sink_replay_is_exactly_once(spark, tmp_path):
+    """The CDC-apply sink: replayed micro-batches (same batchId) are
+    skipped by merge_version's batch ledger — applying batch 0 twice
+    and batch 1 once yields exactly two merge commits."""
+    table = str(tmp_path / "s")
+    base = spark.createDataFrame([(1, 10), (2, 20)], "k long, v long")
+    V.write_version(base, table)
+    sink = V.versioned_merge_sink(table, "k")
+    b0 = spark.createDataFrame([(1, 11), (3, 30)], "k long, v long")
+    sink(b0, 0)
+    sink(b0, 0)  # replay: must be a no-op
+    b1 = spark.createDataFrame([(2, 22)], "k long, v long")
+    sink(b1, 1)
+    assert V.versions(table) == [1, 2, 3]
+    got = {r["k"]: r["v"] for r in V.read_version(spark, table).collect()}
+    assert got == {1: 11, 2: 22, 3: 30}
