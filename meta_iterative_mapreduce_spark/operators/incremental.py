@@ -326,6 +326,174 @@ def q_table_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     return summarize(1).unionByName(summarize(2))
 
 
+def ensure_orders_dv_table(spark: SparkSession, sf_dir: str) -> str:
+    """v1 = orders snapshot; v2 = MERGE-ON-READ delete via deletion
+    vectors (o_custkey % 10 = 7) — same file list, one DV file.
+    Idempotent, fingerprint-keyed."""
+    from meta_iterative_mapreduce_spark.sources import versioned
+
+    table = _versioned_fixture_path(sf_dir, "orders_dv", "orders")
+    if len(versioned.versions(table)) == 0:
+        versioned.write_version(_orders_cents(spark, sf_dir), table)
+    if len(versioned.versions(table)) == 1:
+        versioned.delete_where(
+            spark, table, "o_custkey % 10 = 7", mode="dv"
+        )
+    return table
+
+
+@register(
+    "q_table_delete_dv",
+    oracle="""
+    WITH o AS (
+        SELECT o_orderkey, o_custkey,
+               CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        FROM orders
+    )
+    SELECT 1 AS version, COUNT(*) AS n_rows,
+           CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents,
+           0 AS n_files_rewritten
+    FROM o
+    UNION ALL
+    SELECT 2, COUNT(*), CAST(SUM(o_orderkey) AS BIGINT),
+           CAST(SUM(cents) AS BIGINT), 0
+    FROM o WHERE o_custkey % 10 <> 7
+    """,
+)
+def q_table_delete_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read DELETE via DELETION VECTORS, hash-certified: v2
+    commits the SAME data files plus a (file, row_index) DV — the
+    n_files_rewritten column comes from the manifest's own
+    added/removed delta and the oracle pins it to the literal 0 —
+    while every reader anti-joins the DV so the deleted customers'
+    rows vanish from v2 and time travel to v1 still sums them. The
+    complement of q_table_delete's copy-on-write discipline: O(match)
+    delete cost for small/frequent deletes, materialized later by any
+    rewrite (sources/versioned.py::delete_where mode='dv';
+    tests/test_versioned_mutations.py pins the no-resurrection
+    interplay)."""
+    from meta_iterative_mapreduce_spark.sources import versioned
+
+    table = ensure_orders_dv_table(spark, sf_dir)
+
+    def summarize(v: int) -> DataFrame:
+        m = versioned.manifest_info(table, v)
+        n_rewritten = len(m.get("removed", []))
+        return versioned.read_version(spark, table, v).agg(
+            F.lit(v).cast("int").alias("version"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("o_orderkey").cast("bigint").alias("sum_key"),
+            F.sum("cents").cast("bigint").alias("sum_cents"),
+            F.lit(n_rewritten).cast("int").alias("n_files_rewritten"),
+        )
+
+    return summarize(1).unionByName(summarize(2))
+
+
+def ensure_orders_stream_cdc_table(spark: SparkSession, sf_dir: str) -> str:
+    """Streaming CDC apply fixture: v1 = orders snapshot, then TWO
+    deterministic micro-batches replayed through versioned_merge_sink
+    — batch 0 applied TWICE (the exactly-once ledger must skip the
+    replay), batch 1 once. Final state = exactly 3 versions.
+    Idempotent, fingerprint-keyed."""
+    from meta_iterative_mapreduce_spark.sources import versioned
+
+    table = _versioned_fixture_path(sf_dir, "orders_stream_cdc", "orders")
+    base = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    if len(versioned.versions(table)) == 0:
+        versioned.write_version(base, table)
+    sink = versioned.versioned_merge_sink(table, "o_orderkey")
+    if len(versioned.versions(table)) == 1:
+        b0 = (
+            base.filter(F.col("o_orderkey") % 10 == 0)
+            .withColumn("o_orderstatus", F.lit("U"))
+            .withColumn("cents", F.col("cents") + 100)
+        )
+        sink(b0, 0)
+        sink(b0, 0)  # replayed micro-batch: must be skipped
+    if len(versioned.versions(table)) == 2:
+        b1 = (
+            base.filter(F.col("o_orderkey") % 10 == 5)
+            .withColumn("o_orderstatus", F.lit("U"))
+            .withColumn("cents", F.col("cents") + 200)
+            .unionByName(
+                base.filter(F.col("o_orderkey") % 10 == 7).select(
+                    (F.col("o_orderkey") + 60_000_000).alias("o_orderkey"),
+                    F.lit("N").alias("o_orderstatus"),
+                    (F.col("cents") + 300).alias("cents"),
+                )
+            )
+        )
+        sink(b1, 1)
+        sink(b1, 1)  # replay again
+    return table
+
+
+@register(
+    "q_stream_cdc_apply",
+    oracle="""
+    WITH o AS (
+        SELECT o_orderkey, o_orderstatus,
+               CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        FROM orders
+    ), final AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 10 IN (0, 5) THEN 'U'
+                    ELSE o_orderstatus END AS o_orderstatus,
+               CASE WHEN o_orderkey % 10 = 0 THEN cents + 100
+                    WHEN o_orderkey % 10 = 5 THEN cents + 200
+                    ELSE cents END AS cents
+        FROM o
+        UNION ALL
+        SELECT o_orderkey + 60000000, 'N', cents + 300
+        FROM o WHERE o_orderkey % 10 = 7
+    )
+    SELECT 3 AS n_versions, COUNT(*) AS n_rows,
+           CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents,
+           CAST(SUM(CASE WHEN o_orderstatus = 'U' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_u,
+           CAST(SUM(CASE WHEN o_orderstatus = 'N' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_n
+    FROM final
+    """,
+)
+def q_stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC APPLY with exactly-once MERGE commits,
+    hash-certified end-to-end: two deterministic micro-batches each
+    REPLAYED through versioned_merge_sink (the foreachBatch contract —
+    Structured Streaming re-delivers a batch with the same batchId
+    after failures), whose batch-id ledger must skip every replay. The
+    oracle pins n_versions to the literal 3 (base + exactly TWO merge
+    commits — a double-apply would commit a 4th version AND double the
+    reprices, breaking two columns at once) and recomputes the final
+    state's exact integer aggregates from scratch. The apply side of
+    CDC, closing the loop with q_cdc_read_changes (the extract side)."""
+    from meta_iterative_mapreduce_spark.sources import versioned
+
+    table = ensure_orders_stream_cdc_table(spark, sf_dir)
+    n_versions = len(versioned.versions(table))
+    return versioned.read_version(spark, table).agg(
+        F.lit(n_versions).cast("int").alias("n_versions"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("o_orderkey").cast("bigint").alias("sum_key"),
+        F.sum("cents").cast("bigint").alias("sum_cents"),
+        F.sum(
+            F.when(F.col("o_orderstatus") == "U", 1).otherwise(0)
+        ).cast("bigint").alias("n_u"),
+        F.sum(
+            F.when(F.col("o_orderstatus") == "N", 1).otherwise(0)
+        ).cast("bigint").alias("n_n"),
+    )
+
+
 def ensure_orders_merge_table(spark: SparkSession, sf_dir: str) -> str:
     """v1 = orders snapshot; v2 = ONE merge_version commit applying a
     CDC batch of updates (keys % 10 = 0: re-priced +777 cents, status

@@ -65,6 +65,8 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # instead of being silently dropped by _ordered()).
 WINDOW_PRIORITY: tuple[str, ...] = (
     # never-stamped round-9 registrations lead
+    "q_table_delete_dv",
+    "q_stream_cdc_apply",
     "q_table_delete",
     "q_merge_versioned",
     "q_cdc_read_changes",
@@ -117,8 +119,6 @@ WINDOW_PRIORITY: tuple[str, ...] = (
     "q_cluster_kmeans",
     "q_cte_multi",
     "q_dedup_exact",
-    "q_dedup_exact_norm",
-    "q_dedup_near_minhash",
 )
 
 

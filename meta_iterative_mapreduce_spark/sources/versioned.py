@@ -456,6 +456,7 @@ def append_version(df: DataFrame, table: str) -> int:
         file_stats={**carried, **_collect_file_stats(table, new_files)},
         added=new_files,
         removed=[],
+        dv_files=list(prev.get("dv_files", [])),
     )
     return v
 
@@ -504,6 +505,7 @@ def rename_column(
         file_stats=prev.get("file_stats", {}),
         added=[],
         removed=[],
+        dv_files=list(prev.get("dv_files", [])),
     )
     return v
 
@@ -545,6 +547,7 @@ def drop_column(spark: SparkSession, table: str, name: str) -> int:
         file_stats=prev.get("file_stats", {}),
         added=[],
         removed=[],
+        dv_files=list(prev.get("dv_files", [])),
     )
     return v
 
@@ -594,54 +597,54 @@ def read_version(
     # files written before a column was added read it back as null,
     # files written with a narrower type up-cast at scan time
     # (int→long / float→double — Spark 4 parquet reader promotion),
-    # and projection order is pinned by the manifest, not by file
-    # listing order. This deliberately avoids mergeSchema: the
-    # footer-union pass reads every file's footer up front (a driver
-    # bottleneck at 100 TB file counts) and CANNOT reconcile widened
-    # types at all (CANNOT_MERGE_SCHEMAS).
-    want = StructType.fromJson(m["schema"])
-    # force nullability: merge-on-read legitimately yields nulls for
-    # columns some files omit, even if the writing batch's schema
-    # declared them non-null.
-    want = StructType(
-        [StructField(f.name, f.dataType, True, f.metadata) for f in want]
-    )
-    # column mapping: scan under PHYSICAL names (what the files
-    # store), then alias back to THIS manifest's logical names — the
-    # projection that makes rename/drop metadata-only. Pre-mapping
-    # manifests synthesize the identity, so this is a no-op select.
-    mapping, _, _ = _mapping_state(m, m["schema"])
-    phys_of = {mp["name"]: mp["physical"] for mp in mapping}
-    phys_schema = StructType(
-        [
-            StructField(phys_of.get(f.name, f.name), f.dataType, True, f.metadata)
-            for f in want
-        ]
-    )
-    if not paths:  # every file pruned: provably empty result
-        return spark.createDataFrame([], want)
-    df = spark.read.schema(phys_schema).parquet(*paths)
-    out = df.select(
-        *[
-            F.col(phys_of.get(f.name, f.name)).alias(f.name)
-            for f in want
-        ]
-    )
+    # projection order is pinned by the manifest (not file listing
+    # order), physical names alias back to THIS manifest's logical
+    # names (column mapping), and deletion vectors are anti-joined —
+    # all in _read_files_logical. This deliberately avoids
+    # mergeSchema: the footer-union pass reads every file's footer up
+    # front (a driver bottleneck at 100 TB file counts) and CANNOT
+    # reconcile widened types at all (CANNOT_MERGE_SCHEMAS).
+    out = _read_files_logical(spark, table, m, kept)
     return out.filter(filt) if filt is not None else out
 
 
+def _dv_table(spark: SparkSession, table: str, dv_files: list[str]) -> DataFrame:
+    """(file, row_index) pairs of all recorded deletion vectors."""
+    return spark.read.parquet(
+        *[os.path.join(table, f) for f in dv_files]
+    ).select("file", "row_index")
+
+
 def _read_files_logical(
-    spark: SparkSession, table: str, m: dict, files: list[str]
+    spark: SparkSession,
+    table: str,
+    m: dict,
+    files: list[str],
+    with_position: bool = False,
 ) -> DataFrame:
     """Read a SUBSET of a manifest's files under its column mapping,
     returning LOGICAL columns — the building block copy-on-write
-    rewrites and CDC reads share with read_version."""
+    rewrites, deletion-vector applies, and CDC reads share with
+    read_version. The manifest's DELETION VECTORS (merge-on-read
+    deletes) are ALWAYS applied — a row whose (file, row_index) is
+    DV'd is invisible to every consumer, including rewrites (no
+    resurrection through copy-on-write). with_position=True keeps the
+    `__file` (basename) and `__row_index` position columns exposed."""
+    from pyspark.sql.types import LongType, StringType
+
     want = StructType.fromJson(m["schema"])
     want = StructType(
         [StructField(f.name, f.dataType, True, f.metadata) for f in want]
     )
+    pos_fields = [
+        StructField("__file", StringType(), True),
+        StructField("__row_index", LongType(), True),
+    ]
     if not files:
-        return spark.createDataFrame([], want)
+        return spark.createDataFrame(
+            [],
+            StructType(list(want) + (pos_fields if with_position else [])),
+        )
     mapping, _, _ = _mapping_state(m, m["schema"])
     phys_of = {mp["name"]: mp["physical"] for mp in mapping}
     phys_schema = StructType(
@@ -653,9 +656,36 @@ def _read_files_logical(
     df = spark.read.schema(phys_schema).parquet(
         *[os.path.join(table, f) for f in files]
     )
-    return df.select(
-        *[F.col(phys_of.get(f.name, f.name)).alias(f.name) for f in want]
+    dv_files = m.get("dv_files", [])
+    need_pos = with_position or bool(dv_files)
+    pos_cols = (
+        [
+            F.element_at(
+                F.split(F.col("_metadata.file_path"), "/"), -1
+            ).alias("__file"),
+            F.col("_metadata.row_index").alias("__row_index"),
+        ]
+        if need_pos
+        else []
     )
+    out = df.select(
+        *[F.col(phys_of.get(f.name, f.name)).alias(f.name) for f in want],
+        *pos_cols,
+    )
+    if dv_files:
+        dv = _dv_table(spark, table, dv_files).select(
+            F.col("file").alias("__dv_file"),
+            F.col("row_index").alias("__dv_ri"),
+        )
+        out = out.join(
+            dv,
+            (F.col("__file") == F.col("__dv_file"))
+            & (F.col("__row_index") == F.col("__dv_ri")),
+            "left_anti",
+        )
+    if need_pos and not with_position:
+        out = out.drop("__file", "__row_index")
+    return out
 
 
 def _commit_rewrite(
@@ -682,16 +712,23 @@ def _commit_rewrite(
                 _to_physical(replacement, mapping), table, v
             )
     untouched = [f for f in prev["files"] if f not in set(touched)]
-    n_untouched_unknown = prev["n_rows"]  # rows in touched files unknown
     # n_rows: count rows actually surviving outside the rewrite set
-    # once, from the untouched files' footers (metadata-only).
+    # from the untouched files' footers (metadata-only), minus any
+    # deletion-vector entries still masking rows in those files.
     import pyarrow.parquet as pq
 
     n_untouched = sum(
         pq.ParquetFile(os.path.join(table, f)).metadata.num_rows
         for f in untouched
     )
-    del n_untouched_unknown
+    dv_files = list(prev.get("dv_files", []))
+    if dv_files and untouched:
+        base_of = {os.path.basename(f) for f in untouched}
+        n_untouched -= (
+            _dv_table(spark, table, dv_files)
+            .filter(F.col("file").isin(list(base_of)))
+            .count()
+        )
     carried = {
         f: s
         for f, s in prev.get("file_stats", {}).items()
@@ -709,37 +746,95 @@ def _commit_rewrite(
         file_stats={**carried, **_collect_file_stats(table, new_files)},
         added=new_files,
         removed=list(touched),
+        # DV entries for rewritten basenames can never match again
+        # (part filenames are globally unique); carried entries keep
+        # masking untouched files' rows.
+        dv_files=dv_files,
         **extra,
     )
     return v
 
 
 def delete_where(
-    spark: SparkSession, table: str, predicate: str
+    spark: SparkSession, table: str, predicate: str, mode: str = "cow"
 ) -> int:
-    """Row-level DELETE as copy-on-write — the GDPR-delete path a real
-    100 TB pipeline needs: find the files that CONTAIN matching rows
-    (one scan classifying rows by input file; at scale the manifest
-    stats pre-prune this probe), rewrite ONLY those files without the
-    matching rows, and commit a new version referencing every other
-    file unchanged. Old versions still time-travel to the pre-delete
-    rows; vacuum reclaims the rewritten files' ancestors. `predicate`
-    is a SQL boolean expression over LOGICAL columns selecting the
-    rows to delete. Returns the new version.
+    """Row-level DELETE — the GDPR-delete path a real 100 TB pipeline
+    needs — in either of the two lakehouse disciplines:
+
+    - mode="cow" (copy-on-write, the default): find the files that
+      CONTAIN matching rows (one scan classifying rows by file; at
+      scale the manifest stats pre-prune this probe), rewrite ONLY
+      those files without the matching rows, and commit a new version
+      referencing every other file unchanged. Best for large deletes /
+      read-heavy tables (reads stay pure scans).
+    - mode="dv" (merge-on-read DELETION VECTORS, Delta/Iceberg v2
+      style): write the matching rows' (file, row_index) positions as
+      a deletion-vector file and commit a manifest referencing the
+      SAME data files plus the DV — zero data rewritten, delete cost
+      O(matches), and every reader anti-joins the DV at scan time.
+      Best for small/frequent deletes; a later compact_version (or
+      any copy-on-write rewrite of the file) materializes the delete
+      and the DV entries go inert. Production DVs are roaring bitmaps
+      in sidecars; the parquet (file, row_index) pair table here is
+      the same contract with the same read-side algebra.
+
+    Old versions still time-travel to the pre-delete rows; vacuum
+    reclaims unreferenced data AND DV files. `predicate` is a SQL
+    boolean expression over LOGICAL columns selecting rows to delete.
+    Re-deleting already-DV'd rows is a no-op (the probe reads with
+    DVs applied). Returns the new version.
 
     Reference analog: the batch-mutation loop kernel.cu:190-196 —
     state updated in place each round; here the "in place" is a
     manifest swap over immutable files."""
+    if mode not in ("cow", "dv"):
+        raise ValueError(f"mode must be 'cow' or 'dv', not {mode!r}")
     m = manifest_info(table)
     if "schema" not in m:
         raise ValueError(
             "delete_where needs a schema-tracking manifest; "
             "rewrite the table with write_version first"
         )
-    tagged = _read_files_logical(spark, table, m, m["files"]).withColumn(
-        "__file", F.element_at(F.split(F.input_file_name(), "/"), -1)
+    tagged = _read_files_logical(
+        spark, table, m, m["files"], with_position=True
     )
     cond = F.expr(predicate)
+    if mode == "dv":
+        matches = tagged.filter(cond).select(
+            F.col("__file").alias("file"),
+            F.col("__row_index").alias("row_index"),
+        )
+        n_del = matches.count()
+        if n_del == 0:
+            return _commit_rewrite(spark, table, m, [], None)
+        v = m["version"] + 1
+        sub = os.path.join(
+            _DATA_DIR, f"v{v:06d}-dv-{uuid.uuid4().hex[:8]}"
+        )
+        matches.coalesce(1).write.mode("error").parquet(
+            os.path.join(table, sub)
+        )
+        new_dv = sorted(
+            os.path.join(sub, f)
+            for f in os.listdir(os.path.join(table, sub))
+            if f.endswith(".parquet")
+        )
+        mapping, retired, max_id = _mapping_state(m, m["schema"])
+        _commit(
+            table,
+            v,
+            m["files"],
+            m["n_rows"] - n_del,
+            schema=m["schema"],
+            column_mapping=mapping,
+            retired_physical=retired,
+            max_column_id=max_id,
+            file_stats=m.get("file_stats", {}),
+            added=[],
+            removed=[],
+            dv_files=list(m.get("dv_files", [])) + new_dv,
+        )
+        return v
     touched_names = {
         r["__file"]
         for r in tagged.filter(cond).select("__file").distinct().collect()
@@ -787,8 +882,8 @@ def merge_version(
         )
     updates = updates.select(*table_cols)
     keys = updates.select(key).distinct()
-    tagged = _read_files_logical(spark, table, m, m["files"]).withColumn(
-        "__file", F.element_at(F.split(F.input_file_name(), "/"), -1)
+    tagged = _read_files_logical(
+        spark, table, m, m["files"], with_position=True
     )
     touched_names = {
         r["__file"]
@@ -836,6 +931,41 @@ def read_changes(
     added = [f for f in m_to["files"] if f not in files_from]
     old = _read_files_logical(spark, table, m_from, removed)
     new = _read_files_logical(spark, table, m_to, added)
+    # deletion-vector delta: rows deleted IN PLACE in carried files
+    # (merge-on-read deletes move no file, so the file diff alone
+    # can't see them). Read only the carried files the new DV entries
+    # actually reference, restrict to positions visible at v_from,
+    # and add them to the old leg as disappearing rows.
+    dv_before = set(m_from.get("dv_files", []))
+    dv_delta = [
+        f for f in m_to.get("dv_files", []) if f not in dv_before
+    ]
+    if dv_delta:
+        dvd = _dv_table(spark, table, dv_delta).select(
+            F.col("file").alias("__dv_file"),
+            F.col("row_index").alias("__dv_ri"),
+        )
+        hit_names = {
+            r["__dv_file"] for r in dvd.select("__dv_file").distinct().collect()
+        }
+        carried_hit = [
+            f
+            for f in m_from["files"]
+            if f in files_to and os.path.basename(f) in hit_names
+        ]
+        dv_rows = (
+            _read_files_logical(
+                spark, table, m_from, carried_hit, with_position=True
+            )
+            .join(
+                dvd,
+                (F.col("__file") == F.col("__dv_file"))
+                & (F.col("__row_index") == F.col("__dv_ri")),
+                "left_semi",
+            )
+            .drop("__file", "__row_index")
+        )
+        old = old.unionByName(dv_rows)
     cols = [c for c in new.columns if c != key]
     o, n = old.alias("o"), new.alias("n")
     joined = o.join(n, F.col(f"o.{key}") == F.col(f"n.{key}"), "full")
@@ -919,6 +1049,7 @@ def versioned_batch_sink(table: str):
             file_stats={**carried, **_collect_file_stats(table, files)},
             added=files,
             removed=[],
+            dv_files=list(prev.get("dv_files", [])) if vs else [],
         )
 
     return apply_batch
@@ -991,10 +1122,14 @@ def vacuum(table: str, keep_versions: int = 2) -> dict:
     drop, keep = vs[:-keep_versions], vs[-keep_versions:]
     live: set[str] = set()
     for v in keep:
-        live.update(json.load(open(_manifest_path(table, v)))["files"])
+        m = json.load(open(_manifest_path(table, v)))
+        live.update(m["files"])
+        live.update(m.get("dv_files", []))  # DVs are as live as data
     dead: set[str] = set()
     for v in drop:
-        dead.update(json.load(open(_manifest_path(table, v)))["files"])
+        m = json.load(open(_manifest_path(table, v)))
+        dead.update(m["files"])
+        dead.update(m.get("dv_files", []))
     dead -= live
     for v in drop:  # manifests first: nothing references dead files now
         os.unlink(_manifest_path(table, v))

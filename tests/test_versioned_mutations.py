@@ -228,3 +228,80 @@ def test_versioned_merge_sink_replay_is_exactly_once(spark, tmp_path):
     assert V.versions(table) == [1, 2, 3]
     got = {r["k"]: r["v"] for r in V.read_version(spark, table).collect()}
     assert got == {1: 11, 2: 22, 3: 30}
+
+
+def test_dv_delete_hides_rows_without_rewriting_files(spark, tmp_path):
+    """Merge-on-read deletion vectors: the commit references the SAME
+    data files (zero rewritten), readers anti-join the DV, time travel
+    shows the pre-delete rows, and a re-delete of the same predicate
+    is a no-op (the probe reads with DVs applied)."""
+    table = _range_sliced_table(spark, tmp_path)
+    pre_files = V.manifest_info(table)["files"]
+    v = V.delete_where(spark, table, "k % 10 = 3", mode="dv")
+    m = V.manifest_info(table, v)
+    assert m["files"] == pre_files  # no data file moved
+    assert m["added"] == [] and m["removed"] == []
+    assert len(m["dv_files"]) == 1
+    assert m["n_rows"] == 90
+    post = V.read_version(spark, table)
+    assert post.count() == 90
+    assert post.filter(F.expr("k % 10 = 3")).count() == 0
+    assert V.read_version(spark, table, v - 1).count() == 100
+    # re-delete: nothing left to match -> explicit no-op version
+    v2 = V.delete_where(spark, table, "k % 10 = 3", mode="dv")
+    assert V.manifest_info(table, v2)["n_rows"] == 90
+    assert len(V.manifest_info(table, v2).get("dv_files", [])) == 1
+
+
+def test_dv_then_copy_on_write_does_not_resurrect(spark, tmp_path):
+    """A copy-on-write rewrite of a DV-masked file materializes the
+    delete: the rewritten file excludes the DV'd rows (the rewrite
+    reads with DVs applied), so they cannot resurrect."""
+    table = _range_sliced_table(spark, tmp_path)
+    V.delete_where(spark, table, "k = 7", mode="dv")
+    # merge touches file 0 (k=5 lives there) -> file 0 is rewritten
+    updates = spark.createDataFrame([(5, 555)], "k long, v long")
+    V.merge_version(spark, table, updates, "k")
+    got = V.read_version(spark, table)
+    assert got.filter("k = 7").count() == 0  # still deleted
+    assert got.filter("k = 5").collect()[0]["v"] == 555
+    assert got.count() == 99
+    # and compaction of the whole table keeps the delete materialized
+    V.compact_version(spark, table, sort_col="k", target_files=2)
+    assert V.read_version(spark, table).count() == 99
+    assert V.read_version(spark, table).filter("k = 7").count() == 0
+
+
+def test_dv_survives_appends_and_mixes_with_cow(spark, tmp_path):
+    table = _range_sliced_table(spark, tmp_path)
+    V.delete_where(spark, table, "k < 5", mode="dv")
+    V.append_version(
+        spark.createDataFrame([(200, 1)], "k long, v long"), table
+    )
+    got = V.read_version(spark, table)
+    assert got.count() == 96  # 100 - 5 + 1: append carried the DV
+    V.delete_where(spark, table, "k >= 90 and k < 100")  # cow on top
+    assert V.read_version(spark, table).count() == 86
+
+
+def test_read_changes_reports_dv_deletes(spark, tmp_path):
+    """The file diff alone can't see merge-on-read deletes; the DV
+    delta leg adds them as D rows, reading only the carried files the
+    new DV entries reference."""
+    table = _range_sliced_table(spark, tmp_path)
+    v_from = V.versions(table)[-1]
+    v_to = V.delete_where(spark, table, "k = 42", mode="dv")
+    ch = V.read_changes(spark, table, v_from, v_to, "k")
+    got = {r["k"]: (r["op"], r["old_v"], r["new_v"]) for r in ch.collect()}
+    assert got == {42: ("D", 84, None)}
+
+
+def test_vacuum_keeps_live_dv_files(spark, tmp_path):
+    table = _range_sliced_table(spark, tmp_path)
+    V.delete_where(spark, table, "k % 10 = 1", mode="dv")
+    res = V.vacuum(table, keep_versions=1)
+    m = V.manifest_info(table)
+    for f in m["dv_files"]:
+        assert os.path.exists(os.path.join(table, f))
+    assert V.read_version(spark, table).count() == 90
+    assert res["dropped_versions"]  # old manifests really went
