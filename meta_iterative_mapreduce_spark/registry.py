@@ -72,6 +72,17 @@ WINDOW_PRIORITY: tuple[str, ...] = (
     "q_cdc_read_changes",
     "q_scan_file_skip",
     "q_dedup_incremental",
+    "q_tpch_q7_shape",
+    "q_tpch_q8_shape",
+    "q_tpch_q9_shape",
+    "q_tpch_q10_shape",
+    "q_tpch_q11_shape",
+    "q_tpch_q12_shape",
+    "q_tpch_q14_shape",
+    "q_tpch_q15_shape",
+    "q_tpch_q16_shape",
+    "q_tpch_q19_shape",
+    "q_tpch_q20_shape",
     # oracle upgraded r8, no driver hash stamp yet
     "q_embed_pca_power",
     # the 23 r04-stamped queries (VERDICT r8 item 1)
@@ -108,17 +119,6 @@ WINDOW_PRIORITY: tuple[str, ...] = (
     "q_agg_bool",
     "q_agg_count_distinct",
     "q_agg_global",
-    "q_agg_groupby",
-    "q_agg_grouping_sets",
-    "q_agg_histogram",
-    "q_agg_percentile",
-    "q_agg_pivot",
-    "q_agg_regression_exact",
-    "q_agg_stats",
-    "q_agg_string_agg",
-    "q_cluster_kmeans",
-    "q_cte_multi",
-    "q_dedup_exact",
 )
 
 
