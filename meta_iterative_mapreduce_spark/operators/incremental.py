@@ -250,10 +250,13 @@ def _versioned_fixture_path(sf_dir: str, name: str, *tables: str) -> str:
 
     from meta_iterative_mapreduce_spark.io import fixture_fingerprint
 
+    # L2: deletion-vector files key rows by table-relative path (not
+    # basename — partition dirs reuse part-file names), so pre-L2
+    # fixture trees with basename DV entries must rebuild.
     return os.path.join(
         tempfile.gettempdir(),
         "mimr_versioned",
-        f"{name}_{fixture_fingerprint(sf_dir, *tables)}",
+        f"{name}_L2_{fixture_fingerprint(sf_dir, *tables)}",
     )
 
 
@@ -886,3 +889,72 @@ def q_table_column_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
     for v in range(2, 6):
         out = out.unionByName(summarize(v))
     return out
+
+
+def ensure_orders_partitioned_table(spark: SparkSession, sf_dir: str) -> str:
+    """Orders committed as ONE hive-partitioned snapshot, partitioned
+    by order year (repartitioned by the partition column first, so
+    each year lands in exactly one data file — a deterministic layout
+    the file-count pin can hold against). Idempotent,
+    fingerprint-keyed."""
+    from meta_iterative_mapreduce_spark.sources import versioned
+
+    table = _versioned_fixture_path(sf_dir, "orders_part", "orders")
+    if len(versioned.versions(table)) == 0:
+        o = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey",
+            F.year("o_orderdate").cast("int").alias("o_year"),
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("cents"),
+        )
+        versioned.write_version(
+            o.repartition(8, F.col("o_year")), table, partition_by="o_year"
+        )
+    return table
+
+
+@register(
+    "q_scan_partition_prune",
+    oracle="""
+    WITH o AS (
+        SELECT o_orderkey, CAST(YEAR(o_orderdate) AS INT) AS o_year,
+               CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        FROM orders
+    )
+    SELECT (SELECT CAST(COUNT(DISTINCT o_year) AS INT) FROM o)
+               AS n_files_total,
+           1 AS n_files_read,
+           COUNT(*) AS n_rows,
+           CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents
+    FROM o WHERE o_year = 1997
+    """,
+)
+def q_scan_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-PARTITION pruning from manifest metadata, hash-certified
+    including the engine's own pruning decision: orders partitioned by
+    year (one file per year — the oracle derives the total from
+    COUNT(DISTINCT year), so the pin holds at every sf), a
+    single-year predicate must open exactly ONE file
+    (sources/versioned.py::plan_files — partition values are exact
+    [v, v] manifest stats, Iceberg-style, so no directory listing
+    happens at plan time), and the pruned read's exact integer
+    aggregates must equal the full-scan-and-filter answer. The
+    partition column itself is restored from the path (hive layout,
+    never stored in the data files), so a wrong restoration breaks
+    sum_key/sum_cents, not just the counts."""
+    from meta_iterative_mapreduce_spark.sources import versioned
+
+    table = ensure_orders_partitioned_table(spark, sf_dir)
+    kept, total = versioned.plan_files(table, where=("o_year", "=", 1997))
+    pruned = versioned.read_version(
+        spark, table, where=("o_year", "=", 1997)
+    )
+    return pruned.agg(
+        F.lit(total).cast("int").alias("n_files_total"),
+        F.lit(len(kept)).cast("int").alias("n_files_read"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("o_orderkey").cast("bigint").alias("sum_key"),
+        F.sum("cents").cast("bigint").alias("sum_cents"),
+    )

@@ -71,6 +71,7 @@ WINDOW_PRIORITY: tuple[str, ...] = (
     "q_merge_versioned",
     "q_cdc_read_changes",
     "q_scan_file_skip",
+    "q_scan_partition_prune",
     "q_dedup_incremental",
     "q_tpch_q7_shape",
     "q_tpch_q8_shape",
@@ -118,7 +119,6 @@ WINDOW_PRIORITY: tuple[str, ...] = (
     "q_agg_bitwise",
     "q_agg_bool",
     "q_agg_count_distinct",
-    "q_agg_global",
 )
 
 

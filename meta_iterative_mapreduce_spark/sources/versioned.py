@@ -243,17 +243,73 @@ def _commit(
         os.unlink(tmp)
 
 
-def _write_data_files(df: DataFrame, table: str, version: int) -> list[str]:
+def _write_data_files(
+    df: DataFrame,
+    table: str,
+    version: int,
+    partition_by: list[str] | None = None,
+) -> list[str]:
     """Materialize df as immutable parquet files under a
-    version-scoped directory; returns table-relative file paths."""
+    version-scoped directory; returns table-relative file paths. With
+    `partition_by`, files land under hive-style `col=value` dirs (one
+    distributed write job — Spark groups rows; no per-partition driver
+    loop) and the returned relpaths carry those segments."""
     sub = os.path.join(_DATA_DIR, f"v{version:06d}-{uuid.uuid4().hex[:8]}")
-    df.write.mode("error").parquet(os.path.join(table, sub))
-    out = [
-        os.path.join(sub, f)
-        for f in os.listdir(os.path.join(table, sub))
-        if f.endswith(".parquet")
-    ]
+    w = df.write.mode("error")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(os.path.join(table, sub))
+    root = os.path.join(table, sub)
+    out = []
+    for dirpath, _dirs, names in os.walk(root):
+        rel_dir = os.path.relpath(dirpath, table)
+        out.extend(
+            os.path.join(rel_dir, f) for f in names if f.endswith(".parquet")
+        )
     return sorted(out)
+
+
+# Partition columns must round-trip exactly through a path segment on
+# BOTH the write (Spark's hive encoding) and the plan-time prune
+# (_file_may_match against the parsed literal). Integer families and
+# strings do; dates/timestamps/floats have cross-engine formatting
+# hazards, so they are rejected at write time rather than pruned
+# wrongly at read time.
+_PARTITIONABLE_TYPES = {"byte", "short", "integer", "long", "string"}
+
+
+def _partition_stats(
+    files: list[str], partition_by: list[str], schema: dict
+) -> dict:
+    """Per-file [v, v] stats for partition columns parsed from the
+    hive `col=value` path segments — a partitioned file holds exactly
+    ONE value, so the range is exact and the ordinary file-skipping
+    machinery (plan_files/_file_may_match) prunes partitions with zero
+    new mechanism. Null partitions (__HIVE_DEFAULT_PARTITION__) record
+    no stats: comparison predicates are null-rejecting, but absence
+    keeps the file conservatively."""
+    from urllib.parse import unquote
+
+    types = {f["name"]: f["type"] for f in schema["fields"]}
+    out: dict[str, dict[str, list]] = {}
+    for rel in files:
+        acc: dict[str, list] = {}
+        for seg in rel.split(os.sep):
+            if "=" not in seg:
+                continue
+            name, _, raw = seg.partition("=")
+            if name not in partition_by:
+                continue
+            val = unquote(raw)
+            if val == "__HIVE_DEFAULT_PARTITION__":
+                continue
+            if types.get(name) in ("byte", "short", "integer", "long"):
+                acc[name] = [int(val), int(val)]
+            else:
+                acc[name] = [val, val]
+        if acc:
+            out[rel] = acc
+    return out
 
 
 def _collect_file_stats(table: str, files: list[str]) -> dict:
@@ -387,14 +443,30 @@ def _prev_schema(
     return spark.read.parquet(*paths).schema.jsonValue()
 
 
-def write_version(df: DataFrame, table: str, **extra) -> int:
+def write_version(
+    df: DataFrame,
+    table: str,
+    partition_by: str | list[str] | None = None,
+    **extra,
+) -> int:
     """Commit df as a full snapshot (next version). Returns version.
     A snapshot references ONLY its own files, so the column mapping
     resets to the identity (fresh ids, physical = logical) — earlier
     versions keep their own manifests' mappings for time travel.
     `extra` keyword fields land in the manifest verbatim (readable via
     manifest_info) — how a job persists small model artifacts (e.g. a
-    PQ codebook) atomically WITH the data they describe."""
+    PQ codebook) atomically WITH the data they describe.
+
+    With `partition_by` the snapshot is HIVE-PARTITIONED: one
+    distributed write groups rows into `col=value` directories, the
+    manifest records each file's exact partition value as ordinary
+    [v, v] file stats (Iceberg-style metadata partitioning — pruning
+    needs no directory listing at plan time), appends inherit the
+    layout, and `read_version(where=(col, ...))` skips whole
+    partitions through the same plan_files path as footer-stats
+    skipping. Readers restore partition columns from the path; DML
+    rewrites materialize them physically — both shapes coexist in one
+    table."""
     vs = versions(table)
     v = (vs[-1] + 1) if vs else 1
     schema = df.schema.jsonValue()
@@ -402,7 +474,24 @@ def write_version(df: DataFrame, table: str, **extra) -> int:
     prev_files = (
         manifest_info(table, vs[-1])["files"] if vs else []
     )
-    files = _write_data_files(df, table, v)
+    pby = [partition_by] if isinstance(partition_by, str) else partition_by
+    if pby:
+        types = {f["name"]: f["type"] for f in schema["fields"]}
+        for c in pby:
+            if c not in types:
+                raise ValueError(f"partition column {c!r} not in schema")
+            if types[c] not in _PARTITIONABLE_TYPES:
+                raise ValueError(
+                    f"partition column {c!r} has type {types[c]!r}; "
+                    f"supported: {sorted(_PARTITIONABLE_TYPES)}"
+                )
+    files = _write_data_files(df, table, v, pby)
+    stats = _collect_file_stats(table, files)
+    if pby:
+        pstats = _partition_stats(files, pby, schema)
+        stats = {
+            f: {**stats.get(f, {}), **pstats.get(f, {})} for f in files
+        }
     _commit(
         table,
         v,
@@ -412,9 +501,10 @@ def write_version(df: DataFrame, table: str, **extra) -> int:
         column_mapping=mapping,
         retired_physical=retired,
         max_column_id=max_id,
-        file_stats=_collect_file_stats(table, files),
+        file_stats=stats,
         added=files,
         removed=prev_files,
+        **({"partition_by": pby} if pby else {}),
         **extra,
     )
     return v
@@ -428,7 +518,10 @@ def append_version(df: DataFrame, table: str) -> int:
     and omissions merge on read as nulls, type changes fail HERE, at
     commit time, before any file is referenced by a manifest. New
     columns get fresh mapping ids; files are written under PHYSICAL
-    names so later renames stay metadata-only."""
+    names so later renames stay metadata-only. A partitioned table's
+    layout is inherited: the batch is written under the same hive
+    partitioning (physical names) and its partition values join the
+    manifest stats, so pruning spans old and new files alike."""
     vs = versions(table)
     if not vs:
         return write_version(df, table)
@@ -438,12 +531,25 @@ def append_version(df: DataFrame, table: str) -> int:
     mapping, retired, max_id = _mapping_state(prev, prev_schema)
     max_id = _assign_new_columns(schema, mapping, retired, max_id)
     v = vs[-1] + 1
-    new_files = _write_data_files(_to_physical(df, mapping), table, v)
+    pby = list(prev.get("partition_by", []))
+    phys_of = {mp["name"]: mp["physical"] for mp in mapping}
+    pby_phys = [phys_of.get(c, c) for c in pby]
+    new_files = _write_data_files(
+        _to_physical(df, mapping), table, v, pby_phys or None
+    )
     carried = {
         f: s
         for f, s in prev.get("file_stats", {}).items()
         if f in set(prev["files"])
     }
+    stats = _collect_file_stats(table, new_files)
+    if pby_phys:
+        pstats = _partition_stats(
+            new_files, pby_phys, _to_physical(df, mapping).schema.jsonValue()
+        )
+        stats = {
+            f: {**stats.get(f, {}), **pstats.get(f, {})} for f in new_files
+        }
     _commit(
         table,
         v,
@@ -453,10 +559,11 @@ def append_version(df: DataFrame, table: str) -> int:
         column_mapping=mapping,
         retired_physical=retired,
         max_column_id=max_id,
-        file_stats={**carried, **_collect_file_stats(table, new_files)},
+        file_stats={**carried, **stats},
         added=new_files,
         removed=[],
         dv_files=list(prev.get("dv_files", [])),
+        **({"partition_by": pby} if pby else {}),
     )
     return v
 
@@ -629,7 +736,14 @@ def _read_files_logical(
     deletes) are ALWAYS applied — a row whose (file, row_index) is
     DV'd is invisible to every consumer, including rewrites (no
     resurrection through copy-on-write). with_position=True keeps the
-    `__file` (basename) and `__row_index` position columns exposed."""
+    `__file` (table-relative path — partition dirs reuse part-file
+    basenames, so only the relpath is a unique row-position key) and
+    `__row_index` position columns exposed. Hive-partitioned files
+    (relpaths with `col=value` segments) are read per version-subdir
+    under a basePath so Spark restores the partition columns from the
+    path; plain files — including DML rewrites of a partitioned
+    table, which materialize the column physically — read directly;
+    both shapes union into one logical frame."""
     from pyspark.sql.types import LongType, StringType
 
     want = StructType.fromJson(m["schema"])
@@ -653,25 +767,51 @@ def _read_files_logical(
             for f in want
         ]
     )
-    df = spark.read.schema(phys_schema).parquet(
-        *[os.path.join(table, f) for f in files]
-    )
     dv_files = m.get("dv_files", [])
     need_pos = with_position or bool(dv_files)
+    # file: + abspath is how the local Hadoop FS renders
+    # _metadata.file_path; stripping it yields the manifest relpath.
+    pref = "file:" + os.path.abspath(table) + os.sep
     pos_cols = (
         [
-            F.element_at(
-                F.split(F.col("_metadata.file_path"), "/"), -1
+            F.expr(
+                f"substring(_metadata.file_path, {len(pref) + 1})"
             ).alias("__file"),
             F.col("_metadata.row_index").alias("__row_index"),
         ]
         if need_pos
         else []
     )
-    out = df.select(
-        *[F.col(phys_of.get(f.name, f.name)).alias(f.name) for f in want],
-        *pos_cols,
-    )
+    plain = [f for f in files if "=" not in f]
+    parted = [f for f in files if "=" in f]
+    parts: list[DataFrame] = []
+    if plain:
+        parts.append(
+            spark.read.schema(phys_schema).parquet(
+                *[os.path.join(table, f) for f in plain]
+            )
+        )
+    if parted:
+        by_sub: dict[str, list[str]] = {}
+        for f in parted:
+            segs = f.split(os.sep)
+            by_sub.setdefault(os.sep.join(segs[:2]), []).append(f)
+        for sub, fs in sorted(by_sub.items()):
+            parts.append(
+                spark.read.schema(phys_schema)
+                .option("basePath", os.path.join(table, sub))
+                .parquet(*[os.path.join(table, f) for f in fs])
+            )
+    frames = [
+        df.select(
+            *[F.col(phys_of.get(f.name, f.name)).alias(f.name) for f in want],
+            *pos_cols,
+        )
+        for df in parts
+    ]
+    out = frames[0]
+    for fr in frames[1:]:
+        out = out.unionByName(fr)
     if dv_files:
         dv = _dv_table(spark, table, dv_files).select(
             F.col("file").alias("__dv_file"),
@@ -723,10 +863,9 @@ def _commit_rewrite(
     )
     dv_files = list(prev.get("dv_files", []))
     if dv_files and untouched:
-        base_of = {os.path.basename(f) for f in untouched}
         n_untouched -= (
             _dv_table(spark, table, dv_files)
-            .filter(F.col("file").isin(list(base_of)))
+            .filter(F.col("file").isin(list(untouched)))
             .count()
         )
     carried = {
@@ -734,6 +873,7 @@ def _commit_rewrite(
         for f, s in prev.get("file_stats", {}).items()
         if f in set(untouched)
     }
+    pby = list(prev.get("partition_by", []))
     _commit(
         table,
         v,
@@ -746,10 +886,14 @@ def _commit_rewrite(
         file_stats={**carried, **_collect_file_stats(table, new_files)},
         added=new_files,
         removed=list(touched),
-        # DV entries for rewritten basenames can never match again
-        # (part filenames are globally unique); carried entries keep
-        # masking untouched files' rows.
+        # DV entries for rewritten relpaths can never match again
+        # (version subdirs are unique); carried entries keep masking
+        # untouched files' rows.
         dv_files=dv_files,
+        # rewrites materialize partition columns physically, but the
+        # table stays declared-partitioned: future appends keep the
+        # hive layout and pruning covers both file shapes.
+        **({"partition_by": pby} if pby else {}),
         **extra,
     )
     return v
@@ -839,9 +983,7 @@ def delete_where(
         r["__file"]
         for r in tagged.filter(cond).select("__file").distinct().collect()
     }
-    touched = [
-        f for f in m["files"] if os.path.basename(f) in touched_names
-    ]
+    touched = [f for f in m["files"] if f in touched_names]
     if not touched:  # nothing matched: commit an explicit no-op version
         return _commit_rewrite(spark, table, m, [], None)
     survivors = _read_files_logical(spark, table, m, touched).filter(
@@ -892,9 +1034,7 @@ def merge_version(
         .distinct()
         .collect()
     }
-    touched = [
-        f for f in m["files"] if os.path.basename(f) in touched_names
-    ]
+    touched = [f for f in m["files"] if f in touched_names]
     # new content = untouched rows of the touched files + EVERY update
     # row (replacements for matched keys, inserts for new keys)
     carried = _read_files_logical(spark, table, m, touched).join(
@@ -949,9 +1089,7 @@ def read_changes(
             r["__dv_file"] for r in dvd.select("__dv_file").distinct().collect()
         }
         carried_hit = [
-            f
-            for f in m_from["files"]
-            if f in files_to and os.path.basename(f) in hit_names
+            f for f in m_from["files"] if f in files_to and f in hit_names
         ]
         dv_rows = (
             _read_files_logical(
@@ -1026,7 +1164,11 @@ def versioned_batch_sink(table: str):
             schema = _merged_schema(prev_schema, batch_df.schema.jsonValue())
             mapping, retired, max_id = _mapping_state(prev, prev_schema)
             max_id = _assign_new_columns(schema, mapping, retired, max_id)
-        files = _write_data_files(_to_physical(batch_df, mapping), table, v)
+        pby = list(prev.get("partition_by", [])) if vs else []
+        phys_of = {mp["name"]: mp["physical"] for mp in mapping}
+        pby_phys = [phys_of.get(c, c) for c in pby]
+        phys_df = _to_physical(batch_df, mapping)
+        files = _write_data_files(phys_df, table, v, pby_phys or None)
         carried = (
             {
                 f: s
@@ -1036,6 +1178,14 @@ def versioned_batch_sink(table: str):
             if vs
             else {}
         )
+        stats = _collect_file_stats(table, files)
+        if pby_phys:
+            pstats = _partition_stats(
+                files, pby_phys, phys_df.schema.jsonValue()
+            )
+            stats = {
+                f: {**stats.get(f, {}), **pstats.get(f, {})} for f in files
+            }
         _commit(
             table,
             v,
@@ -1046,10 +1196,11 @@ def versioned_batch_sink(table: str):
             column_mapping=mapping,
             retired_physical=retired,
             max_column_id=max_id,
-            file_stats={**carried, **_collect_file_stats(table, files)},
+            file_stats={**carried, **stats},
             added=files,
             removed=[],
             dv_files=list(prev.get("dv_files", [])) if vs else [],
+            **({"partition_by": pby} if pby else {}),
         )
 
     return apply_batch

@@ -1,0 +1,176 @@
+"""Hive-partitioned versioned tables: partition values live in the
+manifest as exact [v, v] file stats (Iceberg-style metadata
+partitioning), readers restore partition columns from the path, and
+the ordinary file-skipping machinery prunes whole partitions. Also
+pins the row-position key contract: partition dirs REUSE part-file
+basenames, so deletion vectors and rewrite probes must key rows by
+table-relative path — the class of bug these tests exist to catch."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from meta_iterative_mapreduce_spark.sources import versioned as V
+
+
+def _pdf(spark, n=80):
+    return spark.range(0, n).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 4).cast("int").alias("p"),
+        (F.col("id") * 3).alias("v"),
+    )
+
+
+def _ptable(spark, tmp_path, n=80) -> str:
+    table = str(tmp_path / "pt")
+    V.write_version(_pdf(spark, n), table, partition_by="p")
+    return table
+
+
+def test_partitioned_write_round_trips_content(spark, tmp_path):
+    table = _ptable(spark, tmp_path)
+    got = V.read_version(spark, table)
+    assert got.columns == ["k", "p", "v"]
+    assert dict(got.dtypes)["p"] == "int"  # restored TYPED from path
+    rows = {(r["k"], r["p"], r["v"]) for r in got.collect()}
+    want = {(i, i % 4, i * 3) for i in range(80)}
+    assert rows == want
+    m = V.manifest_info(table)
+    assert m["partition_by"] == ["p"]
+    # every file lives under a col=value dir and carries exact stats
+    for f in m["files"]:
+        assert "p=" in f
+        assert m["file_stats"][f]["p"][0] == m["file_stats"][f]["p"][1]
+
+
+def test_partition_pruning_opens_only_matching_files(spark, tmp_path):
+    table = _ptable(spark, tmp_path)
+    kept, total = V.plan_files(table, where=("p", "=", 2))
+    assert total == len(V.manifest_info(table)["files"])
+    assert 0 < len(kept) < total
+    assert all("p=2" in f for f in kept)
+    got = V.read_version(spark, table, where=("p", "=", 2))
+    assert got.count() == 20
+    assert got.filter("p <> 2").count() == 0
+
+
+def test_append_inherits_partition_layout(spark, tmp_path):
+    table = _ptable(spark, tmp_path)
+    extra = spark.range(100, 120).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 4).cast("int").alias("p"),
+        (F.col("id") * 3).alias("v"),
+    )
+    V.append_version(extra, table)
+    m = V.manifest_info(table)
+    assert m["partition_by"] == ["p"]
+    assert all("p=" in f for f in m["added"])
+    assert V.read_version(spark, table).count() == 100
+    kept, total = V.plan_files(table, where=("p", "=", 1))
+    assert all("p=1" in f for f in kept)
+    got = V.read_version(spark, table, where=("p", "=", 1))
+    assert got.count() == 25  # 20 base + 5 appended
+
+
+def test_partitioned_write_rejects_bad_columns(spark, tmp_path):
+    import pytest
+
+    df = _pdf(spark).withColumn("d", F.col("k") / 2.0)
+    with pytest.raises(ValueError, match="not in schema"):
+        V.write_version(df, str(tmp_path / "a"), partition_by="nope")
+    with pytest.raises(ValueError, match="supported"):
+        V.write_version(df, str(tmp_path / "b"), partition_by="d")
+
+
+def test_cow_delete_on_partitioned_table(spark, tmp_path):
+    """DML on a partitioned table: the rewrite materializes the
+    partition column physically; reads union both file shapes."""
+    table = _ptable(spark, tmp_path)
+    pre = V.versions(table)[-1]
+    V.delete_where(spark, table, "p = 3 and k < 40")
+    got = V.read_version(spark, table)
+    assert got.count() == 70
+    assert got.filter("p = 3").count() == 10  # k in [40, 80)
+    assert V.read_version(spark, table, pre).count() == 80
+    m = V.manifest_info(table)
+    # only p=3 files were touched
+    assert all("p=3" in f for f in m["removed"])
+    # rewritten plain file readable alongside hive files, column intact
+    assert got.groupBy("p").count().count() == 4
+
+
+def test_dv_delete_keys_by_relpath_not_basename(spark, tmp_path):
+    """THE partition-dir hazard: part files in sibling partition dirs
+    share basenames. A DV delete of one partition's rows must not mask
+    same-basename/same-row_index rows in other partitions."""
+    table = _ptable(spark, tmp_path)
+    m = V.manifest_info(table)
+    bases = [os.path.basename(f) for f in m["files"]]
+    assert len(set(bases)) < len(bases), (
+        "fixture did not produce colliding basenames; the test would "
+        "prove nothing"
+    )
+    V.delete_where(spark, table, "p = 1", mode="dv")
+    got = V.read_version(spark, table)
+    assert got.filter("p = 1").count() == 0
+    # sibling partitions keep ALL rows (over-masking would hit the
+    # same row_index in every same-basename file)
+    assert got.filter("p = 0").count() == 20
+    assert got.filter("p = 2").count() == 20
+    assert got.filter("p = 3").count() == 20
+    assert got.count() == 60
+
+
+def test_merge_on_partitioned_table(spark, tmp_path):
+    table = _ptable(spark, tmp_path)
+    updates = spark.createDataFrame(
+        [(5, 1, 555), (200, 0, 600)], "k long, p int, v long"
+    )
+    V.merge_version(spark, table, updates, "k")
+    got = V.read_version(spark, table)
+    assert got.count() == 81
+    assert got.filter("k = 5").collect()[0]["v"] == 555
+    assert got.filter("k = 200").collect()[0]["v"] == 600
+    # untouched partitions carried by reference
+    m = V.manifest_info(table)
+    assert any("p=0" in f for f in m["files"])
+
+
+def test_vacuum_partitioned_table(spark, tmp_path):
+    table = _ptable(spark, tmp_path)
+    V.delete_where(spark, table, "p = 2")
+    res = V.vacuum(table, keep_versions=1)
+    assert res["deleted_files"] > 0
+    got = V.read_version(spark, table)
+    assert got.count() == 60
+    for f in V.manifest_info(table)["files"]:
+        assert os.path.exists(os.path.join(table, f))
+
+
+def test_cdc_read_changes_on_partitioned_table(spark, tmp_path):
+    table = _ptable(spark, tmp_path)
+    v1 = V.versions(table)[-1]
+    updates = spark.createDataFrame([(5, 1, 999)], "k long, p int, v long")
+    v2 = V.merge_version(spark, table, updates, "k")
+    ch = V.read_changes(spark, table, v1, v2, "k")
+    got = {r["k"]: (r["op"], r["old_v"], r["new_v"]) for r in ch.collect()}
+    assert got == {5: ("U", 15, 999)}
+
+
+def test_string_partition_values_round_trip(spark, tmp_path):
+    table = str(tmp_path / "s")
+    df = spark.range(0, 30).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") % 3 == 0, "alpha")
+        .when(F.col("id") % 3 == 1, "beta")
+        .otherwise("gamma")
+        .alias("cat"),
+    )
+    V.write_version(df, table, partition_by="cat")
+    kept, total = V.plan_files(table, where=("cat", "=", "beta"))
+    assert all("cat=beta" in f for f in kept)
+    got = V.read_version(spark, table, where=("cat", "=", "beta"))
+    assert got.count() == 10
+    assert {r["cat"] for r in got.collect()} == {"beta"}
