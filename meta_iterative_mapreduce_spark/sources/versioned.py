@@ -510,7 +510,7 @@ def write_version(
     return v
 
 
-def append_version(df: DataFrame, table: str) -> int:
+def append_version(df: DataFrame, table: str, max_retries: int = 10) -> int:
     """Commit df's rows APPENDED to the latest version: writes only the
     new files; the manifest references the previous files unchanged
     (log-structured append — no rewrite of existing data). The batch's
@@ -521,51 +521,87 @@ def append_version(df: DataFrame, table: str) -> int:
     names so later renames stay metadata-only. A partitioned table's
     layout is inherited: the batch is written under the same hive
     partitioning (physical names) and its partition values join the
-    manifest stats, so pruning spans old and new files alike."""
-    vs = versions(table)
-    if not vs:
-        return write_version(df, table)
-    prev = json.load(open(_manifest_path(table, vs[-1])))
-    prev_schema = _prev_schema(df.sparkSession, table, prev)
-    schema = _merged_schema(prev_schema, df.schema.jsonValue())
-    mapping, retired, max_id = _mapping_state(prev, prev_schema)
-    max_id = _assign_new_columns(schema, mapping, retired, max_id)
-    v = vs[-1] + 1
-    pby = list(prev.get("partition_by", []))
-    phys_of = {mp["name"]: mp["physical"] for mp in mapping}
-    pby_phys = [phys_of.get(c, c) for c in pby]
-    new_files = _write_data_files(
-        _to_physical(df, mapping), table, v, pby_phys or None
-    )
-    carried = {
-        f: s
-        for f, s in prev.get("file_stats", {}).items()
-        if f in set(prev["files"])
-    }
-    stats = _collect_file_stats(table, new_files)
-    if pby_phys:
-        pstats = _partition_stats(
-            new_files, pby_phys, _to_physical(df, mapping).schema.jsonValue()
+    manifest stats, so pruning spans old and new files alike.
+
+    OPTIMISTIC CONCURRENCY (the Delta/Iceberg commit protocol): the
+    manifest publish is an atomic put-if-absent (_commit), so of two
+    racing writers exactly one takes a version number. The loser
+    REBASES: appends never semantically conflict — they reference
+    disjoint new files — so it re-reads the new head, re-merges the
+    schema, and recommits at the next number, REUSING its
+    already-written data files. Only if the interleaved commit changed
+    the physical layout the batch was written under (a racing
+    new-column registration stealing the physical name, or a partition
+    relayout) are the files rewritten under the fresh mapping — the
+    stale ones are deleted, correctness first, reuse second."""
+    n_new = df.count()
+    written: list[str] | None = None
+    written_key: tuple | None = None
+    for _ in range(max_retries):
+        vs = versions(table)
+        if not vs:
+            try:
+                return write_version(df, table)
+            except ValueError:
+                continue  # lost the v1 race: rebase as a real append
+        prev = json.load(open(_manifest_path(table, vs[-1])))
+        prev_schema = _prev_schema(df.sparkSession, table, prev)
+        schema = _merged_schema(prev_schema, df.schema.jsonValue())
+        mapping, retired, max_id = _mapping_state(prev, prev_schema)
+        max_id = _assign_new_columns(schema, mapping, retired, max_id)
+        v = vs[-1] + 1
+        pby = list(prev.get("partition_by", []))
+        phys_of = {mp["name"]: mp["physical"] for mp in mapping}
+        pby_phys = [phys_of.get(c, c) for c in pby]
+        key = (
+            tuple(sorted((c, phys_of.get(c, c)) for c in df.columns)),
+            tuple(pby_phys),
         )
-        stats = {
-            f: {**stats.get(f, {}), **pstats.get(f, {})} for f in new_files
+        if written is None or written_key != key:
+            if written:  # stale layout: drop our own uncommitted files
+                for f in written:
+                    p = os.path.join(table, f)
+                    if os.path.exists(p):
+                        os.unlink(p)
+            written = _write_data_files(
+                _to_physical(df, mapping), table, v, pby_phys or None
+            )
+            written_key = key
+        carried = {
+            f: s
+            for f, s in prev.get("file_stats", {}).items()
+            if f in set(prev["files"])
         }
-    _commit(
-        table,
-        v,
-        prev["files"] + new_files,
-        prev["n_rows"] + df.count(),
-        schema=schema,
-        column_mapping=mapping,
-        retired_physical=retired,
-        max_column_id=max_id,
-        file_stats={**carried, **stats},
-        added=new_files,
-        removed=[],
-        dv_files=list(prev.get("dv_files", [])),
-        **({"partition_by": pby} if pby else {}),
+        stats = _collect_file_stats(table, written)
+        if pby_phys:
+            pstats = _partition_stats(
+                written, pby_phys, _to_physical(df, mapping).schema.jsonValue()
+            )
+            stats = {
+                f: {**stats.get(f, {}), **pstats.get(f, {})} for f in written
+            }
+        try:
+            _commit(
+                table,
+                v,
+                prev["files"] + written,
+                prev["n_rows"] + n_new,
+                schema=schema,
+                column_mapping=mapping,
+                retired_physical=retired,
+                max_column_id=max_id,
+                file_stats={**carried, **stats},
+                added=written,
+                removed=[],
+                dv_files=list(prev.get("dv_files", [])),
+                **({"partition_by": pby} if pby else {}),
+            )
+            return v
+        except ValueError:
+            continue  # another writer took v: rebase onto the new head
+    raise RuntimeError(
+        f"append to {table!r} lost {max_retries} straight commit races"
     )
-    return v
 
 
 def rename_column(

@@ -174,3 +174,96 @@ def test_string_partition_values_round_trip(spark, tmp_path):
     got = V.read_version(spark, table, where=("cat", "=", "beta"))
     assert got.count() == 10
     assert {r["cat"] for r in got.collect()} == {"beta"}
+
+
+def test_append_rebases_after_losing_a_commit_race(spark, tmp_path):
+    """Deterministic conflict injection: just before the append
+    publishes its manifest, an interloper commits the version number
+    it computed. The put-if-absent publish must fail the loser, who
+    rebases onto the interloper's head and lands at the next version —
+    with the interloper's files AND its own in the final file list."""
+    table = str(tmp_path / "occ")
+    base = spark.range(0, 10).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    V.write_version(base, table)
+    real_commit = V._commit
+    fired = {"n": 0}
+
+    def racing_commit(t, version, files, n_rows, **extra):
+        if fired["n"] == 0 and version == 2:
+            fired["n"] += 1
+            m = V.manifest_info(t)  # interloper: no-op append at v2
+            real_commit(
+                t,
+                2,
+                m["files"],
+                m["n_rows"],
+                **{
+                    k: m[k]
+                    for k in (
+                        "schema",
+                        "column_mapping",
+                        "retired_physical",
+                        "max_column_id",
+                        "file_stats",
+                    )
+                },
+                added=[],
+                removed=[],
+            )
+        return real_commit(t, version, files, n_rows, **extra)
+
+    V._commit = racing_commit
+    try:
+        extra = spark.range(100, 105).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+        )
+        got_v = V.append_version(extra, table)
+    finally:
+        V._commit = real_commit
+    assert got_v == 3  # rebased past the stolen v2
+    assert V.versions(table) == [1, 2, 3]
+    assert V.read_version(spark, table).count() == 15
+    m3 = V.manifest_info(table, 3)
+    assert set(V.manifest_info(table, 2)["files"]).issubset(set(m3["files"]))
+
+
+def test_concurrent_appends_from_two_threads_all_land(spark, tmp_path):
+    """Two writers appending concurrently: every batch must land in
+    its own contiguous version and the final table holds every row
+    exactly once (the rebase loop absorbs whatever races occur)."""
+    import threading
+
+    table = str(tmp_path / "mt")
+    V.write_version(
+        spark.range(0, 5).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+        ),
+        table,
+    )
+    errs: list[Exception] = []
+
+    def writer(lo: int):
+        try:
+            for i in range(4):
+                df = spark.range(lo + i * 10, lo + i * 10 + 10).select(
+                    F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+                )
+                V.append_version(df, table)
+        except Exception as e:  # noqa: BLE001
+            errs.append(e)
+
+    ts = [
+        threading.Thread(target=writer, args=(1000,)),
+        threading.Thread(target=writer, args=(5000,)),
+    ]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert not errs, errs
+    assert V.versions(table) == list(range(1, 10))  # 1 base + 8 appends
+    got = V.read_version(spark, table)
+    assert got.count() == 85  # 5 + 8 * 10, nothing lost or doubled
+    assert got.select("k").distinct().count() == 85
