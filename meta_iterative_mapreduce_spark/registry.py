@@ -72,6 +72,8 @@ WINDOW_PRIORITY: tuple[str, ...] = (
     "q_cdc_read_changes",
     "q_scan_file_skip",
     "q_scan_partition_prune",
+    "q_stream_join_outer",
+    "q_stream_dedup",
     "q_dedup_incremental",
     "q_tpch_q7_shape",
     "q_tpch_q8_shape",
@@ -117,8 +119,6 @@ WINDOW_PRIORITY: tuple[str, ...] = (
     "q_agg_approx_quantile",
     "q_agg_arg_minmax",
     "q_agg_bitwise",
-    "q_agg_bool",
-    "q_agg_count_distinct",
 )
 
 

@@ -210,3 +210,104 @@ def q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_in_segment",
         F.count(F.lit(1)).over(W.partitionBy("c_mktsegment")),
     )
+
+
+@register(
+    "q_stream_join_outer",
+    oracle=f"""
+    WITH c AS (
+        SELECT user_id, event_id AS click_id, epoch_us(ts) AS us_c
+        FROM events WHERE event_type = 'click'
+    ), p AS (
+        SELECT user_id AS p_user, event_id AS purchase_id,
+               epoch_us(ts) AS us_p
+        FROM events WHERE event_type = 'purchase'
+    ), wm AS (
+        SELECT LEAST((SELECT MAX(us_c) FROM c),
+                     (SELECT MAX(us_p) FROM p)) - {_10M} AS w
+    )
+    SELECT c.user_id, c.click_id, p.purchase_id,
+           p.us_p - c.us_c AS gap_us
+    FROM c LEFT JOIN p ON c.user_id = p.p_user
+       AND c.us_c >= p.us_p - {_30M} AND c.us_c <= p.us_p, wm
+    WHERE p.purchase_id IS NOT NULL OR c.us_c + {_30M} < wm.w
+    """,
+)
+def q_stream_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the LEFT OUTER stream-stream interval join
+    (streaming.jobs.click_purchase_join_outer, e2e-tested against this
+    shape): matched click-purchase pairs inline, PLUS null-purchase
+    rows for clicks the stream's state eviction proves unmatched —
+    exactly those whose 30-minute match horizon closed before the
+    terminal watermark min(max_click, max_purchase) - 10min; the open
+    tail is withheld, because the stream would still be holding its
+    state (the session-timer twin's terminal-watermark convention
+    applied to outer joins). The watermark is a 1-row broadcast; the
+    emission rule is an integer-µs comparison — no float hazards."""
+    e = load_table(spark, sf_dir, "events")
+    c = e.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        ts_us("ts").alias("us_c"),
+    )
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        ts_us("ts").alias("us_p"),
+    )
+    wm = c.agg(F.max("us_c").alias("mc")).crossJoin(
+        p.agg(F.max("us_p").alias("mp"))
+    ).select((F.least("mc", "mp") - _10M).alias("w"))
+    lj = c.join(
+        p,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("us_c") >= F.col("us_p") - _30M)
+        & (F.col("us_c") <= F.col("us_p")),
+        "left",
+    ).crossJoin(F.broadcast(wm))
+    return lj.filter(
+        F.col("purchase_id").isNotNull()
+        | (F.col("us_c") + _30M < F.col("w"))
+    ).select(
+        "user_id",
+        "click_id",
+        "purchase_id",
+        (F.col("us_p") - F.col("us_c")).alias("gap_us"),
+    )
+
+
+@register(
+    "q_stream_dedup",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n,
+           CAST(SUM(event_id) AS BIGINT) AS sum_id,
+           CAST(SUM(CAST(FLOOR(value * 10000 + 0.5) AS BIGINT)) AS BIGINT)
+               AS sum_value_e4
+    FROM events GROUP BY event_type
+    """,
+)
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of watermarked streaming deduplication
+    (streaming.jobs.dedup_stream — dropDuplicatesWithinWatermark on
+    event_id, the at-least-once-delivery repair every ingestion
+    pipeline needs): the input is the event stream with a deliberately
+    REDELIVERED subset (event_id % 7 = 0 arrives twice), the dedup
+    keeps one copy per id, and the oracle recomputes per-type exact
+    integer aggregates from the dup-free table — doubled rows break
+    n, sum_id, and sum_value_e4 at once. State stays bounded in the
+    stream because ids older than the watermark horizon expire."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    redelivered = e.filter(F.col("event_id") % 7 == 0)
+    doubled = e.unionByName(redelivered)
+    deduped = doubled.dropDuplicates(["event_id"])
+    return deduped.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("event_id").cast("bigint").alias("sum_id"),
+        F.sum(
+            F.floor(F.col("value") * 10000 + F.lit(0.5)).cast("bigint")
+        )
+        .cast("bigint")
+        .alias("sum_value_e4"),
+    )

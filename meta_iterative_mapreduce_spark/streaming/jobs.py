@@ -188,6 +188,51 @@ def click_purchase_join(events: DataFrame) -> DataFrame:
     )
 
 
+def click_purchase_join_outer(events: DataFrame) -> DataFrame:
+    """LEFT OUTER stream-stream interval join: every click emits —
+    matched rows inline, unmatched clicks as null-purchase rows once
+    the global watermark proves no purchase can still arrive (state
+    eviction is the null-emission trigger; that is what makes outer
+    stream joins need watermarks on BOTH sides + a time-bound
+    condition). An availableNow run flushes the final watermark's
+    no-data micro-batch, so clicks whose 30-minute horizon closed
+    before min(max_click, max_purchase) - 10min all emit; the open
+    tail is withheld — the terminal-watermark contract the batch twin
+    (q_stream_join_outer) reproduces exactly."""
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("ts_c"),
+        )
+        .withWatermark("ts_c", "10 minutes")
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("ts_p"),
+        )
+        .withWatermark("ts_p", "10 minutes")
+    )
+    joined = clicks.join(
+        purchases,
+        F.expr(
+            "c_user = p_user AND "
+            "ts_c >= ts_p - INTERVAL 30 MINUTES AND ts_c <= ts_p"
+        ),
+        "leftOuter",
+    )
+    return joined.select(
+        F.col("c_user").alias("user_id"),
+        "click_id",
+        "purchase_id",
+        (ts_us_ltz("ts_p") - ts_us_ltz("ts_c")).alias("gap_us"),
+    )
+
+
 def enrich_with_dim(
     events: DataFrame, dim: DataFrame, on_left: str, on_right: str
 ) -> DataFrame:

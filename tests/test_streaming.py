@@ -150,3 +150,93 @@ def test_stream_static_enrichment_matches_batch(spark, sf_dir):
     assert sorted(map(tuple, got.collect())) == sorted(
         map(tuple, batch.collect())
     )
+
+
+def test_outer_stream_stream_join_matches_batch_twin(spark, sf_dir):
+    """LEFT OUTER stream-stream join: matched pairs inline plus
+    null-purchase rows for every click whose match horizon closed
+    before the terminal watermark — the availableNow run's final
+    no-data micro-batch must flush exactly the set the batch twin
+    (q_stream_join_outer) computes; the open tail stays withheld."""
+    ev = jobs.stream_events(spark, sf_dir)
+    got = jobs.run_to_memory(
+        jobs.click_purchase_join_outer(ev), "t_ssjoin_o", output_mode="append"
+    ).toPandas()
+    want = registry.queries()["q_stream_join_outer"](spark, sf_dir).toPandas()
+    assert got["purchase_id"].isna().sum() > 0  # nulls actually emitted
+    pd.testing.assert_frame_equal(_canon(got), _canon(want), check_dtype=False)
+
+
+def test_outer_join_across_microbatches_matches_twin(spark, sf_dir, tmp_path):
+    """Chronological 4-file replay: null emission happens DURING the
+    run as the watermark passes each click's horizon, not only at the
+    terminal flush — the union of mid-run and final emissions must
+    still equal the twin."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from meta_iterative_mapreduce_spark.functions.time import ts_ltz, ts_us
+    from meta_iterative_mapreduce_spark.io import load_table
+
+    ev = load_table(spark, sf_dir, "events").withColumn("__t", ts_us("ts"))
+    qs = [r[0] for r in ev.agg(
+        F.expr("percentile(__t, array(0.25D, 0.5D, 0.75D))")
+    ).collect()][0]
+    landing = str(tmp_path / "landing_o")
+    os.makedirs(landing)
+    bounds = [None, *[int(q) for q in qs], None]
+    for i in range(4):
+        part = ev
+        if bounds[i] is not None:
+            part = part.filter(F.col("__t") >= bounds[i])
+        if bounds[i + 1] is not None:
+            part = part.filter(F.col("__t") < bounds[i + 1])
+        staged = str(tmp_path / f"part_o{i}")
+        part.drop("__t").coalesce(1).write.parquet(staged)
+        for f in os.listdir(staged):
+            if f.endswith(".parquet"):
+                os.rename(
+                    os.path.join(staged, f),
+                    os.path.join(landing, f"{i}_chunk.parquet"),
+                )
+    schema = spark.read.parquet(landing).schema
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(landing)
+        .withColumn("ts", ts_ltz("ts"))
+    )
+    got = jobs.run_to_memory(
+        jobs.click_purchase_join_outer(src), "t_ssjoin_o_mb", output_mode="append"
+    ).toPandas()
+    want = registry.queries()["q_stream_join_outer"](spark, sf_dir).toPandas()
+    pd.testing.assert_frame_equal(_canon(got), _canon(want), check_dtype=False)
+
+
+def test_dedup_stream_matches_batch_twin_aggregates(spark, sf_dir):
+    """The streamed dedup of a redelivered stream must reproduce the
+    batch twin's per-type aggregates (q_stream_dedup's contract) —
+    not just row uniqueness."""
+    from pyspark.sql import functions as F
+
+    ev = jobs.stream_events(spark, sf_dir)
+    redelivered = ev.filter(F.col("event_id") % 7 == 0)
+    got = (
+        jobs.run_to_memory(
+            jobs.dedup_stream(ev.union(redelivered)),
+            "t_dedup_twin",
+            output_mode="append",
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("event_id").cast("bigint").alias("sum_id"),
+            F.sum(
+                F.floor(F.col("value") * 10000 + F.lit(0.5)).cast("bigint")
+            ).cast("bigint").alias("sum_value_e4"),
+        )
+        .toPandas()
+    )
+    want = registry.queries()["q_stream_dedup"](spark, sf_dir).toPandas()
+    pd.testing.assert_frame_equal(_canon(got), _canon(want), check_dtype=False)
