@@ -755,3 +755,68 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select(
         "doc_a", "doc_b", F.round("jaccard_est", 4).alias("jaccard_est")
     ).orderBy("doc_a", "doc_b")
+
+
+@register(
+    "q_dedup_substring",
+    oracle="""
+    WITH grams AS (
+        SELECT doc_id, substr(text, CAST(i AS INT), 40) AS gram
+        FROM (
+            SELECT doc_id, text,
+                   unnest(range(1, CAST(n_chars - 38 AS BIGINT))) AS i
+            FROM documents WHERE n_chars >= 40
+        )
+    ), dd AS (
+        SELECT gram FROM grams GROUP BY gram
+        HAVING COUNT(DISTINCT doc_id) >= 2
+    )
+    SELECT doc_id, COUNT(*) AS n_grams,
+           CAST(SUM(CASE WHEN gram IN (SELECT gram FROM dd)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_grams
+    FROM grams GROUP BY doc_id
+    """,
+)
+def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT SUBSTRING deduplication at span granularity — the
+    'duplicated text within a document' metric of suffix-array corpus
+    dedup (repeated 40-char spans across distinct documents), the
+    family member MinHash/SimHash can't express: they score whole-doc
+    similarity, this finds verbatim shared spans inside otherwise
+    different docs. Distributed form: every position's 40-gram
+    (JVM sequence + substring — one narrow projection, no Python),
+    grams repeated across >= 2 distinct docs found with ONE gram-keyed
+    aggregate, flagged back onto positions by a join that reuses the
+    same gram partitioning (AQE), then a per-doc rollup. This sorted
+    k-gram bucketing is the distributed analog of the suffix-array
+    scan; at 100 TB the gram key is xxhash64'd to 8 bytes before the
+    shuffle and boilerplate-hot grams get df-capped exactly like
+    q_dedup_ngram_jaccard's token blocking — same plan shape, narrower
+    exchange. Counts are exact integers; docs shorter than the gram
+    width drop from both engines identically."""
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("n_chars") >= 40)
+        .select("doc_id", "text", F.col("n_chars").cast("int").alias("nc"))
+    )
+    grams = d.select(
+        "doc_id",
+        F.expr("explode(sequence(1, nc - 39))").alias("i"),
+        "text",
+    ).select("doc_id", F.expr("substring(text, i, 40)").alias("gram"))
+    dd = (
+        grams.groupBy("gram")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("gram", F.lit(1).alias("dup"))
+    )
+    return (
+        grams.join(dd, "gram", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.coalesce(F.col("dup"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_dup_grams"),
+        )
+    )

@@ -74,6 +74,7 @@ WINDOW_PRIORITY: tuple[str, ...] = (
     "q_scan_partition_prune",
     "q_stream_join_outer",
     "q_stream_dedup",
+    "q_dedup_substring",
     "q_dedup_incremental",
     "q_tpch_q7_shape",
     "q_tpch_q8_shape",
@@ -117,7 +118,6 @@ WINDOW_PRIORITY: tuple[str, ...] = (
     # stalest r05-stamped fill
     "q_agg_approx_distinct",
     "q_agg_approx_quantile",
-    "q_agg_arg_minmax",
     "q_agg_bitwise",
 )
 
