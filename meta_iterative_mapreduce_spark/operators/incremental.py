@@ -958,3 +958,79 @@ def q_scan_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("o_orderkey").cast("bigint").alias("sum_key"),
         F.sum("cents").cast("bigint").alias("sum_cents"),
     )
+
+
+def ensure_orders_update_table(spark: SparkSession, sf_dir: str) -> str:
+    """v1 = orders snapshot; v2 = ONE update_where commit re-pricing
+    the urgent orders (+250 cents) and flagging their status 'U'.
+    Idempotent, fingerprint-keyed."""
+    from meta_iterative_mapreduce_spark.sources import versioned
+
+    table = _versioned_fixture_path(sf_dir, "orders_upd", "orders")
+    base = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.lit("-").alias("flag"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    if len(versioned.versions(table)) == 0:
+        versioned.write_version(base, table)
+    if len(versioned.versions(table)) == 1:
+        versioned.update_where(
+            spark,
+            table,
+            {"cents": "cents + 250", "flag": "'U'"},
+            "o_orderpriority = '1-URGENT'",
+        )
+    return table
+
+
+@register(
+    "q_table_update",
+    oracle="""
+    WITH o AS (
+        SELECT o_orderkey, o_orderpriority,
+               CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        FROM orders
+    )
+    SELECT 1 AS version, COUNT(*) AS n_rows,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents,
+           CAST(SUM(CASE WHEN FALSE THEN 1 ELSE 0 END) AS BIGINT) AS n_u
+    FROM o
+    UNION ALL
+    SELECT 2, COUNT(*),
+           CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT'
+                         THEN cents + 250 ELSE cents END) AS BIGINT),
+           CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT'
+                         THEN 1 ELSE 0 END) AS BIGINT)
+    FROM o
+    """,
+)
+def q_table_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level UPDATE committed to the versioned log, hash-certified:
+    one update_where commit recomputes two columns (a SET expression
+    referencing the column itself, and a constant flag) for exactly
+    the matching rows, rewriting only the files that contain them
+    (sources/versioned.py::update_where — the Delta UPDATE verb,
+    completing the DML set with delete/merge/compact). v1 pins the
+    pre-update state via time travel; v2's exact integer sums and
+    flag counts pin the CASE application against a full-recompute
+    oracle — touching a non-matching row breaks sum_cents, missing a
+    matching one breaks n_u too."""
+    from meta_iterative_mapreduce_spark.sources import versioned
+
+    table = ensure_orders_update_table(spark, sf_dir)
+
+    def summarize(v: int) -> DataFrame:
+        return versioned.read_version(spark, table, v).agg(
+            F.lit(v).cast("int").alias("version"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("cents").cast("bigint").alias("sum_cents"),
+            F.sum(F.when(F.col("flag") == "U", 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_u"),
+        )
+
+    return summarize(1).unionByName(summarize(2))

@@ -1028,6 +1028,60 @@ def delete_where(
     return _commit_rewrite(spark, table, m, touched, survivors)
 
 
+def update_where(
+    spark: SparkSession,
+    table: str,
+    set_exprs: dict[str, str],
+    predicate: str,
+) -> int:
+    """Row-level UPDATE, copy-on-write (the Delta UPDATE verb): rows
+    matching `predicate` get each column of `set_exprs` recomputed
+    from its SQL expression (over LOGICAL columns — the expressions
+    may reference any column, e.g. {"cents": "cents + 100"}); only the
+    files CONTAINING matches are rewritten, everything else rides by
+    reference, old versions time-travel to the pre-update rows. The
+    same probe-classify-rewrite discipline as delete_where, with the
+    rewrite applying a CASE instead of dropping rows. Returns the new
+    version.
+
+    Reference analog: the in-place state mutation each iteration of
+    kernel.cu:190-196 — rendered as a manifest swap over immutable
+    files."""
+    m = manifest_info(table)
+    if "schema" not in m:
+        raise ValueError(
+            "update_where needs a schema-tracking manifest; "
+            "rewrite the table with write_version first"
+        )
+    cols = [f["name"] for f in m["schema"]["fields"]]
+    for c in set_exprs:
+        if c not in cols:
+            raise ValueError(f"SET column {c!r} not in table columns {cols}")
+    tagged = _read_files_logical(
+        spark, table, m, m["files"], with_position=True
+    )
+    cond = F.expr(predicate)
+    touched_names = {
+        r["__file"]
+        for r in tagged.filter(cond).select("__file").distinct().collect()
+    }
+    touched = [f for f in m["files"] if f in touched_names]
+    if not touched:
+        return _commit_rewrite(spark, table, m, [], None)
+    base = _read_files_logical(spark, table, m, touched)
+    replacement = base.select(
+        *[
+            F.when(F.coalesce(cond, F.lit(False)), F.expr(set_exprs[c]))
+            .otherwise(F.col(c))
+            .alias(c)
+            if c in set_exprs
+            else F.col(c)
+            for c in cols
+        ]
+    )
+    return _commit_rewrite(spark, table, m, touched, replacement)
+
+
 def merge_version(
     spark: SparkSession,
     table: str,

@@ -305,3 +305,26 @@ def test_vacuum_keeps_live_dv_files(spark, tmp_path):
         assert os.path.exists(os.path.join(table, f))
     assert V.read_version(spark, table).count() == 90
     assert res["dropped_versions"]  # old manifests really went
+
+
+def test_update_where_rewrites_only_matching_files(spark, tmp_path):
+    """UPDATE: matching rows recomputed per SET expressions, only the
+    containing files rewritten, time travel keeps the old values, and
+    SET expressions may reference the row's own columns."""
+    table = _range_sliced_table(spark, tmp_path)
+    before = V.manifest_info(table)["files"]
+    pre = V.versions(table)[-1]
+    V.update_where(spark, table, {"v": "v + 1000"}, "k < 10")
+    m = V.manifest_info(table)
+    assert set(m["removed"]) == {before[0]}  # k<10 lives ONLY in file 0
+    got = {r["k"]: r["v"] for r in V.read_version(spark, table).collect()}
+    assert got[5] == 1010 and got[50] == 100
+    old = {r["k"]: r["v"] for r in V.read_version(spark, table, pre).collect()}
+    assert old[5] == 10
+    # no-op update commits an explicit version
+    v = V.update_where(spark, table, {"v": "v"}, "k = 99999")
+    assert V.manifest_info(table, v)["added"] == []
+    import pytest
+
+    with pytest.raises(ValueError, match="SET column"):
+        V.update_where(spark, table, {"nope": "1"}, "k < 5")
