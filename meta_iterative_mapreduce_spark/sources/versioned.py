@@ -219,13 +219,21 @@ def _commit(
     object stores without hard links the equivalent primitive is a
     conditional put (e.g. HTTP If-None-Match) — single-writer-per-table
     is the documented contract where neither exists."""
+    import time
+
     mdir = os.path.join(table, _MANIFEST_DIR)
     os.makedirs(mdir, exist_ok=True)
     final = _manifest_path(table, version)
     tmp = final + f".tmp-{uuid.uuid4().hex}"
     with open(tmp, "w") as fh:
         json.dump(
-            {"version": version, "files": files, "n_rows": n_rows, **extra},
+            {
+                "version": version,
+                "committed_at": time.time(),
+                "files": files,
+                "n_rows": n_rows,
+                **extra,
+            },
             fh,
         )
     try:
@@ -402,6 +410,32 @@ def manifest_info(table: str, version: int | None = None) -> dict:
     if v not in vs:
         raise ValueError(f"version {v} not in {vs}")
     return json.load(open(_manifest_path(table, v)))
+
+
+def version_as_of(table: str, ts: float) -> int:
+    """TIMESTAMP AS OF resolution: the latest version whose manifest
+    committed at or before epoch-seconds `ts` (commit times are
+    recorded by _commit; put-if-absent publishes make them
+    monotone-enough per table — ties break to the higher version).
+    Raises if the table has no version that old."""
+    best = None
+    for v in versions(table):
+        m = json.load(open(_manifest_path(table, v)))
+        at = m.get("committed_at")
+        if at is not None and at <= ts:
+            best = v
+    if best is None:
+        raise ValueError(
+            f"no version of {table!r} committed at or before {ts}"
+        )
+    return best
+
+
+def read_as_of(spark: SparkSession, table: str, ts: float) -> DataFrame:
+    """Time-travel read by TIMESTAMP instead of version number — the
+    `SELECT ... TIMESTAMP AS OF` form, resolved through the manifests'
+    commit times."""
+    return read_version(spark, table, version_as_of(table, ts))
 
 
 def plan_files(

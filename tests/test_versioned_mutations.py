@@ -328,3 +328,20 @@ def test_update_where_rewrites_only_matching_files(spark, tmp_path):
 
     with pytest.raises(ValueError, match="SET column"):
         V.update_where(spark, table, {"nope": "1"}, "k < 5")
+
+
+def test_timestamp_as_of_time_travel(spark, tmp_path):
+    """TIMESTAMP AS OF: commit times recorded per manifest resolve a
+    wall-clock instant to the version current at that instant."""
+    import time
+
+    import pytest
+
+    table = _range_sliced_table(spark, tmp_path, n=40, n_files=2)
+    t_mid = time.time()
+    time.sleep(0.05)
+    V.delete_where(spark, table, "k < 10")
+    assert V.read_as_of(spark, table, t_mid).count() == 40
+    assert V.read_as_of(spark, table, time.time()).count() == 30
+    with pytest.raises(ValueError, match="at or before"):
+        V.version_as_of(table, t_mid - 10_000)
