@@ -798,24 +798,40 @@ def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "documents")
         .filter(F.col("n_chars") >= 40)
         .select("doc_id", "text", F.col("n_chars").cast("int").alias("nc"))
+        # the gram GENERATE fans each doc out ~n_chars×: a single-file
+        # corpus scan would run that (and the map-side partial aggs)
+        # on one core, so rebalance the narrow doc rows BEFORE the
+        # explosion — the shuffle moves docs, never grams. The count
+        # is EXPLICIT because the pre-explode bytes are tiny and AQE
+        # would otherwise coalesce the exchange right back to one
+        # partition, defeating the rebalance.
+        .repartition(
+            int(spark.conf.get("spark.sql.shuffle.partitions")),
+            F.col("doc_id"),
+        )
     )
     grams = d.select(
         "doc_id",
         F.expr("explode(sequence(1, nc - 39))").alias("i"),
         "text",
     ).select("doc_id", F.expr("substring(text, i, 40)").alias("gram"))
-    dd = (
-        grams.groupBy("gram")
-        .agg(F.countDistinct("doc_id").alias("nd"))
-        .filter(F.col("nd") >= 2)
-        .select("gram", F.lit(1).alias("dup"))
+    # ONE explicit gram exchange feeds everything downstream: the
+    # (gram, doc_id) occurrence collapse needs no further shuffle
+    # (gram-partitioning clusters its keys), the per-gram doc count
+    # aggregates in place, and the flag join is co-partitioned — so
+    # the wide 40-byte gram strings cross the wire exactly once.
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    g2 = grams.repartition(n_parts, F.col("gram"))
+    pairs = g2.groupBy("gram", "doc_id").agg(
+        F.count(F.lit(1)).alias("n_occ")
     )
+    per_gram = pairs.groupBy("gram").agg(F.count(F.lit(1)).alias("nd"))
     return (
-        grams.join(dd, "gram", "left")
+        pairs.join(per_gram, "gram")
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).alias("n_grams"),
-            F.sum(F.coalesce(F.col("dup"), F.lit(0)))
+            F.sum("n_occ").cast("bigint").alias("n_grams"),
+            F.sum(F.when(F.col("nd") >= 2, F.col("n_occ")).otherwise(0))
             .cast("bigint")
             .alias("n_dup_grams"),
         )
