@@ -670,6 +670,7 @@ def rename_column(
         if m["name"] == old:
             m["name"] = new
     v = vs[-1] + 1
+    pby = [new if c == old else c for c in prev.get("partition_by", [])]
     _commit(
         table,
         v,
@@ -683,6 +684,7 @@ def rename_column(
         added=[],
         removed=[],
         dv_files=list(prev.get("dv_files", [])),
+        **({"partition_by": pby} if pby else {}),
     )
     return v
 
@@ -709,9 +711,15 @@ def drop_column(spark: SparkSession, table: str, name: str) -> int:
         "type": "struct",
         "fields": [f for f in prev_schema["fields"] if f["name"] != name],
     }
+    if name in prev.get("partition_by", []):
+        raise ValueError(
+            f"cannot drop partition column {name!r}; rewrite the table "
+            "unpartitioned (write_version) first"
+        )
     retired = retired + [m["physical"] for m in mapping if m["name"] == name]
     mapping = [m for m in mapping if m["name"] != name]
     v = vs[-1] + 1
+    pby = list(prev.get("partition_by", []))
     _commit(
         table,
         v,
@@ -725,6 +733,7 @@ def drop_column(spark: SparkSession, table: str, name: str) -> int:
         added=[],
         removed=[],
         dv_files=list(prev.get("dv_files", [])),
+        **({"partition_by": pby} if pby else {}),
     )
     return v
 
@@ -1047,6 +1056,11 @@ def delete_where(
             added=[],
             removed=[],
             dv_files=list(m.get("dv_files", [])) + new_dv,
+            **(
+                {"partition_by": list(m["partition_by"])}
+                if m.get("partition_by")
+                else {}
+            ),
         )
         return v
     touched_names = {

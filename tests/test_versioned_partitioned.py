@@ -267,3 +267,37 @@ def test_concurrent_appends_from_two_threads_all_land(spark, tmp_path):
     got = V.read_version(spark, table)
     assert got.count() == 85  # 5 + 8 * 10, nothing lost or doubled
     assert got.select("k").distinct().count() == 85
+
+
+def test_rename_of_partition_column_keeps_layout_and_pruning(spark, tmp_path):
+    """Renaming a PARTITION column is still metadata-only: the hive
+    dirs keep the physical name, appends keep landing under it, and
+    pruning on the NEW logical name maps through the column mapping to
+    the physical stats."""
+    table = str(tmp_path / "rp")
+    df = spark.range(0, 40).select(
+        F.col("id").alias("k"), (F.col("id") % 4).cast("int").alias("p")
+    )
+    V.write_version(df, table, partition_by="p")
+    V.rename_column(spark, table, "p", "bucket")
+    assert V.read_version(spark, table).columns == ["k", "bucket"]
+    extra = spark.range(100, 120).select(
+        F.col("id").alias("k"), (F.col("id") % 4).cast("int").alias("bucket")
+    )
+    V.append_version(extra, table)
+    assert all("p=" in f for f in V.manifest_info(table)["added"])
+    kept, total = V.plan_files(table, where=("bucket", "=", 2))
+    assert 0 < len(kept) < total
+    got = V.read_version(spark, table, where=("bucket", "=", 2))
+    assert got.count() == 15  # 10 base + 5 appended
+    assert {r["bucket"] for r in got.collect()} == {2}
+
+
+def test_cannot_drop_partition_column(spark, tmp_path):
+    import pytest
+
+    table = _ptable(spark, tmp_path)
+    with pytest.raises(ValueError, match="partition column"):
+        V.drop_column(spark, table, "p")
+    V.drop_column(spark, table, "v")  # non-partition drop still fine
+    assert V.manifest_info(table)["partition_by"] == ["p"]
