@@ -979,7 +979,11 @@ def _commit_rewrite(
 
 
 def delete_where(
-    spark: SparkSession, table: str, predicate: str, mode: str = "cow"
+    spark: SparkSession,
+    table: str,
+    predicate: str,
+    mode: str = "cow",
+    prune: tuple[str, str, object] | None = None,
 ) -> int:
     """Row-level DELETE — the GDPR-delete path a real 100 TB pipeline
     needs — in either of the two lakehouse disciplines:
@@ -1007,6 +1011,15 @@ def delete_where(
     Re-deleting already-DV'd rows is a no-op (the probe reads with
     DVs applied). Returns the new version.
 
+    `prune=(col, op, literal)` stats-prunes the match PROBE through
+    plan_files before any file opens — the explicit form of Delta's
+    WHERE-clause file pruning (this engine does not derive it from the
+    predicate string). CONTRACT: the tuple must be IMPLIED by
+    `predicate` (every matching row satisfies it); rows matching the
+    predicate in pruned-away files would survive the delete. The
+    correctness tests pin an implied hint; merge_version's key-range
+    prune is the automatic analog.
+
     Reference analog: the batch-mutation loop kernel.cu:190-196 —
     state updated in place each round; here the "in place" is a
     manifest swap over immutable files."""
@@ -1018,8 +1031,11 @@ def delete_where(
             "delete_where needs a schema-tracking manifest; "
             "rewrite the table with write_version first"
         )
+    probe_files = (
+        plan_files(table, where=prune)[0] if prune is not None else m["files"]
+    )
     tagged = _read_files_logical(
-        spark, table, m, m["files"], with_position=True
+        spark, table, m, probe_files, with_position=True
     )
     cond = F.expr(predicate)
     if mode == "dv":
@@ -1081,6 +1097,7 @@ def update_where(
     table: str,
     set_exprs: dict[str, str],
     predicate: str,
+    prune: tuple[str, str, object] | None = None,
 ) -> int:
     """Row-level UPDATE, copy-on-write (the Delta UPDATE verb): rows
     matching `predicate` get each column of `set_exprs` recomputed
@@ -1090,7 +1107,8 @@ def update_where(
     reference, old versions time-travel to the pre-update rows. The
     same probe-classify-rewrite discipline as delete_where, with the
     rewrite applying a CASE instead of dropping rows. Returns the new
-    version.
+    version. `prune=(col, op, literal)` stats-prunes the probe under
+    the same implied-by-predicate contract as delete_where.
 
     Reference analog: the in-place state mutation each iteration of
     kernel.cu:190-196 — rendered as a manifest swap over immutable
@@ -1105,8 +1123,11 @@ def update_where(
     for c in set_exprs:
         if c not in cols:
             raise ValueError(f"SET column {c!r} not in table columns {cols}")
+    probe_files = (
+        plan_files(table, where=prune)[0] if prune is not None else m["files"]
+    )
     tagged = _read_files_logical(
-        spark, table, m, m["files"], with_position=True
+        spark, table, m, probe_files, with_position=True
     )
     cond = F.expr(predicate)
     touched_names = {
@@ -1145,7 +1166,14 @@ def merge_version(
     time-travel to the pre-merge state. With `batch_id`, replayed
     batches are skipped exactly-once style (the versioned_batch_sink
     contract), so a retried CDC micro-batch cannot double-apply.
-    Returns the committed (or already-committed) latest version."""
+    Returns the committed (or already-committed) latest version.
+
+    The match PROBE is stats-pruned automatically: the update batch's
+    key [min, max] (one cheap 1-row agg) excludes every file whose
+    manifest key range cannot intersect it — footer min/max are exact,
+    so the exclusion is sound, and a point-merge into a key-clustered
+    table probes O(1) files instead of O(table). Files without key
+    stats stay in conservatively."""
     if batch_id is not None and batch_id in committed_batch_ids(table):
         return versions(table)[-1]
     m = manifest_info(table)
@@ -1162,8 +1190,22 @@ def merge_version(
         )
     updates = updates.select(*table_cols)
     keys = updates.select(key).distinct()
+    krange = updates.agg(
+        F.min(key).alias("lo"), F.max(key).alias("hi")
+    ).collect()[0]
+    candidates = m["files"]
+    if krange["lo"] is not None:
+        mapping, _, _ = _mapping_state(m, m["schema"])
+        phys_key = {mp["name"]: mp["physical"] for mp in mapping}.get(key, key)
+        fstats = m.get("file_stats", {})
+        candidates = [
+            f
+            for f in m["files"]
+            if _file_may_match(fstats.get(f), phys_key, ">=", krange["lo"])
+            and _file_may_match(fstats.get(f), phys_key, "<=", krange["hi"])
+        ]
     tagged = _read_files_logical(
-        spark, table, m, m["files"], with_position=True
+        spark, table, m, candidates, with_position=True
     )
     touched_names = {
         r["__file"]

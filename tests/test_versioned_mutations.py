@@ -345,3 +345,48 @@ def test_timestamp_as_of_time_travel(spark, tmp_path):
     assert V.read_as_of(spark, table, time.time()).count() == 30
     with pytest.raises(ValueError, match="at or before"):
         V.version_as_of(table, t_mid - 10_000)
+
+
+def _probe_capture(monkeypatch):
+    """Record the file lists every _read_files_logical call receives."""
+    calls: list[list[str]] = []
+    real = V._read_files_logical
+
+    def spy(spark, table, m, files, with_position=False):
+        calls.append(list(files))
+        return real(spark, table, m, files, with_position)
+
+    monkeypatch.setattr(V, "_read_files_logical", spy)
+    return calls
+
+
+def test_merge_probe_is_key_range_pruned(spark, tmp_path, monkeypatch):
+    """A point-merge into a key-clustered table must PROBE only the
+    files whose manifest key range can hold the update keys — the
+    automatic analog of Delta's ON-clause file pruning."""
+    table = _range_sliced_table(spark, tmp_path)  # 4 files, 25 keys each
+    calls = _probe_capture(monkeypatch)
+    updates = spark.createDataFrame([(5, 555), (7, 777)], "k long, v long")
+    V.merge_version(spark, table, updates, "k")
+    probe = calls[0]
+    assert len(probe) == 1  # keys 5 and 7 live only in file 0
+    got = {r["k"]: r["v"] for r in V.read_version(spark, table).collect()}
+    assert got[5] == 555 and got[7] == 777 and got[50] == 100
+    assert len(got) == 100
+
+
+def test_delete_and_update_probe_honor_prune_hint(
+    spark, tmp_path, monkeypatch
+):
+    table = _range_sliced_table(spark, tmp_path)
+    calls = _probe_capture(monkeypatch)
+    V.delete_where(spark, table, "k < 10", prune=("k", "<", 10))
+    assert len(calls[0]) == 1
+    assert V.read_version(spark, table).count() == 90
+    calls.clear()
+    V.update_where(
+        spark, table, {"v": "v + 1"}, "k >= 90", prune=("k", ">=", 90)
+    )
+    assert len(calls[0]) == 1
+    got = {r["k"]: r["v"] for r in V.read_version(spark, table).collect()}
+    assert got[95] == 191 and got[50] == 100
