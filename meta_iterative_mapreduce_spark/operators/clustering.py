@@ -523,3 +523,169 @@ def q_sim_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id int, k int, n_hits_adc long, recall_adc double, "
         "n_hits_rerank long, recall_rerank double",
     )
+
+
+def ensure_ivfpq_index(
+    spark: SparkSession, sf_dir: str
+) -> tuple[str, list, list]:
+    """IVF-PQ index persisted to the versioned log, PARTITIONED BY
+    INVERTED LIST: every vector's coarse cluster id (IVF) and its PQ
+    code land in one hive-partitioned snapshot (partition_by="cluster")
+    whose manifest carries both the codebook and the coarse centers as
+    extras — so a probe of nProbe lists is a MANIFEST PARTITION PRUNE
+    (this round's storage feature is the ANN probe path: the scan
+    opens only the probed lists' files, no directory listing, no full
+    scan). Codes quantize the raw vectors (not residuals — documented
+    simplification; the probe/ADC/re-rank pipeline is the production
+    shape either way). Returns (table, books, centers)."""
+    import os
+    import tempfile
+
+    from meta_iterative_mapreduce_spark.io import fixture_fingerprint
+    from meta_iterative_mapreduce_spark.sources import versioned
+
+    table = os.path.join(
+        tempfile.gettempdir(),
+        "mimr_versioned",
+        f"ivfpq_idx_{fixture_fingerprint(sf_dir, 'embeddings')}",
+    )
+    if len(versioned.versions(table)) == 0:
+        e = load_table(spark, sf_dir, "embeddings")
+        centers = _init_centers(spark, sf_dir, _IVF_K)
+        sub = _pq_subvectors(e, "embedding").cache()
+        try:
+            books = pq_train(
+                e, "embedding", e.filter(F.col("vec_id") < _PQ_K), sub=sub
+            )
+            enc = pq_encode(e, "embedding", books, sub=sub)
+        finally:
+            sub.unpersist()
+        assigned = assign_clusters(e, "embedding", centers).select(
+            "vec_id", F.col("cluster").cast("int").alias("cluster")
+        )
+        versioned.write_version(
+            enc.join(assigned, "vec_id").repartition(
+                _IVF_K, F.col("cluster")
+            ),
+            table,
+            partition_by="cluster",
+            pq_books=books,
+            ivf_centers=centers,
+        )
+    m = versioned.manifest_info(table)
+    return table, m["pq_books"], m["ivf_centers"]
+
+
+@register("q_sim_ivf_pq")  # rows-only: codebook+centers are
+#                            driver-iterative artifacts (SQL oracle
+#                            can't train Lloyd); recall contract is
+#                            pytest-pinned in tests/test_clustering.py
+def q_sim_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production ANN shape END-TO-END — IVF probe → PQ ADC →
+    exact re-rank — over ONE persisted artifact: (1) the query picks
+    its nProbe nearest coarse centers driver-side (k constants); (2)
+    each probed inverted list is a PARTITION-PRUNED read of the index
+    table (read_version(where=("cluster", "=", cid)) — the manifest
+    prune IS the probe; n_files_read/n_files_total prove the scan
+    fraction); (3) ADC ranks the probed lists' 4-byte codes via the
+    query's 128-float LUT folded into the scan as literals; (4) the
+    50-vector shortlist re-ranks exactly against fetched float
+    vectors. Emits the evaluation row: scan fraction + recall@10 of
+    the full pipeline against the GLOBAL exact top-10 (the honest
+    metric — it charges IVF's probe misses AND PQ's quantization
+    error)."""
+    from meta_iterative_mapreduce_spark.sources import versioned
+
+    e = load_table(spark, sf_dir, "embeddings")
+    table, books, centers = ensure_ivfpq_index(spark, sf_dir)
+    q = [
+        float(x)
+        for x in e.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+    ]
+
+    def pdist(c: list[float]) -> float:
+        return sum((x - p) * (x - p) for x, p in zip(c, q))
+
+    probe_lists = [
+        cid
+        for cid, _ in sorted(
+            enumerate(centers), key=lambda t: (pdist(t[1]), t[0])
+        )
+    ][:_N_PROBE]
+    kept_total = [
+        versioned.plan_files(table, where=("cluster", "=", cid))
+        for cid in probe_lists
+    ]
+    n_read = sum(len(k) for k, _ in kept_total)
+    n_total = kept_total[0][1]
+    probed = None
+    for cid in probe_lists:
+        part = versioned.read_version(
+            spark, table, where=("cluster", "=", cid)
+        )
+        probed = part if probed is None else probed.unionByName(part)
+    probed = probed.filter(F.col("vec_id") != 0)
+    lut = [
+        [
+            sum(
+                (q[s * _PQ_DIM + d] - books[s][j][d]) ** 2
+                for d in range(_PQ_DIM)
+            )
+            for j in range(_PQ_K)
+        ]
+        for s in range(_PQ_M)
+    ]
+    lut_col = F.array(*[F.array(*[F.lit(x) for x in row]) for row in lut])
+    adc = F.aggregate(
+        F.zip_with(
+            F.col("codes"),
+            lut_col,
+            lambda code, row: F.element_at(row, code + 1),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    shortlist = (
+        probed.select("vec_id", adc.alias("adc"))
+        .orderBy(F.col("adc").asc(), F.col("vec_id").asc())
+        .limit(_ADC_SHORTLIST)
+    )
+    exact_d = F.aggregate(
+        F.zip_with(
+            "embedding",
+            F.array(*[F.lit(x) for x in q]),
+            lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    exact10 = (
+        e.filter(F.col("vec_id") != 0)
+        .select("vec_id", exact_d.alias("d"))
+        .orderBy(F.col("d").asc(), F.col("vec_id").asc())
+        .limit(10)
+    )
+    rerank10 = (
+        e.join(shortlist.select("vec_id"), "vec_id")
+        .select("vec_id", exact_d.alias("d"))
+        .orderBy(F.col("d").asc(), F.col("vec_id").asc())
+        .limit(10)
+    )
+    hits = rerank10.join(exact10.select("vec_id"), "vec_id").count()
+    return spark.createDataFrame(
+        [
+            (
+                0,
+                len(probe_lists),
+                n_read,
+                n_total,
+                round(n_read / n_total, 4),
+                10,
+                hits,
+                round(hits / 10.0, 4),
+            )
+        ],
+        "query_id int, n_lists_probed int, n_files_read int, "
+        "n_files_total int, scan_fraction double, k int, "
+        "hits_at_10 bigint, recall_at_10 double",
+    )

@@ -177,3 +177,18 @@ def test_pq_index_is_persisted_and_reused(spark, sf_dir):
     row = q_sim_pq_adc(spark, sf_dir).collect()[0]
     # two-stage re-rank must dominate raw ADC and stay a valid recall
     assert 0.0 <= row["recall_adc"] <= row["recall_rerank"] <= 1.0
+
+
+def test_ivfpq_probe_is_partition_pruned_and_recalls(spark, sf_dir):
+    """The composed IVF-PQ pipeline: the probe must open only the
+    probed inverted lists' files (manifest partition prune — the scan
+    fraction IS nProbe/K) and the full probe→ADC→re-rank pipeline must
+    keep recall@10 ≥ 0.7 against the global exact top-10."""
+    from meta_iterative_mapreduce_spark.operators.clustering import (
+        q_sim_ivf_pq,
+    )
+
+    r = q_sim_ivf_pq(spark, sf_dir).collect()[0]
+    assert r["n_files_read"] < r["n_files_total"]
+    assert r["scan_fraction"] <= 0.5
+    assert r["recall_at_10"] >= 0.7
