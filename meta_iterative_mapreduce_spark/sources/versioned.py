@@ -412,6 +412,111 @@ def manifest_info(table: str, version: int | None = None) -> dict:
     return json.load(open(_manifest_path(table, v)))
 
 
+def _check_constraints(
+    df: DataFrame, constraints: dict[str, str], context: str
+) -> None:
+    """Fail the COMMIT, not the eventual reader: count rows violating
+    any CHECK constraint in one aggregate pass over the batch (NULL
+    predicate results count as violations, matching SQL CHECK's
+    treatment of unknown as not-satisfied here being the STRICTER
+    choice — documented deviation: ANSI CHECK passes UNKNOWN; a data
+    pipeline wants the loud version)."""
+    if not constraints:
+        return
+    aggs = [
+        F.sum(
+            F.when(F.coalesce(F.expr(sql), F.lit(False)), 0).otherwise(1)
+        ).alias(name)
+        for name, sql in constraints.items()
+    ]
+    row = df.agg(*aggs).collect()[0]
+    bad = {n: row[n] for n in constraints if (row[n] or 0) > 0}
+    if bad:
+        raise ValueError(
+            f"CHECK constraint violation in {context}: "
+            + ", ".join(f"{n} ({v} rows)" for n, v in sorted(bad.items()))
+        )
+
+
+def add_constraint(
+    spark: SparkSession, table: str, name: str, sql_expr: str
+) -> int:
+    """Register a CHECK constraint (Delta's ALTER TABLE ADD CONSTRAINT):
+    validates the CURRENT snapshot satisfies it (one aggregate pass),
+    then commits a metadata-only version carrying it. Every later
+    append / merge / update / streaming batch validates its NEW rows
+    against all registered constraints and FAILS THE COMMIT on
+    violation — bad data never becomes referenced by a manifest.
+    Returns the new version."""
+    m = manifest_info(table)
+    if "schema" not in m:
+        raise ValueError("add_constraint needs a schema-tracking manifest")
+    cons = dict(m.get("constraints", {}))
+    if name in cons:
+        raise ValueError(f"constraint {name!r} already exists")
+    _check_constraints(
+        _read_files_logical(spark, table, m, m["files"]),
+        {name: sql_expr},
+        f"existing data of {table}",
+    )
+    cons[name] = sql_expr
+    mapping, retired, max_id = _mapping_state(m, m["schema"])
+    v = m["version"] + 1
+    _commit(
+        table,
+        v,
+        m["files"],
+        m["n_rows"],
+        schema=m["schema"],
+        column_mapping=mapping,
+        retired_physical=retired,
+        max_column_id=max_id,
+        file_stats=m.get("file_stats", {}),
+        added=[],
+        removed=[],
+        dv_files=list(m.get("dv_files", [])),
+        constraints=cons,
+        **(
+            {"partition_by": list(m["partition_by"])}
+            if m.get("partition_by")
+            else {}
+        ),
+    )
+    return v
+
+
+def drop_constraint(table: str, name: str) -> int:
+    """Remove a CHECK constraint (metadata-only commit)."""
+    m = manifest_info(table)
+    cons = dict(m.get("constraints", {}))
+    if name not in cons:
+        raise ValueError(f"no constraint {name!r} (have {sorted(cons)})")
+    del cons[name]
+    mapping, retired, max_id = _mapping_state(m, m["schema"])
+    v = m["version"] + 1
+    _commit(
+        table,
+        v,
+        m["files"],
+        m["n_rows"],
+        schema=m["schema"],
+        column_mapping=mapping,
+        retired_physical=retired,
+        max_column_id=max_id,
+        file_stats=m.get("file_stats", {}),
+        added=[],
+        removed=[],
+        dv_files=list(m.get("dv_files", [])),
+        constraints=cons,
+        **(
+            {"partition_by": list(m["partition_by"])}
+            if m.get("partition_by")
+            else {}
+        ),
+    )
+    return v
+
+
 def version_as_of(table: str, ts: float) -> int:
     """TIMESTAMP AS OF resolution: the latest version whose manifest
     committed at or before epoch-seconds `ts` (commit times are
@@ -508,6 +613,11 @@ def write_version(
     prev_files = (
         manifest_info(table, vs[-1])["files"] if vs else []
     )
+    cons = (
+        dict(manifest_info(table, vs[-1]).get("constraints", {})) if vs else {}
+    )
+    if cons:
+        _check_constraints(df, cons, f"snapshot write to {table}")
     pby = [partition_by] if isinstance(partition_by, str) else partition_by
     if pby:
         types = {f["name"]: f["type"] for f in schema["fields"]}
@@ -539,6 +649,7 @@ def write_version(
         added=files,
         removed=prev_files,
         **({"partition_by": pby} if pby else {}),
+        **({"constraints": cons} if cons else {}),
         **extra,
     )
     return v
@@ -571,6 +682,7 @@ def append_version(df: DataFrame, table: str, max_retries: int = 10) -> int:
     n_new = df.count()
     written: list[str] | None = None
     written_key: tuple | None = None
+    checked: frozenset | None = None
     for _ in range(max_retries):
         vs = versions(table)
         if not vs:
@@ -584,6 +696,11 @@ def append_version(df: DataFrame, table: str, max_retries: int = 10) -> int:
         mapping, retired, max_id = _mapping_state(prev, prev_schema)
         max_id = _assign_new_columns(schema, mapping, retired, max_id)
         v = vs[-1] + 1
+        cons = dict(prev.get("constraints", {}))
+        key_cons = frozenset(cons.items())
+        if cons and checked != key_cons:  # re-validate only if they changed
+            _check_constraints(df, cons, f"append to {table}")
+            checked = key_cons
         pby = list(prev.get("partition_by", []))
         phys_of = {mp["name"]: mp["physical"] for mp in mapping}
         pby_phys = [phys_of.get(c, c) for c in pby]
@@ -629,9 +746,12 @@ def append_version(df: DataFrame, table: str, max_retries: int = 10) -> int:
                 removed=[],
                 dv_files=list(prev.get("dv_files", [])),
                 **({"partition_by": pby} if pby else {}),
+                **({"constraints": cons} if cons else {}),
             )
             return v
-        except ValueError:
+        except ValueError as exc:
+            if "already committed" not in str(exc):
+                raise  # a real failure (e.g. constraint), not a race
             continue  # another writer took v: rebase onto the new head
     raise RuntimeError(
         f"append to {table!r} lost {max_retries} straight commit races"
@@ -669,6 +789,14 @@ def rename_column(
     for m in mapping:
         if m["name"] == old:
             m["name"] = new
+    for cname, cexpr in prev.get("constraints", {}).items():
+        import re as _re
+
+        if _re.search(rf"\b{_re.escape(old)}\b", cexpr):
+            raise ValueError(
+                f"cannot rename {old!r}: referenced by constraint "
+                f"{cname!r} ({cexpr!r}); drop the constraint first"
+            )
     v = vs[-1] + 1
     pby = [new if c == old else c for c in prev.get("partition_by", [])]
     _commit(
@@ -685,6 +813,11 @@ def rename_column(
         removed=[],
         dv_files=list(prev.get("dv_files", [])),
         **({"partition_by": pby} if pby else {}),
+        **(
+            {"constraints": dict(prev["constraints"])}
+            if prev.get("constraints")
+            else {}
+        ),
     )
     return v
 
@@ -716,6 +849,14 @@ def drop_column(spark: SparkSession, table: str, name: str) -> int:
             f"cannot drop partition column {name!r}; rewrite the table "
             "unpartitioned (write_version) first"
         )
+    for cname, cexpr in prev.get("constraints", {}).items():
+        import re as _re
+
+        if _re.search(rf"\b{_re.escape(name)}\b", cexpr):
+            raise ValueError(
+                f"cannot drop {name!r}: referenced by constraint "
+                f"{cname!r} ({cexpr!r}); drop the constraint first"
+            )
     retired = retired + [m["physical"] for m in mapping if m["name"] == name]
     mapping = [m for m in mapping if m["name"] != name]
     v = vs[-1] + 1
@@ -734,6 +875,11 @@ def drop_column(spark: SparkSession, table: str, name: str) -> int:
         removed=[],
         dv_files=list(prev.get("dv_files", [])),
         **({"partition_by": pby} if pby else {}),
+        **(
+            {"constraints": dict(prev["constraints"])}
+            if prev.get("constraints")
+            else {}
+        ),
     )
     return v
 
@@ -925,6 +1071,11 @@ def _commit_rewrite(
     new_files: list[str] = []
     n_new = 0
     if replacement is not None:
+        _check_constraints(
+            replacement,
+            prev.get("constraints", {}),
+            f"rewrite commit to {prev.get('version')}+1",
+        )
         n_new = replacement.count()
         if n_new:
             new_files = _write_data_files(
@@ -973,6 +1124,11 @@ def _commit_rewrite(
         # table stays declared-partitioned: future appends keep the
         # hive layout and pruning covers both file shapes.
         **({"partition_by": pby} if pby else {}),
+        **(
+            {"constraints": dict(prev["constraints"])}
+            if prev.get("constraints")
+            else {}
+        ),
         **extra,
     )
     return v
@@ -1075,6 +1231,11 @@ def delete_where(
             **(
                 {"partition_by": list(m["partition_by"])}
                 if m.get("partition_by")
+                else {}
+            ),
+            **(
+                {"constraints": dict(m["constraints"])}
+                if m.get("constraints")
                 else {}
             ),
         )
@@ -1344,6 +1505,9 @@ def versioned_batch_sink(table: str):
             schema = _merged_schema(prev_schema, batch_df.schema.jsonValue())
             mapping, retired, max_id = _mapping_state(prev, prev_schema)
             max_id = _assign_new_columns(schema, mapping, retired, max_id)
+        cons = dict(prev.get("constraints", {})) if vs else {}
+        if cons:
+            _check_constraints(batch_df, cons, f"stream batch {batch_id}")
         pby = list(prev.get("partition_by", [])) if vs else []
         phys_of = {mp["name"]: mp["physical"] for mp in mapping}
         pby_phys = [phys_of.get(c, c) for c in pby]
@@ -1381,6 +1545,7 @@ def versioned_batch_sink(table: str):
             removed=[],
             dv_files=list(prev.get("dv_files", [])) if vs else [],
             **({"partition_by": pby} if pby else {}),
+            **({"constraints": cons} if cons else {}),
         )
 
     return apply_batch

@@ -390,3 +390,51 @@ def test_delete_and_update_probe_honor_prune_hint(
     assert len(calls[0]) == 1
     got = {r["k"]: r["v"] for r in V.read_version(spark, table).collect()}
     assert got[95] == 191 and got[50] == 100
+
+
+def test_check_constraints_gate_every_write_path(spark, tmp_path):
+    """CHECK constraints (Delta's ADD CONSTRAINT): registration
+    validates existing data; append / merge / update / snapshot /
+    stream-batch commits FAIL on violating rows before any manifest
+    references them; rename/drop of a referenced column is blocked;
+    drop_constraint lifts the gate."""
+    import pytest
+
+    table = _range_sliced_table(spark, tmp_path)
+    with pytest.raises(ValueError, match="existing data"):
+        V.add_constraint(spark, table, "v_big", "v >= 50")
+    V.add_constraint(spark, table, "v_nonneg", "v >= 0")
+    assert V.manifest_info(table)["constraints"] == {"v_nonneg": "v >= 0"}
+
+    bad = spark.createDataFrame([(500, -1)], "k long, v long")
+    n_before = len(V.versions(table))
+    with pytest.raises(ValueError, match="v_nonneg"):
+        V.append_version(bad, table)
+    assert len(V.versions(table)) == n_before  # nothing committed
+    with pytest.raises(ValueError, match="v_nonneg"):
+        V.merge_version(spark, table, bad, "k")
+    with pytest.raises(ValueError, match="v_nonneg"):
+        V.update_where(spark, table, {"v": "v - 1000"}, "k < 5")
+    with pytest.raises(ValueError, match="v_nonneg"):
+        V.write_version(bad, table)
+    sink = V.versioned_batch_sink(table)
+    with pytest.raises(ValueError, match="v_nonneg"):
+        sink(bad, 777)
+    assert len(V.versions(table)) == n_before
+
+    # NULL constraint results are violations (strict CHECK)
+    nullish = spark.createDataFrame([(501, None)], "k long, v long")
+    with pytest.raises(ValueError, match="v_nonneg"):
+        V.append_version(nullish, table)
+
+    with pytest.raises(ValueError, match="referenced by constraint"):
+        V.rename_column(spark, table, "v", "val")
+    with pytest.raises(ValueError, match="referenced by constraint"):
+        V.drop_column(spark, table, "v")
+
+    good = spark.createDataFrame([(500, 1)], "k long, v long")
+    V.append_version(good, table)  # passing rows commit fine
+    assert V.manifest_info(table)["constraints"] == {"v_nonneg": "v >= 0"}
+    V.drop_constraint(table, "v_nonneg")
+    V.append_version(bad, table)  # gate lifted
+    assert V.read_version(spark, table).count() == 102
