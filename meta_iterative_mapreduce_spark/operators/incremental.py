@@ -1034,3 +1034,46 @@ def q_table_update(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return summarize(1).unionByName(summarize(2))
+
+
+@register(
+    "q_table_files_meta",
+    oracle="""
+    WITH o AS (
+        SELECT o_orderkey FROM orders
+    ), w AS (SELECT MAX(o_orderkey) // 8 + 1 AS w FROM o)
+    SELECT CAST(o_orderkey // w.w AS INT) AS slice_idx,
+           COUNT(*) AS n_rows,
+           CAST(MIN(o_orderkey) AS BIGINT) AS k_min,
+           CAST(MAX(o_orderkey) AS BIGINT) AS k_max
+    FROM o, w GROUP BY 1
+    """,
+)
+def q_table_files_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FILES metadata table (Iceberg's `table.files` / Delta's
+    DESCRIBE DETAIL tier), hash-certified against the DATA: one row
+    per live file of the range-clustered versioned table, with row
+    count from the parquet footer and key min/max from the MANIFEST
+    stats — and the oracle recomputes the same numbers from the raw
+    orders rows, so the query certifies that what the manifest claims
+    about every file is exactly what the data contains (a wrong stats
+    harvest, a stale carried entry, or a footer/manifest drift breaks
+    the hash). Metadata-only on the engine side: no data pages are
+    read."""
+    import os as _os
+
+    import pyarrow.parquet as pq
+
+    from meta_iterative_mapreduce_spark.sources import versioned
+
+    table = ensure_orders_sliced_table(spark, sf_dir)
+    w = _orders_slice_width(spark, sf_dir)
+    m = versioned.manifest_info(table)
+    rows = []
+    for f in m["files"]:
+        st = m["file_stats"][f]["o_orderkey"]
+        n = pq.ParquetFile(_os.path.join(table, f)).metadata.num_rows
+        rows.append((int(st[0]) // w, n, int(st[0]), int(st[1])))
+    return spark.createDataFrame(
+        rows, "slice_idx int, n_rows bigint, k_min bigint, k_max bigint"
+    )

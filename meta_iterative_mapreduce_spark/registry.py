@@ -77,6 +77,7 @@ WINDOW_PRIORITY: tuple[str, ...] = (
     "q_dedup_substring",
     "q_table_update",
     "q_sim_ivf_pq",
+    "q_table_files_meta",
     "q_dedup_incremental",
     "q_tpch_q7_shape",
     "q_tpch_q8_shape",
@@ -118,7 +119,6 @@ WINDOW_PRIORITY: tuple[str, ...] = (
     # implementation moved to the persisted PQ index this round
     "q_embed_pq",
     # stalest r05-stamped fill
-    "q_agg_approx_distinct",
 )
 
 
