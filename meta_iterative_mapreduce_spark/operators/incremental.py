@@ -1077,3 +1077,62 @@ def q_table_files_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "slice_idx int, n_rows bigint, k_min bigint, k_max bigint"
     )
+
+
+def ensure_orders_bloom_table(spark: SparkSession, sf_dir: str) -> str:
+    """Orders committed HASH-DISTRIBUTED (round-robin over 8 files, so
+    every file spans the full o_orderkey range and min/max stats can
+    prune nothing) with a BLOOM index on o_orderkey. Idempotent,
+    fingerprint-keyed."""
+    from meta_iterative_mapreduce_spark.sources import versioned
+
+    table = _versioned_fixture_path(sf_dir, "orders_bloom", "orders")
+    if len(versioned.versions(table)) == 0:
+        versioned.write_version(
+            _orders_cents(spark, sf_dir).repartition(8),
+            table,
+            bloom_cols="o_orderkey",
+        )
+    return table
+
+
+@register(
+    "q_scan_bloom_skip",
+    oracle="""
+    SELECT 8 AS n_files_total, TRUE AS bloom_pruned,
+           COUNT(*) AS n_rows,
+           CAST(SUM(o_custkey) AS BIGINT) AS sum_cust,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS sum_cents
+    FROM orders WHERE o_orderkey = 4242
+    """,
+)
+def q_scan_bloom_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BLOOM-INDEX file skipping for point lookups, hash-certified
+    including the pruning claim: the table layout is deliberately
+    hash-distributed — every file's o_orderkey [min, max] spans the
+    whole key space, so range stats keep all 8 files — and the
+    per-file bloom filters (written into the manifest at commit,
+    sources/versioned.py::_collect_file_blooms) must prove absence
+    for enough files that the engine opens strictly fewer than all of
+    them (the bloom_pruned flag comes from the engine's own plan_files
+    decision and the oracle pins it TRUE; exact counts vary with
+    false positives, so the flag is the stable certificate). The skip
+    tier for point equality where Z-order/range clustering doesn't
+    apply."""
+    from meta_iterative_mapreduce_spark.sources import versioned
+
+    table = ensure_orders_bloom_table(spark, sf_dir)
+    kept, total = versioned.plan_files(
+        table, where=("o_orderkey", "=", 4242)
+    )
+    got = versioned.read_version(
+        spark, table, where=("o_orderkey", "=", 4242)
+    )
+    return got.agg(
+        F.lit(total).cast("int").alias("n_files_total"),
+        F.lit(len(kept) < total).alias("bloom_pruned"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("o_custkey").cast("bigint").alias("sum_cust"),
+        F.sum("cents").cast("bigint").alias("sum_cents"),
+    )

@@ -370,6 +370,65 @@ def _collect_file_stats(table: str, files: list[str]) -> dict:
     return out
 
 
+_BLOOM_BITS = 8192
+_BLOOM_K = 5
+
+
+def _bloom_hashes(value) -> list[int]:
+    """k deterministic bit positions for a value — md5 of the value's
+    canonical string sliced into independent 32-bit words (engine- and
+    run-stable: no PYTHONHASHSEED dependence)."""
+    import hashlib
+
+    digest = hashlib.md5(repr(value).encode()).digest()
+    return [
+        int.from_bytes(digest[4 * i : 4 * i + 4], "big") % _BLOOM_BITS
+        for i in range(_BLOOM_K)
+    ]
+
+
+def _collect_file_blooms(
+    table: str, files: list[str], cols: list[str]
+) -> dict:
+    """Per-file Bloom filters over the distinct values of `cols`
+    (Delta's bloom filter index): reads ONLY those columns via arrow,
+    sets k md5-derived bits per distinct value, stores base64 bitsets
+    in the manifest. Point-equality reads prune files whose bloom
+    PROVES absence — the skip that works where min/max can't (hash or
+    round-robin layouts where every file spans the full key range)."""
+    import base64
+
+    import pyarrow.parquet as pq
+
+    out: dict[str, dict[str, str]] = {}
+    for rel in files:
+        pf = pq.ParquetFile(os.path.join(table, rel))
+        present = [c for c in cols if c in pf.schema_arrow.names]
+        if not present:
+            continue
+        tbl = pf.read(columns=present)
+        per_col: dict[str, str] = {}
+        for c in present:
+            bits = bytearray(_BLOOM_BITS // 8)
+            for v in tbl.column(c).unique().to_pylist():
+                if v is None:
+                    continue
+                for h in _bloom_hashes(v):
+                    bits[h // 8] |= 1 << (h % 8)
+            per_col[c] = base64.b64encode(bytes(bits)).decode()
+        out[rel] = per_col
+    return out
+
+
+def _bloom_may_contain(b64: str, value) -> bool:
+    import base64
+
+    bits = base64.b64decode(b64)
+    return all(
+        bits[h // 8] & (1 << (h % 8)) for h in _bloom_hashes(value)
+    )
+
+
 def _file_may_match(
     stats: dict | None, col: str, op: str, value
 ) -> bool:
@@ -563,6 +622,14 @@ def plan_files(
     kept = [
         f for f in files if _file_may_match(fstats.get(f), phys, op, value)
     ]
+    if op in ("=", "==") and m.get("file_blooms"):
+        fblooms = m["file_blooms"]
+        kept = [
+            f
+            for f in kept
+            if phys not in fblooms.get(f, {})  # no bloom: keep
+            or _bloom_may_contain(fblooms[f][phys], value)
+        ]
     return kept, len(files)
 
 
@@ -586,6 +653,7 @@ def write_version(
     df: DataFrame,
     table: str,
     partition_by: str | list[str] | None = None,
+    bloom_cols: str | list[str] | None = None,
     **extra,
 ) -> int:
     """Commit df as a full snapshot (next version). Returns version.
@@ -629,6 +697,10 @@ def write_version(
                     f"partition column {c!r} has type {types[c]!r}; "
                     f"supported: {sorted(_PARTITIONABLE_TYPES)}"
                 )
+    blooms = [bloom_cols] if isinstance(bloom_cols, str) else (bloom_cols or [])
+    for c in blooms:
+        if c not in {f["name"] for f in schema["fields"]}:
+            raise ValueError(f"bloom column {c!r} not in schema")
     files = _write_data_files(df, table, v, pby)
     stats = _collect_file_stats(table, files)
     if pby:
@@ -650,6 +722,14 @@ def write_version(
         removed=prev_files,
         **({"partition_by": pby} if pby else {}),
         **({"constraints": cons} if cons else {}),
+        **(
+            {
+                "bloom_cols": blooms,
+                "file_blooms": _collect_file_blooms(table, files, blooms),
+            }
+            if blooms
+            else {}
+        ),
         **extra,
     )
     return v
@@ -723,6 +803,13 @@ def append_version(df: DataFrame, table: str, max_retries: int = 10) -> int:
             for f, s in prev.get("file_stats", {}).items()
             if f in set(prev["files"])
         }
+        bcols = list(prev.get("bloom_cols", []))
+        bcols_phys = [phys_of.get(c, c) for c in bcols]
+        carried_blooms = {
+            f: b
+            for f, b in prev.get("file_blooms", {}).items()
+            if f in set(prev["files"])
+        }
         stats = _collect_file_stats(table, written)
         if pby_phys:
             pstats = _partition_stats(
@@ -747,6 +834,19 @@ def append_version(df: DataFrame, table: str, max_retries: int = 10) -> int:
                 dv_files=list(prev.get("dv_files", [])),
                 **({"partition_by": pby} if pby else {}),
                 **({"constraints": cons} if cons else {}),
+                **(
+                    {
+                        "bloom_cols": bcols,
+                        "file_blooms": {
+                            **carried_blooms,
+                            **_collect_file_blooms(
+                                table, written, bcols_phys
+                            ),
+                        },
+                    }
+                    if bcols
+                    else {}
+                ),
             )
             return v
         except ValueError as exc:
@@ -1103,6 +1203,13 @@ def _commit_rewrite(
         for f, s in prev.get("file_stats", {}).items()
         if f in set(untouched)
     }
+    bcols = list(prev.get("bloom_cols", []))
+    bmapping = {mp["name"]: mp["physical"] for mp in mapping}
+    carried_blooms = {
+        f: b
+        for f, b in prev.get("file_blooms", {}).items()
+        if f in set(untouched)
+    }
     pby = list(prev.get("partition_by", []))
     _commit(
         table,
@@ -1127,6 +1234,21 @@ def _commit_rewrite(
         **(
             {"constraints": dict(prev["constraints"])}
             if prev.get("constraints")
+            else {}
+        ),
+        **(
+            {
+                "bloom_cols": bcols,
+                "file_blooms": {
+                    **carried_blooms,
+                    **_collect_file_blooms(
+                        table,
+                        new_files,
+                        [bmapping.get(c, c) for c in bcols],
+                    ),
+                },
+            }
+            if bcols
             else {}
         ),
         **extra,

@@ -301,3 +301,52 @@ def test_cannot_drop_partition_column(spark, tmp_path):
         V.drop_column(spark, table, "p")
     V.drop_column(spark, table, "v")  # non-partition drop still fine
     assert V.manifest_info(table)["partition_by"] == ["p"]
+
+
+def test_bloom_index_prunes_point_lookups_on_hash_layout(spark, tmp_path):
+    """Bloom-filter index: min/max stats cannot prune a hash layout
+    (every file spans the full key range), but the per-file bloom
+    proves absence for point equality — the Delta bloom index tier."""
+    table = str(tmp_path / "bl")
+    df = spark.range(0, 4000).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("v")
+    ).repartition(8)  # round-robin: all files span [0, 4000)
+    V.write_version(df, table, bloom_cols="k")
+    m = V.manifest_info(table)
+    assert m["bloom_cols"] == ["k"]
+    assert len(m["file_blooms"]) == len(m["files"])
+    kept, total = V.plan_files(table, where=("k", "=", 1234))
+    assert total == 8
+    assert len(kept) < total  # min/max alone would keep all 8
+    got = V.read_version(spark, table, where=("k", "=", 1234))
+    assert [(r["k"], r["v"]) for r in got.collect()] == [(1234, 3702)]
+    # absent key: bloom may false-positive a file or two, never all
+    kept_absent, _ = V.plan_files(table, where=("k", "=", 999_999))
+    assert len(kept_absent) < total
+    assert V.read_version(spark, table, where=("k", "=", 999_999)).count() == 0
+
+
+def test_bloom_index_survives_append_and_rewrite(spark, tmp_path):
+    """Appends inherit the bloom columns (new files get blooms, old
+    ones carry); copy-on-write rewrites recompute blooms for the
+    replacement files so point pruning keeps working."""
+    table = str(tmp_path / "bl2")
+    df = spark.range(0, 1000).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("v")
+    ).repartition(4)
+    V.write_version(df, table, bloom_cols="k")
+    extra = spark.range(5000, 5100).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("v")
+    ).coalesce(1)
+    V.append_version(extra, table)
+    m = V.manifest_info(table)
+    assert len(m["file_blooms"]) == len(m["files"])
+    kept, total = V.plan_files(table, where=("k", "=", 5050))
+    assert len(kept) == 1  # range stats alone already isolate the append
+    V.delete_where(spark, table, "k % 10 = 7")
+    m2 = V.manifest_info(table)
+    assert len(m2["file_blooms"]) == len(m2["files"])  # rewrites re-bloomed
+    kept2, total2 = V.plan_files(table, where=("k", "=", 123))
+    assert 0 < len(kept2) < total2
+    got = V.read_version(spark, table, where=("k", "=", 123))
+    assert got.count() == 1
