@@ -1136,3 +1136,89 @@ def q_scan_bloom_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("o_custkey").cast("bigint").alias("sum_cust"),
         F.sum("cents").cast("bigint").alias("sum_cents"),
     )
+
+
+def ensure_orders_zorder_table(spark: SparkSession, sf_dir: str) -> str:
+    """v1 = orders round-robin over 8 files (nothing prunes);
+    v2 = compact_version OPTIMIZE ZORDER BY (o_orderkey, o_custkey)
+    into 16 z-clustered files. Idempotent, fingerprint-keyed."""
+    from meta_iterative_mapreduce_spark.sources import versioned
+
+    table = _versioned_fixture_path(sf_dir, "orders_zorder", "orders")
+    if len(versioned.versions(table)) == 0:
+        versioned.write_version(
+            _orders_cents(spark, sf_dir).repartition(8), table
+        )
+    if len(versioned.versions(table)) == 1:
+        versioned.compact_version(
+            spark,
+            table,
+            target_files=16,
+            zorder_cols=("o_orderkey", "o_custkey"),
+        )
+    return table
+
+
+@register(
+    "q_scan_zorder_skip",
+    oracle="""
+    WITH o AS (
+        SELECT o_orderkey, o_custkey,
+               CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+               (SELECT MAX(o_orderkey) FROM orders) AS kmax,
+               (SELECT MAX(o_custkey) FROM orders) AS cmax
+        FROM orders
+    )
+    SELECT 16 AS n_files_total,
+           TRUE AS key_pruned, TRUE AS cust_pruned,
+           (SELECT COUNT(*) FROM o WHERE o_orderkey < kmax // 10)
+               AS n_rows_key,
+           (SELECT CAST(SUM(cents) AS BIGINT) FROM o
+            WHERE o_orderkey < kmax // 10) AS sum_cents_key,
+           (SELECT COUNT(*) FROM o WHERE o_custkey < cmax // 10)
+               AS n_rows_cust,
+           (SELECT CAST(SUM(cents) AS BIGINT) FROM o
+            WHERE o_custkey < cmax // 10) AS sum_cents_cust
+    FROM o LIMIT 1
+    """,
+)
+def q_scan_zorder_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE ZORDER + manifest skipping on BOTH dimensions,
+    hash-certified: the table starts round-robin (v1: nothing can
+    prune), one compact_version(zorder_cols=(o_orderkey, o_custkey))
+    commit Morton-clusters it into 16 files, and then a selective
+    predicate on EITHER column must open strictly fewer than all
+    files — both flags come from the engine's own plan_files decision
+    and the oracle pins them TRUE (exact file counts depend on range
+    sampling, so the flags are the stable certificate) — while both
+    pruned reads' exact integer aggregates equal the
+    full-scan-and-filter answers. The layout trick single-column
+    sorting can't give: one clustering serves two predicate
+    dimensions."""
+    from meta_iterative_mapreduce_spark.sources import versioned
+
+    table = ensure_orders_zorder_table(spark, sf_dir)
+    o = load_table(spark, sf_dir, "orders")
+    kmax = o.agg(F.max("o_orderkey")).collect()[0][0]
+    cmax = o.agg(F.max("o_custkey")).collect()[0][0]
+    wk = ("o_orderkey", "<", int(kmax) // 10)
+    wc = ("o_custkey", "<", int(cmax) // 10)
+    kept_k, total = versioned.plan_files(table, where=wk)
+    kept_c, _ = versioned.plan_files(table, where=wc)
+    rk = versioned.read_version(spark, table, where=wk).agg(
+        F.count(F.lit(1)).alias("n_rows_key"),
+        F.sum("cents").cast("bigint").alias("sum_cents_key"),
+    )
+    rc = versioned.read_version(spark, table, where=wc).agg(
+        F.count(F.lit(1)).alias("n_rows_cust"),
+        F.sum("cents").cast("bigint").alias("sum_cents_cust"),
+    )
+    return rk.crossJoin(rc).select(
+        F.lit(total).cast("int").alias("n_files_total"),
+        F.lit(len(kept_k) < total).alias("key_pruned"),
+        F.lit(len(kept_c) < total).alias("cust_pruned"),
+        "n_rows_key",
+        "sum_cents_key",
+        "n_rows_cust",
+        "sum_cents_cust",
+    )

@@ -79,6 +79,7 @@ WINDOW_PRIORITY: tuple[str, ...] = (
     "q_sim_ivf_pq",
     "q_table_files_meta",
     "q_scan_bloom_skip",
+    "q_scan_zorder_skip",
     "q_dedup_incremental",
     "q_tpch_q7_shape",
     "q_tpch_q8_shape",
@@ -101,7 +102,6 @@ WINDOW_PRIORITY: tuple[str, ...] = (
     "q_sample_stratified",
     "q_sample_weighted",
     "q_sim_pq_adc",
-    "q_scalar_collation",
     "q_sketch_hll_intersect",
     "q_stream_enrich",
     "q_stream_running_totals",

@@ -1678,6 +1678,7 @@ def compact_version(
     table: str,
     sort_col: str | None = None,
     target_files: int = 8,
+    zorder_cols: tuple[str, str] | None = None,
 ) -> int:
     """OPTIMIZE analog: rewrite the latest version's data as
     `target_files` files, range-clustered on `sort_col` when given
@@ -1696,7 +1697,44 @@ def compact_version(
             "rewrite the table with write_version first"
         )
     df = _read_files_logical(spark, table, m, m["files"])
-    if sort_col is not None:
+    if zorder_cols is not None:
+        # OPTIMIZE ZORDER BY (x, y): equi-width-bucket each dimension
+        # to 8 bits from its [min, max] (one 1-row agg — approximate
+        # quantile buckets would be finer on skew, equi-width keeps
+        # the whole path in codegen arithmetic), interleave the bits
+        # (Morton), range-cluster files on the z value. Every file
+        # then bounds BOTH dimensions, so plan_files skips on either
+        # column's predicate — single-column sort gives one of them.
+        x, y = zorder_cols
+        rng = df.agg(
+            F.min(x).alias("x0"),
+            F.max(x).alias("x1"),
+            F.min(y).alias("y0"),
+            F.max(y).alias("y1"),
+        ).collect()[0]
+        def bucket(c, lo, hi):
+            span = max(float(hi) - float(lo), 1e-12)
+            return F.least(
+                F.lit(255),
+                F.floor(
+                    (F.col(c).cast("double") - float(lo)) / span * 256
+                ).cast("long"),
+            )
+        zdf = df.withColumn("__xb", bucket(x, rng["x0"], rng["x1"])).withColumn(
+            "__yb", bucket(y, rng["y0"], rng["y1"])
+        )
+        z_expr = " + ".join(
+            f"shiftleft((__xb >> {b}) & 1, {2 * b + 1}) + "
+            f"shiftleft((__yb >> {b}) & 1, {2 * b})"
+            for b in range(8)
+        )
+        zdf = zdf.withColumn("__z", F.expr(z_expr))
+        df = (
+            zdf.repartitionByRange(target_files, F.col("__z"))
+            .sortWithinPartitions("__z")
+            .drop("__xb", "__yb", "__z")
+        )
+    elif sort_col is not None:
         df = df.repartitionByRange(target_files, F.col(sort_col)).sortWithinPartitions(sort_col)
     else:
         df = df.coalesce(target_files)

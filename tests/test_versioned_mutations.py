@@ -438,3 +438,29 @@ def test_check_constraints_gate_every_write_path(spark, tmp_path):
     V.drop_constraint(table, "v_nonneg")
     V.append_version(bad, table)  # gate lifted
     assert V.read_version(spark, table).count() == 102
+
+
+def test_compact_zorder_prunes_both_dimensions(spark, tmp_path):
+    """OPTIMIZE ZORDER: after z-order compaction on (a, b), a
+    selective predicate on EITHER column opens strictly fewer files;
+    a single-column sort would only serve one of them. Answers
+    unchanged."""
+    table = str(tmp_path / "z")
+    df = spark.range(0, 40_000).select(
+        (F.col("id") % 200).alias("a"),
+        (F.col("id") / 200).cast("long").alias("b"),
+        F.col("id").alias("v"),
+    ).repartition(8)  # unclustered: nothing prunes
+    V.write_version(df, table)
+    kept_a0, total0 = V.plan_files(table, where=("a", "<", 10))
+    assert len(kept_a0) == total0  # round-robin layout: no skip
+    V.compact_version(spark, table, target_files=16, zorder_cols=("a", "b"))
+    kept_a, total = V.plan_files(table, where=("a", "<", 10))
+    kept_b, _ = V.plan_files(table, where=("b", "<", 10))
+    assert total == 16
+    assert len(kept_a) < total and len(kept_b) < total
+    got_a = V.read_version(spark, table, where=("a", "<", 10))
+    assert got_a.count() == 2000
+    got_b = V.read_version(spark, table, where=("b", "<", 10))
+    assert got_b.count() == 2000
+    assert V.read_version(spark, table).count() == 40_000
