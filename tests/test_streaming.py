@@ -240,3 +240,50 @@ def test_dedup_stream_matches_batch_twin_aggregates(spark, sf_dir):
     )
     want = registry.queries()["q_stream_dedup"](spark, sf_dir).toPandas()
     pd.testing.assert_frame_equal(_canon(got), _canon(want), check_dtype=False)
+
+
+def test_dedup_state_survives_across_microbatches(spark, sf_dir, tmp_path):
+    """dropDuplicatesWithinWatermark must drop a redelivery that
+    arrives in a LATER micro-batch (state-store dedup, not just
+    within-batch distinct): file 2 replays file 1's first rows with
+    identical ids and timestamps; driven one file per trigger, the
+    replayed ids must come out exactly once."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from meta_iterative_mapreduce_spark.functions.time import ts_ltz, ts_us
+    from meta_iterative_mapreduce_spark.io import load_table
+
+    ev = load_table(spark, sf_dir, "events").withColumn("__t", ts_us("ts"))
+    mid = ev.agg(F.expr("percentile(__t, 0.5D)")).collect()[0][0]
+    landing = str(tmp_path / "landing_d")
+    os.makedirs(landing)
+    first = ev.filter(F.col("__t") < mid).drop("__t")
+    second = ev.filter(F.col("__t") >= mid).drop("__t")
+    # the replay: early rows re-delivered inside the second batch
+    replay = first.orderBy("event_id").limit(200)
+    for i, part in enumerate([first, second.unionByName(replay)]):
+        staged = str(tmp_path / f"dpart{i}")
+        part.coalesce(1).write.parquet(staged)
+        for f in os.listdir(staged):
+            if f.endswith(".parquet"):
+                os.rename(
+                    os.path.join(staged, f),
+                    os.path.join(landing, f"{i}_chunk.parquet"),
+                )
+    schema = spark.read.parquet(landing).schema
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(landing)
+        .withColumn("ts", ts_ltz("ts"))
+    )
+    got = jobs.run_to_memory(
+        jobs.dedup_stream(src).select("event_id"),
+        "t_dedup_xbatch",
+        output_mode="append",
+    ).toPandas()
+    n_events = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    assert len(got) == n_events  # replays dropped ACROSS the batch gap
+    assert got["event_id"].is_unique
