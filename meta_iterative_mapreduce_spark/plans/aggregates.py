@@ -235,10 +235,23 @@ def q_agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles per group (Spark `percentile` ==
     DuckDB `quantile_cont`: both interpolate at rank (n−1)·p)."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.round(F.percentile("l_extendedprice", 0.5), 4).alias("median_price"),
-        F.round(F.percentile("l_extendedprice", 0.9), 4).alias("p90_price"),
-        F.round(F.percentile("l_quantity", 0.25), 4).alias("p25_qty"),
+    # ONE percentile(array(...)) buffer per column: two separate
+    # percentile aggregates over l_extendedprice would buffer every
+    # group's values twice (the q_sketch_kll lesson applied here)
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.percentile(
+                "l_extendedprice", F.array(F.lit(0.5), F.lit(0.9))
+            ).alias("pp"),
+            F.round(F.percentile("l_quantity", 0.25), 4).alias("p25_qty"),
+        )
+        .select(
+            "l_returnflag",
+            F.round(F.element_at("pp", 1), 4).alias("median_price"),
+            F.round(F.element_at("pp", 2), 4).alias("p90_price"),
+            "p25_qty",
+        )
     )
 
 
