@@ -377,10 +377,23 @@ _BLOOM_K = 5
 def _bloom_hashes(value) -> list[int]:
     """k deterministic bit positions for a value — md5 of the value's
     canonical string sliced into independent 32-bit words (engine- and
-    run-stable: no PYTHONHASHSEED dependence)."""
+    run-stable: no PYTHONHASHSEED dependence). Numbers canonicalize to
+    one spelling across int/float (1234 vs 1234.0): a bloom FALSE
+    NEGATIVE is a correctness bug (the prune would drop live rows), so
+    an int probe literal against a double column — or vice versa —
+    must hash identically to the written value."""
     import hashlib
 
-    digest = hashlib.md5(repr(value).encode()).digest()
+    if (
+        isinstance(value, float)
+        and not isinstance(value, bool)
+        and value.is_integer()
+        and abs(value) < 2**53
+    ):
+        canon = repr(int(value))
+    else:
+        canon = repr(value)
+    digest = hashlib.md5(canon.encode()).digest()
     return [
         int.from_bytes(digest[4 * i : 4 * i + 4], "big") % _BLOOM_BITS
         for i in range(_BLOOM_K)

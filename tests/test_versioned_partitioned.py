@@ -350,3 +350,31 @@ def test_bloom_index_survives_append_and_rewrite(spark, tmp_path):
     assert 0 < len(kept2) < total2
     got = V.read_version(spark, table, where=("k", "=", 123))
     assert got.count() == 1
+
+
+def test_bloom_int_float_spellings_hash_identically(spark, tmp_path):
+    """A bloom FALSE NEGATIVE loses rows: probing a DOUBLE column with
+    an int literal (or a long column with 1234.0) must still find the
+    file — numeric values canonicalize to one spelling before
+    hashing."""
+    table = str(tmp_path / "blf")
+    df = spark.range(0, 400).select(
+        F.col("id").cast("double").alias("k"), (F.col("id") * 3).alias("v")
+    ).repartition(4)
+    V.write_version(df, table, bloom_cols="k")
+    kept_int, total = V.plan_files(table, where=("k", "=", 123))
+    kept_flt, _ = V.plan_files(table, where=("k", "=", 123.0))
+    assert kept_int == kept_flt and 0 < len(kept_int)
+    assert V.read_version(spark, table, where=("k", "=", 123)).count() == 1
+    # and the long-column table probed with a float literal
+    table2 = str(tmp_path / "bli")
+    V.write_version(
+        spark.range(0, 400).select(
+            F.col("id").alias("k"), (F.col("id") * 3).alias("v")
+        ).repartition(4),
+        table2,
+        bloom_cols="k",
+    )
+    kept2, _ = V.plan_files(table2, where=("k", "=", 123.0))
+    assert len(kept2) > 0
+    assert V.read_version(spark, table2, where=("k", "=", 123.0)).count() == 1
