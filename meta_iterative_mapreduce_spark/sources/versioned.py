@@ -632,6 +632,20 @@ def plan_files(
     mapping, _, _ = _mapping_state(m, m.get("schema"))
     phys = {mp["name"]: mp["physical"] for mp in mapping}.get(col, col)
     fstats = m.get("file_stats", {})
+    if op == "in":
+        # IN-list: a file survives if ANY listed value could be in it
+        # (stats range first, then bloom per value — both sound)
+        vals = list(value)
+        fblooms = m.get("file_blooms", {})
+
+        def may_hold(f: str, v) -> bool:
+            if not _file_may_match(fstats.get(f), phys, "=", v):
+                return False
+            b = fblooms.get(f, {})
+            return phys not in b or _bloom_may_contain(b[phys], v)
+
+        kept = [f for f in files if any(may_hold(f, v) for v in vals)]
+        return kept, len(files)
     kept = [
         f for f in files if _file_may_match(fstats.get(f), phys, op, value)
     ]
@@ -1010,6 +1024,8 @@ def _where_column(where: tuple[str, str, object]) -> F.Column:
         return c >= F.lit(value)
     if op in ("=", "=="):
         return c == F.lit(value)
+    if op == "in":
+        return c.isin(list(value))
     raise ValueError(f"unsupported prune op {op!r}")
 
 

@@ -378,3 +378,29 @@ def test_bloom_int_float_spellings_hash_identically(spark, tmp_path):
     kept2, _ = V.plan_files(table2, where=("k", "=", 123.0))
     assert len(kept2) > 0
     assert V.read_version(spark, table2, where=("k", "=", 123.0)).count() == 1
+
+
+def test_in_list_pruning_composes_stats_and_bloom(spark, tmp_path):
+    """where=(col, "in", [...]): a file survives only if SOME listed
+    value passes its range stats AND its bloom — point lookups over a
+    key set in one pruned read."""
+    table = str(tmp_path / "inl")
+    df = spark.range(0, 400).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("v")
+    ).repartition(4)
+    V.write_version(df, table, bloom_cols="k")
+    kept, total = V.plan_files(table, where=("k", "in", [7, 123, 999_999]))
+    assert 0 < len(kept) < total or total == len(kept)  # bloom may FP
+    got = V.read_version(spark, table, where=("k", "in", [7, 123, 999_999]))
+    assert {r["k"] for r in got.collect()} == {7, 123}
+    # range-clustered table: stats alone prune an IN probe
+    t2 = str(tmp_path / "inl2")
+    for i in range(4):
+        sl = spark.range(i * 100, (i + 1) * 100).select(
+            F.col("id").alias("k"), (F.col("id") * 3).alias("v")
+        ).coalesce(1)
+        (V.write_version if i == 0 else V.append_version)(sl, t2)
+    kept2, total2 = V.plan_files(t2, where=("k", "in", [5, 105]))
+    assert len(kept2) == 2 and total2 == 4
+    got2 = V.read_version(spark, t2, where=("k", "in", [5, 105]))
+    assert {r["k"] for r in got2.collect()} == {5, 105}
