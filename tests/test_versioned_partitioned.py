@@ -404,3 +404,53 @@ def test_in_list_pruning_composes_stats_and_bloom(spark, tmp_path):
     assert len(kept2) == 2 and total2 == 4
     got2 = V.read_version(spark, t2, where=("k", "in", [5, 105]))
     assert {r["k"] for r in got2.collect()} == {5, 105}
+
+
+def test_multi_column_partitioning_round_trips_and_prunes(spark, tmp_path):
+    """partition_by=["a", "b"]: nested hive dirs, both columns restored
+    from the path, exact [v, v] stats for each level, pruning on
+    either."""
+    table = str(tmp_path / "mc")
+    df = spark.range(0, 120).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 3).cast("int").alias("a"),
+        (F.col("id") % 2).cast("int").alias("b"),
+    )
+    V.write_version(df, table, partition_by=["a", "b"])
+    m = V.manifest_info(table)
+    assert m["partition_by"] == ["a", "b"]
+    assert all("a=" in f and "b=" in f for f in m["files"])
+    got = V.read_version(spark, table)
+    assert got.count() == 120
+    assert {(r["a"], r["b"]) for r in got.select("a", "b").distinct().collect()} == {
+        (i, j) for i in range(3) for j in range(2)
+    }
+    kept_a, total = V.plan_files(table, where=("a", "=", 1))
+    assert all("a=1" in f for f in kept_a) and 0 < len(kept_a) < total
+    kept_b, _ = V.plan_files(table, where=("b", "=", 0))
+    assert all("b=0" in f for f in kept_b) and 0 < len(kept_b) < total
+    assert V.read_version(spark, table, where=("a", "=", 1)).count() == 40
+    assert V.read_version(spark, table, where=("b", "=", 0)).count() == 60
+
+
+def test_stream_sink_inherits_partition_layout(spark, tmp_path):
+    """versioned_batch_sink appends into a partitioned table keep the
+    hive layout and partition stats, exactly-once under replay."""
+    table = str(tmp_path / "sp")
+    base = spark.range(0, 40).select(
+        F.col("id").alias("k"), (F.col("id") % 4).cast("int").alias("p")
+    )
+    V.write_version(base, table, partition_by="p")
+    sink = V.versioned_batch_sink(table)
+    b = spark.range(100, 120).select(
+        F.col("id").alias("k"), (F.col("id") % 4).cast("int").alias("p")
+    )
+    sink(b, 0)
+    sink(b, 0)  # replay: skipped
+    m = V.manifest_info(table)
+    assert len(V.versions(table)) == 2
+    assert m["partition_by"] == ["p"]
+    assert all("p=" in f for f in m["added"])
+    kept, total = V.plan_files(table, where=("p", "=", 2))
+    assert all("p=2" in f for f in kept)
+    assert V.read_version(spark, table, where=("p", "=", 2)).count() == 15
