@@ -224,6 +224,24 @@ def _commit(
     mdir = os.path.join(table, _MANIFEST_DIR)
     os.makedirs(mdir, exist_ok=True)
     final = _manifest_path(table, version)
+    # Exactly-once ledger durability (ADVICE r9): the batch-id ledger
+    # used to live only in the individual manifests that committed each
+    # batch, so a vacuum dropping those versions would forget the ids
+    # and a Structured Streaming replay could double-apply. Every
+    # commit now carries the CUMULATIVE id set forward from its parent
+    # manifest (Delta's retained-txn ledger shape), so the ledger
+    # survives any vacuum that keeps >= 1 version. Ids are small ints;
+    # the set grows by one short JSON token per stream batch.
+    seen: set[int] = set()
+    if version > 1:
+        pm = _manifest_path(table, version - 1)
+        if os.path.exists(pm):
+            pmj = json.load(open(pm))
+            seen.update(pmj.get("seen_batch_ids", []))
+            if "batch_id" in pmj:  # pre-ledger manifests: fold in
+                seen.add(pmj["batch_id"])
+    if "batch_id" in extra:
+        seen.add(extra["batch_id"])
     tmp = final + f".tmp-{uuid.uuid4().hex}"
     with open(tmp, "w") as fh:
         json.dump(
@@ -232,6 +250,7 @@ def _commit(
                 "committed_at": time.time(),
                 "files": files,
                 "n_rows": n_rows,
+                "seen_batch_ids": sorted(seen),
                 **extra,
             },
             fh,
@@ -442,6 +461,85 @@ def _bloom_may_contain(b64: str, value) -> bool:
     )
 
 
+# Bloom-indexable column types (ADVICE r9): only types whose values
+# canonicalize to ONE spelling on both the write path (arrow pylist)
+# and every plausible probe literal — the int family, strings, and
+# booleans, mirroring _PARTITIONABLE_TYPES' rationale. Floats/decimals
+# are rejected at WRITE time: repr('1.5') vs Decimal('1.50') hash
+# differently, and a bloom false negative silently DROPS LIVE ROWS.
+_BLOOMABLE_TYPES = {"byte", "short", "integer", "long", "string", "boolean"}
+
+
+def _bloom_family(col_type) -> str | None:
+    """Type family of a bloom-indexed column for the probe guard."""
+    if col_type in ("byte", "short", "integer", "long"):
+        return "int"
+    if col_type == "string":
+        return "str"
+    if col_type == "boolean":
+        return "bool"
+    return None  # unindexable (legacy manifests may carry one)
+
+
+def _probe_family(value) -> str | None:
+    """Type family of a probe literal — which bloom families it can
+    soundly probe. Integral floats canonicalize to the int spelling
+    (_bloom_hashes), so they probe int columns; anything else is
+    unprobeable and the file is kept."""
+    if isinstance(value, bool):
+        return "bool"
+    if isinstance(value, int):
+        return "int"
+    if isinstance(value, float):
+        return (
+            "int" if value.is_integer() and abs(value) < 2**53 else None
+        )
+    if isinstance(value, str):
+        return "str"
+    return None
+
+
+def _bloom_probe_ok(m: dict, logical_col: str, value) -> bool:
+    """True only when probing the bloom is SOUND: the indexed column's
+    declared type family matches the literal's. A mismatch (probing an
+    int column with '4242', a legacy float-typed index, a Decimal
+    literal) keeps the file — Spark's residual filter would cast-match
+    rows the raw-repr hash would miss, so pruning on it loses rows
+    (ADVICE r9). Mirrors _file_may_match's numeric/stats guard."""
+    types = {
+        f["name"]: f["type"] for f in m.get("schema", {}).get("fields", [])
+    }
+    fam = _bloom_family(types.get(logical_col))
+    return fam is not None and _probe_family(value) == fam
+
+
+def _bloom_carry(
+    prev: dict, files: list[str], bloom_cols: list[str] | None = None
+) -> dict:
+    """Manifest extras carrying the bloom index through a commit that
+    does not write data files (constraints, rename/drop, DV deletes):
+    the declared columns plus each retained file's bitsets. Omitting
+    this silently ERASES the index — and every later append inherits
+    the empty bloom_cols and stops building blooms (ADVICE r9, the
+    same carry class as partition_by). `bloom_cols` overrides the
+    declared list for rename/drop commits; entries for files no longer
+    referenced are dropped."""
+    bcols = (
+        list(prev.get("bloom_cols", [])) if bloom_cols is None else bloom_cols
+    )
+    if not bcols:
+        return {}
+    live = set(files)
+    return {
+        "bloom_cols": bcols,
+        "file_blooms": {
+            f: b
+            for f, b in prev.get("file_blooms", {}).items()
+            if f in live
+        },
+    }
+
+
 def _file_may_match(
     stats: dict | None, col: str, op: str, value
 ) -> bool:
@@ -553,6 +651,7 @@ def add_constraint(
             if m.get("partition_by")
             else {}
         ),
+        **_bloom_carry(m, m["files"]),
     )
     return v
 
@@ -585,6 +684,7 @@ def drop_constraint(table: str, name: str) -> int:
             if m.get("partition_by")
             else {}
         ),
+        **_bloom_carry(m, m["files"]),
     )
     return v
 
@@ -634,13 +734,16 @@ def plan_files(
     fstats = m.get("file_stats", {})
     if op == "in":
         # IN-list: a file survives if ANY listed value could be in it
-        # (stats range first, then bloom per value — both sound)
+        # (stats range first, then bloom per value — both sound; the
+        # bloom applies only to type-family-matched literals)
         vals = list(value)
         fblooms = m.get("file_blooms", {})
 
         def may_hold(f: str, v) -> bool:
             if not _file_may_match(fstats.get(f), phys, "=", v):
                 return False
+            if not _bloom_probe_ok(m, col, v):
+                return True
             b = fblooms.get(f, {})
             return phys not in b or _bloom_may_contain(b[phys], v)
 
@@ -649,7 +752,11 @@ def plan_files(
     kept = [
         f for f in files if _file_may_match(fstats.get(f), phys, op, value)
     ]
-    if op in ("=", "==") and m.get("file_blooms"):
+    if (
+        op in ("=", "==")
+        and m.get("file_blooms")
+        and _bloom_probe_ok(m, col, value)
+    ):
         fblooms = m["file_blooms"]
         kept = [
             f
@@ -725,9 +832,16 @@ def write_version(
                     f"supported: {sorted(_PARTITIONABLE_TYPES)}"
                 )
     blooms = [bloom_cols] if isinstance(bloom_cols, str) else (bloom_cols or [])
+    btypes = {f["name"]: f["type"] for f in schema["fields"]}
     for c in blooms:
-        if c not in {f["name"] for f in schema["fields"]}:
+        if c not in btypes:
             raise ValueError(f"bloom column {c!r} not in schema")
+        if btypes[c] not in _BLOOMABLE_TYPES:
+            raise ValueError(
+                f"bloom column {c!r} has type {btypes[c]!r}; only "
+                f"{sorted(_BLOOMABLE_TYPES)} canonicalize safely (a "
+                "float/decimal bloom can false-negative and drop rows)"
+            )
     files = _write_data_files(df, table, v, pby)
     stats = _collect_file_stats(table, files)
     if pby:
@@ -945,6 +1059,13 @@ def rename_column(
             if prev.get("constraints")
             else {}
         ),
+        # bloom_cols are LOGICAL names (rename follows); file_blooms
+        # key by PHYSICAL column name, which a rename never moves.
+        **_bloom_carry(
+            prev,
+            prev["files"],
+            [new if c == old else c for c in prev.get("bloom_cols", [])],
+        ),
     )
     return v
 
@@ -1006,6 +1127,14 @@ def drop_column(spark: SparkSession, table: str, name: str) -> int:
             {"constraints": dict(prev["constraints"])}
             if prev.get("constraints")
             else {}
+        ),
+        # the dropped column leaves the index; stale per-file bitsets
+        # for its physical name are dead weight only (a re-added name
+        # gets a FRESH physical, so they can never be probed again).
+        **_bloom_carry(
+            prev,
+            prev["files"],
+            [c for c in prev.get("bloom_cols", []) if c != name],
         ),
     )
     return v
@@ -1389,6 +1518,7 @@ def delete_where(
                 if m.get("constraints")
                 else {}
             ),
+            **_bloom_carry(m, m["files"]),
         )
         return v
     touched_names = {
@@ -1501,6 +1631,23 @@ def merge_version(
             f"columns {sorted(table_cols)}"
         )
     updates = updates.select(*table_cols)
+    # Delta MERGE raises on multiple source rows matching one target
+    # row; silently committing both would duplicate the key (ADVICE
+    # r9). Callers with genuinely multi-row CDC batches must collapse
+    # to last-writer-wins BEFORE merging.
+    dup = (
+        updates.groupBy(key)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") > 1)
+        .limit(1)
+        .collect()
+    )
+    if dup:
+        raise ValueError(
+            f"merge updates contain multiple rows for key "
+            f"{key}={dup[0][key]!r}; MERGE requires at most one source "
+            "row per key — deduplicate the batch first"
+        )
     keys = updates.select(key).distinct()
     krange = updates.agg(
         F.min(key).alias("lo"), F.max(key).alias("hi")
@@ -1621,13 +1768,18 @@ def read_changes(
 
 
 def committed_batch_ids(table: str) -> set[int]:
-    """Stream batch ids already committed to this table (recorded in
-    each manifest written by versioned_batch_sink)."""
-    out = set()
+    """Stream batch ids already committed to this table. Each manifest
+    carries the CUMULATIVE `seen_batch_ids` ledger (_commit chains it
+    from its parent), so the set survives a vacuum that drops the
+    individual committing manifests — a replayed micro-batch stays
+    skipped after retention GC (ADVICE r9). Per-manifest `batch_id`
+    keys are unioned in too for pre-ledger manifests."""
+    out: set[int] = set()
     for v in versions(table):
         m = json.load(open(_manifest_path(table, v)))
         if "batch_id" in m:
             out.add(m["batch_id"])
+        out.update(m.get("seen_batch_ids", []))
     return out
 
 
@@ -1681,6 +1833,19 @@ def versioned_batch_sink(table: str):
             stats = {
                 f: {**stats.get(f, {}), **pstats.get(f, {})} for f in files
             }
+        bcols = list(prev.get("bloom_cols", [])) if vs else []
+        bextra = {}
+        if bcols:
+            carry = _bloom_carry(prev, prev_files)
+            bextra = {
+                "bloom_cols": bcols,
+                "file_blooms": {
+                    **carry.get("file_blooms", {}),
+                    **_collect_file_blooms(
+                        table, files, [phys_of.get(c, c) for c in bcols]
+                    ),
+                },
+            }
         _commit(
             table,
             v,
@@ -1697,6 +1862,7 @@ def versioned_batch_sink(table: str):
             dv_files=list(prev.get("dv_files", [])) if vs else [],
             **({"partition_by": pby} if pby else {}),
             **({"constraints": cons} if cons else {}),
+            **bextra,
         )
 
     return apply_batch

@@ -464,3 +464,57 @@ def test_compact_zorder_prunes_both_dimensions(spark, tmp_path):
     got_b = V.read_version(spark, table, where=("b", "<", 10))
     assert got_b.count() == 2000
     assert V.read_version(spark, table).count() == 40_000
+
+
+def test_batch_id_ledger_survives_vacuum(spark, tmp_path):
+    """ADVICE r9: the exactly-once batch-id ledger must outlive
+    retention GC. Every commit chains the CUMULATIVE seen_batch_ids
+    set from its parent manifest, so after a vacuum drops the manifest
+    that originally committed a batch, a Structured Streaming replay
+    of that batchId is still skipped — no double-append, no
+    double-merge."""
+    table = str(tmp_path / "ledger")
+    df = spark.range(0, 40).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    sink = V.versioned_batch_sink(table)
+    sink(df, 0)  # v1 commits batch 0
+    # two ordinary appends push the batch-0 manifest out of retention
+    V.append_version(df.withColumn("k", F.col("k") + 100), table)
+    V.append_version(df.withColumn("k", F.col("k") + 200), table)
+    res = V.vacuum(table, keep_versions=1)
+    assert res["dropped_versions"] == [1, 2]
+    assert 0 in V.committed_batch_ids(table)  # ledger survived
+    n_versions = len(V.versions(table))
+    n_rows = V.read_version(spark, table).count()
+    sink(df, 0)  # replayed micro-batch after vacuum
+    assert len(V.versions(table)) == n_versions  # skipped, not re-applied
+    assert V.read_version(spark, table).count() == n_rows
+    # the merge sink shares the ledger: replay of a merged batch is
+    # also skipped after vacuum
+    msink = V.versioned_merge_sink(table, "k")
+    upd = df.withColumn("v", F.col("v") + 1000)
+    msink(upd, 1)
+    V.append_version(df.withColumn("k", F.col("k") + 300), table)
+    V.vacuum(table, keep_versions=1)
+    n_versions = len(V.versions(table))
+    s = V.read_version(spark, table).agg(F.sum("v")).collect()[0][0]
+    msink(upd, 1)  # replay: double-merge would re-price nothing here,
+    assert len(V.versions(table)) == n_versions  # but MUST not commit
+    assert V.read_version(spark, table).agg(F.sum("v")).collect()[0][0] == s
+
+
+def test_merge_rejects_duplicate_source_keys(spark, tmp_path):
+    """Delta MERGE raises when multiple source rows match one target
+    row; committing both would silently duplicate the key (ADVICE
+    r9)."""
+    import pytest
+
+    table = _range_sliced_table(spark, tmp_path)
+    dup = spark.createDataFrame(
+        [(7, 1), (7, 2), (500, 3)], "k long, v long"
+    )
+    n_before = len(V.versions(table))
+    with pytest.raises(ValueError, match="multiple rows for key"):
+        V.merge_version(spark, table, dup, "k")
+    assert len(V.versions(table)) == n_before  # nothing committed

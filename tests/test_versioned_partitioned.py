@@ -353,20 +353,21 @@ def test_bloom_index_survives_append_and_rewrite(spark, tmp_path):
 
 
 def test_bloom_int_float_spellings_hash_identically(spark, tmp_path):
-    """A bloom FALSE NEGATIVE loses rows: probing a DOUBLE column with
-    an int literal (or a long column with 1234.0) must still find the
-    file — numeric values canonicalize to one spelling before
-    hashing."""
+    """A bloom FALSE NEGATIVE loses rows: probing a long column with
+    1234.0 must still find the file — integral float literals
+    canonicalize to the int spelling before hashing. Float/decimal
+    COLUMNS cannot canonicalize every probe spelling (ADVICE r9:
+    repr('1.5') vs Decimal('1.50')), so indexing one is rejected at
+    write time, before a wrong prune can ever drop rows."""
+    import pytest
+
     table = str(tmp_path / "blf")
     df = spark.range(0, 400).select(
         F.col("id").cast("double").alias("k"), (F.col("id") * 3).alias("v")
     ).repartition(4)
-    V.write_version(df, table, bloom_cols="k")
-    kept_int, total = V.plan_files(table, where=("k", "=", 123))
-    kept_flt, _ = V.plan_files(table, where=("k", "=", 123.0))
-    assert kept_int == kept_flt and 0 < len(kept_int)
-    assert V.read_version(spark, table, where=("k", "=", 123)).count() == 1
-    # and the long-column table probed with a float literal
+    with pytest.raises(ValueError, match="bloom column .* has type"):
+        V.write_version(df, table, bloom_cols="k")
+    # the long-column table probed with a float literal
     table2 = str(tmp_path / "bli")
     V.write_version(
         spark.range(0, 400).select(
@@ -378,6 +379,76 @@ def test_bloom_int_float_spellings_hash_identically(spark, tmp_path):
     kept2, _ = V.plan_files(table2, where=("k", "=", 123.0))
     assert len(kept2) > 0
     assert V.read_version(spark, table2, where=("k", "=", 123.0)).count() == 1
+
+
+def test_bloom_probe_type_mismatch_keeps_files(spark, tmp_path):
+    """Probing an int bloom column with a string literal (or a
+    non-integral float) hashes a different spelling than the written
+    values — pruning on it would drop files whose rows Spark's own
+    residual filter cast-matches (ADVICE r9). The probe guard keeps
+    every stats-surviving file instead."""
+    table = str(tmp_path / "blg")
+    df = spark.range(0, 400).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("v")
+    ).repartition(4)  # round-robin: stats can't prune, only the bloom
+    V.write_version(df, table, bloom_cols="k")
+    kept_str, total = V.plan_files(table, where=("k", "=", "123"))
+    assert len(kept_str) == total  # mismatched family: bloom skipped
+    # Spark cast-matches the residual filter — the row MUST come back
+    assert V.read_version(spark, table, where=("k", "=", "123")).count() == 1
+    kept_frac, _ = V.plan_files(table, where=("k", "=", 123.5))
+    assert len(kept_frac) == total
+    assert (
+        V.read_version(spark, table, where=("k", "=", 123.5)).count() == 0
+    )
+
+
+def test_bloom_index_survives_metadata_only_commits(spark, tmp_path):
+    """ADVICE r9 (medium): add/drop_constraint, rename_column,
+    drop_column, and DV deletes are metadata-only commits — omitting
+    the bloom carry silently erases the index AND stops every future
+    append from building blooms. Pin the full carry chain, ending with
+    an append that must still bloom its new files."""
+    table = str(tmp_path / "blm")
+    df = spark.range(0, 400).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 3).alias("v"),
+        (F.col("id") % 5).alias("w"),
+    ).repartition(4)
+    V.write_version(df, table, bloom_cols="k")
+
+    def assert_bloomed():
+        m = V.manifest_info(table)
+        assert m["bloom_cols"] == ["k"]
+        assert set(m["file_blooms"]) == set(m["files"])
+        kept, total = V.plan_files(table, where=("k", "=", 999_999))
+        assert len(kept) < total  # the bloom still prunes
+
+    V.add_constraint(spark, table, "k_nonneg", "k >= 0")
+    assert_bloomed()
+    V.rename_column(spark, table, "v", "v2")  # non-bloom rename
+    assert_bloomed()
+    V.drop_column(spark, table, "w")
+    assert_bloomed()
+    V.drop_constraint(table, "k_nonneg")
+    assert_bloomed()
+    V.delete_where(spark, table, "k % 50 = 7", mode="dv")
+    assert_bloomed()
+    extra = spark.range(10_000, 10_050).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("v2")
+    ).coalesce(1)
+    V.append_version(extra, table)
+    assert_bloomed()  # the append inherited bloom_cols and built blooms
+    # renaming the BLOOM column follows the logical name; the physical
+    # per-file keys never move, so pruning keeps working
+    V.rename_column(spark, table, "k", "key")
+    m = V.manifest_info(table)
+    assert m["bloom_cols"] == ["key"]
+    kept, total = V.plan_files(table, where=("key", "=", 999_999))
+    assert len(kept) < total
+    assert (
+        V.read_version(spark, table, where=("key", "=", 123)).count() == 1
+    )
 
 
 def test_in_list_pruning_composes_stats_and_bloom(spark, tmp_path):
