@@ -1036,6 +1036,91 @@ def q_table_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     return summarize(1).unionByName(summarize(2))
 
 
+def ensure_orders_update_dv_table(spark: SparkSession, sf_dir: str) -> str:
+    """v1 = orders snapshot over 8 hash-distributed files; v2 = ONE
+    MERGE-ON-READ update (mode='dv') re-pricing customers ending in 4
+    (+555 cents): old positions masked by a deletion vector, updated
+    rows appended, ZERO files rewritten. Idempotent,
+    fingerprint-keyed."""
+    from meta_iterative_mapreduce_spark.sources import versioned
+
+    table = _versioned_fixture_path(sf_dir, "orders_upd_dv", "orders")
+    if len(versioned.versions(table)) == 0:
+        versioned.write_version(
+            _orders_cents(spark, sf_dir).repartition(8), table
+        )
+    if len(versioned.versions(table)) == 1:
+        versioned.update_where(
+            spark,
+            table,
+            {"cents": "cents + 555"},
+            "o_custkey % 10 = 4",
+            mode="dv",
+        )
+    return table
+
+
+@register(
+    "q_table_update_dv",
+    oracle="""
+    WITH o AS (
+        SELECT o_orderkey, o_custkey,
+               CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        FROM orders
+    )
+    SELECT 1 AS version, COUNT(*) AS n_rows,
+           CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents,
+           0 AS n_files_rewritten, 0 AS n_dv_files
+    FROM o
+    UNION ALL
+    SELECT 2, COUNT(*), CAST(SUM(o_orderkey) AS BIGINT),
+           CAST(SUM(CASE WHEN o_custkey % 10 = 4
+                         THEN cents + 555 ELSE cents END) AS BIGINT),
+           0, 1
+    FROM o
+    """,
+)
+def q_table_update_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-ON-READ UPDATE via deletion vectors, hash-certified
+    (VERDICT r9 item 2): v2 masks the matched rows' old positions with
+    a DV and appends their re-priced copies in ONE atomic manifest —
+    the oracle pins n_files_rewritten to the manifest's literal 0
+    (removed list empty: no data file was rewritten) and n_dv_files to
+    the literal 1 (exactly one DV committed), while the exact integer
+    sums prove every reader composes mask + appended rows into the
+    updated state and time travel to v1 still sums the original
+    prices. The frequent-small-update answer at 100 TB: reprice
+    O(matches) rows without rewriting a single file
+    (sources/versioned.py::update_where mode='dv';
+    tests/test_versioned_mutations.py pins the compaction/no-op
+    interplay)."""
+    from meta_iterative_mapreduce_spark.sources import versioned
+
+    table = ensure_orders_update_dv_table(spark, sf_dir)
+
+    def summarize(v: int) -> DataFrame:
+        m = versioned.manifest_info(table, v)
+        prev_dv = (
+            versioned.manifest_info(table, v - 1).get("dv_files", [])
+            if v > 1
+            else []
+        )
+        n_dv = len(m.get("dv_files", [])) - len(prev_dv)
+        return versioned.read_version(spark, table, v).agg(
+            F.lit(v).cast("int").alias("version"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("o_orderkey").cast("bigint").alias("sum_key"),
+            F.sum("cents").cast("bigint").alias("sum_cents"),
+            F.lit(len(m.get("removed", [])))
+            .cast("int")
+            .alias("n_files_rewritten"),
+            F.lit(n_dv).cast("int").alias("n_dv_files"),
+        )
+
+    return summarize(1).unionByName(summarize(2))
+
+
 @register(
     "q_table_files_meta",
     oracle="""

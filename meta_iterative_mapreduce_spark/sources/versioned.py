@@ -1540,21 +1540,41 @@ def update_where(
     set_exprs: dict[str, str],
     predicate: str,
     prune: tuple[str, str, object] | None = None,
+    mode: str = "cow",
 ) -> int:
-    """Row-level UPDATE, copy-on-write (the Delta UPDATE verb): rows
-    matching `predicate` get each column of `set_exprs` recomputed
-    from its SQL expression (over LOGICAL columns — the expressions
-    may reference any column, e.g. {"cents": "cents + 100"}); only the
-    files CONTAINING matches are rewritten, everything else rides by
-    reference, old versions time-travel to the pre-update rows. The
-    same probe-classify-rewrite discipline as delete_where, with the
-    rewrite applying a CASE instead of dropping rows. Returns the new
-    version. `prune=(col, op, literal)` stats-prunes the probe under
-    the same implied-by-predicate contract as delete_where.
+    """Row-level UPDATE (the Delta UPDATE verb) in either lakehouse
+    discipline: rows matching `predicate` get each column of
+    `set_exprs` recomputed from its SQL expression (over LOGICAL
+    columns — the expressions may reference any column, e.g.
+    {"cents": "cents + 100"}).
+
+    - mode="cow" (copy-on-write, the default): only the files
+      CONTAINING matches are rewritten, everything else rides by
+      reference. The same probe-classify-rewrite discipline as
+      delete_where, with the rewrite applying a CASE instead of
+      dropping rows. Best for wide updates / read-heavy tables.
+    - mode="dv" (MERGE-ON-READ, Delta/Iceberg v2 UPDATE shape): the
+      matched positions are committed as a DELETION VECTOR masking the
+      old rows AND the updated rows are appended as a new file — one
+      atomic manifest, ZERO existing files rewritten, update cost
+      O(matches) instead of O(touched files). Readers compose the DV
+      mask with the appended rows automatically (_read_files_logical);
+      a later compact_version (or any rewrite of the masked file)
+      materializes the update and the DV entries go inert. Best for
+      frequent small updates on a huge table — the 100 TB answer to
+      "reprice 50 rows" without rewriting a single data file.
+
+    Old versions time-travel to the pre-update rows either way.
+    Returns the new version. `prune=(col, op, literal)` stats-prunes
+    the probe under the same implied-by-predicate contract as
+    delete_where. Updating a row already DV-masked is a no-op (the
+    probe reads with DVs applied).
 
     Reference analog: the in-place state mutation each iteration of
     kernel.cu:190-196 — rendered as a manifest swap over immutable
     files."""
+    if mode not in ("cow", "dv"):
+        raise ValueError(f"mode must be 'cow' or 'dv', not {mode!r}")
     m = manifest_info(table)
     if "schema" not in m:
         raise ValueError(
@@ -1572,6 +1592,91 @@ def update_where(
         spark, table, m, probe_files, with_position=True
     )
     cond = F.expr(predicate)
+    if mode == "dv":
+        matched = tagged.filter(cond).cache()
+        try:
+            n_upd = matched.count()
+            if n_upd == 0:
+                return _commit_rewrite(spark, table, m, [], None)
+            updated = matched.select(
+                *[
+                    F.expr(set_exprs[c]).alias(c)
+                    if c in set_exprs
+                    else F.col(c)
+                    for c in cols
+                ]
+            )
+            _check_constraints(
+                updated,
+                m.get("constraints", {}),
+                f"merge-on-read update of {table}",
+            )
+            mapping, retired, max_id = _mapping_state(m, m["schema"])
+            v = m["version"] + 1
+            # the appended rows: physically materialized (partition
+            # columns included), same shape as a copy-on-write rewrite
+            new_files = _write_data_files(
+                _to_physical(updated, mapping), table, v
+            )
+            dv_sub = os.path.join(
+                _DATA_DIR, f"v{v:06d}-dv-{uuid.uuid4().hex[:8]}"
+            )
+            matched.select(
+                F.col("__file").alias("file"),
+                F.col("__row_index").alias("row_index"),
+            ).coalesce(1).write.mode("error").parquet(
+                os.path.join(table, dv_sub)
+            )
+        finally:
+            matched.unpersist()
+        new_dv = sorted(
+            os.path.join(dv_sub, f)
+            for f in os.listdir(os.path.join(table, dv_sub))
+            if f.endswith(".parquet")
+        )
+        bcols = list(m.get("bloom_cols", []))
+        bmapping = {mp["name"]: mp["physical"] for mp in mapping}
+        bextra = {}
+        if bcols:
+            carry = _bloom_carry(m, m["files"])
+            bextra = {
+                "bloom_cols": bcols,
+                "file_blooms": {
+                    **carry.get("file_blooms", {}),
+                    **_collect_file_blooms(
+                        table, new_files, [bmapping.get(c, c) for c in bcols]
+                    ),
+                },
+            }
+        _commit(
+            table,
+            v,
+            m["files"] + new_files,
+            m["n_rows"],  # every masked row reappears updated
+            schema=m["schema"],
+            column_mapping=mapping,
+            retired_physical=retired,
+            max_column_id=max_id,
+            file_stats={
+                **m.get("file_stats", {}),
+                **_collect_file_stats(table, new_files),
+            },
+            added=new_files,
+            removed=[],
+            dv_files=list(m.get("dv_files", [])) + new_dv,
+            **(
+                {"partition_by": list(m["partition_by"])}
+                if m.get("partition_by")
+                else {}
+            ),
+            **(
+                {"constraints": dict(m["constraints"])}
+                if m.get("constraints")
+                else {}
+            ),
+            **bextra,
+        )
+        return v
     touched_names = {
         r["__file"]
         for r in tagged.filter(cond).select("__file").distinct().collect()
