@@ -394,30 +394,38 @@ def q_table_delete_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
     return summarize(1).unionByName(summarize(2))
 
 
-def ensure_orders_stream_cdc_table(spark: SparkSession, sf_dir: str) -> str:
-    """Streaming CDC apply fixture: v1 = orders snapshot, then TWO
-    deterministic micro-batches replayed through versioned_merge_sink
-    — batch 0 applied TWICE (the exactly-once ledger must skip the
-    replay), batch 1 once. Final state = exactly 3 versions.
-    Idempotent, fingerprint-keyed."""
-    from meta_iterative_mapreduce_spark.sources import versioned
-
-    table = _versioned_fixture_path(sf_dir, "orders_stream_cdc", "orders")
-    base = load_table(spark, sf_dir, "orders").select(
+def _orders_cdc_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "orders").select(
         "o_orderkey",
         "o_orderstatus",
         F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
         .cast("long")
         .alias("cents"),
     )
+
+
+def ensure_orders_stream_cdc_table(spark: SparkSession, sf_dir: str) -> str:
+    """Streaming CDC apply fixture: v1 = orders snapshot, then TWO
+    deterministic micro-batches replayed through a versioned_merge_sink
+    configured with the MATCHED-DELETE clause (op = 'd') — batch 0
+    applied TWICE (the exactly-once ledger must skip the replay),
+    batch 1 (mixing updates, inserts, AND deletes) twice too. Final
+    state = exactly 3 versions. Idempotent, fingerprint-keyed."""
+    from meta_iterative_mapreduce_spark.sources import versioned
+
+    table = _versioned_fixture_path(sf_dir, "orders_stream_cdc3", "orders")
+    base = _orders_cdc_base(spark, sf_dir)
     if len(versioned.versions(table)) == 0:
         versioned.write_version(base, table)
-    sink = versioned.versioned_merge_sink(table, "o_orderkey")
+    sink = versioned.versioned_merge_sink(
+        table, "o_orderkey", delete_predicate="op = 'd'"
+    )
     if len(versioned.versions(table)) == 1:
         b0 = (
             base.filter(F.col("o_orderkey") % 10 == 0)
             .withColumn("o_orderstatus", F.lit("U"))
             .withColumn("cents", F.col("cents") + 100)
+            .withColumn("op", F.lit("u"))
         )
         sink(b0, 0)
         sink(b0, 0)  # replayed micro-batch: must be skipped
@@ -426,11 +434,22 @@ def ensure_orders_stream_cdc_table(spark: SparkSession, sf_dir: str) -> str:
             base.filter(F.col("o_orderkey") % 10 == 5)
             .withColumn("o_orderstatus", F.lit("U"))
             .withColumn("cents", F.col("cents") + 200)
+            .withColumn("op", F.lit("u"))
             .unionByName(
                 base.filter(F.col("o_orderkey") % 10 == 7).select(
                     (F.col("o_orderkey") + 60_000_000).alias("o_orderkey"),
                     F.lit("N").alias("o_orderstatus"),
                     (F.col("cents") + 300).alias("cents"),
+                    F.lit("i").alias("op"),
+                )
+            )
+            .unionByName(
+                # debezium-style delete rows: key + op='d', payload nulls
+                base.filter(F.col("o_orderkey") % 10 == 8).select(
+                    "o_orderkey",
+                    F.lit(None).cast("string").alias("o_orderstatus"),
+                    F.lit(None).cast("long").alias("cents"),
+                    F.lit("d").alias("op"),
                 )
             )
         )
@@ -453,7 +472,7 @@ def ensure_orders_stream_cdc_table(spark: SparkSession, sf_dir: str) -> str:
                CASE WHEN o_orderkey % 10 = 0 THEN cents + 100
                     WHEN o_orderkey % 10 = 5 THEN cents + 200
                     ELSE cents END AS cents
-        FROM o
+        FROM o WHERE o_orderkey % 10 <> 8
         UNION ALL
         SELECT o_orderkey + 60000000, 'N', cents + 300
         FROM o WHERE o_orderkey % 10 = 7
@@ -469,19 +488,162 @@ def ensure_orders_stream_cdc_table(spark: SparkSession, sf_dir: str) -> str:
     """,
 )
 def q_stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming CDC APPLY with exactly-once MERGE commits,
-    hash-certified end-to-end: two deterministic micro-batches each
-    REPLAYED through versioned_merge_sink (the foreachBatch contract —
-    Structured Streaming re-delivers a batch with the same batchId
-    after failures), whose batch-id ledger must skip every replay. The
-    oracle pins n_versions to the literal 3 (base + exactly TWO merge
-    commits — a double-apply would commit a 4th version AND double the
-    reprices, breaking two columns at once) and recomputes the final
-    state's exact integer aggregates from scratch. The apply side of
-    CDC, closing the loop with q_cdc_read_changes (the extract side)."""
+    """Streaming CDC APPLY with exactly-once MERGE commits carrying
+    all THREE clauses, hash-certified end-to-end: two deterministic
+    micro-batches each REPLAYED through versioned_merge_sink (the
+    foreachBatch contract — Structured Streaming re-delivers a batch
+    with the same batchId after failures), whose batch-id ledger must
+    skip every replay; batch 1 mixes updates, inserts, AND
+    debezium-style delete rows (op='d', null payload) resolved by the
+    sink's matched-delete clause in the SAME atomic commit. The oracle
+    pins n_versions to the literal 3 (base + exactly TWO merge commits
+    — a double-apply would commit a 4th version AND double the
+    reprices) and recomputes the final state — including the deleted
+    customers' absence — from scratch. The apply side of CDC, closing
+    the loop with q_cdc_read_changes (the extract side)."""
     from meta_iterative_mapreduce_spark.sources import versioned
 
     table = ensure_orders_stream_cdc_table(spark, sf_dir)
+    n_versions = len(versioned.versions(table))
+    return versioned.read_version(spark, table).agg(
+        F.lit(n_versions).cast("int").alias("n_versions"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("o_orderkey").cast("bigint").alias("sum_key"),
+        F.sum("cents").cast("bigint").alias("sum_cents"),
+        F.sum(
+            F.when(F.col("o_orderstatus") == "U", 1).otherwise(0)
+        ).cast("bigint").alias("n_u"),
+        F.sum(
+            F.when(F.col("o_orderstatus") == "N", 1).otherwise(0)
+        ).cast("bigint").alias("n_n"),
+    )
+
+
+def ensure_orders_cdc_full_table(spark: SparkSession, sf_dir: str) -> str:
+    """Full three-clause MERGE replay fixture: v1 = orders snapshot,
+    then THREE CDC batches — each mixing inserts, updates, and deletes,
+    each applied TWICE — exercising delete-of-updated-row (batch 2
+    deletes keys batch 1 updated) and delete-of-inserted-row (batch 3
+    deletes keys batch 1 inserted). Final state = exactly 4 versions.
+    Idempotent, fingerprint-keyed."""
+    from meta_iterative_mapreduce_spark.sources import versioned
+
+    table = _versioned_fixture_path(sf_dir, "orders_cdc_full", "orders")
+    base = _orders_cdc_base(spark, sf_dir)
+    if len(versioned.versions(table)) == 0:
+        versioned.write_version(base, table)
+
+    def upd(mod: int, delta: int) -> DataFrame:
+        return (
+            base.filter(F.col("o_orderkey") % 10 == mod)
+            .withColumn("o_orderstatus", F.lit("U"))
+            .withColumn("cents", F.col("cents") + delta)
+            .withColumn("op", F.lit("u"))
+        )
+
+    def ins(mod: int, shift: int, delta: int) -> DataFrame:
+        return base.filter(F.col("o_orderkey") % 10 == mod).select(
+            (F.col("o_orderkey") + shift).alias("o_orderkey"),
+            F.lit("N").alias("o_orderstatus"),
+            (F.col("cents") + delta).alias("cents"),
+            F.lit("i").alias("op"),
+        )
+
+    def dels(keys: DataFrame) -> DataFrame:
+        return keys.select(
+            "o_orderkey",
+            F.lit(None).cast("string").alias("o_orderstatus"),
+            F.lit(None).cast("long").alias("cents"),
+            F.lit("d").alias("op"),
+        )
+
+    def apply(batch: DataFrame, bid: int) -> None:
+        versioned.merge_version(
+            spark,
+            table,
+            batch,
+            "o_orderkey",
+            batch_id=bid,
+            delete_predicate="op = 'd'",
+        )
+
+    if len(versioned.versions(table)) == 1:
+        b1 = (
+            upd(1, 111)
+            .unionByName(ins(2, 70_000_000, 222))
+            .unionByName(dels(base.filter(F.col("o_orderkey") % 10 == 3)))
+        )
+        apply(b1, 1)
+        apply(b1, 1)  # replay
+    if len(versioned.versions(table)) == 2:
+        b2 = (
+            upd(4, 333)
+            .unionByName(ins(6, 80_000_000, 444))
+            # delete rows batch 1 UPDATED — the delete must win
+            .unionByName(dels(base.filter(F.col("o_orderkey") % 10 == 1)))
+        )
+        apply(b2, 2)
+        apply(b2, 2)
+    if len(versioned.versions(table)) == 3:
+        b3 = upd(7, 555).unionByName(
+            # delete rows batch 1 INSERTED — no resurrection
+            dels(
+                base.filter(F.col("o_orderkey") % 10 == 2).select(
+                    (F.col("o_orderkey") + 70_000_000).alias("o_orderkey")
+                )
+            )
+        )
+        apply(b3, 3)
+        apply(b3, 3)
+    return table
+
+
+@register(
+    "q_merge_cdc_full",
+    oracle="""
+    WITH o AS (
+        SELECT o_orderkey, o_orderstatus,
+               CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        FROM orders
+    ), final AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 10 IN (4, 7) THEN 'U'
+                    ELSE o_orderstatus END AS o_orderstatus,
+               CASE WHEN o_orderkey % 10 = 4 THEN cents + 333
+                    WHEN o_orderkey % 10 = 7 THEN cents + 555
+                    ELSE cents END AS cents
+        FROM o WHERE o_orderkey % 10 NOT IN (1, 3)
+        UNION ALL
+        SELECT o_orderkey + 80000000, 'N', cents + 444
+        FROM o WHERE o_orderkey % 10 = 6
+    )
+    SELECT 4 AS n_versions, COUNT(*) AS n_rows,
+           CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents,
+           CAST(SUM(CASE WHEN o_orderstatus = 'U' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_u,
+           CAST(SUM(CASE WHEN o_orderstatus = 'N' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_n
+    FROM final
+    """,
+)
+def q_merge_cdc_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-clause MERGE (matched-update / matched-delete /
+    not-matched-insert) replaying a full CDC history, hash-certified
+    (VERDICT r9 item 3): three mixed I/U/D batches — each applied
+    TWICE through the exactly-once ledger — whose deletes target rows
+    a PRIOR batch updated (batch 2 deletes batch 1's updates) and
+    inserted (batch 3 deletes batch 1's inserts), the two orderings
+    that break a merge treating clauses as separate commits. The
+    oracle pins n_versions to the literal 4 (one atomic version per
+    batch — a split update+delete apply or a replayed batch changes
+    the count) and recomputes the final state from scratch: updated
+    keys deleted stay deleted, inserted keys deleted do not
+    resurrect, and every surviving price is exact to the cent
+    (sources/versioned.py::merge_version delete_predicate)."""
+    from meta_iterative_mapreduce_spark.sources import versioned
+
+    table = ensure_orders_cdc_full_table(spark, sf_dir)
     n_versions = len(versioned.versions(table))
     return versioned.read_version(spark, table).agg(
         F.lit(n_versions).cast("int").alias("n_versions"),

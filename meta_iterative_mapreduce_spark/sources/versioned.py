@@ -1704,16 +1704,30 @@ def merge_version(
     updates: DataFrame,
     key: str,
     batch_id: int | None = None,
+    delete_predicate: str | None = None,
 ) -> int:
-    """MERGE INTO the versioned log, copy-on-write, in ONE commit:
-    rows of `updates` whose `key` exists in the table REPLACE the old
-    rows (only the files containing a matched key are rewritten),
-    rows with new keys are APPENDED — upsert semantics with file-level
-    granularity, exactly the Delta MERGE execution shape. Old versions
-    time-travel to the pre-merge state. With `batch_id`, replayed
-    batches are skipped exactly-once style (the versioned_batch_sink
-    contract), so a retried CDC micro-batch cannot double-apply.
-    Returns the committed (or already-committed) latest version.
+    """MERGE INTO the versioned log, copy-on-write, in ONE commit —
+    Delta's three clauses (VERDICT r9 item 3):
+
+    - WHEN MATCHED [AND NOT delete_predicate] THEN UPDATE: rows of
+      `updates` whose `key` exists in the table REPLACE the old rows
+      (only the files containing a matched key are rewritten);
+    - WHEN MATCHED AND delete_predicate THEN DELETE: source rows
+      satisfying `delete_predicate` (a SQL boolean over the BATCH's
+      columns, e.g. "op = 'd'" on a debezium-style feed) remove their
+      matched target rows instead — an unmatched delete row is a
+      no-op, per Delta;
+    - WHEN NOT MATCHED THEN INSERT: rows with new keys are APPENDED.
+
+    All three apply in ONE atomic commit, so a CDC batch mixing
+    inserts, updates, and deletes lands as a single version. The batch
+    may carry EXTRA columns beyond the table's (CDC metadata like op/
+    ts, consumed by `delete_predicate`); they are projected away
+    before any row is stored. Old versions time-travel to the
+    pre-merge state. With `batch_id`, replayed batches are skipped
+    exactly-once style (the versioned_batch_sink contract), so a
+    retried CDC micro-batch cannot double-apply. Returns the committed
+    (or already-committed) latest version.
 
     The match PROBE is stats-pruned automatically: the update batch's
     key [min, max] (one cheap 1-row agg) excludes every file whose
@@ -1730,18 +1744,29 @@ def merge_version(
             "rewrite the table with write_version first"
         )
     table_cols = [f["name"] for f in m["schema"]["fields"]]
-    if sorted(updates.columns) != sorted(table_cols):
+    missing = [c for c in table_cols if c not in updates.columns]
+    if missing:
         raise ValueError(
-            f"merge updates columns {sorted(updates.columns)} != table "
-            f"columns {sorted(table_cols)}"
+            f"merge updates missing table columns {missing} "
+            f"(table columns: {sorted(table_cols)})"
         )
-    updates = updates.select(*table_cols)
+    if delete_predicate is not None:
+        dcond = F.coalesce(F.expr(delete_predicate), F.lit(False))
+        deletes = updates.filter(dcond)
+        updates = updates.filter(~dcond).select(*table_cols)
+    else:
+        deletes = None
+        updates = updates.select(*table_cols)
     # Delta MERGE raises on multiple source rows matching one target
     # row; silently committing both would duplicate the key (ADVICE
-    # r9). Callers with genuinely multi-row CDC batches must collapse
-    # to last-writer-wins BEFORE merging.
+    # r9) — and an update + delete for one key would be order-
+    # ambiguous. Callers with genuinely multi-row CDC batches must
+    # collapse to last-writer-wins BEFORE merging.
+    all_key_rows = updates.select(key)
+    if deletes is not None:
+        all_key_rows = all_key_rows.unionByName(deletes.select(key))
     dup = (
-        updates.groupBy(key)
+        all_key_rows.groupBy(key)
         .agg(F.count(F.lit(1)).alias("__n"))
         .filter(F.col("__n") > 1)
         .limit(1)
@@ -1753,8 +1778,10 @@ def merge_version(
             f"{key}={dup[0][key]!r}; MERGE requires at most one source "
             "row per key — deduplicate the batch first"
         )
-    keys = updates.select(key).distinct()
-    krange = updates.agg(
+    # keys drive BOTH the touched-file probe and the anti-join: a
+    # deleted key's old row must vanish (anti-joined, not re-added).
+    keys = all_key_rows.distinct()
+    krange = all_key_rows.agg(
         F.min(key).alias("lo"), F.max(key).alias("hi")
     ).collect()[0]
     candidates = m["files"]
@@ -2041,19 +2068,29 @@ def compact_version(
     return _commit_rewrite(spark, table, m, list(m["files"]), df)
 
 
-def versioned_merge_sink(table: str, key: str):
+def versioned_merge_sink(
+    table: str, key: str, delete_predicate: str | None = None
+):
     """foreachBatch function applying a CDC stream as EXACTLY-ONCE
     MERGE commits: each micro-batch upserts by `key` via
     merge_version, whose batch-id ledger skips replayed batches — the
     apply side of CDC (complementing read_changes, the extract side),
-    with copy-on-write file granularity instead of append-only.
-    Usage:
+    with copy-on-write file granularity instead of append-only. With
+    `delete_predicate` (e.g. "op = 'd'" over a debezium-style feed's
+    op column), matched delete rows REMOVE their target rows in the
+    same atomic commit — the full I/U/D apply path, one version per
+    micro-batch. Usage:
         df.writeStream.foreachBatch(versioned_merge_sink(path, "k"))...
     """
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         merge_version(
-            batch_df.sparkSession, table, batch_df, key, batch_id=batch_id
+            batch_df.sparkSession,
+            table,
+            batch_df,
+            key,
+            batch_id=batch_id,
+            delete_predicate=delete_predicate,
         )
 
     return apply_batch

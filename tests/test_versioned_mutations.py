@@ -595,3 +595,47 @@ def test_update_dv_respects_constraints(spark, tmp_path):
             spark, table, {"v": "v + 99999"}, "k < 5", mode="dv"
         )
     assert len(V.versions(table)) == n  # nothing committed
+
+
+def test_merge_delete_clause_three_clauses_one_commit(spark, tmp_path):
+    """VERDICT r9 item 3: merge_version's delete_predicate resolves
+    Delta's WHEN MATCHED AND <cond> THEN DELETE — a CDC batch mixing
+    an update, an insert, and a delete lands as ONE version; an
+    unmatched delete row is a no-op; batch columns beyond the table's
+    (the op flag) are never stored."""
+    table = _range_sliced_table(spark, tmp_path)  # keys 0..99, v=2k
+    batch = spark.createDataFrame(
+        [
+            (7, 7777, "u"),     # matched update
+            (500, 5000, "i"),   # unmatched insert
+            (13, None, "d"),    # matched delete
+            (999, None, "d"),   # UNMATCHED delete: must be a no-op
+        ],
+        "k long, v long, op string",
+    )
+    n_before = len(V.versions(table))
+    V.merge_version(spark, table, batch, "k", delete_predicate="op = 'd'")
+    assert len(V.versions(table)) == n_before + 1  # one atomic commit
+    post = V.read_version(spark, table)
+    assert post.columns == ["k", "v"]  # op projected away
+    got = {r["k"]: r["v"] for r in post.collect()}
+    assert got[7] == 7777 and got[500] == 5000
+    assert 13 not in got and 999 not in got
+    assert len(got) == 100  # 100 - 1 deleted + 1 inserted
+    # an update AND a delete for one key in one batch is ambiguous
+    import pytest
+
+    bad = spark.createDataFrame(
+        [(5, 1, "u"), (5, None, "d")], "k long, v long, op string"
+    )
+    with pytest.raises(ValueError, match="multiple rows"):
+        V.merge_version(spark, table, bad, "k", delete_predicate="op = 'd'")
+    # missing table columns still rejected even with extras allowed
+    with pytest.raises(ValueError, match="missing table columns"):
+        V.merge_version(
+            spark,
+            table,
+            spark.createDataFrame([(1, "d")], "k long, op string"),
+            "k",
+            delete_predicate="op = 'd'",
+        )
