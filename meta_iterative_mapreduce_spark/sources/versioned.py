@@ -1311,20 +1311,99 @@ def _read_files_logical(
     return out
 
 
+def _prune_may_match(m: dict, prune: tuple[str, str, object] | None):
+    """Turn a caller's prune hint into the OCC `added_may_match`
+    probe: an interleaved-added file whose stats exclude the hint
+    cannot hold rows this transaction's (hint-implied) predicate
+    matches, so it does not conflict. No hint → None (the transaction
+    read the whole table; any interleaved add conflicts)."""
+    if prune is None:
+        return None
+    pcol, pop, pval = prune
+    mapping, _, _ = _mapping_state(m, m.get("schema"))
+    phys = {mp["name"]: mp["physical"] for mp in mapping}.get(pcol, pcol)
+    if pop == "in":
+        vals = list(pval)
+        return lambda fstats: any(
+            _file_may_match(fstats, phys, "=", v) for v in vals
+        )
+    return lambda fstats: _file_may_match(fstats, phys, pop, pval)
+
+
+class CommitConflict(ValueError):
+    """A concurrent commit truly overlapped this DML transaction's
+    read or write set — the caller must re-run the operation against
+    the new head (re-executing IS the correct resolution; the data it
+    computed is stale)."""
+
+
+def _dv_delta_hits(
+    table: str, base: dict, head: dict, touched: set[str]
+) -> bool:
+    """True if any deletion-vector file committed between `base` and
+    `head` masks rows in a file of `touched` — rows this transaction's
+    rewrite would resurrect (its replacement was computed under the
+    base DV set)."""
+    import pyarrow.parquet as pq
+
+    before = set(base.get("dv_files", []))
+    for dv in head.get("dv_files", []):
+        if dv in before:
+            continue
+        names = set(
+            pq.read_table(
+                os.path.join(table, dv), columns=["file"]
+            )["file"].to_pylist()
+        )
+        if names & touched:
+            return True
+    return False
+
+
 def _commit_rewrite(
     spark: SparkSession,
     table: str,
     prev: dict,
     touched: list[str],
     replacement: DataFrame | None,
+    added_may_match=None,
+    max_retries: int = 10,
     **extra,
 ) -> int:
     """Shared copy-on-write commit: replace `touched` files with the
     files materialized from `replacement` (None/empty ⇒ pure removal),
     carry every untouched file and its stats unchanged, and record the
     file-level added/removed delta read_changes consumes. Returns the
-    new version number."""
-    v = prev["version"] + 1
+    new version number.
+
+    OPTIMISTIC CONCURRENCY for DML (VERDICT r9 item 5, the Delta
+    serializable check): losing the put-if-absent race no longer
+    surfaces immediately — the loser REBASES onto the new head when
+    every interleaved commit is provably disjoint from this
+    transaction's read and write sets, i.e. ALL of:
+
+    - no interleaved commit removed (rewrote/deleted/compacted) a file
+      this transaction is rewriting — a write-write file conflict;
+    - no interleaved commit added a file this transaction's probe
+      SHOULD have read: `added_may_match(file_stats)` — derived from
+      the caller's prune hint or merge key range — returns False for
+      every interleaved-added file. With no hint the transaction read
+      the whole table, so ANY interleaved add conflicts (conservative
+      serializability: its predicate could match the new rows);
+    - no interleaved deletion vector masks rows in a touched file
+      (the rewrite would resurrect those rows);
+    - schema, column mapping, partitioning, constraints, and bloom
+      declaration are unchanged (the replacement files were written
+      under the base physical layout).
+
+    Two writers deleting DISJOINT partitions therefore both commit —
+    the rebase re-references the head's files outside this rewrite and
+    recounts rows against the head's DV set — while a true overlap
+    raises CommitConflict (after deleting this transaction's
+    uncommitted files) for the caller to re-run. Replacement data
+    files are written ONCE and reused across rebases; the disjointness
+    proof is what makes that sound. Merge-on-read (DV) commit paths
+    keep strict first-writer-wins."""
     mapping, retired, max_id = _mapping_state(prev, prev["schema"])
     new_files: list[str] = []
     n_new = 0
@@ -1337,81 +1416,150 @@ def _commit_rewrite(
         n_new = replacement.count()
         if n_new:
             new_files = _write_data_files(
-                _to_physical(replacement, mapping), table, v
+                _to_physical(replacement, mapping), table, prev["version"] + 1
             )
-    untouched = [f for f in prev["files"] if f not in set(touched)]
-    # n_rows: count rows actually surviving outside the rewrite set
-    # from the untouched files' footers (metadata-only), minus any
-    # deletion-vector entries still masking rows in those files.
-    import pyarrow.parquet as pq
-
-    n_untouched = sum(
-        pq.ParquetFile(os.path.join(table, f)).metadata.num_rows
-        for f in untouched
-    )
-    dv_files = list(prev.get("dv_files", []))
-    if dv_files and untouched:
-        n_untouched -= (
-            _dv_table(spark, table, dv_files)
-            .filter(F.col("file").isin(list(untouched)))
-            .count()
-        )
-    carried = {
-        f: s
-        for f, s in prev.get("file_stats", {}).items()
-        if f in set(untouched)
-    }
+    new_stats = _collect_file_stats(table, new_files)
     bcols = list(prev.get("bloom_cols", []))
     bmapping = {mp["name"]: mp["physical"] for mp in mapping}
-    carried_blooms = {
-        f: b
-        for f, b in prev.get("file_blooms", {}).items()
-        if f in set(untouched)
-    }
-    pby = list(prev.get("partition_by", []))
-    _commit(
-        table,
-        v,
-        untouched + new_files,
-        n_untouched + n_new,
-        schema=prev["schema"],
-        column_mapping=mapping,
-        retired_physical=retired,
-        max_column_id=max_id,
-        file_stats={**carried, **_collect_file_stats(table, new_files)},
-        added=new_files,
-        removed=list(touched),
-        # DV entries for rewritten relpaths can never match again
-        # (version subdirs are unique); carried entries keep masking
-        # untouched files' rows.
-        dv_files=dv_files,
-        # rewrites materialize partition columns physically, but the
-        # table stays declared-partitioned: future appends keep the
-        # hive layout and pruning covers both file shapes.
-        **({"partition_by": pby} if pby else {}),
-        **(
-            {"constraints": dict(prev["constraints"])}
-            if prev.get("constraints")
-            else {}
-        ),
-        **(
-            {
-                "bloom_cols": bcols,
-                "file_blooms": {
-                    **carried_blooms,
-                    **_collect_file_blooms(
-                        table,
-                        new_files,
-                        [bmapping.get(c, c) for c in bcols],
-                    ),
-                },
-            }
-            if bcols
-            else {}
-        ),
-        **extra,
+    new_blooms = (
+        _collect_file_blooms(
+            table, new_files, [bmapping.get(c, c) for c in bcols]
+        )
+        if bcols
+        else {}
     )
-    return v
+    touched_set = set(touched)
+    base = prev
+    import pyarrow.parquet as pq
+
+    def _drop_written() -> None:
+        for f in new_files:
+            p = os.path.join(table, f)
+            if os.path.exists(p):
+                os.unlink(p)
+
+    for _ in range(max_retries):
+        v = prev["version"] + 1
+        untouched = [f for f in prev["files"] if f not in touched_set]
+        # n_rows: count rows actually surviving outside the rewrite
+        # set from the untouched files' footers (metadata-only), minus
+        # any deletion-vector entries still masking rows in them.
+        n_untouched = sum(
+            pq.ParquetFile(os.path.join(table, f)).metadata.num_rows
+            for f in untouched
+        )
+        dv_files = list(prev.get("dv_files", []))
+        if dv_files and untouched:
+            n_untouched -= (
+                _dv_table(spark, table, dv_files)
+                .filter(F.col("file").isin(list(untouched)))
+                .count()
+            )
+        live = set(untouched)
+        carried = {
+            f: s
+            for f, s in prev.get("file_stats", {}).items()
+            if f in live
+        }
+        carried_blooms = {
+            f: b
+            for f, b in prev.get("file_blooms", {}).items()
+            if f in live
+        }
+        pby = list(prev.get("partition_by", []))
+        try:
+            _commit(
+                table,
+                v,
+                untouched + new_files,
+                n_untouched + n_new,
+                schema=prev["schema"],
+                column_mapping=mapping,
+                retired_physical=retired,
+                max_column_id=max_id,
+                file_stats={**carried, **new_stats},
+                added=new_files,
+                removed=list(touched),
+                # DV entries for rewritten relpaths can never match
+                # again (version subdirs are unique); carried entries
+                # keep masking untouched files' rows.
+                dv_files=dv_files,
+                # rewrites materialize partition columns physically,
+                # but the table stays declared-partitioned: future
+                # appends keep the hive layout and pruning covers both
+                # file shapes.
+                **({"partition_by": pby} if pby else {}),
+                **(
+                    {"constraints": dict(prev["constraints"])}
+                    if prev.get("constraints")
+                    else {}
+                ),
+                **(
+                    {
+                        "bloom_cols": bcols,
+                        "file_blooms": {**carried_blooms, **new_blooms},
+                    }
+                    if bcols
+                    else {}
+                ),
+                **extra,
+            )
+            return v
+        except ValueError as exc:
+            if "already committed" not in str(exc):
+                _drop_written()
+                raise
+        head = manifest_info(table)
+        # disjointness proof over EVERY interleaved commit
+        for iv in range(prev["version"] + 1, head["version"] + 1):
+            im = manifest_info(table, iv)
+            if set(im.get("removed", [])) & touched_set:
+                _drop_written()
+                raise CommitConflict(
+                    f"concurrent commit v{iv} rewrote files this "
+                    f"transaction is rewriting — re-run against v"
+                    f"{head['version']}"
+                )
+            interleaved_added = im.get("added", [])
+            if interleaved_added and (
+                added_may_match is None
+                or any(
+                    added_may_match(im.get("file_stats", {}).get(f))
+                    for f in interleaved_added
+                )
+            ):
+                _drop_written()
+                raise CommitConflict(
+                    f"concurrent commit v{iv} added files this "
+                    "transaction's predicate may match — re-run "
+                    f"against v{head['version']}"
+                )
+        if _dv_delta_hits(table, base, head, touched_set):
+            _drop_written()
+            raise CommitConflict(
+                "a concurrent deletion vector masks rows in a file "
+                "this transaction is rewriting — re-run against "
+                f"v{head['version']}"
+            )
+        layout_keys = (
+            "schema",
+            "column_mapping",
+            "partition_by",
+            "constraints",
+            "bloom_cols",
+        )
+        if any(base.get(k) != head.get(k) for k in layout_keys):
+            _drop_written()
+            raise CommitConflict(
+                "a concurrent commit changed the table layout "
+                "(schema/mapping/partitioning/constraints/blooms) — "
+                f"re-run against v{head['version']}"
+            )
+        prev = head  # provably disjoint: rebase and recommit
+    _drop_written()
+    raise RuntimeError(
+        f"rewrite of {table!r} lost {max_retries} straight commit races"
+    )
 
 
 def delete_where(
@@ -1526,12 +1674,15 @@ def delete_where(
         for r in tagged.filter(cond).select("__file").distinct().collect()
     }
     touched = [f for f in m["files"] if f in touched_names]
+    amm = _prune_may_match(m, prune)
     if not touched:  # nothing matched: commit an explicit no-op version
-        return _commit_rewrite(spark, table, m, [], None)
+        return _commit_rewrite(spark, table, m, [], None, added_may_match=amm)
     survivors = _read_files_logical(spark, table, m, touched).filter(
         ~F.coalesce(cond, F.lit(False))
     )
-    return _commit_rewrite(spark, table, m, touched, survivors)
+    return _commit_rewrite(
+        spark, table, m, touched, survivors, added_may_match=amm
+    )
 
 
 def update_where(
@@ -1682,8 +1833,9 @@ def update_where(
         for r in tagged.filter(cond).select("__file").distinct().collect()
     }
     touched = [f for f in m["files"] if f in touched_names]
+    amm = _prune_may_match(m, prune)
     if not touched:
-        return _commit_rewrite(spark, table, m, [], None)
+        return _commit_rewrite(spark, table, m, [], None, added_may_match=amm)
     base = _read_files_logical(spark, table, m, touched)
     replacement = base.select(
         *[
@@ -1695,7 +1847,9 @@ def update_where(
             for c in cols
         ]
     )
-    return _commit_rewrite(spark, table, m, touched, replacement)
+    return _commit_rewrite(
+        spark, table, m, touched, replacement, added_may_match=amm
+    )
 
 
 def merge_version(
@@ -1785,16 +1939,19 @@ def merge_version(
         F.min(key).alias("lo"), F.max(key).alias("hi")
     ).collect()[0]
     candidates = m["files"]
+    amm = None
     if krange["lo"] is not None:
         mapping, _, _ = _mapping_state(m, m["schema"])
         phys_key = {mp["name"]: mp["physical"] for mp in mapping}.get(key, key)
+
+        def _key_range_may_match(fstats: dict | None) -> bool:
+            return _file_may_match(
+                fstats, phys_key, ">=", krange["lo"]
+            ) and _file_may_match(fstats, phys_key, "<=", krange["hi"])
+
+        amm = _key_range_may_match
         fstats = m.get("file_stats", {})
-        candidates = [
-            f
-            for f in m["files"]
-            if _file_may_match(fstats.get(f), phys_key, ">=", krange["lo"])
-            and _file_may_match(fstats.get(f), phys_key, "<=", krange["hi"])
-        ]
+        candidates = [f for f in m["files"] if _key_range_may_match(fstats.get(f))]
     tagged = _read_files_logical(
         spark, table, m, candidates, with_position=True
     )
@@ -1813,7 +1970,9 @@ def merge_version(
     )
     replacement = carried.unionByName(updates)
     extra = {} if batch_id is None else {"batch_id": batch_id}
-    return _commit_rewrite(spark, table, m, touched, replacement, **extra)
+    return _commit_rewrite(
+        spark, table, m, touched, replacement, added_may_match=amm, **extra
+    )
 
 
 def read_changes(

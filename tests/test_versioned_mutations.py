@@ -100,13 +100,21 @@ def test_merge_version_replayed_batch_is_idempotent(spark, tmp_path):
 
 
 def test_merge_version_rejects_column_drift(spark, tmp_path):
+    """A batch MISSING table columns is drift and fails; EXTRA columns
+    are CDC metadata (op/ts for the delete clause) — allowed, consumed
+    by predicates only, never stored."""
     table = _range_sliced_table(spark, tmp_path)
-    bad = spark.createDataFrame([(1, 1, 1)], "k long, v long, extra int")
+    missing = spark.createDataFrame([(1,)], "k long")
     try:
-        V.merge_version(spark, table, bad, "k")
+        V.merge_version(spark, table, missing, "k")
         raise AssertionError("expected column-drift ValueError")
     except ValueError as exc:
-        assert "columns" in str(exc)
+        assert "missing table columns" in str(exc)
+    extra = spark.createDataFrame([(1, 11, 1)], "k long, v long, extra int")
+    V.merge_version(spark, table, extra, "k")
+    post = V.read_version(spark, table)
+    assert post.columns == ["k", "v"]  # extra never stored
+    assert post.filter("k = 1").collect()[0]["v"] == 11
 
 
 def test_file_skipping_prunes_and_answers_identically(spark, tmp_path):
@@ -639,3 +647,162 @@ def test_merge_delete_clause_three_clauses_one_commit(spark, tmp_path):
             "k",
             delete_predicate="op = 'd'",
         )
+
+
+def _partitioned_table(spark, tmp_path) -> str:
+    table = str(tmp_path / "occ")
+    df = spark.range(0, 120).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 3).cast("int").alias("p"),
+        (F.col("id") * 2).alias("v"),
+    )
+    V.write_version(df, table, partition_by="p")
+    return table
+
+
+def _race(monkeypatch, interleave):
+    """Deterministic commit race: the NEXT _commit first lets
+    `interleave()` take the version number, then proceeds — exactly
+    the lost put-if-absent race, without thread timing."""
+    real = V._commit
+    state = {"fired": False}
+
+    def racing(table, version, *a, **k):
+        if not state["fired"]:
+            state["fired"] = True
+            interleave()
+        return real(table, version, *a, **k)
+
+    monkeypatch.setattr(V, "_commit", racing)
+
+
+def test_occ_disjoint_partition_deletes_both_commit(spark, tmp_path, monkeypatch):
+    """VERDICT r9 item 5: two writers deleting DISJOINT partitions
+    both commit — the loser proves the interleaved commit's added and
+    removed files are outside its own read/write sets (prune hint vs
+    partition stats) and REBASES instead of surfacing a conflict."""
+    table = _partitioned_table(spark, tmp_path)
+    _race(
+        monkeypatch,
+        lambda: V.delete_where(
+            spark, table, "p = 1 AND k % 2 = 0", prune=("p", "=", 1)
+        ),
+    )
+    V.delete_where(spark, table, "p = 2 AND k % 2 = 0", prune=("p", "=", 2))
+    monkeypatch.undo()
+    assert len(V.versions(table)) == 3  # base + BOTH deletes
+    got = V.read_version(spark, table)
+    assert got.filter("p = 1 AND k % 2 = 0").count() == 0
+    assert got.filter("p = 2 AND k % 2 = 0").count() == 0
+    assert got.filter("p = 0").count() == 40  # untouched partition intact
+    assert got.count() == 40 + 20 + 20
+    # no orphaned uncommitted files: every live parquet is referenced
+    m = V.manifest_info(table)
+    on_disk = set()
+    for dirpath, _d, names in __import__("os").walk(str(tmp_path / "occ" / "data")):
+        for n in names:
+            if n.endswith(".parquet"):
+                import os as _os
+
+                on_disk.add(
+                    _os.path.relpath(_os.path.join(dirpath, n), table)
+                )
+    referenced = set()
+    for ver in V.versions(table):
+        referenced |= set(V.manifest_info(table, ver)["files"])
+    assert on_disk <= referenced
+
+
+def test_occ_overlapping_deletes_conflict(spark, tmp_path, monkeypatch):
+    """A true overlap — the interleaved delete rewrote files this
+    transaction is rewriting — must surface CommitConflict, after
+    cleaning up the loser's uncommitted files."""
+    import pytest
+
+    table = _partitioned_table(spark, tmp_path)
+    _race(
+        monkeypatch,
+        lambda: V.delete_where(
+            spark, table, "p = 1 AND k % 2 = 0", prune=("p", "=", 1)
+        ),
+    )
+    with pytest.raises(V.CommitConflict):
+        V.delete_where(
+            spark, table, "p = 1 AND k % 4 = 1", prune=("p", "=", 1)
+        )
+    monkeypatch.undo()
+    assert len(V.versions(table)) == 2  # only the interleaved delete
+    # re-running against the new head succeeds (the documented recovery)
+    V.delete_where(spark, table, "p = 1 AND k % 4 = 1", prune=("p", "=", 1))
+    got = V.read_version(spark, table)
+    assert got.filter("p = 1 AND (k % 2 = 0 OR k % 4 = 1)").count() == 0
+
+
+def test_occ_unhinted_delete_conflicts_with_any_add(spark, tmp_path, monkeypatch):
+    """Without a prune hint the transaction read the WHOLE table, so
+    an interleaved append could hold predicate-matching rows it never
+    saw — conservative serializability demands a conflict."""
+    import pytest
+
+    table = _partitioned_table(spark, tmp_path)
+    extra = spark.range(1000, 1010).select(
+        F.col("id").alias("k"),
+        F.lit(1).cast("int").alias("p"),
+        (F.col("id") * 2).alias("v"),
+    )
+    _race(monkeypatch, lambda: V.append_version(extra, table))
+    with pytest.raises(V.CommitConflict):
+        V.delete_where(spark, table, "k % 2 = 0")
+    monkeypatch.undo()
+    # with a hint excluding the appended keys, the same race rebases
+    _race(monkeypatch, lambda: V.append_version(
+        spark.range(2000, 2010).select(
+            F.col("k") if False else F.col("id").alias("k"),
+            F.lit(1).cast("int").alias("p"),
+            (F.col("id") * 2).alias("v"),
+        ), table))
+    V.delete_where(
+        spark, table, "k < 500 AND k % 2 = 0", prune=("k", "<", 500)
+    )
+    monkeypatch.undo()
+    got = V.read_version(spark, table)
+    assert got.filter("k < 500 AND k % 2 = 0").count() == 0
+    assert got.filter("k >= 1000").count() == 20  # both appends intact
+
+
+def test_occ_merge_disjoint_key_ranges_both_commit(spark, tmp_path, monkeypatch):
+    """Two merges touching disjoint key ranges: the loser's key-range
+    probe proves the interleaved commit's files are outside its range
+    and rebases — both upserts land."""
+    table = _range_sliced_table(spark, tmp_path)  # 4 files of 25 keys
+    # lo rewrites only the [0,25) file; hi rewrites only the [75,100)
+    # file plus an insert — the rewritten files' FULL spans (not just
+    # the batch keys) must stay disjoint from the other's key range.
+    lo = spark.createDataFrame([(3, 3333), (7, 7707)], "k long, v long")
+    hi = spark.createDataFrame([(77, 7777), (210, 2100)], "k long, v long")
+    _race(monkeypatch, lambda: V.merge_version(spark, table, lo, "k"))
+    V.merge_version(spark, table, hi, "k")
+    monkeypatch.undo()
+    got = {r["k"]: r["v"] for r in V.read_version(spark, table).collect()}
+    assert got[3] == 3333 and got[7] == 7707
+    assert got[77] == 7777 and got[210] == 2100
+    assert len(got) == 101
+
+
+def test_occ_dv_delta_on_touched_file_conflicts(spark, tmp_path, monkeypatch):
+    """An interleaved DV delete masking rows in a file this rewrite
+    touches would be resurrected by the rewrite (computed under the
+    base DV set) — must conflict."""
+    import pytest
+
+    table = _range_sliced_table(spark, tmp_path)
+    _race(
+        monkeypatch,
+        lambda: V.delete_where(spark, table, "k = 7", mode="dv"),
+    )
+    with pytest.raises(V.CommitConflict):
+        V.update_where(
+            spark, table, {"v": "v + 1"}, "k < 25", prune=("k", "<", 25)
+        )
+    monkeypatch.undo()
+    assert V.read_version(spark, table).filter("k = 7").count() == 0
