@@ -1326,6 +1326,71 @@ def q_table_files_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_stream_table_source",
+    oracle="""
+    WITH o AS (
+        SELECT o_orderkey,
+               CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        FROM orders
+    )
+    SELECT 2 AS n_batches, COUNT(*) AS n_rows,
+           CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents
+    FROM o
+    """,
+)
+def q_stream_table_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Versioned table as a STRUCTURED STREAMING SOURCE, hash-certified
+    end-to-end (VERDICT r9 item 4 — Delta's readStream-on-table): the
+    8-commit sliced orders table is consumed through the Python
+    streaming data source (streaming/table_source.py) whose offsets
+    are manifest VERSIONS, in TWO separate runs sharing one checkpoint
+    — run 1 capped at version 4, run 2 (a restart) catching up — each
+    planning one micro-batch that reads ONLY the files its version
+    range added. The oracle pins n_batches to the literal 2 (a replay
+    after restart would both raise the count and double rows) and
+    recomputes the full orders aggregates: every appended row arrives
+    exactly once across the restart, none twice, none lost. The
+    extract side of streaming CDC, closing the loop with
+    q_stream_cdc_apply (the apply side)."""
+    import os as _os
+    import tempfile
+    import uuid as _uuid
+
+    from meta_iterative_mapreduce_spark.streaming.table_source import (
+        stream_changes,
+    )
+
+    table = ensure_orders_sliced_table(spark, sf_dir)
+    work = _os.path.join(
+        tempfile.gettempdir(), "mimr_tbl_stream", _uuid.uuid4().hex
+    )
+    staging = _os.path.join(work, "staged")
+    ckpt = _os.path.join(work, "ckpt")
+    n = {"batches": 0}
+
+    def sink(bdf: DataFrame, bid: int) -> None:
+        n["batches"] += 1
+        bdf.write.mode("append").parquet(staging)
+
+    for until in (4, None):
+        q = (
+            stream_changes(spark, table, until_version=until)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+    return spark.read.parquet(staging).agg(
+        F.lit(n["batches"]).cast("int").alias("n_batches"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("o_orderkey").cast("bigint").alias("sum_key"),
+        F.sum("cents").cast("bigint").alias("sum_cents"),
+    )
+
+
 def ensure_orders_bloom_table(spark: SparkSession, sf_dir: str) -> str:
     """Orders committed HASH-DISTRIBUTED (round-robin over 8 files, so
     every file spans the full o_orderkey range and min/max stats can
