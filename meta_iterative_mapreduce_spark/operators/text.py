@@ -739,6 +739,72 @@ def q_text_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def bpe_encode_vocab(words: DataFrame, merges: list[tuple]) -> DataFrame:
+    """ENCODE with a learned merge table (the apply side of
+    bpe_learn, VERDICT r9 item 6): fold every merge, in RANK ORDER,
+    as the same greedy left-to-right _merge_pair expression training
+    used — so encoding a word the trainer saw reproduces the
+    trainer's own segmentation exactly. Input is the (word, ...)
+    VOCABULARY, not the corpus: the 100 TB trick both directions —
+    encode |vocab| rows once, then join token counts back to the
+    corpus by word. Pure JVM expression fold, no UDF; returns
+    (word, tokens array<string>, n_tokens)."""
+    enc = F.split("word", "")
+    for _, left, right, _, _ in merges:
+        enc = _merge_pair(enc, left, right)
+    return words.select(
+        "word",
+        enc.alias("tokens"),
+        F.size(enc).alias("n_tokens"),
+    )
+
+
+@register("q_text_bpe_apply")  # rows-only: the merge table is model
+# state from a driver-iterative argmax loop (q_text_bpe_learn); the
+# ENCODER is pytest-pinned byte-exact vs a pure-Python reference
+def q_text_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learn→APPLY round trip: the 6 merges from q_text_bpe_learn's
+    trainer encode the whole corpus — per document, whitespace words
+    look up their BPE segmentation in the broadcast-encoded VOCABULARY
+    (encode once per distinct word, join back; the corpus itself is
+    never re-folded) and aggregate exact integer token statistics:
+    characters in, tokens out, multi-char (merged) tokens, and the
+    floor-scaled e4 compression ratio. Closes the gap VERDICT r9 item
+    6 named: q_text_token_bpe is a regex proxy; this is the real
+    learned-subword tokenizer path a training-data pipeline runs.
+    Exact-equality pytest vs a pure-Python reference encoder on every
+    fixture doc (tests/test_text.py)."""
+    d = load_table(spark, sf_dir, "documents")
+    doc_words = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word")
+    ).filter(F.length("word") > 0)
+    vocab = doc_words.groupBy("word").agg(F.count(F.lit(1)).alias("freq"))
+    merges = bpe_learn(vocab)
+    enc = bpe_encode_vocab(vocab, merges).select(
+        "word",
+        "n_tokens",
+        F.size(F.filter("tokens", lambda t: F.length(t) > 1)).alias(
+            "n_merged"
+        ),
+    )
+    return (
+        doc_words.join(F.broadcast(enc), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum(F.length("word")).cast("long").alias("n_chars"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+            F.sum("n_merged").cast("long").alias("n_merged_tokens"),
+        )
+        .withColumn(
+            "compression_e4",
+            F.floor(
+                F.col("n_tokens") / F.col("n_chars") * 10000 + F.lit(0.5)
+            ).cast("long"),
+        )
+    )
+
+
 @register(
     "q_text_entropy",
     oracle="""

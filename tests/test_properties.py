@@ -261,3 +261,54 @@ def test_gif_container_round_trip_property(w, h, seed):
     )
     assert (f["width"], f["height"]) == (w, h)
     assert f["pixels"].tobytes() == px
+
+
+def _brute_bpe_encode(word: str, merges: list[tuple]) -> list[str]:
+    """Pure-Python reference ENCODER: fold each learned merge, in rank
+    order, as a greedy left-to-right adjacent-pair merge — the same
+    discipline the trainer's fold applies."""
+    syms = list(word)
+    for _rank, left, right, merged, _pf in merges:
+        out: list[str] = []
+        for s in syms:
+            if out and out[-1] == left and s == right:
+                out[-1] = merged
+            else:
+                out.append(s)
+        syms = out
+    return syms
+
+
+def test_bpe_encode_equals_reference_on_every_fixture_doc(spark, sf_dir):
+    """bpe_encode_vocab == the pure-Python reference encoder on EVERY
+    distinct word of the corpus (token sequences byte-exact, counts
+    exact) — the learn→apply round trip VERDICT r9 item 6 demands."""
+    from pyspark.sql import functions as F
+
+    from meta_iterative_mapreduce_spark.io import load_table
+    from meta_iterative_mapreduce_spark.operators.text import (
+        bpe_encode_vocab,
+        bpe_learn,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    words = (
+        d.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.length("word") > 0)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    merges = bpe_learn(words, 8)
+    got = {
+        r["word"]: (list(r["tokens"]), r["n_tokens"])
+        for r in bpe_encode_vocab(words, merges).collect()
+    }
+    assert len(got) == words.count()
+    n_multi = 0
+    for word, (tokens, n_tokens) in got.items():
+        expect = _brute_bpe_encode(word, merges)
+        assert tokens == expect, (word, tokens, expect)
+        assert n_tokens == len(expect)
+        assert "".join(tokens) == word  # lossless segmentation
+        n_multi += any(len(t) > 1 for t in tokens)
+    assert n_multi > 0  # the merges actually fired somewhere
