@@ -186,6 +186,7 @@ def _ensure_loaded() -> None:
         components,
         corpus,
         dedup,
+        docx,
         events_analytics,
         gif,
         incremental,
