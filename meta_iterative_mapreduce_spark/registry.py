@@ -46,79 +46,76 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 
 
 # The external verification window records the FIRST 50 queries in the
-# order queries() yields them. Rounds 1-8 certified all 219 then-
+# order queries() yields them. Rounds 1-9 certified all 246 then-
 # registered queries at least once with zero failures; the debt is
-# staleness only. The round-9 priority below = (a) new round-9
+# staleness only. The round-10 priority below = (a) the five round-10
 # registrations (never-stamped — tests/test_registry_window.py derives
-# that set from CORRECTNESS_r*.json and asserts they LEAD: the four
-# versioned-log mutation queries + incremental dedup), then
-# (b) q_embed_pca_power, whose oracle was upgraded rows-only→hash in
-# r8 but missed the r8 window (VERDICT r8 item 1: never-hash-stamped
-# leads), then (c) ALL 23 r04-stamped queries — after this round every
-# declared query carries a ≤5-round-old stamp and nothing older than
-# r05 remains, then (d) q_embed_pq, whose implementation moved to the
-# persisted PQ index this round, then (e) the stalest r05-stamped
-# queries filling the remaining slots. Every query is additionally
-# verified by the identical in-repo oracle harness (tools/check.py,
-# tests/test_oracle.py) every round regardless of window membership,
-# and every name below must be registered (phantom entries fail CI
-# instead of being silently dropped by _ordered()).
+# that set from CORRECTNESS_r*.json and asserts they LEAD: DV-mode
+# update, three-clause CDC merge, the table stream source, BPE apply,
+# DOCX extraction), then (b) the LAST two r04-stamped queries
+# (q_scalar_hash AND q_scalar_collation — the r9 window note
+# undercounted them as one; VERDICT r9 item 1), then (c) all 43
+# hash-oracled r05-stamped queries — after this round the only
+# pre-r06 stamps left are the seven rows-only-by-design r05 sketches/
+# clustering queries, which lead the r11 window. Every query is
+# additionally verified by the identical in-repo oracle harness
+# (tools/check.py, tests/test_oracle.py) every round regardless of
+# window membership, and every name below must be registered (phantom
+# entries fail CI instead of being silently dropped by _ordered()).
 WINDOW_PRIORITY: tuple[str, ...] = (
-    # never-stamped round-9 registrations lead
-    "q_table_delete_dv",
-    "q_stream_cdc_apply",
-    "q_table_delete",
-    "q_merge_versioned",
-    "q_cdc_read_changes",
-    "q_scan_file_skip",
-    "q_scan_partition_prune",
-    "q_stream_join_outer",
-    "q_stream_dedup",
-    "q_dedup_substring",
-    "q_table_update",
-    "q_sim_ivf_pq",
-    "q_table_files_meta",
-    "q_scan_bloom_skip",
-    "q_scan_zorder_skip",
-    "q_dedup_incremental",
-    "q_tpch_q7_shape",
-    "q_tpch_q8_shape",
-    "q_tpch_q9_shape",
-    "q_tpch_q10_shape",
-    "q_tpch_q11_shape",
-    "q_tpch_q12_shape",
-    "q_tpch_q14_shape",
-    "q_tpch_q15_shape",
-    "q_tpch_q16_shape",
-    "q_tpch_q19_shape",
-    "q_tpch_q20_shape",
-    # oracle upgraded r8, no driver hash stamp yet
-    "q_embed_pca_power",
-    # the 23 r04-stamped queries (VERDICT r8 item 1)
-    "q_multimodal_phash_pairs",
-    "q_profile_table",
-    "q_regression_kfold",
-    "q_sample_hash",
-    "q_sample_stratified",
-    "q_sample_weighted",
-    "q_sim_pq_adc",
-    "q_sketch_hll_intersect",
-    "q_stream_enrich",
-    "q_stream_running_totals",
-    "q_table_checksum",
-    "q_text_boilerplate",
-    "q_text_bpe_learn",
-    "q_text_entropy",
-    "q_tpch_q21_shape",
-    "q_ts_autocorr",
-    "q_ts_changepoint",
-    "q_ts_interpolate",
-    "q_ts_rollup_hier",
-    "q_ts_seasonal",
-    "q_window_distribution",
-    # implementation moved to the persisted PQ index this round
-    "q_embed_pq",
-    # stalest r05-stamped fill
+    # never-stamped round-10 registrations lead
+    "q_table_update_dv",
+    "q_merge_cdc_full",
+    "q_stream_table_source",
+    "q_text_bpe_apply",
+    "q_text_docx_extract",
+    # the final two r04-stamped queries (VERDICT r9 item 1)
+    "q_scalar_hash",
+    "q_scalar_collation",
+    # all 43 hash-oracled r05-stamped queries (stalest cohort)
+    "q_agg_arg_minmax",
+    "q_agg_bitwise",
+    "q_agg_bool",
+    "q_agg_count_distinct",
+    "q_agg_global",
+    "q_agg_groupby",
+    "q_agg_grouping_sets",
+    "q_agg_histogram",
+    "q_agg_percentile",
+    "q_agg_pivot",
+    "q_agg_regression_exact",
+    "q_agg_stats",
+    "q_agg_string_agg",
+    "q_cte_multi",
+    "q_dedup_exact",
+    "q_dedup_exact_norm",
+    "q_dedup_ngram_jaccard",
+    "q_distinct_projection",
+    "q_events_cohort",
+    "q_events_funnel",
+    "q_merge_upsert",
+    "q_multimodal_decode_stub",
+    "q_multimodal_struct",
+    "q_regression_chunk_averaged",
+    "q_regression_exact",
+    "q_regression_meta_averaged",
+    "q_sim_ann_lsh",
+    "q_sim_cosine_topk",
+    "q_sim_ivf_ann",
+    "q_sim_knn_join",
+    "q_sim_near_dup_pairs",
+    "q_subquery_correlated",
+    "q_subquery_scalar",
+    "q_text_fingerprint",
+    "q_text_langid",
+    "q_text_ngram_freq",
+    "q_text_quality",
+    "q_text_stats",
+    "q_text_tfidf",
+    "q_text_token_bpe",
+    "q_text_tokens",
+    "q_unpivot",
+    "q_window_ntile",
 )
 
 

@@ -71,6 +71,7 @@ def test_relational_plans_stay_jvm_side(spark, sf_dir):
         "q_multimodal_mp4_index",  # ISO BMFF box walk in mapInPandas
         "q_text_pdf_extract",  # PDF object/stream walk in mapInPandas
         "q_text_warc_extract",  # WARC record walk in mapInPandas
+        "q_text_docx_extract",  # OPC zip + XML walk in mapInPandas
         # two-pass distributed rank assigns offsets in a vectorized
         # mapInPandas (operators/distrank.py) — the price of removing
         # the unpartitioned-WindowExec serial sort; see
