@@ -1391,6 +1391,102 @@ def q_stream_table_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_stream_cdc_source",
+    oracle="""
+    WITH o AS (
+        SELECT o_orderkey, o_orderstatus,
+               CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        FROM orders
+    ), feed AS (
+        SELECT 'I' AS op, o_orderkey AS k,
+               CAST(NULL AS BIGINT) AS old_cents, cents AS new_cents
+        FROM o
+        UNION ALL SELECT 'U', o_orderkey, cents, cents + 111
+        FROM o WHERE o_orderkey % 10 = 1
+        UNION ALL SELECT 'I', o_orderkey + 70000000,
+               CAST(NULL AS BIGINT), cents + 222
+        FROM o WHERE o_orderkey % 10 = 2
+        UNION ALL SELECT 'D', o_orderkey, cents, CAST(NULL AS BIGINT)
+        FROM o WHERE o_orderkey % 10 = 3
+        UNION ALL SELECT 'U', o_orderkey, cents, cents + 333
+        FROM o WHERE o_orderkey % 10 = 4
+        UNION ALL SELECT 'I', o_orderkey + 80000000,
+               CAST(NULL AS BIGINT), cents + 444
+        FROM o WHERE o_orderkey % 10 = 6
+        UNION ALL SELECT 'D', o_orderkey, cents + 111, CAST(NULL AS BIGINT)
+        FROM o WHERE o_orderkey % 10 = 1
+        UNION ALL SELECT 'U', o_orderkey, cents, cents + 555
+        FROM o WHERE o_orderkey % 10 = 7
+        UNION ALL SELECT 'D', o_orderkey + 70000000, cents + 222,
+               CAST(NULL AS BIGINT)
+        FROM o WHERE o_orderkey % 10 = 2
+    )
+    SELECT op, COUNT(*) AS n,
+           CAST(SUM(k) AS BIGINT) AS sum_key,
+           CAST(SUM(old_cents) AS BIGINT) AS sum_old_cents,
+           CAST(SUM(new_cents) AS BIGINT) AS sum_new_cents,
+           2 AS n_batches
+    FROM feed GROUP BY op
+    """,
+)
+def q_stream_cdc_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING CHANGE FEED (Delta's readChangeFeed), hash-certified
+    end-to-end: the four-version CDC-history table (snapshot + three
+    mixed I/U/D merge batches) is consumed through the CDC-mode stream
+    source (streaming/table_source.py::stream_cdc) in TWO checkpointed
+    runs — the snapshot streams as 'I' rows one task per added file;
+    each DML version diffs ITS OWN removed/added/DV delta
+    executor-side into (key, op, old_*, new_*) rows, the exact batch
+    read_changes layout. The oracle recomputes the ENTIRE expected
+    feed from scratch — including the old_cents of rows deleted AFTER
+    being updated (+111) and inserted-then-deleted rows (+222), the
+    two histories that break a feed derived from snapshots instead of
+    version deltas — and pins n_batches to 2 (exactly-once across the
+    restart). Extract side of CDC; q_stream_cdc_apply is the apply
+    side, q_cdc_read_changes the batch twin."""
+    import os as _os
+    import tempfile
+    import uuid as _uuid
+
+    from meta_iterative_mapreduce_spark.streaming.table_source import (
+        stream_cdc,
+    )
+
+    table = ensure_orders_cdc_full_table(spark, sf_dir)
+    work = _os.path.join(
+        tempfile.gettempdir(), "mimr_cdc_stream", _uuid.uuid4().hex
+    )
+    staging = _os.path.join(work, "staged")
+    ckpt = _os.path.join(work, "ckpt")
+    n = {"batches": 0}
+
+    def sink(bdf: DataFrame, bid: int) -> None:
+        n["batches"] += 1
+        bdf.write.mode("append").parquet(staging)
+
+    for until in (2, None):
+        q = (
+            stream_cdc(spark, table, "o_orderkey", until_version=until)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+    return (
+        spark.read.parquet(staging)
+        .groupBy("op")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("o_orderkey").cast("bigint").alias("sum_key"),
+            F.sum("old_cents").cast("bigint").alias("sum_old_cents"),
+            F.sum("new_cents").cast("bigint").alias("sum_new_cents"),
+        )
+        .withColumn("n_batches", F.lit(n["batches"]).cast("int"))
+    )
+
+
 def ensure_orders_bloom_table(spark: SparkSession, sf_dir: str) -> str:
     """Orders committed HASH-DISTRIBUTED (round-robin over 8 files, so
     every file spans the full o_orderkey range and min/max stats can

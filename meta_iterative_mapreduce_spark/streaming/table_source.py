@@ -107,22 +107,108 @@ def _plan_version_files(
     return specs
 
 
-def _read_spec(spec: dict):
-    """Executor-side file read: yield tuples in the declared field
-    order — parquet columns under their physical names, hive
-    partition values from the path, nulls for columns the file
-    predates."""
+def _plan_cdc_versions(
+    table: str, v_from: int, v_to: int, key: str, fields: list[tuple]
+) -> list[dict]:
+    """Driver-side CDC batch planning (the readChangeFeed shape): for
+    each version in (v_from, v_to], either one 'insert' partition per
+    added file (pure appends — including the v1 snapshot, emitted as
+    inserts exactly like Delta's startingVersion=0) or ONE 'diff'
+    partition holding the version's removed/added/DV-delta file lists,
+    diffed executor-side by key. A diff partition's memory is O(that
+    version's delta) — the same I/O read_changes does; a full-table
+    compaction version is the worst case and is the documented reason
+    production CDC writers persist change files at commit instead."""
+    if v_from >= v_to:
+        return []
+    have = set(versions(table))
+    missing = [v for v in range(v_from + 1, v_to + 1) if v not in have]
+    if missing:
+        raise ValueError(
+            f"versions {missing} of {table!r} were vacuumed past this "
+            "stream's replay horizon; restart from a fresh checkpoint"
+        )
+    if key not in {f[0] for f in fields}:
+        raise ValueError(f"cdc key {key!r} not in table columns")
+    specs: list[dict] = []
+    for v in range(v_from + 1, v_to + 1):
+        m = manifest_info(table, v)
+        prev_m = manifest_info(table, v - 1) if v - 1 in have else None
+        prev_dv = set(prev_m.get("dv_files", [])) if prev_m else set()
+        dv_delta = [f for f in m.get("dv_files", []) if f not in prev_dv]
+        added = m.get("added")
+        if added is None:
+            added = m["files"] if v == 1 else []
+        removed = m.get("removed", [])
+        if not removed and not dv_delta:
+            for rel in added:
+                specs.append(
+                    {
+                        "kind": "insert",
+                        "version": v,
+                        "path": os.path.join(table, rel),
+                        "fields": fields,
+                        "part_vals": _hive_vals(rel),
+                        "key": key,
+                    }
+                )
+            continue
+        if prev_m is None:
+            raise ValueError(
+                f"version {v - 1} of {table!r} was vacuumed; the CDC "
+                f"diff for version {v} needs it — restart from a fresh "
+                "checkpoint"
+            )
+        carried = [
+            f for f in prev_m["files"] if f in set(m["files"])
+        ]
+        specs.append(
+            {
+                "kind": "diff",
+                "version": v,
+                "table": table,
+                "fields": fields,
+                "key": key,
+                "removed": removed,
+                "added": added,
+                "removed_vals": {f: _hive_vals(f) for f in removed},
+                "added_vals": {f: _hive_vals(f) for f in added},
+                "dv_before": sorted(prev_dv),
+                "dv_delta": dv_delta,
+                "dv_after": list(m.get("dv_files", [])),
+                "carried": carried,
+            }
+        )
+    return specs
+
+
+def _hive_vals(rel: str) -> dict:
+    from urllib.parse import unquote
+
+    out: dict[str, object] = {}
+    for seg in rel.split(os.sep):
+        if "=" not in seg:
+            continue
+        name, _, raw = seg.partition("=")
+        val = unquote(raw)
+        out[name] = None if val == "__HIVE_DEFAULT_PARTITION__" else val
+    return out
+
+
+def _file_rows(path: str, fields: list[tuple], part_vals: dict):
+    """One file's rows as a list of tuples in field order (the shared
+    projection of _read_spec, reused by the CDC diff)."""
     import pyarrow.parquet as pq
 
-    tbl = pq.read_table(spec["path"])
+    tbl = pq.read_table(path)
     names = set(tbl.schema.names)
     n = tbl.num_rows
     cols = []
-    for _logical, phys, typ in spec["fields"]:
+    for _logical, phys, typ in fields:
         if phys in names:
             vals = tbl.column(phys).to_pylist()
-        elif phys in spec["part_vals"]:
-            raw = spec["part_vals"][phys]
+        elif phys in part_vals:
+            raw = part_vals[phys]
             v = (
                 None
                 if raw is None
@@ -134,7 +220,99 @@ def _read_spec(spec: dict):
         else:
             vals = [None] * n
         cols.append(vals)
-    yield from zip(*cols)
+    return list(zip(*cols)) if cols else []
+
+
+def _dv_positions(table: str, dv_files: list[str]) -> dict[str, set]:
+    """{file relpath: masked row indices} union over DV files."""
+    import pyarrow.parquet as pq
+
+    out: dict[str, set] = {}
+    for dv in dv_files:
+        t = pq.read_table(
+            os.path.join(table, dv), columns=["file", "row_index"]
+        )
+        for f, ri in zip(
+            t.column("file").to_pylist(), t.column("row_index").to_pylist()
+        ):
+            out.setdefault(f, set()).add(ri)
+    return out
+
+
+def _read_cdc_spec(spec: dict):
+    """Executor-side CDC rows for one spec. 'insert' specs emit
+    (key, 'I', nulls..., new values...) straight off one added file;
+    'diff' specs replay read_changes' algebra in pyarrow for ONE
+    version: old side = removed files' rows visible at v-1 plus
+    carried rows newly DV-masked; new side = added files' rows visible
+    at v; full-outer by key → I/U/D, carried-identical rows dropped."""
+    fields = spec["fields"]
+    key = spec["key"]
+    ki = [f[0] for f in fields].index(key)
+    if spec["kind"] == "insert":
+        for row in _file_rows(spec["path"], fields, spec["part_vals"]):
+            yield (
+                row[ki],
+                "I",
+                *[None for i in range(len(fields)) if i != ki],
+                *[row[i] for i in range(len(fields)) if i != ki],
+            )
+        return
+    table = spec["table"]
+    before = _dv_positions(table, spec["dv_before"])
+    after = _dv_positions(table, spec["dv_after"])
+    old: dict = {}
+    for rel in spec["removed"]:
+        masked = before.get(rel, set())
+        rows = _file_rows(
+            os.path.join(table, rel), fields, spec["removed_vals"][rel]
+        )
+        for ri, row in enumerate(rows):
+            if ri not in masked:
+                old[row[ki]] = row
+    if spec["dv_delta"]:
+        delta = _dv_positions(table, spec["dv_delta"])
+        for rel, positions in delta.items():
+            if rel not in set(spec["carried"]):
+                continue  # DV on a removed file: already on the old side
+            pre_masked = before.get(rel, set())
+            rows = _file_rows(
+                os.path.join(table, rel), fields, _hive_vals(rel)
+            )
+            for ri in sorted(positions):
+                if ri not in pre_masked and ri < len(rows):
+                    old[rows[ri][ki]] = rows[ri]
+    new: dict = {}
+    for rel in spec["added"]:
+        masked = after.get(rel, set())
+        rows = _file_rows(
+            os.path.join(table, rel), fields, spec["added_vals"][rel]
+        )
+        for ri, row in enumerate(rows):
+            if ri not in masked:
+                new[row[ki]] = row
+    others = [i for i in range(len(fields)) if i != ki]
+    for k in old.keys() | new.keys():
+        o, n = old.get(k), new.get(k)
+        if o is not None and n is not None and all(
+            o[i] == n[i] for i in others
+        ):
+            continue  # copy-on-write carryover: unchanged row
+        op = "I" if o is None else "D" if n is None else "U"
+        yield (
+            k,
+            op,
+            *[(o[i] if o is not None else None) for i in others],
+            *[(n[i] if n is not None else None) for i in others],
+        )
+
+
+def _read_spec(spec: dict):
+    """Executor-side file read: yield tuples in the declared field
+    order — parquet columns under their physical names, hive
+    partition values from the path, nulls for columns the file
+    predates."""
+    yield from _file_rows(spec["path"], spec["fields"], spec["part_vals"])
 
 
 def make_versioned_table_source():
@@ -159,16 +337,30 @@ def make_versioned_table_source():
             )
             until = options.get("untilversion")
             self.until = int(until) if until is not None else None
-            # (logical, physical, type) per declared field, FIXED at
+            self.cdc_key = options.get("cdckey")
+            # (logical, physical, type) per TABLE field, FIXED at
             # stream start: physical names are immutable per column id,
-            # so this projection is valid for files of every version
+            # so this projection is valid for files of every version.
+            # (In CDC mode the declared schema is derived — key, op,
+            # old_*, new_* — so fields come from the manifest, which
+            # schema() read the same instant.)
             m = manifest_info(self.table)
             mapping, _, _ = _mapping_state(m, m.get("schema"))
             phys_of = {mp["name"]: mp["physical"] for mp in mapping}
-            self.fields = [
-                (f.name, phys_of.get(f.name, f.name), f.dataType.typeName())
-                for f in schema.fields
-            ]
+            if self.cdc_key is None:
+                self.fields = [
+                    (
+                        f.name,
+                        phys_of.get(f.name, f.name),
+                        f.dataType.typeName(),
+                    )
+                    for f in schema.fields
+                ]
+            else:
+                self.fields = [
+                    (f["name"], phys_of.get(f["name"], f["name"]), f["type"])
+                    for f in m["schema"]["fields"]
+                ]
 
         def initialOffset(self) -> dict:
             return {"version": 0}
@@ -181,13 +373,22 @@ def make_versioned_table_source():
             return {"version": head}
 
         def partitions(self, start: dict, end: dict):
-            specs = _plan_version_files(
-                self.table,
-                start["version"],
-                end["version"],
-                self.ignore_changes,
-                self.fields,
-            )
+            if self.cdc_key is not None:
+                specs = _plan_cdc_versions(
+                    self.table,
+                    start["version"],
+                    end["version"],
+                    self.cdc_key,
+                    self.fields,
+                )
+            else:
+                specs = _plan_version_files(
+                    self.table,
+                    start["version"],
+                    end["version"],
+                    self.ignore_changes,
+                    self.fields,
+                )
             # metadata-only ranges still need ONE (empty) partition:
             # the engine plans a batch for any offset advance
             return [InputPartition(s) for s in specs] or [
@@ -197,6 +398,8 @@ def make_versioned_table_source():
         def read(self, partition):
             if partition.value is None:
                 return iter(())
+            if partition.value.get("kind") in ("insert", "diff"):
+                return _read_cdc_spec(partition.value)
             return _read_spec(partition.value)
 
         def commit(self, end: dict) -> None:
@@ -220,6 +423,31 @@ def make_versioned_table_source():
             # every field nullable: files predating a column null-fill
             # it (the same merge-on-read rule as _read_files_logical)
             want = StructType.fromJson(m["schema"])
+            key = self.options.get("cdckey")
+            if key is not None:
+                # the readChangeFeed shape: (key, op, old_*, new_*) —
+                # identical column layout to read_changes, so the batch
+                # CDC read and the CDC stream are interchangeable
+                from pyspark.sql.types import StringType
+
+                by = {f.name: f for f in want}
+                if key not in by:
+                    raise ValueError(f"cdc key {key!r} not in table columns")
+                others = [f for f in want if f.name != key]
+                return StructType(
+                    [
+                        StructField(key, by[key].dataType, True),
+                        StructField("op", StringType(), True),
+                        *[
+                            StructField(f"old_{f.name}", f.dataType, True)
+                            for f in others
+                        ],
+                        *[
+                            StructField(f"new_{f.name}", f.dataType, True)
+                            for f in others
+                        ],
+                    ]
+                )
             return StructType(
                 [
                     StructField(f.name, f.dataType, True, f.metadata)
@@ -265,8 +493,33 @@ def stream_changes(
     return r.load()
 
 
+def stream_cdc(
+    spark: SparkSession,
+    table: str,
+    key: str,
+    until_version: int | None = None,
+) -> DataFrame:
+    """readStream of the table's CHANGE FEED (Delta's readChangeFeed):
+    micro-batches of (key, op, old_*, new_*) rows per committed
+    version past the checkpointed offset — pure appends (including
+    the initial snapshot) stream as 'I' rows one task per added file;
+    DML versions diff their own removed/added/DV delta executor-side,
+    O(version delta) I/O. Column layout is identical to the batch
+    read_changes, so the two are drop-in interchangeable."""
+    register_stream_source(spark)
+    r = (
+        spark.readStream.format("mimr_versioned_table")
+        .option("path", table)
+        .option("cdckey", key)
+    )
+    if until_version is not None:
+        r = r.option("untilversion", until_version)
+    return r.load()
+
+
 __all__ = [
     "make_versioned_table_source",
     "register_stream_source",
+    "stream_cdc",
     "stream_changes",
 ]

@@ -134,3 +134,111 @@ def test_stream_source_partitioned_and_added_columns(spark, tmp_path):
     got = spark.read.parquet(staging)
     assert got.count() == 40
     assert got.filter("extra = k + 1000").count() == 20
+
+
+def _run_cdc(spark, table, key, staging, ckpt, **opts):
+    from meta_iterative_mapreduce_spark.streaming.table_source import (
+        stream_cdc,
+    )
+
+    n = {"batches": 0}
+
+    def sink(bdf, bid):
+        n["batches"] += 1
+        bdf.write.mode("append").parquet(staging)
+
+    q = (
+        stream_cdc(spark, table, key, **opts)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    return n["batches"]
+
+
+def test_stream_cdc_full_dml_history_exactly_once(spark, tmp_path):
+    """The CDC stream (readChangeFeed shape) replays a history mixing
+    snapshot, three-clause merge, DV delete, and DV update as
+    (key, op, old_*, new_*) rows — per-version semantics identical to
+    batch read_changes, exactly once across a checkpointed restart,
+    carried-identical rows suppressed."""
+    table = str(tmp_path / "t")
+    df = spark.range(0, 50).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    V.write_version(df, table)  # v1: 50 inserts
+    ups = spark.createDataFrame(
+        [(3, 333, "u"), (100, 1000, "i"), (7, None, "d")],
+        "k long, v long, op string",
+    )
+    V.merge_version(spark, table, ups, "k", delete_predicate="op = 'd'")
+    staging, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    assert _run_cdc(spark, table, "k", staging, ckpt) == 1
+    got1 = spark.read.parquet(staging)
+    assert got1.count() == 50 + 3  # 50 snapshot I + U + I + D, no
+    # carried-identical re-emits from the merge's file rewrite
+    # restart after two MORE DML commits (both merge-on-read)
+    V.delete_where(spark, table, "k = 9", mode="dv")
+    V.update_where(spark, table, {"v": "v + 1"}, "k = 11", mode="dv")
+    _run_cdc(spark, table, "k", staging, ckpt)
+    got = {
+        (r["k"], r["op"]): (r["old_v"], r["new_v"])
+        for r in spark.read.parquet(staging).collect()
+    }
+    assert len(got) == 50 + 3 + 2
+    assert got[(3, "U")] == (6, 333)
+    assert got[(100, "I")] == (None, 1000)
+    assert got[(7, "D")] == (14, None)
+    assert got[(9, "D")] == (18, None)   # DV delete
+    assert got[(11, "U")] == (22, 23)    # DV update (mask + append)
+    assert sum(1 for (_, op) in got if op == "I") == 51
+    # third run: nothing new
+    _run_cdc(spark, table, "k", staging, ckpt)
+    assert spark.read.parquet(staging).count() == 55
+
+
+def test_stream_cdc_equals_batch_read_changes_per_version(spark, tmp_path):
+    """For every committed version, the CDC stream's rows == batch
+    read_changes(v-1, v) exactly (same column layout by design)."""
+    table = str(tmp_path / "t")
+    df = spark.range(0, 40).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("v")
+    )
+    V.write_version(df, table)
+    V.delete_where(spark, table, "k % 10 = 3")  # CoW delete
+    V.update_where(spark, table, {"v": "v + 7"}, "k % 10 = 4")  # CoW upd
+    for v in (2, 3):
+        staging = str(tmp_path / f"out{v}")
+        ckpt = str(tmp_path / f"ck{v}")
+        # consume exactly version v through the stream
+        _run_cdc(spark, table, "k", staging, ckpt, until_version=v - 1)
+        import shutil
+
+        shutil.rmtree(staging, ignore_errors=True)
+        _run_cdc(spark, table, "k", staging, ckpt, until_version=v)
+        got = sorted(
+            map(tuple, spark.read.parquet(staging).collect())
+        )
+        want = sorted(
+            map(tuple, V.read_changes(spark, table, v - 1, v, "k").collect())
+        )
+        assert got == want
+
+
+def test_stream_cdc_vacuum_horizon_raises(spark, tmp_path):
+    """A CDC diff needs the PREVIOUS version's manifest (DV baseline);
+    vacuumed ranges raise rather than emit a wrong feed."""
+    table = str(tmp_path / "t")
+    df = spark.range(0, 30).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    V.write_version(df.coalesce(1), table)
+    staging, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    _run_cdc(spark, table, "k", staging, ckpt)
+    V.append_version(df.withColumn("k", F.col("k") + 100).coalesce(1), table)
+    V.delete_where(spark, table, "k = 5")
+    V.vacuum(table, keep_versions=1)
+    with pytest.raises(Exception, match="vacuumed"):
+        _run_cdc(spark, table, "k", staging, ckpt)
