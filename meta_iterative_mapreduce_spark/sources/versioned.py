@@ -1859,6 +1859,7 @@ def merge_version(
     key: str,
     batch_id: int | None = None,
     delete_predicate: str | None = None,
+    mode: str = "cow",
 ) -> int:
     """MERGE INTO the versioned log, copy-on-write, in ONE commit —
     Delta's three clauses (VERDICT r9 item 3):
@@ -1888,7 +1889,20 @@ def merge_version(
     manifest key range cannot intersect it — footer min/max are exact,
     so the exclusion is sound, and a point-merge into a key-clustered
     table probes O(1) files instead of O(table). Files without key
-    stats stay in conservatively."""
+    stats stay in conservatively.
+
+    mode="dv" (MERGE-ON-READ, the Iceberg v2 position-delete shape):
+    instead of rewriting the files containing matched keys, the
+    matched rows' positions are committed as a DELETION VECTOR and the
+    upsert rows are appended — one atomic manifest, ZERO data files
+    rewritten, merge cost O(batch + matches) regardless of file sizes.
+    The read side composes mask + appends automatically; a later
+    compaction materializes. Best for frequent small CDC batches into
+    huge files; mode="cow" (default, the Delta shape) keeps reads
+    pure scans. DV-mode commits keep strict first-writer-wins (no OCC
+    rebase), like the other merge-on-read paths."""
+    if mode not in ("cow", "dv"):
+        raise ValueError(f"mode must be 'cow' or 'dv', not {mode!r}")
     if batch_id is not None and batch_id in committed_batch_ids(table):
         return versions(table)[-1]
     m = manifest_info(table)
@@ -1955,6 +1969,89 @@ def merge_version(
     tagged = _read_files_logical(
         spark, table, m, candidates, with_position=True
     )
+    if mode == "dv":
+        matched = (
+            tagged.join(keys, key, "left_semi")
+            .select(
+                F.col("__file").alias("file"),
+                F.col("__row_index").alias("row_index"),
+            )
+            .cache()
+        )
+        try:
+            n_matched = matched.count()
+            n_up = updates.count()
+            if n_matched == 0 and n_up == 0:
+                return _commit_rewrite(spark, table, m, [], None)
+            _check_constraints(
+                updates, m.get("constraints", {}), f"merge into {table}"
+            )
+            mapping, retired, max_id = _mapping_state(m, m["schema"])
+            v = m["version"] + 1
+            new_files = (
+                _write_data_files(_to_physical(updates, mapping), table, v)
+                if n_up
+                else []
+            )
+            new_dv: list[str] = []
+            if n_matched:
+                dv_sub = os.path.join(
+                    _DATA_DIR, f"v{v:06d}-dv-{uuid.uuid4().hex[:8]}"
+                )
+                matched.coalesce(1).write.mode("error").parquet(
+                    os.path.join(table, dv_sub)
+                )
+                new_dv = sorted(
+                    os.path.join(dv_sub, f)
+                    for f in os.listdir(os.path.join(table, dv_sub))
+                    if f.endswith(".parquet")
+                )
+        finally:
+            matched.unpersist()
+        bcols = list(m.get("bloom_cols", []))
+        bmapping = {mp["name"]: mp["physical"] for mp in mapping}
+        bextra = {}
+        if bcols:
+            carry = _bloom_carry(m, m["files"])
+            bextra = {
+                "bloom_cols": bcols,
+                "file_blooms": {
+                    **carry.get("file_blooms", {}),
+                    **_collect_file_blooms(
+                        table, new_files, [bmapping.get(c, c) for c in bcols]
+                    ),
+                },
+            }
+        _commit(
+            table,
+            v,
+            m["files"] + new_files,
+            m["n_rows"] - n_matched + n_up,
+            schema=m["schema"],
+            column_mapping=mapping,
+            retired_physical=retired,
+            max_column_id=max_id,
+            file_stats={
+                **m.get("file_stats", {}),
+                **_collect_file_stats(table, new_files),
+            },
+            added=new_files,
+            removed=[],
+            dv_files=list(m.get("dv_files", [])) + new_dv,
+            **(
+                {"partition_by": list(m["partition_by"])}
+                if m.get("partition_by")
+                else {}
+            ),
+            **(
+                {"constraints": dict(m["constraints"])}
+                if m.get("constraints")
+                else {}
+            ),
+            **bextra,
+            **({} if batch_id is None else {"batch_id": batch_id}),
+        )
+        return v
     touched_names = {
         r["__file"]
         for r in tagged.join(keys, key, "left_semi")

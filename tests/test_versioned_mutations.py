@@ -806,3 +806,56 @@ def test_occ_dv_delta_on_touched_file_conflicts(spark, tmp_path, monkeypatch):
         )
     monkeypatch.undo()
     assert V.read_version(spark, table).filter("k = 7").count() == 0
+
+
+def test_merge_dv_mode_merge_on_read(spark, tmp_path):
+    """mode='dv' MERGE (Iceberg v2 position-delete shape): matched old
+    positions masked by ONE deletion vector, upsert rows appended,
+    deletes resolved by the same mask — zero files rewritten, one
+    atomic commit, row count exact, CDC feed sees U/I/D."""
+    table = _range_sliced_table(spark, tmp_path)  # keys 0..99, v=2k
+    batch = spark.createDataFrame(
+        [(7, 7777, "u"), (500, 5000, "i"), (13, None, "d")],
+        "k long, v long, op string",
+    )
+    m1 = V.manifest_info(table)
+    ver = V.merge_version(
+        spark, table, batch, "k", delete_predicate="op = 'd'", mode="dv"
+    )
+    m2 = V.manifest_info(table, ver)
+    assert m2["removed"] == []  # merge-on-read: nothing rewritten
+    assert set(m1["files"]) <= set(m2["files"])
+    assert len(m2["dv_files"]) == 1
+    got = {r["k"]: r["v"] for r in V.read_version(spark, table).collect()}
+    assert got[7] == 7777 and got[500] == 5000 and 13 not in got
+    assert len(got) == 100  # 100 - 1 delete + 1 insert
+    assert m2["n_rows"] == 100
+    # time travel to pre-merge
+    pre = {r["k"]: r["v"] for r in V.read_version(spark, table, m1["version"]).collect()}
+    assert pre[7] == 14 and 13 in pre and 500 not in pre
+    # CDC between the versions classifies all three ops
+    ch = {
+        (r["k"], r["op"]): (r["old_v"], r["new_v"])
+        for r in V.read_changes(
+            spark, table, m1["version"], ver, "k"
+        ).collect()
+    }
+    assert ch == {
+        (7, "U"): (14, 7777),
+        (500, "I"): (None, 5000),
+        (13, "D"): (26, None),
+    }
+    # exactly-once under batch ids, and compaction materializes
+    V.merge_version(
+        spark, table, batch, "k", delete_predicate="op = 'd'",
+        mode="dv", batch_id=42,
+    )
+    n_vers = len(V.versions(table))
+    V.merge_version(
+        spark, table, batch, "k", delete_predicate="op = 'd'",
+        mode="dv", batch_id=42,
+    )
+    assert len(V.versions(table)) == n_vers  # replay skipped
+    V.compact_version(spark, table, sort_col="k", target_files=2)
+    got2 = {r["k"]: r["v"] for r in V.read_version(spark, table).collect()}
+    assert got2 == got
