@@ -1765,9 +1765,13 @@ def update_where(
             mapping, retired, max_id = _mapping_state(m, m["schema"])
             v = m["version"] + 1
             # the appended rows: physically materialized (partition
-            # columns included), same shape as a copy-on-write rewrite
+            # columns included), same shape as a copy-on-write rewrite.
+            # Coalesce by row count — a small update must not scatter
+            # its rows across one tiny file per probe task (the
+            # small-files problem merge-on-read exists to avoid).
+            n_files = max(1, -(-n_upd // 1_000_000))
             new_files = _write_data_files(
-                _to_physical(updated, mapping), table, v
+                _to_physical(updated.coalesce(n_files), mapping), table, v
             )
             dv_sub = os.path.join(
                 _DATA_DIR, f"v{v:06d}-dv-{uuid.uuid4().hex[:8]}"
@@ -1988,8 +1992,17 @@ def merge_version(
             )
             mapping, retired, max_id = _mapping_state(m, m["schema"])
             v = m["version"] + 1
+            # row-count-aware coalesce: a small CDC batch lands as ONE
+            # file, not one tiny file per upstream task
             new_files = (
-                _write_data_files(_to_physical(updates, mapping), table, v)
+                _write_data_files(
+                    _to_physical(
+                        updates.coalesce(max(1, -(-n_up // 1_000_000))),
+                        mapping,
+                    ),
+                    table,
+                    v,
+                )
                 if n_up
                 else []
             )

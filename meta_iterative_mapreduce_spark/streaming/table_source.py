@@ -271,17 +271,41 @@ def _read_cdc_spec(spec: dict):
             if ri not in masked:
                 old[row[ki]] = row
     if spec["dv_delta"]:
+        import pyarrow.parquet as pq
+
         delta = _dv_positions(table, spec["dv_delta"])
         for rel, positions in delta.items():
             if rel not in set(spec["carried"]):
                 continue  # DV on a removed file: already on the old side
             pre_masked = before.get(rel, set())
-            rows = _file_rows(
-                os.path.join(table, rel), fields, _hive_vals(rel)
-            )
-            for ri in sorted(positions):
-                if ri not in pre_masked and ri < len(rows):
-                    old[rows[ri][ki]] = rows[ri]
+            want = sorted(p for p in positions if p not in pre_masked)
+            if not want:
+                continue
+            # arrow `take` materializes ONLY the masked positions —
+            # a 200-row DV against a 2M-row file converts 200 rows,
+            # not 2M (the file's pages still stream through arrow)
+            tbl = pq.read_table(os.path.join(table, rel))
+            part_vals = _hive_vals(rel)
+            sub = tbl.take([p for p in want if p < tbl.num_rows])
+            names = set(sub.schema.names)
+            cols = []
+            for _logical, phys, typ in fields:
+                if phys in names:
+                    cols.append(sub.column(phys).to_pylist())
+                elif phys in part_vals:
+                    raw = part_vals[phys]
+                    v = (
+                        None
+                        if raw is None
+                        else int(raw)
+                        if typ in _INT_TYPES
+                        else raw
+                    )
+                    cols.append([v] * sub.num_rows)
+                else:
+                    cols.append([None] * sub.num_rows)
+            for row in zip(*cols):
+                old[row[ki]] = row
     new: dict = {}
     for rel in spec["added"]:
         masked = after.get(rel, set())
