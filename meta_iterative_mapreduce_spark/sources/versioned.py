@@ -1403,7 +1403,7 @@ def _commit_rewrite(
     uncommitted files) for the caller to re-run. Replacement data
     files are written ONCE and reused across rebases; the disjointness
     proof is what makes that sound. Merge-on-read (DV) commit paths
-    keep strict first-writer-wins."""
+    get the analogous treatment in _commit_dv."""
     mapping, retired, max_id = _mapping_state(prev, prev["schema"])
     new_files: list[str] = []
     n_new = 0
@@ -1562,6 +1562,170 @@ def _commit_rewrite(
     )
 
 
+def _commit_dv(
+    spark: SparkSession,
+    table: str,
+    base: dict,
+    new_files: list[str],
+    new_dv: list[str],
+    n_rows_delta: int,
+    added_may_match=None,
+    max_retries: int = 10,
+    **extra,
+) -> int:
+    """Shared MERGE-ON-READ commit: reference every base file
+    unchanged, extend the DV list with `new_dv`, append `new_files`
+    (a DV update/merge's new row images), and adjust n_rows by
+    `n_rows_delta` — with the same OPTIMISTIC CONCURRENCY rebase as
+    _commit_rewrite. A lost race rebases onto the head when every
+    interleaved commit is provably disjoint:
+
+    - no interleaved commit REMOVED a file this commit's DV masks
+      (a rewrite of that file makes the mask inert = a silently lost
+      delete/update);
+    - no interleaved commit added a file the probe should have read
+      (`added_may_match`, as in _commit_rewrite);
+    - no interleaved DV masks the SAME (file, row) this commit masks
+      (two updates of one row would both append their new image —
+      duplicate keys; delete/delete overlap is conservatively
+      conflicted too);
+    - table layout unchanged.
+
+    Two DV writers deleting/updating different rows of even the SAME
+    file therefore both commit — masks union — which is the
+    concurrency profile frequent-small-DML tables actually need."""
+    import pyarrow.parquet as pq
+
+    our_positions: set[tuple] = set()
+    for dv in new_dv:
+        t = pq.read_table(
+            os.path.join(table, dv), columns=["file", "row_index"]
+        )
+        our_positions.update(
+            zip(t.column("file").to_pylist(), t.column("row_index").to_pylist())
+        )
+    our_masked_files = {f for f, _ in our_positions}
+    new_stats = _collect_file_stats(table, new_files)
+    prev = base
+
+    def _drop_written() -> None:
+        for f in new_files + new_dv:
+            p = os.path.join(table, f)
+            if os.path.exists(p):
+                os.unlink(p)
+
+    for _ in range(max_retries):
+        v = prev["version"] + 1
+        mapping, retired, max_id = _mapping_state(prev, prev["schema"])
+        bcols = list(prev.get("bloom_cols", []))
+        bextra = {}
+        if bcols:
+            bmapping = {mp["name"]: mp["physical"] for mp in mapping}
+            carry = _bloom_carry(prev, prev["files"])
+            bextra = {
+                "bloom_cols": bcols,
+                "file_blooms": {
+                    **carry.get("file_blooms", {}),
+                    **_collect_file_blooms(
+                        table, new_files, [bmapping.get(c, c) for c in bcols]
+                    ),
+                },
+            }
+        try:
+            _commit(
+                table,
+                v,
+                prev["files"] + new_files,
+                prev["n_rows"] + n_rows_delta,
+                schema=prev["schema"],
+                column_mapping=mapping,
+                retired_physical=retired,
+                max_column_id=max_id,
+                file_stats={**prev.get("file_stats", {}), **new_stats},
+                added=new_files,
+                removed=[],
+                dv_files=list(prev.get("dv_files", [])) + new_dv,
+                **(
+                    {"partition_by": list(prev["partition_by"])}
+                    if prev.get("partition_by")
+                    else {}
+                ),
+                **(
+                    {"constraints": dict(prev["constraints"])}
+                    if prev.get("constraints")
+                    else {}
+                ),
+                **bextra,
+                **extra,
+            )
+            return v
+        except ValueError as exc:
+            if "already committed" not in str(exc):
+                _drop_written()
+                raise
+        head = manifest_info(table)
+        for iv in range(prev["version"] + 1, head["version"] + 1):
+            im = manifest_info(table, iv)
+            if set(im.get("removed", [])) & our_masked_files:
+                _drop_written()
+                raise CommitConflict(
+                    f"concurrent commit v{iv} rewrote a file this "
+                    "merge-on-read commit masks — re-run against "
+                    f"v{head['version']}"
+                )
+            interleaved_added = im.get("added", [])
+            if interleaved_added and (
+                added_may_match is None
+                or any(
+                    added_may_match(im.get("file_stats", {}).get(f))
+                    for f in interleaved_added
+                )
+            ):
+                _drop_written()
+                raise CommitConflict(
+                    f"concurrent commit v{iv} added files this "
+                    "transaction's predicate may match — re-run "
+                    f"against v{head['version']}"
+                )
+        base_dv = set(base.get("dv_files", []))
+        for dv in head.get("dv_files", []):
+            if dv in base_dv or dv in set(new_dv):
+                continue
+            t = pq.read_table(
+                os.path.join(table, dv), columns=["file", "row_index"]
+            )
+            theirs = set(
+                zip(
+                    t.column("file").to_pylist(),
+                    t.column("row_index").to_pylist(),
+                )
+            )
+            if theirs & our_positions:
+                _drop_written()
+                raise CommitConflict(
+                    "a concurrent deletion vector masks the same rows "
+                    f"— re-run against v{head['version']}"
+                )
+        layout_keys = (
+            "schema",
+            "column_mapping",
+            "partition_by",
+            "constraints",
+            "bloom_cols",
+        )
+        if any(base.get(k) != head.get(k) for k in layout_keys):
+            _drop_written()
+            raise CommitConflict(
+                "a concurrent commit changed the table layout — "
+                f"re-run against v{head['version']}"
+            )
+        prev = head  # provably disjoint: rebase and recommit
+    _drop_written()
+    raise RuntimeError(
+        f"merge-on-read commit to {table!r} lost {max_retries} races"
+    )
+
+
 def delete_where(
     spark: SparkSession,
     table: str,
@@ -1628,11 +1792,13 @@ def delete_where(
             F.col("__row_index").alias("row_index"),
         )
         n_del = matches.count()
+        amm = _prune_may_match(m, prune)
         if n_del == 0:
-            return _commit_rewrite(spark, table, m, [], None)
-        v = m["version"] + 1
+            return _commit_rewrite(
+                spark, table, m, [], None, added_may_match=amm
+            )
         sub = os.path.join(
-            _DATA_DIR, f"v{v:06d}-dv-{uuid.uuid4().hex[:8]}"
+            _DATA_DIR, f"v{m['version'] + 1:06d}-dv-{uuid.uuid4().hex[:8]}"
         )
         matches.coalesce(1).write.mode("error").parquet(
             os.path.join(table, sub)
@@ -1642,33 +1808,9 @@ def delete_where(
             for f in os.listdir(os.path.join(table, sub))
             if f.endswith(".parquet")
         )
-        mapping, retired, max_id = _mapping_state(m, m["schema"])
-        _commit(
-            table,
-            v,
-            m["files"],
-            m["n_rows"] - n_del,
-            schema=m["schema"],
-            column_mapping=mapping,
-            retired_physical=retired,
-            max_column_id=max_id,
-            file_stats=m.get("file_stats", {}),
-            added=[],
-            removed=[],
-            dv_files=list(m.get("dv_files", [])) + new_dv,
-            **(
-                {"partition_by": list(m["partition_by"])}
-                if m.get("partition_by")
-                else {}
-            ),
-            **(
-                {"constraints": dict(m["constraints"])}
-                if m.get("constraints")
-                else {}
-            ),
-            **_bloom_carry(m, m["files"]),
+        return _commit_dv(
+            spark, table, m, [], new_dv, -n_del, added_may_match=amm
         )
-        return v
     touched_names = {
         r["__file"]
         for r in tagged.filter(cond).select("__file").distinct().collect()
@@ -1744,11 +1886,14 @@ def update_where(
     )
     cond = F.expr(predicate)
     if mode == "dv":
+        amm = _prune_may_match(m, prune)
         matched = tagged.filter(cond).cache()
         try:
             n_upd = matched.count()
             if n_upd == 0:
-                return _commit_rewrite(spark, table, m, [], None)
+                return _commit_rewrite(
+                    spark, table, m, [], None, added_may_match=amm
+                )
             updated = matched.select(
                 *[
                     F.expr(set_exprs[c]).alias(c)
@@ -1762,7 +1907,7 @@ def update_where(
                 m.get("constraints", {}),
                 f"merge-on-read update of {table}",
             )
-            mapping, retired, max_id = _mapping_state(m, m["schema"])
+            mapping, _retired, _max_id = _mapping_state(m, m["schema"])
             v = m["version"] + 1
             # the appended rows: physically materialized (partition
             # columns included), same shape as a copy-on-write rewrite.
@@ -1789,49 +1934,10 @@ def update_where(
             for f in os.listdir(os.path.join(table, dv_sub))
             if f.endswith(".parquet")
         )
-        bcols = list(m.get("bloom_cols", []))
-        bmapping = {mp["name"]: mp["physical"] for mp in mapping}
-        bextra = {}
-        if bcols:
-            carry = _bloom_carry(m, m["files"])
-            bextra = {
-                "bloom_cols": bcols,
-                "file_blooms": {
-                    **carry.get("file_blooms", {}),
-                    **_collect_file_blooms(
-                        table, new_files, [bmapping.get(c, c) for c in bcols]
-                    ),
-                },
-            }
-        _commit(
-            table,
-            v,
-            m["files"] + new_files,
-            m["n_rows"],  # every masked row reappears updated
-            schema=m["schema"],
-            column_mapping=mapping,
-            retired_physical=retired,
-            max_column_id=max_id,
-            file_stats={
-                **m.get("file_stats", {}),
-                **_collect_file_stats(table, new_files),
-            },
-            added=new_files,
-            removed=[],
-            dv_files=list(m.get("dv_files", [])) + new_dv,
-            **(
-                {"partition_by": list(m["partition_by"])}
-                if m.get("partition_by")
-                else {}
-            ),
-            **(
-                {"constraints": dict(m["constraints"])}
-                if m.get("constraints")
-                else {}
-            ),
-            **bextra,
+        # every masked row reappears updated: n_rows unchanged
+        return _commit_dv(
+            spark, table, m, new_files, new_dv, 0, added_may_match=amm
         )
-        return v
     touched_names = {
         r["__file"]
         for r in tagged.filter(cond).select("__file").distinct().collect()
@@ -1903,8 +2009,9 @@ def merge_version(
     The read side composes mask + appends automatically; a later
     compaction materializes. Best for frequent small CDC batches into
     huge files; mode="cow" (default, the Delta shape) keeps reads
-    pure scans. DV-mode commits keep strict first-writer-wins (no OCC
-    rebase), like the other merge-on-read paths."""
+    pure scans. DV-mode commits rebase lost races when provably
+    disjoint — even two writers masking different rows of the SAME
+    file both commit (_commit_dv)."""
     if mode not in ("cow", "dv"):
         raise ValueError(f"mode must be 'cow' or 'dv', not {mode!r}")
     if batch_id is not None and batch_id in committed_batch_ids(table):
@@ -1986,11 +2093,13 @@ def merge_version(
             n_matched = matched.count()
             n_up = updates.count()
             if n_matched == 0 and n_up == 0:
-                return _commit_rewrite(spark, table, m, [], None)
+                return _commit_rewrite(
+                    spark, table, m, [], None, added_may_match=amm
+                )
             _check_constraints(
                 updates, m.get("constraints", {}), f"merge into {table}"
             )
-            mapping, retired, max_id = _mapping_state(m, m["schema"])
+            mapping, _retired, _max_id = _mapping_state(m, m["schema"])
             v = m["version"] + 1
             # row-count-aware coalesce: a small CDC batch lands as ONE
             # file, not one tiny file per upstream task
@@ -2021,50 +2130,16 @@ def merge_version(
                 )
         finally:
             matched.unpersist()
-        bcols = list(m.get("bloom_cols", []))
-        bmapping = {mp["name"]: mp["physical"] for mp in mapping}
-        bextra = {}
-        if bcols:
-            carry = _bloom_carry(m, m["files"])
-            bextra = {
-                "bloom_cols": bcols,
-                "file_blooms": {
-                    **carry.get("file_blooms", {}),
-                    **_collect_file_blooms(
-                        table, new_files, [bmapping.get(c, c) for c in bcols]
-                    ),
-                },
-            }
-        _commit(
+        return _commit_dv(
+            spark,
             table,
-            v,
-            m["files"] + new_files,
-            m["n_rows"] - n_matched + n_up,
-            schema=m["schema"],
-            column_mapping=mapping,
-            retired_physical=retired,
-            max_column_id=max_id,
-            file_stats={
-                **m.get("file_stats", {}),
-                **_collect_file_stats(table, new_files),
-            },
-            added=new_files,
-            removed=[],
-            dv_files=list(m.get("dv_files", [])) + new_dv,
-            **(
-                {"partition_by": list(m["partition_by"])}
-                if m.get("partition_by")
-                else {}
-            ),
-            **(
-                {"constraints": dict(m["constraints"])}
-                if m.get("constraints")
-                else {}
-            ),
-            **bextra,
+            m,
+            new_files,
+            new_dv,
+            n_up - n_matched,
+            added_may_match=amm,
             **({} if batch_id is None else {"batch_id": batch_id}),
         )
-        return v
     touched_names = {
         r["__file"]
         for r in tagged.join(keys, key, "left_semi")

@@ -859,3 +859,88 @@ def test_merge_dv_mode_merge_on_read(spark, tmp_path):
     V.compact_version(spark, table, sort_col="k", target_files=2)
     got2 = {r["k"]: r["v"] for r in V.read_version(spark, table).collect()}
     assert got2 == got
+
+
+def test_occ_dv_writers_same_file_different_rows_both_commit(
+    spark, tmp_path, monkeypatch
+):
+    """Merge-on-read OCC (_commit_dv): two DV deletes masking
+    DIFFERENT rows — even of the SAME file — both commit (masks
+    union); masking the SAME row conflicts (two updates would both
+    append their new image)."""
+    import pytest
+
+    table = _range_sliced_table(spark, tmp_path)  # 4 files of 25 keys
+    n_base = len(V.versions(table))
+    _race(
+        monkeypatch,
+        lambda: V.delete_where(
+            spark, table, "k = 3", mode="dv", prune=("k", "=", 3)
+        ),
+    )
+    V.delete_where(spark, table, "k = 7", mode="dv", prune=("k", "=", 7))
+    monkeypatch.undo()
+    assert len(V.versions(table)) == n_base + 2  # BOTH DV deletes landed
+    got = {r["k"] for r in V.read_version(spark, table).collect()}
+    assert 3 not in got and 7 not in got and len(got) == 98
+    # same-row overlap: an interleaved DV DELETE of k=11 (no appended
+    # file, so only the position-overlap rule can catch it) vs our DV
+    # update of k=11 must conflict — the update would resurrect the
+    # concurrently deleted row as its "new image"
+    _race(
+        monkeypatch,
+        lambda: V.delete_where(
+            spark, table, "k = 11", mode="dv", prune=("k", "=", 11)
+        ),
+    )
+    with pytest.raises(V.CommitConflict, match="same rows"):
+        V.update_where(
+            spark, table, {"v": "v + 100"}, "k = 11",
+            mode="dv", prune=("k", "=", 11),
+        )
+    monkeypatch.undo()
+    assert V.read_version(spark, table).filter("k = 11").count() == 0
+    # and an interleaved DV UPDATE conflicts too (its appended file
+    # matches the probe) — either rule, never a duplicate key
+    _race(
+        monkeypatch,
+        lambda: V.update_where(
+            spark, table, {"v": "v + 10"}, "k = 13",
+            mode="dv", prune=("k", "=", 13),
+        ),
+    )
+    with pytest.raises(V.CommitConflict):
+        V.update_where(
+            spark, table, {"v": "v + 100"}, "k = 13",
+            mode="dv", prune=("k", "=", 13),
+        )
+    monkeypatch.undo()
+    rows = V.read_version(spark, table).filter("k = 13").collect()
+    assert len(rows) == 1 and rows[0]["v"] == 36  # only the winner
+
+
+def test_occ_dv_conflicts_with_interleaved_rewrite_of_masked_file(
+    spark, tmp_path, monkeypatch
+):
+    """An interleaved COPY-ON-WRITE rewrite of the file a DV commit
+    masks would make the mask inert (the delete silently lost) —
+    must conflict."""
+    import pytest
+
+    table = _range_sliced_table(spark, tmp_path)
+    _race(
+        monkeypatch,
+        lambda: V.delete_where(
+            spark, table, "k = 5", prune=("k", "=", 5)  # CoW rewrite
+        ),
+    )
+    with pytest.raises(V.CommitConflict, match="masks"):
+        V.delete_where(
+            spark, table, "k = 9", mode="dv", prune=("k", "=", 9)
+        )
+    monkeypatch.undo()
+    got = {r["k"] for r in V.read_version(spark, table).collect()}
+    assert 5 not in got and 9 in got  # loser cleanly aborted
+    # re-run lands fine against the new head
+    V.delete_where(spark, table, "k = 9", mode="dv", prune=("k", "=", 9))
+    assert V.read_version(spark, table).filter("k = 9").count() == 0
