@@ -1502,6 +1502,69 @@ def q_merge_versioned_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
     return summarize(1).unionByName(summarize(2))
 
 
+def ensure_orders_restore_table(spark: SparkSession, sf_dir: str) -> str:
+    """v1 = orders snapshot; v2 = a 'bad' DELETE (customers ending in
+    5); v3 = RESTORE to v1 — a metadata-only commit whose file list is
+    exactly v1's, undoing the delete while keeping it in history.
+    Idempotent, fingerprint-keyed."""
+    from meta_iterative_mapreduce_spark.sources import versioned
+
+    table = _versioned_fixture_path(sf_dir, "orders_restore", "orders")
+    if len(versioned.versions(table)) == 0:
+        versioned.write_version(_orders_cents(spark, sf_dir), table)
+    if len(versioned.versions(table)) == 1:
+        versioned.delete_where(spark, table, "o_custkey % 10 = 5")
+    if len(versioned.versions(table)) == 2:
+        versioned.restore_version(spark, table, 1)
+    return table
+
+
+@register(
+    "q_table_restore",
+    oracle="""
+    WITH o AS (
+        SELECT o_orderkey, o_custkey,
+               CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        FROM orders
+    )
+    SELECT 1 AS version, 'WRITE' AS operation, COUNT(*) AS n_rows,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents
+    FROM o
+    UNION ALL
+    SELECT 2, 'DELETE', COUNT(*), CAST(SUM(cents) AS BIGINT)
+    FROM o WHERE o_custkey % 10 <> 5
+    UNION ALL
+    SELECT 3, 'RESTORE', COUNT(*), CAST(SUM(cents) AS BIGINT)
+    FROM o
+    """,
+)
+def q_table_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESTORE TABLE ... TO VERSION AS OF (the Delta RESTORE verb) +
+    DESCRIBE HISTORY, hash-certified: a bad DELETE is undone by a
+    metadata-only restore commit — v3's exact sums equal v1's (every
+    deleted row back, zero data copied), the delete interval stays in
+    history for audit, and each version's OPERATION comes from the
+    manifest history the writers record (a restore that re-ran the
+    delete, lost rows, or mislabeled its commit breaks the hash).
+    sources/versioned.py::restore_version / history."""
+    from meta_iterative_mapreduce_spark.sources import versioned
+
+    table = ensure_orders_restore_table(spark, sf_dir)
+    ops = {
+        h["version"]: h["operation"] for h in versioned.history(table)
+    }
+
+    def summarize(v: int) -> DataFrame:
+        return versioned.read_version(spark, table, v).agg(
+            F.lit(v).cast("int").alias("version"),
+            F.lit(ops[v]).alias("operation"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("cents").cast("bigint").alias("sum_cents"),
+        )
+
+    return summarize(1).unionByName(summarize(2)).unionByName(summarize(3))
+
+
 @register(
     "q_stream_cdc_source",
     oracle="""

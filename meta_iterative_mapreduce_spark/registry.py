@@ -48,18 +48,20 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # The external verification window records the FIRST 50 queries in the
 # order queries() yields them. Rounds 1-9 certified all 246 then-
 # registered queries at least once with zero failures; the debt is
-# staleness only. The round-10 priority below = (a) the five round-10
-# registrations (never-stamped — tests/test_registry_window.py derives
-# that set from CORRECTNESS_r*.json and asserts they LEAD: DV-mode
-# update, three-clause CDC merge, the table stream source, BPE apply,
-# DOCX extraction, CDC stream source, DV-mode merge), then (b) the
-# LAST two r04-stamped queries (q_scalar_hash AND q_scalar_collation —
-# the r9 window note undercounted them as one; VERDICT r9 item 1),
-# then (c) 41 of the 43 hash-oracled r05-stamped queries — after this
-# round the only pre-r06 stamps left are the seven rows-only-by-design
-# r05 sketches/clustering queries plus q_unpivot and q_window_ntile
-# (displaced by the sixth and seventh round-10 registrations), which
-# together lead the r11 window. Every query is
+# staleness only. The round-10 priority below = (a) the eight
+# round-10 registrations (never-stamped —
+# tests/test_registry_window.py derives that set from
+# CORRECTNESS_r*.json and asserts they LEAD: DV-mode update,
+# three-clause CDC merge, DV-mode merge, RESTORE+history, the table
+# stream source, CDC stream source, BPE apply, DOCX extraction),
+# then (b) the LAST two r04-stamped queries (q_scalar_hash AND
+# q_scalar_collation — the r9 window note undercounted them as one;
+# VERDICT r9 item 1), then (c) 40 of the 43 hash-oracled r05-stamped
+# queries — after this round the only pre-r06 stamps left are the
+# seven rows-only-by-design r05 sketches/clustering queries plus
+# q_text_tokens, q_unpivot, and q_window_ntile (displaced by the
+# sixth through eighth round-10 registrations), which together lead
+# the r11 window. Every query is
 # additionally verified by the identical in-repo oracle harness
 # (tools/check.py, tests/test_oracle.py) every round regardless of
 # window membership, and every name below must be registered (phantom
@@ -69,6 +71,7 @@ WINDOW_PRIORITY: tuple[str, ...] = (
     "q_table_update_dv",
     "q_merge_cdc_full",
     "q_merge_versioned_dv",
+    "q_table_restore",
     "q_stream_table_source",
     "q_stream_cdc_source",
     "q_text_bpe_apply",
@@ -76,7 +79,7 @@ WINDOW_PRIORITY: tuple[str, ...] = (
     # the final two r04-stamped queries (VERDICT r9 item 1)
     "q_scalar_hash",
     "q_scalar_collation",
-    # all 43 hash-oracled r05-stamped queries (stalest cohort)
+    # 40 of the 43 hash-oracled r05-stamped queries (stalest cohort)
     "q_agg_arg_minmax",
     "q_agg_bitwise",
     "q_agg_bool",
@@ -117,7 +120,6 @@ WINDOW_PRIORITY: tuple[str, ...] = (
     "q_text_stats",
     "q_text_tfidf",
     "q_text_token_bpe",
-    "q_text_tokens",
 )
 
 

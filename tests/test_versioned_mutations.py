@@ -944,3 +944,75 @@ def test_occ_dv_conflicts_with_interleaved_rewrite_of_masked_file(
     # re-run lands fine against the new head
     V.delete_where(spark, table, "k = 9", mode="dv", prune=("k", "=", 9))
     assert V.read_version(spark, table).filter("k = 9").count() == 0
+
+
+def test_restore_and_history(spark, tmp_path):
+    """RESTORE is metadata-only (zero data files written), records a
+    true file delta for CDC, refuses vacuumed targets, and history()
+    reports every version's operation."""
+    import pytest
+
+    table = _range_sliced_table(spark, tmp_path)  # 4 APPEND-ish commits
+    V.delete_where(spark, table, "k % 10 = 3")
+    v_del = V.versions(table)[-1]
+    v_rst = V.restore_version(spark, table, v_del - 1)
+    # exact undo, old versions intact
+    assert V.read_version(spark, table).count() == 100
+    assert V.read_version(spark, table, v_del).count() == 90
+    m = V.manifest_info(table, v_rst)
+    assert m["operation"] == "RESTORE" and m["restored_version"] == v_del - 1
+    assert m["added"] and m["removed"]  # a real file delta for CDC
+    # metadata-only: every file of the restored head predates it
+    data_dir = str(tmp_path / "t" / "data")
+    assert all(
+        not f.startswith(f"data{os.sep}v{v_rst:06d}") for f in m["files"]
+    ) and os.path.isdir(data_dir)
+    # CDC across the restore = the deleted rows coming back as inserts
+    ch = V.read_changes(spark, table, v_del, v_rst, "k")
+    got = {(r["k"], r["op"]) for r in ch.collect()}
+    assert got == {(k, "I") for k in range(100) if k % 10 == 3}
+    # history: newest first, operations labeled
+    h = V.history(table)
+    assert [x["version"] for x in h] == list(range(v_rst, 0, -1))
+    assert [x["operation"] for x in h][:2] == ["RESTORE", "DELETE"]
+    assert h[0]["n_rows"] == 100 and h[1]["n_rows"] == 90
+    # restoring the current head is a no-op
+    assert V.restore_version(spark, table, v_rst) == v_rst
+    # vacuumed target refuses loudly
+    V.delete_where(spark, table, "k % 10 = 7")
+    V.vacuum(table, keep_versions=1)
+    with pytest.raises(ValueError, match="vacuumed"):
+        V.restore_version(spark, table, 1)
+
+
+def test_history_operations_cover_every_writer(spark, tmp_path):
+    table = str(tmp_path / "h")
+    df = spark.range(0, 40).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    V.write_version(df, table)
+    V.append_version(df.withColumn("k", F.col("k") + 100), table)
+    V.add_constraint(spark, table, "k_ok", "k >= 0")
+    V.update_where(spark, table, {"v": "v + 1"}, "k = 3")
+    V.merge_version(
+        spark, table, spark.createDataFrame([(500, 1)], "k long, v long"), "k"
+    )
+    V.delete_where(spark, table, "k = 7", mode="dv")
+    V.drop_constraint(table, "k_ok")
+    V.rename_column(spark, table, "v", "val")
+    V.compact_version(spark, table, sort_col="k", target_files=2)
+    sink = V.versioned_batch_sink(table)
+    sink(df.select("k", F.col("v").alias("val")), 99)
+    ops = [h["operation"] for h in V.history(table)]
+    assert ops == [
+        "STREAM APPEND",
+        "OPTIMIZE",
+        "RENAME COLUMN",
+        "DROP CONSTRAINT",
+        "DELETE",
+        "MERGE",
+        "UPDATE",
+        "ADD CONSTRAINT",
+        "APPEND",
+        "WRITE",
+    ]
