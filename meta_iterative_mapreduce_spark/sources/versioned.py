@@ -2554,7 +2554,12 @@ def restore_version(spark: SparkSession, table: str, version: int) -> int:
     return v
 
 
-def vacuum(table: str, keep_versions: int = 2) -> dict:
+def vacuum(
+    table: str,
+    keep_versions: int = 2,
+    keep_hours: float | None = None,
+    dry_run: bool = False,
+) -> dict:
     """Retention GC, the Delta VACUUM analog: drop all but the newest
     `keep_versions` manifests, then delete every data file no longer
     referenced by a RETAINED manifest. Log-structured appends share
@@ -2566,11 +2571,36 @@ def vacuum(table: str, keep_versions: int = 2) -> dict:
     a missing file (a reader of a DROPPED version can race the delete
     — that is the documented retention contract, same as any
     lakehouse). Returns {"dropped_versions": [...],
-    "deleted_files": n, "kept_files": n}."""
+    "deleted_files": n, "kept_files": n}.
+
+    `keep_hours` (Delta's RETAIN n HOURS): additionally retain every
+    version committed within the last n hours, whatever
+    `keep_versions` says — the guard that keeps a misconfigured
+    count-based vacuum from eating versions a reader/stream could
+    still be inside. `dry_run=True` (Delta's DRY RUN) reports exactly
+    what WOULD be dropped/deleted without touching a byte."""
+    import time as _time
+
     if keep_versions < 1:
         raise ValueError("keep_versions must be >= 1")
     vs = versions(table)
     drop, keep = vs[:-keep_versions], vs[-keep_versions:]
+    if keep_hours is not None:
+        horizon = _time.time() - keep_hours * 3600.0
+        still_young = [
+            v
+            for v in drop
+            if (
+                json.load(open(_manifest_path(table, v))).get(
+                    "committed_at", 0
+                )
+                > horizon
+            )
+        ]
+        if still_young:
+            cut = min(still_young)  # retention is a contiguous suffix
+            keep = [v for v in vs if v >= cut]
+            drop = [v for v in vs if v < cut]
     live: set[str] = set()
     for v in keep:
         m = json.load(open(_manifest_path(table, v)))
@@ -2582,6 +2612,15 @@ def vacuum(table: str, keep_versions: int = 2) -> dict:
         dead.update(m["files"])
         dead.update(m.get("dv_files", []))
     dead -= live
+    if dry_run:
+        return {
+            "dropped_versions": drop,
+            "deleted_files": sum(
+                1 for f in dead if os.path.exists(os.path.join(table, f))
+            ),
+            "kept_files": len(live),
+            "dry_run": True,
+        }
     for v in drop:  # manifests first: nothing references dead files now
         os.unlink(_manifest_path(table, v))
     deleted = 0

@@ -1016,3 +1016,26 @@ def test_history_operations_cover_every_writer(spark, tmp_path):
         "APPEND",
         "WRITE",
     ]
+
+
+def test_vacuum_keep_hours_and_dry_run(spark, tmp_path):
+    """RETAIN n HOURS keeps recently committed versions alive whatever
+    keep_versions says; DRY RUN reports the exact plan without
+    touching a byte."""
+    table = _range_sliced_table(spark, tmp_path)  # 4 fresh commits
+    vs = V.versions(table)
+    # everything committed seconds ago: a huge retention keeps ALL
+    res = V.vacuum(table, keep_versions=1, keep_hours=24)
+    assert res["dropped_versions"] == [] and V.versions(table) == vs
+    # dry run with no time guard: plans the drop, changes nothing
+    plan = V.vacuum(table, keep_versions=1, dry_run=True)
+    assert plan["dry_run"] and plan["dropped_versions"] == vs[:-1]
+    assert V.versions(table) == vs  # untouched
+    for v in vs:
+        assert V.read_version(spark, table, v).count() > 0
+    # keep_hours=0: no version is young enough to rescue — the real
+    # vacuum then matches the dry-run plan exactly
+    res2 = V.vacuum(table, keep_versions=1, keep_hours=0)
+    assert res2["dropped_versions"] == plan["dropped_versions"]
+    assert res2["deleted_files"] == plan["deleted_files"]
+    assert V.versions(table) == vs[-1:]
