@@ -717,55 +717,75 @@ def read_as_of(spark: SparkSession, table: str, ts: float) -> DataFrame:
     return read_version(spark, table, version_as_of(table, ts))
 
 
+def _where_conds(where) -> list[tuple]:
+    """Normalize a skip predicate to a list of (col, op, literal)
+    conjuncts: None → [], a single tuple → [tuple], a list/tuple of
+    tuples → all of them (ANDed). A bounded range is just
+    [(col, ">=", lo), (col, "<", hi)]."""
+    if where is None:
+        return []
+    if (
+        isinstance(where, tuple)
+        and len(where) == 3
+        and isinstance(where[1], str)
+    ):
+        return [where]
+    return list(where)
+
+
 def plan_files(
     table: str,
     version: int | None = None,
-    where: tuple[str, str, object] | None = None,
+    where=None,
 ) -> tuple[list[str], int]:
     """(selected_files, total_files) for a read of `version` under an
-    optional `where = (logical_col, op, literal)` skip predicate —
-    the file-pruning decision exposed so tests and queries can PIN how
+    optional skip predicate — one `(logical_col, op, literal)` tuple
+    or a LIST of them, ANDed (e.g. a bounded key range) — the
+    file-pruning decision exposed so tests and queries can PIN how
     many files a selective read actually opens."""
     m = manifest_info(table, version)
     files = list(m["files"])
-    if where is None:
+    conds = _where_conds(where)
+    if not conds:
         return files, len(files)
-    col, op, value = where
     mapping, _, _ = _mapping_state(m, m.get("schema"))
-    phys = {mp["name"]: mp["physical"] for mp in mapping}.get(col, col)
+    phys_of = {mp["name"]: mp["physical"] for mp in mapping}
     fstats = m.get("file_stats", {})
-    if op == "in":
-        # IN-list: a file survives if ANY listed value could be in it
-        # (stats range first, then bloom per value — both sound; the
-        # bloom applies only to type-family-matched literals)
-        vals = list(value)
-        fblooms = m.get("file_blooms", {})
+    fblooms = m.get("file_blooms", {})
+    kept = files
+    for col, op, value in conds:
+        phys = phys_of.get(col, col)
+        if op == "in":
+            # IN-list: a file survives if ANY listed value could be in
+            # it (stats range first, then bloom per value — both
+            # sound; the bloom applies only to type-family-matched
+            # literals)
+            vals = list(value)
 
-        def may_hold(f: str, v) -> bool:
-            if not _file_may_match(fstats.get(f), phys, "=", v):
-                return False
-            if not _bloom_probe_ok(m, col, v):
-                return True
-            b = fblooms.get(f, {})
-            return phys not in b or _bloom_may_contain(b[phys], v)
+            def may_hold(f: str, v) -> bool:
+                if not _file_may_match(fstats.get(f), phys, "=", v):
+                    return False
+                if not _bloom_probe_ok(m, col, v):
+                    return True
+                b = fblooms.get(f, {})
+                return phys not in b or _bloom_may_contain(b[phys], v)
 
-        kept = [f for f in files if any(may_hold(f, v) for v in vals)]
-        return kept, len(files)
-    kept = [
-        f for f in files if _file_may_match(fstats.get(f), phys, op, value)
-    ]
-    if (
-        op in ("=", "==")
-        and m.get("file_blooms")
-        and _bloom_probe_ok(m, col, value)
-    ):
-        fblooms = m["file_blooms"]
+            kept = [f for f in kept if any(may_hold(f, v) for v in vals)]
+            continue
         kept = [
-            f
-            for f in kept
-            if phys not in fblooms.get(f, {})  # no bloom: keep
-            or _bloom_may_contain(fblooms[f][phys], value)
+            f for f in kept if _file_may_match(fstats.get(f), phys, op, value)
         ]
+        if (
+            op in ("=", "==")
+            and fblooms
+            and _bloom_probe_ok(m, col, value)
+        ):
+            kept = [
+                f
+                for f in kept
+                if phys not in fblooms.get(f, {})  # no bloom: keep
+                or _bloom_may_contain(fblooms[f][phys], value)
+            ]
     return kept, len(files)
 
 
@@ -1146,29 +1166,41 @@ def drop_column(spark: SparkSession, table: str, name: str) -> int:
     return v
 
 
-def _where_column(where: tuple[str, str, object]) -> F.Column:
-    col, op, value = where
-    c = F.col(col)
-    if op == "<":
-        return c < F.lit(value)
-    if op == "<=":
-        return c <= F.lit(value)
-    if op == ">":
-        return c > F.lit(value)
-    if op == ">=":
-        return c >= F.lit(value)
-    if op in ("=", "=="):
-        return c == F.lit(value)
-    if op == "in":
-        return c.isin(list(value))
-    raise ValueError(f"unsupported prune op {op!r}")
+def _where_column(where) -> F.Column:
+    """The residual filter for a skip predicate (single conjunct or
+    ANDed list) — always applied after pruning, identical answers."""
+
+    def one(cond: tuple) -> F.Column:
+        col, op, value = cond
+        c = F.col(col)
+        if op == "<":
+            return c < F.lit(value)
+        if op == "<=":
+            return c <= F.lit(value)
+        if op == ">":
+            return c > F.lit(value)
+        if op == ">=":
+            return c >= F.lit(value)
+        if op in ("=", "=="):
+            return c == F.lit(value)
+        if op == "in":
+            return c.isin(list(value))
+        raise ValueError(f"unsupported prune op {op!r}")
+
+    out = None
+    for cond in _where_conds(where):
+        col = one(cond)
+        out = col if out is None else out & col
+    if out is None:
+        raise ValueError("empty where predicate")
+    return out
 
 
 def read_version(
     spark: SparkSession,
     table: str,
     version: int | None = None,
-    where: tuple[str, str, object] | None = None,
+    where=None,  # (col, op, lit) or ANDed list of them
 ) -> DataFrame:
     """Time-travel read: the exact immutable file list of `version`
     (latest if None). With `where = (logical_col, op, literal)` the
@@ -1317,23 +1349,35 @@ def _read_files_logical(
     return out
 
 
-def _prune_may_match(m: dict, prune: tuple[str, str, object] | None):
-    """Turn a caller's prune hint into the OCC `added_may_match`
-    probe: an interleaved-added file whose stats exclude the hint
-    cannot hold rows this transaction's (hint-implied) predicate
-    matches, so it does not conflict. No hint → None (the transaction
-    read the whole table; any interleaved add conflicts)."""
-    if prune is None:
+def _prune_may_match(m: dict, prune):
+    """Turn a caller's prune hint (one conjunct or an ANDed list, e.g.
+    a bounded key range) into the OCC `added_may_match` probe: an
+    interleaved-added file whose stats exclude ANY conjunct cannot
+    hold rows this transaction's (hint-implied) predicate matches, so
+    it does not conflict. No hint → None (the transaction read the
+    whole table; any interleaved add conflicts)."""
+    conds = _where_conds(prune)
+    if not conds:
         return None
-    pcol, pop, pval = prune
     mapping, _, _ = _mapping_state(m, m.get("schema"))
-    phys = {mp["name"]: mp["physical"] for mp in mapping}.get(pcol, pcol)
-    if pop == "in":
-        vals = list(pval)
-        return lambda fstats: any(
-            _file_may_match(fstats, phys, "=", v) for v in vals
-        )
-    return lambda fstats: _file_may_match(fstats, phys, pop, pval)
+    phys_of = {mp["name"]: mp["physical"] for mp in mapping}
+    checks = []
+    for pcol, pop, pval in conds:
+        phys = phys_of.get(pcol, pcol)
+        if pop == "in":
+            vals = list(pval)
+            checks.append(
+                lambda fstats, phys=phys, vals=vals: any(
+                    _file_may_match(fstats, phys, "=", v) for v in vals
+                )
+            )
+        else:
+            checks.append(
+                lambda fstats, phys=phys, pop=pop, pval=pval: (
+                    _file_may_match(fstats, phys, pop, pval)
+                )
+            )
+    return lambda fstats: all(c(fstats) for c in checks)
 
 
 class CommitConflict(ValueError):
@@ -1737,7 +1781,7 @@ def delete_where(
     table: str,
     predicate: str,
     mode: str = "cow",
-    prune: tuple[str, str, object] | None = None,
+    prune=None,  # (col, op, lit) or ANDed list of them
 ) -> int:
     """Row-level DELETE — the GDPR-delete path a real 100 TB pipeline
     needs — in either of the two lakehouse disciplines:
@@ -1844,7 +1888,7 @@ def update_where(
     table: str,
     set_exprs: dict[str, str],
     predicate: str,
-    prune: tuple[str, str, object] | None = None,
+    prune=None,  # (col, op, lit) or ANDed list of them
     mode: str = "cow",
 ) -> int:
     """Row-level UPDATE (the Delta UPDATE verb) in either lakehouse

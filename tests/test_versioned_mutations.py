@@ -1039,3 +1039,34 @@ def test_vacuum_keep_hours_and_dry_run(spark, tmp_path):
     assert res2["dropped_versions"] == plan["dropped_versions"]
     assert res2["deleted_files"] == plan["deleted_files"]
     assert V.versions(table) == vs[-1:]
+
+
+def test_bounded_range_prune_and_occ(spark, tmp_path, monkeypatch):
+    """prune / where accept an ANDed conjunct list: a bounded key
+    range prunes to exactly its files, the residual filter matches,
+    and two racing deletes with bounded-range hints on adjacent
+    ranges BOTH commit (a one-sided hint would see the other's
+    rewrites as conflicting adds)."""
+    table = _range_sliced_table(spark, tmp_path)  # 4 files of 25 keys
+    kept, total = V.plan_files(
+        table, where=[("k", ">=", 25), ("k", "<", 50)]
+    )
+    assert total == 4 and len(kept) == 1
+    got = V.read_version(spark, table, where=[("k", ">=", 25), ("k", "<", 50)])
+    assert got.count() == 25 and got.agg(F.min("k")).collect()[0][0] == 25
+    _race(
+        monkeypatch,
+        lambda: V.delete_where(
+            spark, table, "k >= 0 AND k < 25 AND k % 5 = 2",
+            prune=[("k", ">=", 0), ("k", "<", 25)],
+        ),
+    )
+    V.delete_where(
+        spark, table, "k >= 25 AND k < 50 AND k % 5 = 2",
+        prune=[("k", ">=", 25), ("k", "<", 50)],
+    )
+    monkeypatch.undo()
+    final = V.read_version(spark, table)
+    assert final.filter("k < 50 AND k % 5 = 2").count() == 0
+    assert final.filter("k >= 50 AND k % 5 = 2").count() == 10
+    assert final.count() == 90

@@ -105,6 +105,91 @@ def main() -> None:
         }
         print(json.dumps(result))
         assert result["versions_contiguous"] and result["rows_exactly_once"]
+
+        # ---- phase 2 (round 10): DML contention — K threads each
+        # deleting a DISJOINT key range of ONE shared table, with
+        # prune hints, in both disciplines. The OCC disjointness proof
+        # (_commit_rewrite / _commit_dv) must rebase every lost race:
+        # all K deletes land, none lost, no conflict surfaces.
+        for mode in ("cow", "dv"):
+            races["n"] = 0
+            tbl = os.path.join(root, f"dml_{mode}")
+            rows = 100_000
+            # 16 files with EXACT range boundaries (4 per thread
+            # range): repartitionByRange samples its split points, so
+            # a sampled file can straddle two threads' ranges — a
+            # GENUINE write-write conflict, not what this phase
+            # measures. (The conflict-recovery counter below still
+            # exercises that path if layouts drift.)
+            n_files = 16
+            fw = rows // n_files
+            base = spark.range(0, rows).select(
+                F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+            )
+            for i in range(n_files):
+                sl = base.filter(
+                    (F.col("k") >= i * fw) & (F.col("k") < (i + 1) * fw)
+                ).coalesce(1)
+                (versioned.write_version if i == 0 else versioned.append_version)(
+                    sl, tbl
+                )
+            n_base = len(versioned.versions(tbl))
+            width = rows // k
+            derrs: list[Exception] = []
+            conflicts = {"n": 0}
+
+            def dml_writer(tid: int):
+                lo, hi = tid * width, (tid + 1) * width
+                for _attempt in range(4):
+                    try:
+                        versioned.delete_where(
+                            spark,
+                            tbl,
+                            f"k >= {lo} AND k < {hi} AND k % 10 = 3",
+                            mode=mode,
+                            # bounded-range hint: the disjointness
+                            # proof needs BOTH ends, else another
+                            # writer's rewrites look like adds the
+                            # probe should have read
+                            prune=[("k", ">=", lo), ("k", "<", hi)],
+                        )
+                        return
+                    except versioned.CommitConflict:
+                        conflicts["n"] += 1  # documented recovery:
+                        continue  # re-run against the new head
+                    except Exception as e:  # noqa: BLE001
+                        derrs.append(e)
+                        return
+                derrs.append(RuntimeError(f"writer {tid} gave up"))
+
+            ts = [
+                threading.Thread(target=dml_writer, args=(tid,))
+                for tid in range(k)
+            ]
+            t0 = time.time()
+            for t in ts:
+                t.start()
+            for t in ts:
+                t.join()
+            t_dml = time.time() - t0
+            got = versioned.read_version(spark, tbl)
+            n_deleted = rows - got.count()
+            res2 = {
+                "profile": f"occ_dml_{mode}",
+                "threads": k,
+                "wall_s": round(t_dml, 2),
+                "true_conflicts_rerun": conflicts["n"],
+                "commit_races_rebased": races["n"] - conflicts["n"],
+                "n_versions": len(versioned.versions(tbl)) - n_base,
+                "rows_deleted": n_deleted,
+                "expected_deleted": rows // 10,
+                "no_stragglers": got.filter("k % 10 = 3").count() == 0,
+            }
+            print(json.dumps(res2))
+            assert not derrs, derrs[:1]
+            assert res2["rows_deleted"] == res2["expected_deleted"]
+            assert res2["no_stragglers"]
+            assert res2["n_versions"] == k  # every delete committed
     finally:
         versioned._commit = real_commit
         shutil.rmtree(root, ignore_errors=True)
