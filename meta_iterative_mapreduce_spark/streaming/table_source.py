@@ -74,17 +74,21 @@ def _plan_version_files(
         if v - 1 in have:
             prev_dv = manifest_info(table, v - 1).get("dv_files", [])
         dv_delta = [f for f in m.get("dv_files", []) if f not in set(prev_dv)]
-        if (m.get("removed") or dv_delta) and not ignore_changes:
+        # DV REMOVAL (a restore undoing a merge-on-read delete) also
+        # breaks append-only: rows reappear in place with no file added
+        dv_removed = [
+            f for f in prev_dv if f not in set(m.get("dv_files", []))
+        ]
+        if (m.get("removed") or dv_delta or dv_removed) and not ignore_changes:
             raise ValueError(
                 f"version {v} of {table!r} is not append-only "
                 f"({len(m.get('removed', []))} files removed, "
-                f"{len(dv_delta)} deletion vectors added); streaming a "
-                "table under DML needs option('ignoreChanges', 'true') "
+                f"{len(dv_delta)} deletion vectors added, "
+                f"{len(dv_removed)} deletion vectors removed); streaming "
+                "a table under DML needs option('ignoreChanges', 'true') "
                 "(rewritten rows may re-emit, per Delta semantics)"
             )
-        added = m.get("added")
-        if added is None:  # pre-delta manifest: treat v1 as snapshot
-            added = m["files"] if v == 1 else []
+        added = _added_of(m, v, table, have)
         for rel in added:
             part_vals: dict[str, object] = {}
             for seg in rel.split(os.sep):
@@ -105,6 +109,27 @@ def _plan_version_files(
                 }
             )
     return specs
+
+
+def _added_of(m: dict, v: int, table: str, have: set) -> list[str]:
+    """A version's added-file list. Legacy manifests (written before
+    file deltas were recorded) lack the 'added' key: v1 is the
+    snapshot; for v>1 fall back to DIFFING files against the previous
+    manifest rather than silently streaming zero rows (ADVICE r10),
+    and raise if the previous manifest is gone."""
+    added = m.get("added")
+    if added is not None:
+        return added
+    if v == 1:
+        return m["files"]
+    if v - 1 in have:
+        prev_files = set(manifest_info(table, v - 1)["files"])
+        return [f for f in m["files"] if f not in prev_files]
+    raise ValueError(
+        f"version {v} of {table!r} predates file-delta manifests and "
+        f"version {v - 1} is unavailable to diff against; rewrite the "
+        "table (write_version) or restart from a fresh checkpoint"
+    )
 
 
 def _plan_cdc_versions(
@@ -136,11 +161,12 @@ def _plan_cdc_versions(
         prev_m = manifest_info(table, v - 1) if v - 1 in have else None
         prev_dv = set(prev_m.get("dv_files", [])) if prev_m else set()
         dv_delta = [f for f in m.get("dv_files", []) if f not in prev_dv]
-        added = m.get("added")
-        if added is None:
-            added = m["files"] if v == 1 else []
+        dv_removed = [
+            f for f in prev_dv if f not in set(m.get("dv_files", []))
+        ]
+        added = _added_of(m, v, table, have)
         removed = m.get("removed", [])
-        if not removed and not dv_delta:
+        if not removed and not dv_delta and not dv_removed:
             for rel in added:
                 specs.append(
                     {
@@ -175,6 +201,7 @@ def _plan_cdc_versions(
                 "added_vals": {f: _hive_vals(f) for f in added},
                 "dv_before": sorted(prev_dv),
                 "dv_delta": dv_delta,
+                "dv_removed": dv_removed,
                 "dv_after": list(m.get("dv_files", [])),
                 "carried": carried,
             }
@@ -239,13 +266,48 @@ def _dv_positions(table: str, dv_files: list[str]) -> dict[str, set]:
     return out
 
 
+def _take_rows(table: str, rel: str, positions: list[int], fields):
+    """Rows of one data file at the given positions, projected to
+    `fields`. Arrow `take` materializes ONLY the requested positions —
+    a 200-row DV against a 2M-row file converts 200 rows, not 2M (the
+    file's pages still stream through arrow)."""
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(os.path.join(table, rel))
+    part_vals = _hive_vals(rel)
+    sub = tbl.take([p for p in positions if p < tbl.num_rows])
+    names = set(sub.schema.names)
+    cols = []
+    for _logical, phys, typ in fields:
+        if phys in names:
+            cols.append(sub.column(phys).to_pylist())
+        elif phys in part_vals:
+            raw = part_vals[phys]
+            v = (
+                None
+                if raw is None
+                else int(raw)
+                if typ in _INT_TYPES
+                else raw
+            )
+            cols.append([v] * sub.num_rows)
+        else:
+            cols.append([None] * sub.num_rows)
+    return list(zip(*cols)) if cols else []
+
+
 def _read_cdc_spec(spec: dict):
     """Executor-side CDC rows for one spec. 'insert' specs emit
     (key, 'I', nulls..., new values...) straight off one added file;
     'diff' specs replay read_changes' algebra in pyarrow for ONE
     version: old side = removed files' rows visible at v-1 plus
     carried rows newly DV-masked; new side = added files' rows visible
-    at v; full-outer by key → I/U/D, carried-identical rows dropped."""
+    at v plus carried rows RESURRECTED by DV removal (a restore
+    undoing a merge-on-read delete); full-outer by key → I/U/D,
+    carried-identical rows dropped. Each side accumulates a LIST per
+    key, and matching keys emit every old×new pair — the same
+    multiplicity the batch full-outer join produces on duplicate keys
+    (ADVICE r10: the dict-per-key shape silently dropped rows)."""
     fields = spec["fields"]
     key = spec["key"]
     ki = [f[0] for f in fields].index(key)
@@ -261,6 +323,7 @@ def _read_cdc_spec(spec: dict):
     table = spec["table"]
     before = _dv_positions(table, spec["dv_before"])
     after = _dv_positions(table, spec["dv_after"])
+    carried_set = set(spec["carried"])
     old: dict = {}
     for rel in spec["removed"]:
         masked = before.get(rel, set())
@@ -269,43 +332,16 @@ def _read_cdc_spec(spec: dict):
         )
         for ri, row in enumerate(rows):
             if ri not in masked:
-                old[row[ki]] = row
+                old.setdefault(row[ki], []).append(row)
     if spec["dv_delta"]:
-        import pyarrow.parquet as pq
-
         delta = _dv_positions(table, spec["dv_delta"])
         for rel, positions in delta.items():
-            if rel not in set(spec["carried"]):
+            if rel not in carried_set:
                 continue  # DV on a removed file: already on the old side
             pre_masked = before.get(rel, set())
             want = sorted(p for p in positions if p not in pre_masked)
-            if not want:
-                continue
-            # arrow `take` materializes ONLY the masked positions —
-            # a 200-row DV against a 2M-row file converts 200 rows,
-            # not 2M (the file's pages still stream through arrow)
-            tbl = pq.read_table(os.path.join(table, rel))
-            part_vals = _hive_vals(rel)
-            sub = tbl.take([p for p in want if p < tbl.num_rows])
-            names = set(sub.schema.names)
-            cols = []
-            for _logical, phys, typ in fields:
-                if phys in names:
-                    cols.append(sub.column(phys).to_pylist())
-                elif phys in part_vals:
-                    raw = part_vals[phys]
-                    v = (
-                        None
-                        if raw is None
-                        else int(raw)
-                        if typ in _INT_TYPES
-                        else raw
-                    )
-                    cols.append([v] * sub.num_rows)
-                else:
-                    cols.append([None] * sub.num_rows)
-            for row in zip(*cols):
-                old[row[ki]] = row
+            for row in _take_rows(table, rel, want, fields):
+                old.setdefault(row[ki], []).append(row)
     new: dict = {}
     for rel in spec["added"]:
         masked = after.get(rel, set())
@@ -314,21 +350,37 @@ def _read_cdc_spec(spec: dict):
         )
         for ri, row in enumerate(rows):
             if ri not in masked:
-                new[row[ki]] = row
+                new.setdefault(row[ki], []).append(row)
+    if spec.get("dv_removed"):
+        resurrected = _dv_positions(table, spec["dv_removed"])
+        for rel, positions in resurrected.items():
+            if rel not in carried_set:
+                continue  # its file left too: the file diff covers it
+            post_masked = after.get(rel, set())
+            want = sorted(p for p in positions if p not in post_masked)
+            for row in _take_rows(table, rel, want, fields):
+                new.setdefault(row[ki], []).append(row)
     others = [i for i in range(len(fields)) if i != ki]
+    nulls = [None] * len(others)
     for k in old.keys() | new.keys():
-        o, n = old.get(k), new.get(k)
-        if o is not None and n is not None and all(
-            o[i] == n[i] for i in others
-        ):
-            continue  # copy-on-write carryover: unchanged row
-        op = "I" if o is None else "D" if n is None else "U"
-        yield (
-            k,
-            op,
-            *[(o[i] if o is not None else None) for i in others],
-            *[(n[i] if n is not None else None) for i in others],
-        )
+        olds, news = old.get(k, []), new.get(k, [])
+        if not news:
+            for o in olds:
+                yield (k, "D", *[o[i] for i in others], *nulls)
+        elif not olds:
+            for n in news:
+                yield (k, "I", *nulls, *[n[i] for i in others])
+        else:
+            for o in olds:
+                for n in news:
+                    if all(o[i] == n[i] for i in others):
+                        continue  # copy-on-write carryover: unchanged
+                    yield (
+                        k,
+                        "U",
+                        *[o[i] for i in others],
+                        *[n[i] for i in others],
+                    )
 
 
 def _read_spec(spec: dict):

@@ -242,3 +242,120 @@ def test_stream_cdc_vacuum_horizon_raises(spark, tmp_path):
     V.vacuum(table, keep_versions=1)
     with pytest.raises(Exception, match="vacuumed"):
         _run_cdc(spark, table, "k", staging, ckpt)
+
+
+def test_stream_cdc_sees_dv_restore_as_inserts(spark, tmp_path):
+    """ADVICE r10 (medium), stream side: a restore that only removes
+    deletion vectors resurrects rows with zero file movement; the CDC
+    stream must emit those positions as inserts (and per-version rows
+    must still equal batch read_changes)."""
+    table = str(tmp_path / "t")
+    df = spark.range(0, 30).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    V.write_version(df, table)                      # v1 snapshot
+    v1 = V.versions(table)[-1]
+    V.delete_where(spark, table, "k % 10 = 4", mode="dv")  # v2: 3 DV dels
+    V.restore_version(spark, table, v1)             # v3: pure DV undo
+    staging, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    _run_cdc(spark, table, "k", staging, ckpt)
+    rows = spark.read.parquet(staging).collect()
+    got = {}
+    for r in rows:
+        got.setdefault((r["k"], r["op"]), []).append((r["old_v"], r["new_v"]))
+    # snapshot: 30 I; v2: 3 D; v3: the same 3 keys back as I
+    assert sum(len(v) for v in got.values()) == 30 + 3 + 3
+    for k in (4, 14, 24):
+        assert (None, 2 * k) in got[(k, "I")]
+        assert got[(k, "D")] == [(2 * k, None)]
+        assert len(got[(k, "I")]) == 2  # snapshot insert + resurrection
+    # per-version equality with the batch reader
+    for v in (2, 3):
+        want = sorted(
+            map(tuple, V.read_changes(spark, table, v - 1, v, "k").collect())
+        )
+        st = str(tmp_path / f"o{v}"), str(tmp_path / f"c{v}")
+        _run_cdc(spark, table, "k", st[0], st[1], until_version=v - 1)
+        import shutil
+
+        shutil.rmtree(st[0], ignore_errors=True)
+        _run_cdc(spark, table, "k", st[0], st[1], until_version=v)
+        assert sorted(map(tuple, spark.read.parquet(st[0]).collect())) == want
+
+
+def test_stream_source_rejects_dv_removal_unless_ignore_changes(
+    spark, tmp_path
+):
+    """DV REMOVAL (restore undoing a merge-on-read delete) breaks
+    append-only exactly like DV addition: the plain stream raises,
+    ignoreChanges accepts."""
+    table = str(tmp_path / "t")
+    V.write_version(
+        spark.range(0, 10).select(F.col("id").alias("k")), table
+    )
+    v1 = V.versions(table)[-1]
+    V.delete_where(spark, table, "k = 3", mode="dv")
+    staging, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    # consume v1..v2 with ignoreChanges, then restore (v3 = DV removal)
+    _run(spark, table, staging, ckpt, ignore_changes=True)
+    V.restore_version(spark, table, v1)
+    with pytest.raises(Exception, match="deletion vectors removed"):
+        _run(spark, table, staging, str(tmp_path / "ckpt2"))
+    # ignoreChanges: v3 added no file, so nothing re-emits — but the
+    # stream advances past it instead of raising
+    _run(spark, table, staging, ckpt, ignore_changes=True)
+
+
+def test_stream_legacy_manifest_without_added_key_diffs_files(
+    spark, tmp_path
+):
+    """ADVICE r10 (low): a v>1 manifest lacking the 'added' key (legacy
+    pre-file-delta table) must NOT stream as zero rows — the planner
+    falls back to diffing the file list against the previous
+    manifest."""
+    import json
+
+    table = str(tmp_path / "t")
+    V.write_version(
+        spark.range(0, 5).select(F.col("id").alias("k")), table
+    )
+    V.append_version(
+        spark.range(5, 9).select(F.col("id").alias("k")), table
+    )
+    # strip the delta keys from v2's manifest, simulating a legacy log
+    mp = os.path.join(table, "_manifests", "v000002.json")
+    assert os.path.exists(mp)
+    m = json.load(open(mp))
+    del m["added"]
+    m.pop("removed", None)
+    json.dump(m, open(mp, "w"))
+    staging, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    _run(spark, table, staging, ckpt)
+    got = sorted(r["k"] for r in spark.read.parquet(staging).collect())
+    assert got == list(range(9))  # v2's 4 rows recovered via the diff
+
+
+def test_stream_cdc_duplicate_keys_match_batch_multiplicity(
+    spark, tmp_path
+):
+    """ADVICE r10 (low): on duplicate keys in a version's delta the
+    stream's diff must emit the same old x new pair multiplicity as
+    batch read_changes' full-outer join, not last-row-wins."""
+    table = str(tmp_path / "t")
+    dup = spark.createDataFrame(
+        [(1, 10), (1, 11), (2, 20)], "k long, v long"
+    )
+    V.write_version(dup, table)
+    V.update_where(spark, table, {"v": "v + 1"}, "k = 1")  # v2 rewrite
+    want = sorted(
+        map(tuple, V.read_changes(spark, table, 1, 2, "k").collect())
+    )
+    assert len(want) == 3  # (10,11) (10,12) (11,12); (11,11) suppressed
+    staging, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    _run_cdc(spark, table, "k", staging, ckpt, until_version=1)
+    import shutil
+
+    shutil.rmtree(staging, ignore_errors=True)
+    _run_cdc(spark, table, "k", staging, ckpt, until_version=2)
+    got = sorted(map(tuple, spark.read.parquet(staging).collect()))
+    assert got == want

@@ -249,7 +249,15 @@ def test_dv_delete_hides_rows_without_rewriting_files(spark, tmp_path):
     m = V.manifest_info(table, v)
     assert m["files"] == pre_files  # no data file moved
     assert m["added"] == [] and m["removed"] == []
-    assert len(m["dv_files"]) == 1
+    # per-file deletion vectors: k%10=3 masks rows in every one of the
+    # 4 range-sliced files -> ONE DV object per touched data file, and
+    # the manifest's dv_map attributes each DV to its file
+    assert len(m["dv_files"]) == 4
+    assert sorted(m["dv_map"]) == sorted(pre_files)
+    assert all(len(v) == 1 for v in m["dv_map"].values())
+    assert sorted(d for dvs in m["dv_map"].values() for d in dvs) == sorted(
+        m["dv_files"]
+    )
     assert m["n_rows"] == 90
     post = V.read_version(spark, table)
     assert post.count() == 90
@@ -258,7 +266,7 @@ def test_dv_delete_hides_rows_without_rewriting_files(spark, tmp_path):
     # re-delete: nothing left to match -> explicit no-op version
     v2 = V.delete_where(spark, table, "k % 10 = 3", mode="dv")
     assert V.manifest_info(table, v2)["n_rows"] == 90
-    assert len(V.manifest_info(table, v2).get("dv_files", [])) == 1
+    assert len(V.manifest_info(table, v2).get("dv_files", [])) == 4
 
 
 def test_dv_then_copy_on_write_does_not_resurrect(spark, tmp_path):
@@ -541,7 +549,9 @@ def test_update_dv_merge_on_read(spark, tmp_path):
     m2 = V.manifest_info(table, v)
     assert m2["removed"] == []  # merge-on-read: nothing rewritten
     assert set(m1["files"]) <= set(m2["files"])
-    assert len(m2["dv_files"]) == 1
+    # one DV object per touched data file (all 4 slices hold k%10=3)
+    assert len(m2["dv_files"]) == 4
+    assert sorted(m2["dv_map"]) == sorted(m1["files"])
     post = V.read_version(spark, table)
     assert post.count() == 100  # updates conserve rows
     got = {r["k"]: r["v"] for r in post.collect()}
@@ -825,7 +835,10 @@ def test_merge_dv_mode_merge_on_read(spark, tmp_path):
     m2 = V.manifest_info(table, ver)
     assert m2["removed"] == []  # merge-on-read: nothing rewritten
     assert set(m1["files"]) <= set(m2["files"])
+    # matched keys 7 and 13 both live in slice 0 -> exactly one
+    # per-file DV, attributed to that one data file in dv_map
     assert len(m2["dv_files"]) == 1
+    assert len(m2["dv_map"]) == 1
     got = {r["k"]: r["v"] for r in V.read_version(spark, table).collect()}
     assert got[7] == 7777 and got[500] == 5000 and 13 not in got
     assert len(got) == 100  # 100 - 1 delete + 1 insert
@@ -1070,3 +1083,116 @@ def test_bounded_range_prune_and_occ(spark, tmp_path, monkeypatch):
     assert final.filter("k < 50 AND k % 5 = 2").count() == 0
     assert final.filter("k >= 50 AND k % 5 = 2").count() == 10
     assert final.count() == 90
+
+
+def test_per_file_dv_prune_on_rewrite_and_vacuum(spark, tmp_path):
+    """Round-11 per-file DV lifecycle: a copy-on-write rewrite of ONE
+    masked data file retires ONLY that file's DV object (its dv_map
+    entry and dv_files listing both drop — the Delta/Iceberg v2
+    shape), the other files' DVs keep masking, and vacuum reclaims the
+    dead DV from disk while keeping the live ones."""
+    table = _range_sliced_table(spark, tmp_path)  # 4 files, k 0..99
+    v_dv = V.delete_where(spark, table, "k % 10 = 3", mode="dv")
+    m_dv = V.manifest_info(table, v_dv)
+    assert len(m_dv["dv_files"]) == 4 and len(m_dv["dv_map"]) == 4
+    # CoW delete confined to slice 0 (k<25) rewrites exactly file 0
+    v_cow = V.delete_where(
+        spark, table, "k = 5", prune=[("k", ">=", 0), ("k", "<", 25)]
+    )
+    m = V.manifest_info(table, v_cow)
+    assert len(m["removed"]) == 1
+    gone = m["removed"][0]
+    # the rewritten file's per-file DV left the manifest entirely
+    assert gone not in m["dv_map"]
+    assert len(m["dv_files"]) == 3 and len(m["dv_map"]) == 3
+    dead_dv = m_dv["dv_map"][gone][0]
+    assert dead_dv not in m["dv_files"]
+    # reads: 100 - 10 (dv) - 1 (cow) rows, k=3 still masked in slice 0
+    got = V.read_version(spark, table)
+    assert got.count() == 89
+    assert got.filter("k % 10 = 3").count() == 0
+    # vacuum to the head: the dead DV is reclaimable, live DVs survive
+    assert os.path.exists(os.path.join(table, dead_dv))
+    V.vacuum(table, keep_versions=1)
+    assert not os.path.exists(os.path.join(table, dead_dv))
+    for f in m["dv_files"]:
+        assert os.path.exists(os.path.join(table, f))
+    assert V.read_version(spark, table).count() == 89
+
+
+def test_relevant_dvs_point_read_opens_only_that_files_dv(spark, tmp_path):
+    """File-local DV lookup: reading a pruned subset of files plans
+    only that subset's DV objects (a point-read of 1 file from a
+    100k-file table with 100k DVs must open 1 DV, not 100k). Legacy
+    commit-wide DVs — no dv_map attribution — stay conservatively
+    always-on."""
+    from meta_iterative_mapreduce_spark.sources.versioned import (
+        _relevant_dvs,
+    )
+
+    table = _range_sliced_table(spark, tmp_path)
+    V.delete_where(spark, table, "k % 10 = 3", mode="dv")
+    m = V.manifest_info(table)
+    one_file = m["files"][0]
+    rel = _relevant_dvs(m, [one_file])
+    assert rel == sorted(m["dv_map"][one_file])  # exactly 1 of 4
+    assert _relevant_dvs(m, list(m["files"])) == sorted(m["dv_files"])
+    # legacy manifest shape (dv_files without dv_map): all DVs open
+    legacy = {"dv_files": m["dv_files"]}
+    assert _relevant_dvs(legacy, [one_file]) == list(m["dv_files"])
+    # and the pruned point-read itself stays correct
+    got = V.read_version(
+        spark, table, where=[("k", ">=", 0), ("k", "<", 25)]
+    )
+    assert got.count() == 22 and got.filter("k % 10 = 3").count() == 0
+
+
+def test_restore_of_dv_delete_visible_to_cdc(spark, tmp_path):
+    """ADVICE r10 (medium): a restore that only REMOVES deletion
+    vectors (undoing a merge-on-read delete) moves no file, but the
+    CDC feed must still see the resurrected rows — read_changes diffs
+    DVs in both directions and emits DV-removal positions as
+    inserts."""
+    table = _range_sliced_table(spark, tmp_path)
+    v1 = V.manifest_info(table)["version"]
+    v2 = V.delete_where(spark, table, "k % 25 = 7", mode="dv")  # 4 rows
+    v3 = V.restore_version(spark, table, v1)
+    m3 = V.manifest_info(table, v3)
+    assert m3["added"] == [] and m3["removed"] == []  # pure DV undo
+    assert m3.get("dv_files", []) == []
+    assert V.read_version(spark, table).count() == 100
+    ch = V.read_changes(spark, table, v2, v3, "k")
+    got = {r["k"]: (r["op"], r["old_v"], r["new_v"]) for r in ch.collect()}
+    assert got == {
+        k: ("I", None, 2 * k) for k in (7, 32, 57, 82)
+    }
+    # and the delete leg still reads correctly the other way
+    ch12 = V.read_changes(spark, table, v1, v2, "k")
+    assert {r["k"]: r["op"] for r in ch12.collect()} == {
+        7: "D", 32: "D", 57: "D", 82: "D"
+    }
+
+
+def test_merge_dv_noop_replay_records_batch_id(spark, tmp_path):
+    """ADVICE r10 (low): a merge-on-read CDC batch that matches
+    nothing and inserts nothing (e.g. deletes for already-absent keys)
+    still lands its batch_id in the exactly-once ledger — replaying it
+    must NOT mint another version."""
+    table = _range_sliced_table(spark, tmp_path)
+    batch = spark.createDataFrame(
+        [(500, None, "d"), (501, None, "d")], "k long, v long, op string"
+    )
+    n0 = len(V.versions(table))
+    v = V.merge_version(
+        spark, table, batch, "k",
+        batch_id=77, delete_predicate="op = 'd'", mode="dv",
+    )
+    assert len(V.versions(table)) == n0 + 1
+    assert 77 in V.committed_batch_ids(table)
+    # replay: the ledger skips it — no new version
+    v2 = V.merge_version(
+        spark, table, batch, "k",
+        batch_id=77, delete_predicate="op = 'd'", mode="dv",
+    )
+    assert len(V.versions(table)) == n0 + 1
+    assert V.read_version(spark, table).count() == 100
