@@ -1196,3 +1196,175 @@ def test_merge_dv_noop_replay_records_batch_id(spark, tmp_path):
     )
     assert len(V.versions(table)) == n0 + 1
     assert V.read_version(spark, table).count() == 100
+
+
+def test_merge_schema_evolution_adopts_and_null_fills(spark, tmp_path):
+    """merge_schema=True (Delta autoMerge): the batch's new column is
+    adopted in the same commit, carried rows null-fill, time travel
+    shows the pre-evolution schema, and WITHOUT the flag the extra
+    column keeps the CDC-metadata contract (never stored)."""
+    table = str(tmp_path / "t")
+    V.write_version(
+        spark.createDataFrame([(1, 10), (2, 20), (3, 30)], "k long, v long"),
+        table,
+    )
+    batch = spark.createDataFrame(
+        [(2, 22, "eu"), (4, 44, "us")], "k long, v long, region string"
+    )
+    V.merge_version(spark, table, batch, "k")  # no flag: projected away
+    assert V.read_version(spark, table).columns == ["k", "v"]
+    v = V.merge_version(spark, table, batch, "k", merge_schema=True)
+    got = {
+        r["k"]: (r["v"], r["region"])
+        for r in V.read_version(spark, table).collect()
+    }
+    assert got == {
+        1: (10, None), 2: (22, "eu"), 3: (30, None), 4: (44, "us")
+    }
+    # time travel: pre-evolution versions keep their own 2-col schema
+    assert V.read_version(spark, table, v - 1).columns == ["k", "v"]
+    m = V.manifest_info(table)
+    assert [f["name"] for f in m["schema"]["fields"]] == ["k", "v", "region"]
+
+
+def test_merge_schema_evolution_dv_mode(spark, tmp_path):
+    """Schema adoption composes with merge-on-read: the DV masks old
+    positions, appended row images carry the new column, carried
+    files null-fill, zero files rewritten."""
+    table = str(tmp_path / "t")
+    V.write_version(
+        spark.createDataFrame([(1, 10), (2, 20)], "k long, v long"), table
+    )
+    batch = spark.createDataFrame(
+        [(1, 11, 0.5), (9, 90, 0.9)], "k long, v long, score double"
+    )
+    ver = V.merge_version(
+        spark, table, batch, "k", mode="dv", merge_schema=True
+    )
+    m = V.manifest_info(table, ver)
+    assert m["removed"] == []
+    assert [f["name"] for f in m["schema"]["fields"]] == ["k", "v", "score"]
+    got = {
+        r["k"]: (r["v"], r["score"])
+        for r in V.read_version(spark, table).collect()
+    }
+    assert got == {1: (11, 0.5), 2: (20, None), 9: (90, 0.9)}
+
+
+def test_merge_schema_evolution_rename_never_resurrects(spark, tmp_path):
+    """Re-adding a renamed column's old logical name via merge_schema
+    mints a FRESH physical name: the renamed column's bytes stay under
+    the rename, the re-added name reads NULL for old rows."""
+    table = str(tmp_path / "t")
+    V.write_version(
+        spark.createDataFrame(
+            [(1, 10, "eu")], "k long, v long, region string"
+        ),
+        table,
+    )
+    V.rename_column(spark, table, "region", "zone")
+    batch = spark.createDataFrame(
+        [(2, 20, "us", "RE-ADDED")],
+        "k long, v long, zone string, region string",
+    )
+    V.merge_version(spark, table, batch, "k", merge_schema=True)
+    got = {
+        r["k"]: (r["zone"], r["region"])
+        for r in V.read_version(spark, table).collect()
+    }
+    assert got == {1: ("eu", None), 2: ("us", "RE-ADDED")}
+    mapping = {
+        mp["name"]: mp["physical"]
+        for mp in V.manifest_info(table)["column_mapping"]
+    }
+    assert mapping["zone"] == "region"  # the rename stayed metadata-only
+    assert mapping["region"] != "region"  # fresh physical, no resurrect
+
+
+def test_merge_schema_evolution_widens_and_guards_type_change(
+    spark, tmp_path
+):
+    table = str(tmp_path / "t")
+    V.write_version(spark.createDataFrame([(1, 10)], "k long, v int"), table)
+    V.merge_version(
+        spark,
+        table,
+        spark.createDataFrame([(2, 2**40)], "k long, v long"),
+        "k",
+        merge_schema=True,
+    )
+    got = {r["k"]: r["v"] for r in V.read_version(spark, table).collect()}
+    assert got == {1: 10, 2: 2**40}
+    assert (
+        V.manifest_info(table)["schema"]["fields"][1]["type"] == "long"
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="cannot change column"):
+        V.merge_version(
+            spark,
+            table,
+            spark.createDataFrame([(3, "oops")], "k long, v string"),
+            "k",
+            merge_schema=True,
+        )
+
+
+def test_merge_schema_evolution_respects_constraints(spark, tmp_path):
+    """Existing CHECK constraints still gate a schema-evolving merge."""
+    import pytest as _pytest
+
+    table = str(tmp_path / "t")
+    V.write_version(spark.createDataFrame([(1, 10)], "k long, v long"), table)
+    V.add_constraint(spark, table, "v_pos", "v > 0")
+    bad = spark.createDataFrame([(2, -5, "x")], "k long, v long, tag string")
+    with _pytest.raises(ValueError, match="v_pos"):
+        V.merge_version(spark, table, bad, "k", merge_schema=True)
+    ok = spark.createDataFrame([(2, 5, "x")], "k long, v long, tag string")
+    V.merge_version(spark, table, ok, "k", merge_schema=True)
+    assert V.read_version(spark, table).columns == ["k", "v", "tag"]
+
+
+def test_manifest_record_counts_zero_footer_reads(spark, tmp_path, monkeypatch):
+    """VERDICT r10 item 5: every writer harvests per-file row counts
+    into file_stats['__rows'] at commit, so (a) the files-metadata
+    read and (b) the copy-on-write recount of untouched files are PURE
+    manifest reads — a spy on pq.ParquetFile proves zero footer opens
+    at query/recount time."""
+    import pyarrow.parquet as pq
+
+    table = _range_sliced_table(spark, tmp_path)
+    m = V.manifest_info(table)
+    # counts recorded at commit, one per file, correct values
+    for f in m["files"]:
+        assert m["file_stats"][f]["__rows"] == 25
+    assert sum(
+        V.file_row_count(table, m, f) for f in m["files"]
+    ) == m["n_rows"] == 100
+    # spy: file_row_count on a fresh manifest must not open footers
+    real = pq.ParquetFile
+    opened = []
+
+    def spy(*a, **kw):
+        opened.append(a)
+        return real(*a, **kw)
+
+    monkeypatch.setattr(pq, "ParquetFile", spy)
+    for f in m["files"]:
+        V.file_row_count(table, m, f)
+    assert opened == []
+    # the copy-on-write DELETE recount consumes the manifest counts
+    # too: only the rewrite itself (stats harvest of the ONE new
+    # file) may open footers
+    V.delete_where(spark, table, "k = 3", prune=[("k", ">=", 0), ("k", "<", 25)])
+    untouched_opens = [
+        a for a in opened
+        if not any(part in str(a[0]) for part in V.manifest_info(table)["added"])
+    ]
+    assert untouched_opens == []
+    assert V.manifest_info(table)["n_rows"] == 99
+    # legacy manifests (no __rows) fall back to exactly one footer read
+    legacy = {"file_stats": {m["files"][0]: {"k": [0, 24]}}}
+    opened.clear()
+    n = V.file_row_count(table, legacy, m["files"][0])
+    assert n == 25 and len(opened) == 1
