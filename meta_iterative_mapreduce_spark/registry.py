@@ -46,80 +46,76 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 
 
 # The external verification window records the FIRST 50 queries in the
-# order queries() yields them. Rounds 1-9 certified all 246 then-
+# order queries() yields them. Rounds 1-10 certified all 254 then-
 # registered queries at least once with zero failures; the debt is
-# staleness only. The round-10 priority below = (a) the eight
-# round-10 registrations (never-stamped —
-# tests/test_registry_window.py derives that set from
-# CORRECTNESS_r*.json and asserts they LEAD: DV-mode update,
-# three-clause CDC merge, DV-mode merge, RESTORE+history, the table
-# stream source, CDC stream source, BPE apply, DOCX extraction),
-# then (b) the LAST two r04-stamped queries (q_scalar_hash AND
-# q_scalar_collation — the r9 window note undercounted them as one;
-# VERDICT r9 item 1), then (c) 40 of the 43 hash-oracled r05-stamped
-# queries — after this round the only pre-r06 stamps left are the
-# seven rows-only-by-design r05 sketches/clustering queries plus
-# q_text_tokens, q_unpivot, and q_window_ntile (displaced by the
-# sixth through eighth round-10 registrations), which together lead
-# the r11 window. Every query is
-# additionally verified by the identical in-repo oracle harness
-# (tools/check.py, tests/test_oracle.py) every round regardless of
-# window membership, and every name below must be registered (phantom
-# entries fail CI instead of being silently dropped by _ordered()).
+# staleness only. The round-11 priority below = (a) the two round-11
+# registrations (never-stamped: Avro OCF scan, MERGE schema
+# evolution), then (b) the LAST 10 pre-r06 stamps, then (c) 38 of the
+# 50 r06-stamped queries. Every query is additionally verified by the
+# identical in-repo oracle harness (tools/check.py, tests/
+# test_oracle.py) every round regardless of window membership, and
+# every name below must be registered (phantom entries fail CI
+# instead of being silently dropped by _ordered()).
 WINDOW_PRIORITY: tuple[str, ...] = (
-    # never-stamped round-10 registrations lead
-    "q_table_update_dv",
-    "q_merge_cdc_full",
-    "q_merge_versioned_dv",
-    "q_table_restore",
-    "q_stream_table_source",
-    "q_stream_cdc_source",
-    "q_text_bpe_apply",
-    "q_text_docx_extract",
-    # the final two r04-stamped queries (VERDICT r9 item 1)
-    "q_scalar_hash",
-    "q_scalar_collation",
-    # 40 of the 43 hash-oracled r05-stamped queries (stalest cohort)
-    "q_agg_arg_minmax",
-    "q_agg_bitwise",
-    "q_agg_bool",
-    "q_agg_count_distinct",
-    "q_agg_global",
-    "q_agg_groupby",
-    "q_agg_grouping_sets",
-    "q_agg_histogram",
-    "q_agg_percentile",
-    "q_agg_pivot",
-    "q_agg_regression_exact",
-    "q_agg_stats",
-    "q_agg_string_agg",
-    "q_cte_multi",
-    "q_dedup_exact",
-    "q_dedup_exact_norm",
-    "q_dedup_ngram_jaccard",
-    "q_distinct_projection",
-    "q_events_cohort",
-    "q_events_funnel",
-    "q_merge_upsert",
-    "q_multimodal_decode_stub",
-    "q_multimodal_struct",
-    "q_regression_chunk_averaged",
-    "q_regression_exact",
-    "q_regression_meta_averaged",
-    "q_sim_ann_lsh",
-    "q_sim_cosine_topk",
-    "q_sim_ivf_ann",
-    "q_sim_knn_join",
-    "q_sim_near_dup_pairs",
-    "q_subquery_correlated",
-    "q_subquery_scalar",
-    "q_text_fingerprint",
-    "q_text_langid",
-    "q_text_ngram_freq",
-    "q_text_quality",
-    "q_text_stats",
-    "q_text_tfidf",
-    "q_text_token_bpe",
+    # never-stamped round-11 registrations lead (test_registry_window
+    # derives this requirement from CORRECTNESS_r*.json)
+    "q_merge_schema_evolution",
+    "q_scan_avro",
+    # the last 10 pre-r06 stamps (7 rows-only r05 sketches/clustering
+    # + the three displaced by round-10 registrations) — VERDICT r10
+    # Missing #1 / next-round item 2: after this round nothing in the
+    # ledger predates r06
+    "q_agg_approx_distinct",
+    "q_agg_approx_quantile",
+    "q_cluster_kmeans",
+    "q_dedup_near_minhash",
+    "q_dedup_simhash",
+    "q_dedup_simhash_pairs",
+    "q_sketch_count_min",
+    "q_text_tokens",
+    "q_unpivot",
+    "q_window_ntile",
+    # 38 of the 50 r06-stamped queries (now the stalest cohort,
+    # alphabetical); the remaining 12 (sorts, TPC-H shapes, windows)
+    # lead the r12 window
+    "q_events_dau_stickiness",
+    "q_filter_comparison",
+    "q_filter_in_between_like",
+    "q_filter_null",
+    "q_join_anti",
+    "q_join_asof",
+    "q_join_broadcast",
+    "q_join_bucketed",
+    "q_join_null_safe",
+    "q_join_outer",
+    "q_join_outer_full",
+    "q_join_range",
+    "q_join_semi",
+    "q_join_shuffle_hash",
+    "q_join_sort_merge",
+    "q_join_theta_nl",
+    "q_multimodal_decode_webp",
+    "q_multimodal_frame_sample_avi",
+    "q_project_compute",
+    "q_regression_iterative_ema",
+    "q_scalar_array",
+    "q_scalar_array_setops",
+    "q_scalar_conditional",
+    "q_scalar_date",
+    "q_scalar_json",
+    "q_scalar_map",
+    "q_scalar_math",
+    "q_scalar_string",
+    "q_scan_csv",
+    "q_scan_json",
+    "q_scan_orc",
+    "q_scan_parquet",
+    "q_scan_projection_pushdown",
+    "q_set_except",
+    "q_set_except_all",
+    "q_set_intersect",
+    "q_set_union_all",
+    "q_set_union_distinct",
 )
 
 
@@ -206,6 +202,9 @@ def _ensure_loaded() -> None:
         timeseries,
         warc,
         webp,
+    )
+    from meta_iterative_mapreduce_spark.sources import (  # noqa: F401
+        avro_ocf,
     )
 
     _LOADED = True

@@ -579,9 +579,14 @@ def stream_cdc(
     micro-batches of (key, op, old_*, new_*) rows per committed
     version past the checkpointed offset — pure appends (including
     the initial snapshot) stream as 'I' rows one task per added file;
-    DML versions diff their own removed/added/DV delta executor-side,
-    O(version delta) I/O. Column layout is identical to the batch
-    read_changes, so the two are drop-in interchangeable."""
+    DML versions diff their own removed/added/DV delta — in BOTH
+    directions: DV removal (a restore undoing a merge-on-read delete)
+    re-emits the resurrected rows as inserts — executor-side,
+    O(version delta) I/O. Column layout AND duplicate-key multiplicity
+    (every old x new pair, identical pairs suppressed) are identical
+    to the batch read_changes, so the two are drop-in
+    interchangeable — pinned per-version by
+    tests/test_table_stream_source.py."""
     register_stream_source(spark)
     r = (
         spark.readStream.format("mimr_versioned_table")
