@@ -48,10 +48,10 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # The external verification window records the FIRST 50 queries in the
 # order queries() yields them. Rounds 1-10 certified all 254 then-
 # registered queries at least once with zero failures; the debt is
-# staleness only. The round-11 priority below = (a) the two round-11
+# staleness only. The round-11 priority below = (a) the three round-11
 # registrations (never-stamped: Avro OCF scan, MERGE schema
-# evolution), then (b) the LAST 10 pre-r06 stamps, then (c) 38 of the
-# 50 r06-stamped queries. Every query is additionally verified by the
+# evolution, REORG PURGE), then (b) the LAST 10 pre-r06 stamps, then
+# (c) 37 of the 50 r06-stamped queries. Every query is additionally verified by the
 # identical in-repo oracle harness (tools/check.py, tests/
 # test_oracle.py) every round regardless of window membership, and
 # every name below must be registered (phantom entries fail CI
@@ -61,6 +61,7 @@ WINDOW_PRIORITY: tuple[str, ...] = (
     # derives this requirement from CORRECTNESS_r*.json)
     "q_merge_schema_evolution",
     "q_scan_avro",
+    "q_table_reorg_purge",
     # the last 10 pre-r06 stamps (7 rows-only r05 sketches/clustering
     # + the three displaced by round-10 registrations) — VERDICT r10
     # Missing #1 / next-round item 2: after this round nothing in the
@@ -75,9 +76,9 @@ WINDOW_PRIORITY: tuple[str, ...] = (
     "q_text_tokens",
     "q_unpivot",
     "q_window_ntile",
-    # 38 of the 50 r06-stamped queries (now the stalest cohort,
-    # alphabetical); the remaining 12 (sorts, TPC-H shapes, windows)
-    # lead the r12 window
+    # 37 of the 50 r06-stamped queries (now the stalest cohort,
+    # alphabetical); the remaining 13 (union_distinct, sorts, TPC-H
+    # shapes, windows) lead the r12 window
     "q_events_dau_stickiness",
     "q_filter_comparison",
     "q_filter_in_between_like",
@@ -115,7 +116,6 @@ WINDOW_PRIORITY: tuple[str, ...] = (
     "q_set_except_all",
     "q_set_intersect",
     "q_set_union_all",
-    "q_set_union_distinct",
 )
 
 

@@ -475,6 +475,117 @@ def register_avro_source(spark: SparkSession) -> None:
             raise
 
 
+# ----------------------------------------------------------------- sink
+
+
+_AVRO_TYPES = {
+    "boolean": "boolean",
+    "integer": "int",
+    "long": "long",
+    "float": "float",
+    "double": "double",
+    "binary": "bytes",
+    "string": "string",
+}
+
+
+def avro_schema_of(df: DataFrame, name: str = "row") -> dict:
+    """Avro record schema for a DataFrame of primitive/array columns —
+    every field is written as a [null, T] union (Spark columns are
+    nullable by default; a non-null Avro field would make one NULL row
+    an encode error instead of data)."""
+
+    def _avro_t(dt) -> Any:
+        from pyspark.sql import types as T
+
+        if isinstance(dt, T.ArrayType):
+            return {"type": "array", "items": _avro_t(dt.elementType)}
+        key = dt.typeName()
+        if key in _AVRO_TYPES:
+            return _AVRO_TYPES[key]
+        raise NotImplementedError(f"avro sink: unsupported type {dt}")
+
+    return {
+        "type": "record",
+        "name": name,
+        "fields": [
+            {"name": f.name, "type": ["null", _avro_t(f.dataType)]}
+            for f in df.schema.fields
+        ],
+    }
+
+
+def write_avro(
+    df: DataFrame,
+    path: str,
+    codec: str = "deflate",
+    block_records: int = 1000,
+) -> int:
+    """Distributed Avro OCF SINK: each Spark partition encodes its own
+    container file (schema derived from the DataFrame, random-unique
+    sync marker per file — the real-writer convention) via one
+    Arrow-batched mapInPandas pass, so N input partitions → N .avro
+    files written executor-side with ZERO driver data movement; the
+    driver only collects the per-file row counts this returns (sum =
+    df row count). The inverse of the `mimr_avro` scan; round-trip
+    pinned by tests/test_avro.py. NOTE: like any bare file sink, a
+    retried task can leave an orphan file — for atomic publication
+    pair this with a manifest commit (the versioned log's
+    write_version pattern), exactly as production writers do."""
+    import pandas as pd
+
+    if codec not in _CODECS:
+        raise NotImplementedError(
+            f"Avro codec {codec!r} not supported (have {_CODECS})"
+        )
+    os.makedirs(path, exist_ok=True)
+    schema = avro_schema_of(df)
+    names = [f.name for f in df.schema.fields]
+    binary_cols = {
+        f.name for f in df.schema.fields if f.dataType.typeName() == "binary"
+    }
+    array_cols = {
+        f.name for f in df.schema.fields if f.dataType.typeName() == "array"
+    }
+
+    def op(batches):
+        import uuid
+
+        recs: list[dict] = []
+        for pdf in batches:
+            for row in pdf.itertuples(index=False):
+                rec = {}
+                for n, v in zip(names, row):
+                    if v is None or (
+                        n not in array_cols
+                        and n not in binary_cols
+                        and pd.isna(v)
+                    ):
+                        rec[n] = None
+                    elif n in binary_cols:
+                        rec[n] = bytes(v)
+                    elif n in array_cols:
+                        rec[n] = list(v)
+                    else:
+                        rec[n] = v
+                recs.append(rec)
+        if recs:
+            fname = f"part-{uuid.uuid4().hex}.avro"
+            data = encode_avro(
+                recs,
+                schema,
+                codec=codec,
+                block_records=block_records,
+                sync=os.urandom(_SYNC_LEN),
+            )
+            with open(os.path.join(path, fname), "wb") as f:
+                f.write(data)
+            yield pd.DataFrame({"n": pd.Series([len(recs)], dtype="int64")})
+
+    counts = df.mapInPandas(op, schema="n long").collect()
+    return int(sum(r["n"] for r in counts))
+
+
 # ------------------------------------------------------------- the query
 
 _DOC_AVRO_SCHEMA = {

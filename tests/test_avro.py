@@ -154,3 +154,47 @@ def test_spark_datasource_block_per_partition(spark, tmp_path):
         assert abs(r["score"] - want["score"]) < 1e-12
         assert bytes(r["blob"]) == want["blob"]
         assert list(r["vec"]) == want["vec"]
+
+
+def test_write_avro_sink_roundtrip(spark, tmp_path):
+    """Distributed sink → mimr_avro source round trip: N partitions →
+    N container files written executor-side, every value (nullable
+    union, binary, array, double) byte-exact back through the scan."""
+    from pyspark.sql import functions as F
+
+    from meta_iterative_mapreduce_spark.sources.avro_ocf import write_avro
+
+    out = str(tmp_path / "sink")
+    df = (
+        spark.range(500)
+        .repartition(4)
+        .select(
+            F.col("id"),
+            F.concat(F.lit("n"), F.col("id")).alias("name"),
+            F.when(F.col("id") % 3 == 0, None)
+            .otherwise(F.concat(F.lit("x"), F.col("id")))
+            .alias("note"),
+            (F.col("id") % 2 == 0).alias("flag"),
+            (F.col("id") / 7.0).alias("score"),
+            F.encode(F.concat(F.lit("b"), F.col("id")), "utf-8").alias(
+                "blob"
+            ),
+            F.array((F.col("id") * 1.5), (-F.col("id") * 0.25)).alias("vec"),
+        )
+    )
+    n = write_avro(df, out, codec="deflate", block_records=64)
+    assert n == 500
+    files = [f for f in os.listdir(out) if f.endswith(".avro")]
+    assert len(files) == 4  # one container per input partition
+    register_avro_source(spark)
+    back = spark.read.format("mimr_avro").option("path", out).load()
+    got = {r["id"]: r for r in back.collect()}
+    assert len(got) == 500
+    for i in (0, 3, 7, 499):
+        r = got[i]
+        assert r["name"] == f"n{i}"
+        assert r["note"] == (None if i % 3 == 0 else f"x{i}")
+        assert r["flag"] == (i % 2 == 0)
+        assert abs(r["score"] - i / 7.0) < 1e-12
+        assert bytes(r["blob"]) == f"b{i}".encode()
+        assert list(r["vec"]) == [i * 1.5, -i * 0.25]

@@ -1368,3 +1368,56 @@ def test_manifest_record_counts_zero_footer_reads(spark, tmp_path, monkeypatch):
     opened.clear()
     n = V.file_row_count(table, legacy, m["files"][0])
     assert n == 25 and len(opened) == 1
+
+
+def test_reorg_purge_threshold_and_manifest_only_planning(
+    spark, tmp_path, monkeypatch
+):
+    """REORG PURGE: only files at/above the mask-ratio threshold are
+    rewritten (masks applied, their DVs retired and vacuum-reclaimed);
+    light-masked files keep their DVs; logical rows never change; and
+    planning reads ZERO data/DV bytes (dv_rows x __rows manifest math,
+    spy-pinned)."""
+    import pyarrow.parquet as pq
+
+    table = _range_sliced_table(spark, tmp_path)  # 4 files, k 0..99
+    V.delete_where(spark, table, "k < 25 AND k % 2 = 0", mode="dv")
+    V.delete_where(spark, table, "k = 60", mode="dv")
+    m = V.manifest_info(table)
+    heavy_dv = m["dv_map"][m["files"][0]][0]
+    want = sorted(set(range(100)) - set(range(0, 25, 2)) - {60})
+    # spy BEFORE planning: reorg_purge must not open any file to decide
+    real = pq.ParquetFile
+    opened = []
+
+    def spy(*a, **kw):
+        opened.append(str(a[0]))
+        return real(*a, **kw)
+
+    monkeypatch.setattr(pq, "ParquetFile", spy)
+    v = V.reorg_purge(spark, table, min_mask_ratio=0.25)
+    monkeypatch.undo()
+    m2 = V.manifest_info(table, v)
+    # planning opened nothing; only the rewrite's own stats harvest
+    # touched the ONE new file
+    assert all(any(a in o for a in m2["added"]) for o in opened), opened
+    assert m2["removed"] == [m["files"][0]]  # 13/25 >= 0.25: purged
+    assert len(m2["dv_files"]) == 1  # k=60's 1/25 mask survives
+    assert heavy_dv not in m2["dv_files"]
+    got = sorted(r["k"] for r in V.read_version(spark, table).collect())
+    assert got == want and m2["n_rows"] == len(want)
+    # no-op below threshold: no new version
+    assert V.reorg_purge(spark, table, min_mask_ratio=0.25) == v
+    assert V.versions(table)[-1] == v
+    # time travel still shows the masked layout's rows
+    assert sorted(
+        r["k"] for r in V.read_version(spark, table, v - 1).collect()
+    ) == want
+    # vacuum reclaims the purged file's DV
+    V.vacuum(table, keep_versions=1)
+    assert not os.path.exists(os.path.join(table, heavy_dv))
+    # full purge clears every mask
+    v3 = V.reorg_purge(spark, table, min_mask_ratio=1e-9)
+    m3 = V.manifest_info(table, v3)
+    assert m3.get("dv_files", []) == [] and not m3.get("dv_map")
+    assert sorted(r["k"] for r in V.read_version(spark, table).collect()) == want
