@@ -2043,3 +2043,106 @@ def q_table_reorg_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return summarize(head["version"] - 1, "masked").unionByName(
         summarize(head["version"], "purged")
     )
+
+
+def ensure_orders_partition_evo_table(spark: SparkSession, sf_dir: str) -> str:
+    """v1 = even-key orders hive-partitioned by order YEAR; v2 =
+    set_partitioning(["mk"]) — Iceberg-style spec evolution, metadata
+    only; v3 = odd-key orders appended under the NEW spec (hive dirs
+    by mk = o_orderkey % 3). Two self-describing layouts coexist: each
+    file stores the OTHER spec's column physically and restores its
+    own from the path. Idempotent, fingerprint-keyed."""
+    from meta_iterative_mapreduce_spark.sources import versioned
+
+    table = _versioned_fixture_path(sf_dir, "orders_pevo", "orders")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("int").alias("o_year"),
+        (F.col("o_orderkey") % 3).alias("mk"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    if len(versioned.versions(table)) == 0:
+        versioned.write_version(
+            o.filter(F.col("o_orderkey") % 2 == 0).repartition(
+                8, F.col("o_year")
+            ),
+            table,
+            partition_by="o_year",
+        )
+    if len(versioned.versions(table)) == 1:
+        versioned.set_partitioning(spark, table, ["mk"])
+    if len(versioned.versions(table)) == 2:
+        versioned.append_version(
+            o.filter(F.col("o_orderkey") % 2 == 1).repartition(
+                3, F.col("mk")
+            ),
+            table,
+        )
+    return table
+
+
+@register(
+    "q_table_partition_evolution",
+    oracle="""
+    WITH o AS (
+        SELECT o_orderkey, CAST(YEAR(o_orderdate) AS INT) AS o_year,
+               o_orderkey % 3 AS mk,
+               CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        FROM orders
+    ),
+    y AS (SELECT COUNT(*) AS n_rows_year,
+                 CAST(SUM(cents) AS BIGINT) AS sum_cents_year
+          FROM o WHERE o_year = 1997),
+    m AS (SELECT COUNT(*) AS n_rows_mk,
+                 CAST(SUM(cents) AS BIGINT) AS sum_cents_mk
+          FROM o WHERE mk = 1)
+    SELECT 3 AS n_versions, TRUE AS year_pruned, TRUE AS mk_pruned,
+           y.n_rows_year, y.sum_cents_year, m.n_rows_mk, m.sum_cents_mk
+    FROM y, m
+    """,
+)
+def q_table_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARTITION SPEC EVOLUTION (Iceberg ALTER ... REPLACE PARTITION
+    FIELD — round 11), hash-certified: the year-partitioned first half
+    and the mk-partitioned second half COEXIST after a metadata-only
+    spec change (zero files rewritten — n_versions pins write +
+    evolve + append = 3), predicates on BOTH partition columns prune
+    files (exact hive [v,v] stats for each spec's own files, footer
+    min/max for the other's — the engine's plan_files decision is
+    pinned as year_pruned/mk_pruned), and the pruned reads' exact
+    integer sums across the mixed layouts equal a from-scratch
+    recompute. At 100 TB: re-keying layout costs one manifest write,
+    never a rewrite (sources/versioned.py::set_partitioning)."""
+    from meta_iterative_mapreduce_spark.sources import versioned
+
+    table = ensure_orders_partition_evo_table(spark, sf_dir)
+    n_versions = len(versioned.versions(table))
+    kept_y, total = versioned.plan_files(table, where=("o_year", "=", 1997))
+    kept_m, _ = versioned.plan_files(table, where=("mk", "=", 1))
+    ry = (
+        versioned.read_version(spark, table, where=("o_year", "=", 1997))
+        .filter(F.col("o_year") == 1997)
+        .agg(
+            F.count(F.lit(1)).alias("n_rows_year"),
+            F.sum("cents").cast("bigint").alias("sum_cents_year"),
+        )
+    )
+    rm = (
+        versioned.read_version(spark, table, where=("mk", "=", 1))
+        .filter(F.col("mk") == 1)
+        .agg(
+            F.count(F.lit(1)).alias("n_rows_mk"),
+            F.sum("cents").cast("bigint").alias("sum_cents_mk"),
+        )
+    )
+    return ry.crossJoin(rm).select(
+        F.lit(n_versions).cast("int").alias("n_versions"),
+        F.lit(len(kept_y) < total).alias("year_pruned"),
+        F.lit(len(kept_m) < total).alias("mk_pruned"),
+        "n_rows_year",
+        "sum_cents_year",
+        "n_rows_mk",
+        "sum_cents_mk",
+    )

@@ -48,10 +48,11 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # The external verification window records the FIRST 50 queries in the
 # order queries() yields them. Rounds 1-10 certified all 254 then-
 # registered queries at least once with zero failures; the debt is
-# staleness only. The round-11 priority below = (a) the three round-11
-# registrations (never-stamped: Avro OCF scan, MERGE schema
-# evolution, REORG PURGE), then (b) the LAST 10 pre-r06 stamps, then
-# (c) 37 of the 50 r06-stamped queries. Every query is additionally verified by the
+# staleness only. The round-11 priority below = (a) the five round-11
+# registrations (never-stamped: Avro OCF scan + sink round trip,
+# MERGE schema evolution, REORG PURGE, partition-spec evolution),
+# then (b) the LAST 10 pre-r06 stamps, then (c) 35 of the 50
+# r06-stamped queries. Every query is additionally verified by the
 # identical in-repo oracle harness (tools/check.py, tests/
 # test_oracle.py) every round regardless of window membership, and
 # every name below must be registered (phantom entries fail CI
@@ -61,6 +62,8 @@ WINDOW_PRIORITY: tuple[str, ...] = (
     # derives this requirement from CORRECTNESS_r*.json)
     "q_merge_schema_evolution",
     "q_scan_avro",
+    "q_sink_avro_roundtrip",
+    "q_table_partition_evolution",
     "q_table_reorg_purge",
     # the last 10 pre-r06 stamps (7 rows-only r05 sketches/clustering
     # + the three displaced by round-10 registrations) — VERDICT r10
@@ -76,9 +79,9 @@ WINDOW_PRIORITY: tuple[str, ...] = (
     "q_text_tokens",
     "q_unpivot",
     "q_window_ntile",
-    # 37 of the 50 r06-stamped queries (now the stalest cohort,
-    # alphabetical); the remaining 13 (union_distinct, sorts, TPC-H
-    # shapes, windows) lead the r12 window
+    # 35 of the 50 r06-stamped queries (now the stalest cohort,
+    # alphabetical); the remaining 15 (set_intersect, unions, sorts,
+    # TPC-H shapes, windows) lead the r12 window
     "q_events_dau_stickiness",
     "q_filter_comparison",
     "q_filter_in_between_like",
@@ -114,8 +117,6 @@ WINDOW_PRIORITY: tuple[str, ...] = (
     "q_scan_projection_pushdown",
     "q_set_except",
     "q_set_except_all",
-    "q_set_intersect",
-    "q_set_union_all",
 )
 
 

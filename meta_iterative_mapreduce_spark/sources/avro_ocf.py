@@ -624,6 +624,10 @@ def _avro_fixture_dir(spark: SparkSession, sf_dir: str) -> str:
         .select("doc_id", "lang", "source", "n_chars", "text")
         .collect()
     )
+    # deterministic DRIVER-SIDE fixture writer (fixed sync markers +
+    # per-file codec rotation so certification bytes never drift);
+    # the DISTRIBUTED write path is write_avro, certified separately
+    # by q_sink_avro_roundtrip.
     n_files = 4
     buckets: list[list[dict]] = [[] for _ in range(n_files)]
     for r in sorted(rows, key=lambda r: r["doc_id"]):
@@ -685,4 +689,66 @@ def q_scan_avro(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source_note",
         "n_chars",
         F.md5(F.col("text")).alias("text_md5"),
+    )
+
+
+@register(
+    "q_sink_avro_roundtrip",
+    oracle="""
+    SELECT o_orderkey % 8 AS bucket,
+           COUNT(*) AS n,
+           CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS sum_cents,
+           COUNT(CASE WHEN o_orderkey % 5 <> 0
+                      THEN o_orderstatus END) AS n_status
+    FROM orders
+    GROUP BY o_orderkey % 8
+    """,
+)
+def q_sink_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Avro SINK → scan round trip, hash-certified: orders
+    (exact integer cents, a nullable union column) written
+    executor-side as one container file per partition (write_avro —
+    the inverse of q_scan_avro's read path), read back through the
+    block-partitioned `mimr_avro` source, and aggregated; the oracle
+    recomputes everything from the source table, so encode varints/
+    unions/deflate AND the sink's no-loss-no-dup partition contract
+    must both hold exactly. Idempotent fixture (fingerprint-keyed; the
+    writer's per-file random sync markers don't affect values)."""
+    import tempfile
+
+    from meta_iterative_mapreduce_spark.io import fixture_fingerprint
+
+    register_avro_source(spark)
+    root = os.path.join(
+        tempfile.gettempdir(),
+        "mimr_avro",
+        f"sink_{fixture_fingerprint(sf_dir, 'orders')}",
+    )
+    marker = os.path.join(root, "_COMPLETE")
+    if not os.path.exists(marker):
+        o = (
+            load_table(spark, sf_dir, "orders")
+            .select(
+                "o_orderkey",
+                F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+                .cast("long")
+                .alias("cents"),
+                # nullable union exercised on a deterministic slice
+                F.when(
+                    F.col("o_orderkey") % 5 != 0, F.col("o_orderstatus")
+                ).alias("status_note"),
+            )
+            .repartition(4)
+        )
+        n = write_avro(o, root, codec="deflate", block_records=2000)
+        assert n == o.count()
+        open(marker, "w").close()
+    df = spark.read.format("mimr_avro").option("path", root).load()
+    return df.groupBy((F.col("o_orderkey") % 8).alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("o_orderkey").cast("bigint").alias("sum_key"),
+        F.sum("cents").cast("bigint").alias("sum_cents"),
+        F.count("status_note").alias("n_status"),
     )

@@ -2680,6 +2680,69 @@ def versioned_batch_sink(table: str):
     return apply_batch
 
 
+def set_partitioning(
+    spark: SparkSession, table: str, partition_by: list[str] | None
+) -> int:
+    """PARTITION SPEC EVOLUTION (Iceberg's ALTER TABLE ... ADD/REPLACE
+    PARTITION FIELD): a METADATA-ONLY commit declaring how FUTURE
+    appends lay out — zero files rewritten, the existing layout stays
+    exactly as written. This works because the two layouts are
+    self-describing per file: a file never physically stores its OWN
+    spec's partition columns (hive dirs restore them, grouped per
+    version subdir at read) but always stores every other column, and
+    pruning is uniform manifest math — old-spec files prune on the new
+    column via their footer min/max, new-spec files prune on the old
+    column the same way, and each spec's own partition values are
+    exact [v, v] stats. `partition_by=None`/[] evolves to
+    unpartitioned. At 100 TB this is the only sane shape: re-keying a
+    table's layout costs ONE manifest write now and better clustering
+    only for data written after the decision — Iceberg semantics, not
+    Delta's (Delta requires a full rewrite). Returns the new
+    version."""
+    m = manifest_info(table)
+    if "schema" not in m:
+        raise ValueError(
+            "set_partitioning needs a schema-tracking manifest; "
+            "rewrite the table with write_version first"
+        )
+    pby = list(partition_by or [])
+    names = [f["name"] for f in m["schema"]["fields"]]
+    bad = [c for c in pby if c not in names]
+    if bad:
+        raise ValueError(
+            f"partition columns {bad} do not exist (have {names})"
+        )
+    if len(pby) >= len(names):
+        raise ValueError("cannot partition by every column")
+    if pby == list(m.get("partition_by", [])):
+        return m["version"]  # declaring the current spec is a no-op
+    mapping, retired, max_id = _mapping_state(m, m["schema"])
+    v = m["version"] + 1
+    _commit(
+        table,
+        v,
+        m["files"],
+        m["n_rows"],
+        schema=m["schema"],
+        column_mapping=mapping,
+        retired_physical=retired,
+        max_column_id=max_id,
+        file_stats=m.get("file_stats", {}),
+        added=[],
+        removed=[],
+        **_dv_carry(m),
+        **({"partition_by": pby} if pby else {}),
+        **(
+            {"constraints": dict(m["constraints"])}
+            if m.get("constraints")
+            else {}
+        ),
+        **_bloom_carry(m, m["files"]),
+        operation="SET PARTITIONING",
+    )
+    return v
+
+
 def reorg_purge(
     spark: SparkSession, table: str, min_mask_ratio: float = 0.1
 ) -> int:

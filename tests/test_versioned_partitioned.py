@@ -525,3 +525,65 @@ def test_stream_sink_inherits_partition_layout(spark, tmp_path):
     kept, total = V.plan_files(table, where=("p", "=", 2))
     assert all("p=2" in f for f in kept)
     assert V.read_version(spark, table, where=("p", "=", 2)).count() == 15
+
+
+def test_partition_spec_evolution_mixed_layouts(spark, tmp_path):
+    """Iceberg-style spec evolution: a metadata-only commit re-keys
+    FUTURE appends; old and new hive layouts coexist, every column
+    reads correctly from either its file bytes or its own spec's
+    path, pruning bites on both partition columns, and DML still
+    works across the mixed layouts."""
+    import pytest as _pytest
+
+    from meta_iterative_mapreduce_spark.sources import versioned as V
+
+    t = str(tmp_path / "t")
+    df = spark.range(0, 1000).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 4).alias("a"),
+        (F.col("id") % 3).alias("b"),
+        (F.col("id") * 2).alias("v"),
+    )
+    V.write_version(
+        df.filter("k < 500").repartition(4, F.col("a")), t, partition_by="a"
+    )
+    n_files_v1 = len(V.manifest_info(t)["files"])
+    v = V.set_partitioning(spark, t, ["b"])
+    m = V.manifest_info(t, v)
+    assert m["added"] == [] and m["removed"] == []  # metadata only
+    assert m["partition_by"] == ["b"]
+    assert V.history(t)[0]["operation"] == "SET PARTITIONING"
+    V.append_version(df.filter("k >= 500").repartition(3, F.col("b")), t)
+    got = {
+        r["k"]: (r["a"], r["b"], r["v"])
+        for r in V.read_version(spark, t).collect()
+    }
+    assert len(got) == 1000
+    for k in (0, 250, 499, 500, 750, 999):
+        assert got[k] == (k % 4, k % 3, 2 * k)
+    # pruning spans both layouts: each spec's own files prune exactly,
+    # the other's via footer stats (kept conservatively)
+    kept_a, total = V.plan_files(t, where=("a", "=", 2))
+    kept_b, _ = V.plan_files(t, where=("b", "=", 1))
+    assert len(kept_a) < total and len(kept_b) < total
+    pr = V.read_version(spark, t, where=("a", "=", 2)).filter("a = 2")
+    assert pr.count() == 250
+    # DML across mixed layouts: delete rows living in BOTH specs
+    V.delete_where(spark, t, "k % 100 = 7")
+    assert V.read_version(spark, t).count() == 990
+    # evolving to the CURRENT spec is a no-op (no version minted)
+    head = V.versions(t)[-1]
+    assert V.set_partitioning(spark, t, ["b"]) == head
+    # evolve back to unpartitioned: future appends write plain files
+    V.set_partitioning(spark, t, None)
+    V.append_version(
+        spark.createDataFrame([(2000, 0, 0, 4000)], "k long, a long, b long, v long"),
+        t,
+    )
+    assert V.read_version(spark, t).filter("k = 2000").count() == 1
+    assert "partition_by" not in V.manifest_info(t) or not V.manifest_info(
+        t
+    ).get("partition_by")
+    # guards
+    with _pytest.raises(ValueError, match="do not exist"):
+        V.set_partitioning(spark, t, ["nope"])
