@@ -198,3 +198,74 @@ def test_write_avro_sink_roundtrip(spark, tmp_path):
         assert abs(r["score"] - i / 7.0) < 1e-12
         assert bytes(r["blob"]) == f"b{i}".encode()
         assert list(r["vec"]) == [i * 1.5, -i * 0.25]
+
+
+# ---------------------------------------------------------- property tests
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_REC = st.fixed_dictionaries(
+    {
+        "id": st.integers(min_value=-(2**63), max_value=2**63 - 1),
+        "name": st.text(max_size=40),  # full unicode, incl. surrogates-free
+        "note": st.one_of(st.none(), st.text(max_size=20)),
+        "flag": st.booleans(),
+        "score": st.floats(allow_nan=False, width=64),
+        "blob": st.binary(max_size=64),
+        "vec": st.lists(
+            st.floats(allow_nan=False, width=64), max_size=8
+        ),
+    }
+)
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    recs=st.lists(_REC, max_size=40),
+    codec=st.sampled_from(["null", "deflate"]),
+    block=st.integers(min_value=1, max_value=7),
+)
+def test_property_roundtrip_arbitrary_records(recs, codec, block):
+    """Hypothesis hunts the varint/union/array/IEEE edge cases a
+    hand-picked fixture misses: extreme int64s, empty and unicode
+    strings, empty blobs, signed zero / subnormal doubles, empty
+    arrays, null unions, 1-record blocks — encode->decode must be
+    EXACT for every generated corpus under both codecs."""
+    data = encode_avro(recs, SCHEMA, codec=codec, block_records=block)
+    schema, got = read_avro(data)
+    assert schema == SCHEMA
+    assert len(got) == len(recs)
+    for g, w in zip(got, recs):
+        for k in ("id", "name", "note", "flag", "blob"):
+            assert g[k] == w[k], k
+        # IEEE doubles round-trip bit-exactly; compare via repr to
+        # keep -0.0 vs 0.0 distinct
+        assert repr(g["score"]) == repr(w["score"])
+        assert [repr(x) for x in g["vec"]] == [repr(x) for x in w["vec"]]
+
+
+@settings(max_examples=80, deadline=None)
+@given(
+    n=st.integers(min_value=0, max_value=120),
+    block=st.integers(min_value=1, max_value=50),
+)
+def test_property_block_index_partitions_exactly(n, block, tmp_path_factory):
+    """For any corpus size x block size, the block index covers every
+    record exactly once and every block decodes independently to the
+    sequential read — the splittability invariant the Spark source
+    relies on."""
+    recs = _recs(n)
+    p = str(tmp_path_factory.mktemp("avro") / "t.avro")
+    open(p, "wb").write(
+        encode_avro(recs, SCHEMA, codec="deflate", block_records=block)
+    )
+    idx = index_avro_blocks(p)
+    assert len(idx["blocks"]) == -(-n // block) if n else not idx["blocks"]
+    assert sum(b[1] for b in idx["blocks"]) == n
+    got = []
+    for offset, _n, _size in idx["blocks"]:
+        got.extend(
+            read_avro_block(p, offset, idx["codec"], idx["schema"], idx["sync"])
+        )
+    assert got == recs
