@@ -48,11 +48,11 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # The external verification window records the FIRST 50 queries in the
 # order queries() yields them. Rounds 1-10 certified all 254 then-
 # registered queries at least once with zero failures; the debt is
-# staleness only. The round-11 priority below = (a) the five round-11
-# registrations (never-stamped: Avro OCF scan + sink round trip,
-# MERGE schema evolution, REORG PURGE, partition-spec evolution),
-# then (b) the LAST 10 pre-r06 stamps, then (c) 35 of the 50
-# r06-stamped queries. Every query is additionally verified by the
+# staleness only. The round-11 priority below = (a) the six round-11
+# registrations (never-stamped: Avro OCF scan + reader-schema
+# resolution + sink round trip, MERGE schema evolution, REORG PURGE,
+# partition-spec evolution), then (b) the LAST 10 pre-r06 stamps,
+# then (c) 34 of the 50 r06-stamped queries. Every query is additionally verified by the
 # identical in-repo oracle harness (tools/check.py, tests/
 # test_oracle.py) every round regardless of window membership, and
 # every name below must be registered (phantom entries fail CI
@@ -62,6 +62,7 @@ WINDOW_PRIORITY: tuple[str, ...] = (
     # derives this requirement from CORRECTNESS_r*.json)
     "q_merge_schema_evolution",
     "q_scan_avro",
+    "q_scan_avro_resolved",
     "q_sink_avro_roundtrip",
     "q_table_partition_evolution",
     "q_table_reorg_purge",
@@ -79,9 +80,9 @@ WINDOW_PRIORITY: tuple[str, ...] = (
     "q_text_tokens",
     "q_unpivot",
     "q_window_ntile",
-    # 35 of the 50 r06-stamped queries (now the stalest cohort,
-    # alphabetical); the remaining 15 (set_intersect, unions, sorts,
-    # TPC-H shapes, windows) lead the r12 window
+    # 34 of the 50 r06-stamped queries (now the stalest cohort,
+    # alphabetical); the remaining 16 (except_all/intersect/unions,
+    # sorts, TPC-H shapes, windows) lead the r12 window
     "q_events_dau_stickiness",
     "q_filter_comparison",
     "q_filter_in_between_like",
@@ -116,7 +117,6 @@ WINDOW_PRIORITY: tuple[str, ...] = (
     "q_scan_parquet",
     "q_scan_projection_pushdown",
     "q_set_except",
-    "q_set_except_all",
 )
 
 

@@ -192,6 +192,114 @@ def _read_value(buf: io.BufferedIOBase, t: Any) -> Any:
     raise NotImplementedError(f"Avro type not supported: {t!r}")
 
 
+def _skip_value(buf: io.BufferedIOBase, t: Any) -> None:
+    """Skip one value WITHOUT materializing it — the fast path behind
+    reader-schema projection: strings/bytes seek past their length
+    prefix, fixed-width numerics seek their size, unions skip their
+    chosen branch, arrays walk count headers. Column pruning in a
+    row-oriented format can't avoid touching bytes, but it avoids
+    every decode/allocation for dropped fields."""
+    t = _field_type(t)
+    if isinstance(t, list):
+        _skip_value(buf, t[_read_long(buf)])
+        return
+    if isinstance(t, dict) and t.get("type") == "array":
+        while True:
+            n = _read_long(buf)
+            if n == 0:
+                return
+            if n < 0:  # negative count: byte size follows — seek it
+                size = _read_long(buf)
+                buf.seek(size, os.SEEK_CUR)
+                continue
+            for _ in range(n):
+                _skip_value(buf, t["items"])
+    elif isinstance(t, dict) and t.get("type") == "record":
+        for f in t["fields"]:
+            _skip_value(buf, f["type"])
+    elif t == "null":
+        return
+    elif t == "boolean":
+        buf.seek(1, os.SEEK_CUR)
+    elif t in ("int", "long"):
+        _read_long(buf)
+    elif t == "float":
+        buf.seek(4, os.SEEK_CUR)
+    elif t == "double":
+        buf.seek(8, os.SEEK_CUR)
+    elif t in ("bytes", "string"):
+        buf.seek(_read_long(buf), os.SEEK_CUR)
+    else:
+        raise NotImplementedError(f"Avro type not supported: {t!r}")
+
+
+_PROMOTIONS = {
+    "int": {"int", "long", "float", "double"},
+    "long": {"long", "float", "double"},
+    "float": {"float", "double"},
+}
+
+
+def _resolve_schemas(writer: dict, reader: dict):
+    """Avro SCHEMA RESOLUTION (spec §'Schema Resolution') for
+    top-level records: fields match by NAME; writer fields absent from
+    the reader are SKIPPED (never decoded); reader fields absent from
+    the writer take their declared "default" (error if none — per
+    spec); numeric writer types PROMOTE along int→long→float→double.
+    Returns a plan: [(writer field type, reader name | None)] in
+    writer order, plus {reader name: default} for unwritten fields."""
+    rfields = {f["name"]: f for f in reader["fields"]}
+    plan: list[tuple] = []
+    for wf in writer["fields"]:
+        rf = rfields.get(wf["name"])
+        if rf is None:
+            plan.append((wf["type"], None))
+            continue
+        wt, rt = _field_type(wf["type"]), _field_type(rf["type"])
+        wt_base = (
+            [b for b in wt if b != "null"][0] if isinstance(wt, list) else wt
+        )
+        rt_base = (
+            [b for b in rt if b != "null"][0] if isinstance(rt, list) else rt
+        )
+        if isinstance(wt_base, str) and isinstance(rt_base, str):
+            if rt_base not in _PROMOTIONS.get(wt_base, {wt_base}):
+                raise ValueError(
+                    f"reader type {rt_base!r} cannot resolve writer "
+                    f"{wt_base!r} for field {wf['name']!r}"
+                )
+        plan.append((wf["type"], wf["name"]))
+    written = {f["name"] for f in writer["fields"]}
+    defaults: dict[str, Any] = {}
+    for rf in reader["fields"]:
+        if rf["name"] in written:
+            continue
+        if "default" not in rf:
+            raise ValueError(
+                f"reader field {rf['name']!r} is not in the writer "
+                "schema and declares no default"
+            )
+        defaults[rf["name"]] = rf["default"]
+    return plan, defaults
+
+
+def _read_resolved(buf: io.BufferedIOBase, plan, defaults, reader) -> dict:
+    """One record under a resolution plan: skip unmapped writer
+    fields, decode mapped ones, fill reader-only fields from their
+    defaults, emit in READER field order."""
+    got: dict[str, Any] = {}
+    for wt, rname in plan:
+        if rname is None:
+            _skip_value(buf, wt)
+        else:
+            got[rname] = _read_value(buf, wt)
+    out = {}
+    for rf in reader["fields"]:
+        n = rf["name"]
+        out[n] = got[n] if n in got else defaults[n]
+    return out
+
+
 # -------------------------------------------------------------- container
 
 
@@ -270,35 +378,56 @@ def _read_header(buf: io.BufferedIOBase) -> tuple[dict, str, bytes]:
     return schema, codec, sync
 
 
-def _decode_block(raw: bytes, codec: str, schema: dict, n: int) -> list[dict]:
+def _decode_block(
+    raw: bytes,
+    codec: str,
+    schema: dict,
+    n: int,
+    reader_schema: dict | None = None,
+) -> list[dict]:
     if codec == "deflate":
         raw = zlib.decompress(raw, -15)
     buf = io.BytesIO(raw)
-    out = [_read_value(buf, schema) for _ in range(n)]
+    if reader_schema is not None and reader_schema != schema:
+        plan, defaults = _resolve_schemas(schema, reader_schema)
+        out = [
+            _read_resolved(buf, plan, defaults, reader_schema)
+            for _ in range(n)
+        ]
+    else:
+        out = [_read_value(buf, schema) for _ in range(n)]
     if buf.read(1):
         raise ValueError("Avro block has trailing bytes after last record")
     return out
 
 
-def read_avro(data: bytes) -> tuple[dict, list[dict]]:
+def read_avro(
+    data: bytes, reader_schema: dict | None = None
+) -> tuple[dict, list[dict]]:
     """Full in-memory decode: (schema, records). Sync markers are
     verified after EVERY block — a mismatch means the byte counts
     drifted from the true framing (corruption), and silently
-    resyncing would duplicate or drop records."""
+    resyncing would duplicate or drop records. With `reader_schema`,
+    Avro SCHEMA RESOLUTION applies (skip dropped fields without
+    decoding, fill reader-only fields from defaults, numeric
+    promotion) and the returned schema is the reader's."""
     buf = io.BytesIO(data)
     schema, codec, sync = _read_header(buf)
     records: list[dict] = []
+    out_schema = reader_schema if reader_schema is not None else schema
     while True:
         probe = buf.read(1)
         if not probe:
-            return schema, records
+            return out_schema, records
         buf.seek(-1, os.SEEK_CUR)
         n = _read_long(buf)
         size = _read_long(buf)
         raw = buf.read(size)
         if len(raw) != size:
             raise ValueError("truncated Avro data block")
-        records.extend(_decode_block(raw, codec, schema, n))
+        records.extend(
+            _decode_block(raw, codec, schema, n, reader_schema)
+        )
         got = buf.read(_SYNC_LEN)
         if got != sync:
             raise ValueError(
@@ -338,9 +467,16 @@ def index_avro_blocks(path: str) -> dict:
 
 
 def read_avro_block(
-    path: str, offset: int, codec: str, schema: dict, sync: bytes
+    path: str,
+    offset: int,
+    codec: str,
+    schema: dict,
+    sync: bytes,
+    reader_schema: dict | None = None,
 ) -> list[dict]:
-    """Decode ONE block by direct seek — the executor-side read."""
+    """Decode ONE block by direct seek — the executor-side read.
+    `reader_schema` applies per-block schema resolution (projection
+    skip-decode, defaults, promotion)."""
     with open(path, "rb") as f:
         f.seek(offset)
         n = _read_long(f)
@@ -352,7 +488,7 @@ def read_avro_block(
             raise ValueError(
                 "Avro sync marker mismatch after block — corrupt file"
             )
-        return _decode_block(raw, codec, schema, n)
+        return _decode_block(raw, codec, schema, n, reader_schema)
 
 
 # ------------------------------------------------------- spark datasource
@@ -418,11 +554,17 @@ def register_avro_source(spark: SparkSession) -> None:
             self.root = options.get("path")
             if not self.root:
                 raise ValueError("mimr_avro needs .option('path', ...)")
+            rs = options.get("readerschema")
+            self.reader_schema = json.loads(rs) if rs else None
 
         def partitions(self):
             parts = []
             for p in _paths(self.root):
                 idx = index_avro_blocks(p)
+                if self.reader_schema is not None:
+                    # fail at PLAN time, not per task, on an
+                    # unresolvable writer/reader pair
+                    _resolve_schemas(idx["schema"], self.reader_schema)
                 for offset, _n, _size in idx["blocks"]:
                     parts.append(
                         InputPartition(
@@ -431,6 +573,7 @@ def register_avro_source(spark: SparkSession) -> None:
                                 "offset": offset,
                                 "codec": idx["codec"],
                                 "schema": idx["schema"],
+                                "reader": self.reader_schema,
                                 "sync": idx["sync"].hex(),
                             }
                         )
@@ -442,14 +585,15 @@ def register_avro_source(spark: SparkSession) -> None:
             spec = partition.value
             if spec is None:
                 return
-            schema = spec["schema"]
-            names = [f["name"] for f in schema["fields"]]
+            out_schema = spec["reader"] or spec["schema"]
+            names = [f["name"] for f in out_schema["fields"]]
             for rec in read_avro_block(
                 spec["path"],
                 spec["offset"],
                 spec["codec"],
-                schema,
+                spec["schema"],
                 bytes.fromhex(spec["sync"]),
+                reader_schema=spec["reader"],
             ):
                 yield tuple(rec[n] for n in names)
 
@@ -460,6 +604,12 @@ def register_avro_source(spark: SparkSession) -> None:
 
         def schema(self):
             root = self.options.get("path")
+            rs = self.options.get("readerschema")
+            if rs:
+                # projection/evolution: the scan's schema IS the
+                # reader schema; resolution against each file's writer
+                # schema happens at plan time per file
+                return spark_schema_of(json.loads(rs))
             paths = _paths(root)
             if not paths:
                 raise ValueError(f"no .avro files under {root!r}")
@@ -751,4 +901,52 @@ def q_sink_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("o_orderkey").cast("bigint").alias("sum_key"),
         F.sum("cents").cast("bigint").alias("sum_cents"),
         F.count("status_note").alias("n_status"),
+    )
+
+
+_DOC_READER_SCHEMA = {
+    "type": "record",
+    "name": "doc",
+    "fields": [
+        {"name": "doc_id", "type": "long"},
+        {"name": "n_chars", "type": "long"},
+        {"name": "source_note", "type": ["null", "string"]},
+        # reader-only field: writer never stored it -> spec default
+        {"name": "doc_rank", "type": "long", "default": 7},
+    ],
+}
+
+
+@register(
+    "q_scan_avro_resolved",
+    oracle="""
+    SELECT doc_id,
+           n_chars,
+           CASE WHEN doc_id % 5 = 0 THEN NULL ELSE source END
+               AS source_note,
+           CAST(7 AS BIGINT) AS doc_rank
+    FROM documents
+    """,
+)
+def q_scan_avro_resolved(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Avro SCHEMA RESOLUTION through the scan (spec §Schema
+    Resolution), hash-certified: the SAME container files as
+    q_scan_avro read under a READER schema that drops `lang` and
+    `text` (skip-decoded — the payload bytes are seeked past, never
+    materialized: projection pushdown, row-format style), keeps the
+    nullable union, and adds a reader-only `doc_rank` field filled from
+    its spec default. The oracle recomputes all of it from the source
+    table, so field matching by name, skip framing, union branches,
+    and default injection must all be exact. Unresolvable
+    writer/reader pairs fail at PLAN time, one error per file, not
+    per task. At 100 TB: reading 3 of 40 columns of a row-oriented
+    archive still walks the bytes (that's Avro), but decodes and
+    allocates only the projected fields."""
+    register_avro_source(spark)
+    root = _avro_fixture_dir(spark, sf_dir)
+    return (
+        spark.read.format("mimr_avro")
+        .option("path", root)
+        .option("readerSchema", json.dumps(_DOC_READER_SCHEMA))
+        .load()
     )

@@ -269,3 +269,115 @@ def test_property_block_index_partitions_exactly(n, block, tmp_path_factory):
             read_avro_block(p, offset, idx["codec"], idx["schema"], idx["sync"])
         )
     assert got == recs
+
+
+def test_reader_schema_resolution_skip_default_promote():
+    """Spec §Schema Resolution: dropped writer fields are skipped,
+    reader-only fields take their defaults, int->long promotion
+    applies, and a missing default or an illegal narrowing raises."""
+    from meta_iterative_mapreduce_spark.sources.avro_ocf import (
+        _resolve_schemas,
+    )
+
+    writer = {
+        "type": "record",
+        "name": "r",
+        "fields": [
+            {"name": "a", "type": "int"},
+            {"name": "big", "type": "string"},
+            {"name": "u", "type": ["null", "string"]},
+        ],
+    }
+    recs = [
+        {"a": i, "big": "x" * 100, "u": None if i % 2 else f"u{i}"}
+        for i in range(25)
+    ]
+    data = encode_avro(recs, writer, codec="deflate", block_records=10)
+    reader = {
+        "type": "record",
+        "name": "r",
+        "fields": [
+            {"name": "a", "type": "long"},       # int -> long promotion
+            {"name": "u", "type": ["null", "string"]},
+            {"name": "extra", "type": "string", "default": "dflt"},
+        ],
+    }
+    schema, got = read_avro(data, reader_schema=reader)
+    assert schema == reader
+    assert got == [
+        {"a": i, "u": None if i % 2 else f"u{i}", "extra": "dflt"}
+        for i in range(25)
+    ]
+    # reader-only field without a default: per spec, an error
+    bad = {
+        "type": "record",
+        "name": "r",
+        "fields": [{"name": "nope", "type": "string"}],
+    }
+    with pytest.raises(ValueError, match="declares no default"):
+        read_avro(data, reader_schema=bad)
+    # illegal narrowing (string -> long) is rejected
+    narrow = {
+        "type": "record",
+        "name": "r",
+        "fields": [{"name": "big", "type": "long"}],
+    }
+    with pytest.raises(ValueError, match="cannot resolve"):
+        read_avro(data, reader_schema=narrow)
+
+
+def test_reader_schema_through_spark_source(spark, tmp_path):
+    """readerSchema option: the scan's declared schema IS the reader
+    schema; projection skip-decodes dropped fields across blocks and
+    files; unresolvable pairs fail at plan time."""
+    import json as _json
+
+    from pyspark.sql import functions as F  # noqa: F401
+
+    root = str(tmp_path / "avro")
+    os.makedirs(root)
+    recs = _recs(90)
+    for i in range(3):
+        open(os.path.join(root, f"p{i}.avro"), "wb").write(
+            encode_avro(
+                recs[i * 30 : (i + 1) * 30], SCHEMA,
+                codec="deflate" if i % 2 else "null",
+                block_records=10, sync=bytes([i]) * 16,
+            )
+        )
+    reader = {
+        "type": "record",
+        "name": "r",
+        "fields": [
+            {"name": "id", "type": "long"},
+            {"name": "note", "type": ["null", "string"]},
+            {"name": "tag", "type": "string", "default": "T"},
+        ],
+    }
+    register_avro_source(spark)
+    df = (
+        spark.read.format("mimr_avro")
+        .option("path", root)
+        .option("readerSchema", _json.dumps(reader))
+        .load()
+    )
+    assert df.columns == ["id", "note", "tag"]
+    assert df.rdd.getNumPartitions() == 9  # 3 files x 3 blocks
+    rows = df.orderBy("id").collect()
+    assert [r["id"] for r in rows] == list(range(90))
+    assert all(r["tag"] == "T" for r in rows)
+    assert rows[3]["note"] is None and rows[4]["note"] == "x4"
+    # plan-time failure on an unresolvable reader
+    bad = {
+        "type": "record",
+        "name": "r",
+        "fields": [{"name": "name", "type": "long"}],
+    }
+    with pytest.raises(Exception, match="cannot resolve"):
+        (
+            spark.read.format("mimr_avro")
+            .option("path", root)
+            .option("readerSchema", _json.dumps(bad))
+            .load()
+            .collect()
+        )
