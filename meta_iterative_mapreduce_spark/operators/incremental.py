@@ -259,10 +259,13 @@ def _versioned_fixture_path(sf_dir: str, name: str, *tables: str) -> str:
     # L4 (round 11): manifests record per-file row counts
     # (file_stats["__rows"]) at commit; the files-metadata query reads
     # counts from the manifest alone, so pre-L4 trees must rebuild.
+    # L5 (round 11): bloom bitsets are sized per file (~10 bits per
+    # distinct key) — pre-L5 trees carry saturated fixed-8192 blooms
+    # at sf0.1 that prune nothing, so they must rebuild.
     return os.path.join(
         tempfile.gettempdir(),
         "mimr_versioned",
-        f"{name}_L4_{fixture_fingerprint(sf_dir, *tables)}",
+        f"{name}_L5_{fixture_fingerprint(sf_dir, *tables)}",
     )
 
 

@@ -409,18 +409,21 @@ def file_row_count(table: str, m: dict, rel: str) -> int:
     return pq.ParquetFile(os.path.join(table, rel)).metadata.num_rows
 
 
-_BLOOM_BITS = 8192
+_BLOOM_BITS = 8192  # floor; files size UP from their distinct count
 _BLOOM_K = 5
+_BLOOM_BITS_PER_KEY = 10  # ~0.9% fp at k=5
 
 
-def _bloom_hashes(value) -> list[int]:
+def _bloom_hashes(value, n_bits: int = _BLOOM_BITS) -> list[int]:
     """k deterministic bit positions for a value — md5 of the value's
     canonical string sliced into independent 32-bit words (engine- and
     run-stable: no PYTHONHASHSEED dependence). Numbers canonicalize to
     one spelling across int/float (1234 vs 1234.0): a bloom FALSE
     NEGATIVE is a correctness bug (the prune would drop live rows), so
     an int probe literal against a double column — or vice versa —
-    must hash identically to the written value."""
+    must hash identically to the written value. `n_bits` is the
+    TARGET bitset's size — the probe derives it from the stored
+    bitset, so differently-sized blooms coexist across files."""
     import hashlib
 
     if (
@@ -434,7 +437,7 @@ def _bloom_hashes(value) -> list[int]:
         canon = repr(value)
     digest = hashlib.md5(canon.encode()).digest()
     return [
-        int.from_bytes(digest[4 * i : 4 * i + 4], "big") % _BLOOM_BITS
+        int.from_bytes(digest[4 * i : 4 * i + 4], "big") % n_bits
         for i in range(_BLOOM_K)
     ]
 
@@ -447,7 +450,17 @@ def _collect_file_blooms(
     sets k md5-derived bits per distinct value, stores base64 bitsets
     in the manifest. Point-equality reads prune files whose bloom
     PROVES absence — the skip that works where min/max can't (hash or
-    round-robin layouts where every file spans the full key range)."""
+    round-robin layouts where every file spans the full key range).
+
+    SIZED PER FILE (round 11): a fixed bitset saturates as files grow
+    — 8192 bits over the ~19k distinct keys of one sf0.1 file gives a
+    ~100% false-positive rate, i.e. an index that stops pruning
+    exactly when files reach production size. Each file's bitset is
+    the next power of two of ~10 bits per distinct value (≈0.9% fp at
+    k=5, the Delta/parquet-bloom default neighborhood), floored at
+    8192; the probe derives the modulus from the STORED bitset
+    length, so old fixed-size blooms and new adaptive ones coexist in
+    one manifest."""
     import base64
 
     import pyarrow.parquet as pq
@@ -461,11 +474,17 @@ def _collect_file_blooms(
         tbl = pf.read(columns=present)
         per_col: dict[str, str] = {}
         for c in present:
-            bits = bytearray(_BLOOM_BITS // 8)
-            for v in tbl.column(c).unique().to_pylist():
-                if v is None:
-                    continue
-                for h in _bloom_hashes(v):
+            vals = [
+                v
+                for v in tbl.column(c).unique().to_pylist()
+                if v is not None
+            ]
+            n_bits = _BLOOM_BITS
+            while n_bits < _BLOOM_BITS_PER_KEY * len(vals):
+                n_bits *= 2
+            bits = bytearray(n_bits // 8)
+            for v in vals:
+                for h in _bloom_hashes(v, n_bits):
                     bits[h // 8] |= 1 << (h % 8)
             per_col[c] = base64.b64encode(bytes(bits)).decode()
         out[rel] = per_col
@@ -477,7 +496,8 @@ def _bloom_may_contain(b64: str, value) -> bool:
 
     bits = base64.b64decode(b64)
     return all(
-        bits[h // 8] & (1 << (h % 8)) for h in _bloom_hashes(value)
+        bits[h // 8] & (1 << (h % 8))
+        for h in _bloom_hashes(value, len(bits) * 8)
     )
 
 

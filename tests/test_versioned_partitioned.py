@@ -587,3 +587,61 @@ def test_partition_spec_evolution_mixed_layouts(spark, tmp_path):
     # guards
     with _pytest.raises(ValueError, match="do not exist"):
         V.set_partitioning(spark, t, ["nope"])
+
+
+def test_bloom_bitsets_scale_with_file_size(spark, tmp_path):
+    """Round-11 scale fix (caught by the sf0.1 robustness matrix): a
+    FIXED 8192-bit bloom saturates around ~19k distinct keys per file
+    (~100% false positives — an index that stops pruning exactly when
+    files reach production size). Bitsets now size to ~10 bits per
+    distinct value, so a 25k-key-per-file table still prunes point
+    lookups; and the probe derives the modulus from the STORED bitset,
+    so a legacy fixed-size bloom in the same manifest keeps working."""
+    import base64
+
+    from meta_iterative_mapreduce_spark.sources import versioned as V
+
+    table = str(tmp_path / "t")
+    n, n_files = 100_000, 4  # 25k distinct keys per file
+    df = spark.range(n).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    ).repartition(n_files)  # hash layout: min/max never prunes
+    V.write_version(df, table, bloom_cols="k")
+    m = V.manifest_info(table)
+    sizes = {
+        len(base64.b64decode(b["k"])) * 8
+        for b in m["file_blooms"].values()
+    }
+    assert all(s >= 10 * 20_000 for s in sizes), sizes  # scaled up
+    # absent key: the adaptive bloom prunes (old fixed size kept all 4)
+    kept, total = V.plan_files(table, where=("k", "=", n + 7))
+    assert total == n_files and len(kept) < total
+    # present key: NEVER a false negative
+    for probe in (0, n // 2, n - 1):
+        keptp, _ = V.plan_files(table, where=("k", "=", probe))
+        got = V.read_version(spark, table, where=("k", "=", probe))
+        assert got.filter(F.col("k") == probe).count() == 1
+    # legacy coexistence: rewrite one file's bloom as a fixed-8192
+    # bitset (the pre-L5 shape); probes must still be sound for it
+    import json as _json
+    import os as _os
+
+    mp = _os.path.join(table, "_manifests", f"v{m['version']:06d}.json")
+    raw = _json.load(open(mp))
+    f0 = m["files"][0]
+    legacy_bits = bytearray(8192 // 8)
+    import pyarrow.parquet as pq
+
+    ks = pq.read_table(
+        _os.path.join(table, f0), columns=["k"]
+    ).column("k").to_pylist()
+    for v_ in ks:
+        for h in V._bloom_hashes(v_, 8192):
+            legacy_bits[h // 8] |= 1 << (h % 8)
+    raw["file_blooms"][f0] = {
+        "k": base64.b64encode(bytes(legacy_bits)).decode()
+    }
+    _json.dump(raw, open(mp, "w"))
+    for probe in ks[:3]:
+        got = V.read_version(spark, table, where=("k", "=", probe))
+        assert got.filter(F.col("k") == probe).count() == 1
