@@ -2149,3 +2149,100 @@ def q_table_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_rows_mk",
         "sum_cents_mk",
     )
+
+
+def ensure_orders_optimize_cdf_table(spark: SparkSession, sf_dir: str) -> str:
+    """v1..v4 = four key-range slice appends of orders (o_orderkey,
+    cents); v5 = compact_version(sort_col=o_orderkey, target_files=2)
+    — an OPTIMIZE commit, data_change=False; v6 = a fifth slice
+    appended AFTER the compaction. The housekeeping commit moves every
+    byte (4 files removed, 2 added) while the visible row set is
+    provably identical. Idempotent, fingerprint-keyed."""
+    from meta_iterative_mapreduce_spark.sources import versioned
+
+    table = _versioned_fixture_path(sf_dir, "orders_opt_cdf", "orders")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    mx = int(o.agg(F.max("o_orderkey")).collect()[0][0])
+    w = mx // 5 + 1
+    done = len(versioned.versions(table))
+    for i in range(done, 4):
+        sl = o.filter(
+            (F.col("o_orderkey") >= i * w) & (F.col("o_orderkey") < (i + 1) * w)
+        ).coalesce(1)
+        (versioned.write_version if i == 0 else versioned.append_version)(
+            sl, table
+        )
+    if len(versioned.versions(table)) == 4:
+        versioned.compact_version(
+            spark, table, sort_col="o_orderkey", target_files=2
+        )
+    if len(versioned.versions(table)) == 5:
+        versioned.append_version(
+            o.filter(F.col("o_orderkey") >= 4 * w).coalesce(1), table
+        )
+    return table
+
+
+@register(
+    "q_table_optimize_cdf",
+    oracle="""
+    WITH o AS (
+        SELECT o_orderkey,
+               CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        FROM orders
+    ), w AS (SELECT MAX(o_orderkey) // 5 + 1 AS w FROM o)
+    SELECT COUNT(*) AS n_rows,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents,
+           4 AS files_before_opt, 2 AS files_after_opt,
+           0 AS opt_data_change, CAST(0 AS BIGINT) AS cdc_rows_opt,
+           (SELECT COUNT(*) FROM o, w WHERE o_orderkey >= 4 * w.w)
+               AS cdc_inserts_after
+    FROM o
+    """,
+)
+def q_table_optimize_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE under a live change feed — Delta's dataChange=false
+    contract, hash-certified (round 11): compacting 4 slice files into
+    2 is a housekeeping commit, so the change feed across exactly that
+    version is EMPTY (cdc_rows_opt pins 0 — and the engine's fast path
+    reads zero data files to say so, the difference between a no-op
+    and reading a 100 TB table twice), streaming sources skip it
+    without tripping the append-only guard (pytest-pinned), a
+    subsequent append still feeds CDC normally (cdc_inserts_after =
+    the fifth slice's rows), and the visible row set is invariant
+    across the move (head count/sum == a from-scratch recompute of all
+    five slices). File counts pin that bytes really moved
+    (sources/versioned.py::compact_version, read_changes;
+    streaming/table_source.py::_plan_version_files).
+
+    Reference analog: none — kernel.cu holds state in device arrays;
+    this is lakehouse-surface completion."""
+    from meta_iterative_mapreduce_spark.sources import versioned
+
+    table = ensure_orders_optimize_cdf_table(spark, sf_dir)
+    m4 = versioned.manifest_info(table, 4)
+    m5 = versioned.manifest_info(table, 5)
+    cdc_opt = versioned.read_changes(
+        spark, table, 4, 5, "o_orderkey"
+    ).count()
+    cdc_after = (
+        versioned.read_changes(spark, table, 5, 6, "o_orderkey")
+        .filter(F.col("op") == "I")
+        .count()
+    )
+    return versioned.read_version(spark, table).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("cents").cast("bigint").alias("sum_cents"),
+        F.lit(len(m4["files"])).cast("int").alias("files_before_opt"),
+        F.lit(len(m5["files"])).cast("int").alias("files_after_opt"),
+        F.lit(0 if m5.get("data_change") is False else 1)
+        .cast("int")
+        .alias("opt_data_change"),
+        F.lit(cdc_opt).cast("bigint").alias("cdc_rows_opt"),
+        F.lit(cdc_after).cast("bigint").alias("cdc_inserts_after"),
+    )

@@ -64,6 +64,7 @@ WINDOW_PRIORITY: tuple[str, ...] = (
     "q_scan_avro",
     "q_scan_avro_resolved",
     "q_sink_avro_roundtrip",
+    "q_table_optimize_cdf",
     "q_table_partition_evolution",
     "q_table_reorg_purge",
     # the last 10 pre-r06 stamps (7 rows-only r05 sketches/clustering
@@ -80,9 +81,9 @@ WINDOW_PRIORITY: tuple[str, ...] = (
     "q_text_tokens",
     "q_unpivot",
     "q_window_ntile",
-    # 34 of the 50 r06-stamped queries (now the stalest cohort,
-    # alphabetical); the remaining 16 (except_all/intersect/unions,
-    # sorts, TPC-H shapes, windows) lead the r12 window
+    # 33 of the 50 r06-stamped queries (now the stalest cohort,
+    # alphabetical); the remaining 17 (set ops, sorts, TPC-H shapes,
+    # windows) lead the r12 window
     "q_events_dau_stickiness",
     "q_filter_comparison",
     "q_filter_in_between_like",
@@ -116,7 +117,6 @@ WINDOW_PRIORITY: tuple[str, ...] = (
     "q_scan_orc",
     "q_scan_parquet",
     "q_scan_projection_pushdown",
-    "q_set_except",
 )
 
 

@@ -58,6 +58,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -303,21 +304,225 @@ def _write_data_files(
 # hazards, so they are rejected at write time rather than pruned
 # wrongly at read time.
 _PARTITIONABLE_TYPES = {"byte", "short", "integer", "long", "string"}
+_INT_FAMILY = {"byte", "short", "integer", "long"}
+
+# ---------------------------------------------------------------------------
+# HIDDEN PARTITIONING (Iceberg partition TRANSFORMS): a partition_by
+# entry is either a bare column name (identity, the hive classic) or a
+# transform spec string in Iceberg's surface syntax —
+#     days(d)          date -> days since 1970-01-01        (int)
+#     month(d)         date -> months since 1970-01          (int)
+#     bucket(N, c)     int/string -> stable hash mod N       (int)
+#     truncate(W, c)   int -> floor to width W; string -> first W chars
+# The SOURCE column stays physically stored in every data file (unlike
+# identity partitioning, where the path carries the value); the
+# DERIVED value becomes a hive path segment under a reserved
+# `__p_<kind><param>_<physical>` name that is never part of the table
+# schema — readers drop it, so the layout is invisible to queries
+# ("hidden"). Pruning is what makes it matter: a predicate on the
+# SOURCE column maps into the partition domain (monotone transforms
+# map ranges with non-strict bounds; bucket maps equality/IN only) and
+# prunes against the manifest's exact per-file [v, v] derived stats —
+# the user never names the transform in a query, exactly Iceberg's
+# contract, and the 100 TB win is that a time-range scan of an
+# event-grain table opens only its days' files with ZERO directory
+# listing at plan time. days/month accept DATE sources only: a
+# timestamp's day boundary depends on the session timezone, and a
+# layout whose pruning flips with the reader's zone would be unsound
+# (Iceberg solves this by pinning UTC; we refuse instead — derive a
+# date column explicitly). bucket uses crc32 (zlib == Spark's crc32,
+# parity-tested) rather than Iceberg's murmur3 — same spec shape,
+# different hash, documented deviation (no murmur3 in either stdlib).
+# ---------------------------------------------------------------------------
+_TRANSFORM_RE = re.compile(
+    r"^\s*(days|month|bucket|truncate)\s*\(\s*"
+    r"(?:(\d+)\s*,\s*)?([A-Za-z_][A-Za-z0-9_]*)\s*\)\s*$"
+)
 
 
-def _partition_stats(
-    files: list[str], partition_by: list[str], schema: dict
+def _parse_pspec(entry: str) -> tuple[str, str, int | None]:
+    """'col' -> (identity, col, None); 'days(d)' / 'month(d)' /
+    'bucket(16, k)' / 'truncate(4, s)' -> (kind, source, param)."""
+    m = _TRANSFORM_RE.match(entry)
+    if not m:
+        return ("identity", entry, None)
+    kind, param, source = m.groups()
+    if kind in ("bucket", "truncate"):
+        if param is None:
+            raise ValueError(
+                f"{kind}(N, col) needs a positive integer parameter: "
+                f"{entry!r}"
+            )
+        n = int(param)
+        if n <= 0:
+            raise ValueError(f"{kind} parameter must be positive: {entry!r}")
+        return (kind, source, n)
+    if param is not None:
+        raise ValueError(f"{kind}(col) takes no parameter: {entry!r}")
+    return (kind, source, None)
+
+
+def _validate_pspec(entry: str, types: dict[str, str]) -> None:
+    kind, src, _param = _parse_pspec(entry)
+    if src not in types:
+        raise ValueError(f"partition column {src!r} not in schema")
+    t = types[src]
+    if kind == "identity":
+        if t not in _PARTITIONABLE_TYPES:
+            raise ValueError(
+                f"partition column {src!r} has type {t!r}; "
+                f"supported: {sorted(_PARTITIONABLE_TYPES)} — for date "
+                "columns use the days()/month() transforms"
+            )
+    elif kind in ("days", "month"):
+        if t != "date":
+            raise ValueError(
+                f"{kind}() needs a DATE source, got {t!r} for {src!r}; "
+                "a timestamp's day boundary is session-timezone-"
+                "dependent, which would make pruning unsound — derive "
+                "a date column explicitly"
+            )
+    else:  # bucket / truncate
+        if t not in _INT_FAMILY | {"string"}:
+            raise ValueError(
+                f"{kind}() needs an int-family or string source, "
+                f"got {t!r} for {src!r}"
+            )
+
+
+def _pspec_path_col(entry: str, phys_of: dict[str, str]) -> str:
+    """The hive path segment name a spec writes under. Identity = the
+    PHYSICAL source name (files are written post-_to_physical);
+    transforms get a reserved `__p_` name keyed by the physical source
+    so renames (metadata-only, physical names immutable) never
+    invalidate recorded partition stats."""
+    kind, src, param = _parse_pspec(entry)
+    phys = phys_of.get(src, src)
+    if kind == "identity":
+        return phys
+    return f"__p_{kind}{param if param is not None else ''}_{phys}"
+
+
+def _with_pspec_cols(
+    df: DataFrame,
+    pby: list[str],
+    phys_of: dict[str, str],
+    types: dict[str, str],
+) -> tuple[DataFrame, list[str]]:
+    """(df + derived partition-domain columns, path column list) for a
+    write. Identity entries pass through (the column is already in the
+    frame); transform entries append ONE codegen expression each —
+    no Python in the write path."""
+    out = df
+    path_cols: list[str] = []
+    for entry in pby:
+        kind, src, param = _parse_pspec(entry)
+        pc = _pspec_path_col(entry, phys_of)
+        path_cols.append(pc)
+        if kind == "identity":
+            continue
+        c = F.col(phys_of.get(src, src))
+        if kind == "days":
+            expr = F.datediff(c, F.lit("1970-01-01")).cast("int")
+        elif kind == "month":
+            expr = ((F.year(c) - 1970) * 12 + F.month(c) - 1).cast("int")
+        elif kind == "bucket":
+            h = (
+                c.cast("long")
+                if types.get(src) in _INT_FAMILY
+                else F.crc32(c.cast("binary"))
+            )
+            expr = F.pmod(h, F.lit(param)).cast("int")
+        else:  # truncate
+            expr = (
+                (c - F.pmod(c, F.lit(param))).cast("long")
+                if types.get(src) in _INT_FAMILY
+                else F.substring(c, 1, param)
+            )
+        out = out.withColumn(pc, expr)
+    return out, path_cols
+
+
+def _pspec_literal(kind: str, param: int | None, value):
+    """Python-side twin of _with_pspec_cols' expressions: map a
+    predicate literal into the partition domain at PLAN time. Must
+    agree exactly with the Spark expression for every value both can
+    see (pinned by tests); returns None when the literal's type can't
+    map — the caller keeps the files (pruning stays conservative)."""
+    import datetime
+    import zlib
+
+    if isinstance(value, bool):
+        return None
+    if kind in ("days", "month"):
+        if isinstance(value, datetime.datetime):
+            d = value.date()
+        elif isinstance(value, datetime.date):
+            d = value
+        elif isinstance(value, str):
+            try:
+                d = datetime.date.fromisoformat(value[:10])
+            except ValueError:
+                return None
+        else:
+            return None
+        if kind == "days":
+            return (d - datetime.date(1970, 1, 1)).days
+        return (d.year - 1970) * 12 + d.month - 1
+    if kind == "bucket":
+        if isinstance(value, int):
+            return value % param
+        if isinstance(value, str):
+            return (zlib.crc32(value.encode("utf-8")) & 0xFFFFFFFF) % param
+        return None
+    if kind == "truncate":
+        if isinstance(value, int):
+            return value - (value % param)
+        if isinstance(value, str):
+            return value[:param]
+    return None
+
+
+def _pspec_prune_op(kind: str, op: str) -> str | None:
+    """Map a source-column comparison into the partition domain.
+    Equality maps for every transform. Range ops map only through
+    MONOTONE transforms (days/month/truncate) and become NON-STRICT
+    (x < V  =>  t(x) <= t(V): the boundary partition may hold both
+    sides of V). bucket is not order-preserving: ranges keep all
+    files."""
+    if op in ("=", "=="):
+        return "="
+    if kind == "bucket":
+        return None
+    return {"<": "<=", "<=": "<=", ">": ">=", ">=": ">="}.get(op)
+
+
+def _pspec_stats(
+    files: list[str],
+    pby: list[str],
+    phys_of: dict[str, str],
+    types: dict[str, str],
 ) -> dict:
-    """Per-file [v, v] stats for partition columns parsed from the
-    hive `col=value` path segments — a partitioned file holds exactly
-    ONE value, so the range is exact and the ordinary file-skipping
+    """Per-file [v, v] stats for partition PATH columns parsed from the
+    hive `col=value` segments — a partitioned file holds exactly ONE
+    value, so the range is exact and the ordinary file-skipping
     machinery (plan_files/_file_may_match) prunes partitions with zero
-    new mechanism. Null partitions (__HIVE_DEFAULT_PARTITION__) record
-    no stats: comparison predicates are null-rejecting, but absence
-    keeps the file conservatively."""
+    new mechanism. Transform-derived values are ints except
+    truncate(string); null partitions (__HIVE_DEFAULT_PARTITION__)
+    record no stats: comparison predicates are null-rejecting, but
+    absence keeps the file conservatively."""
     from urllib.parse import unquote
 
-    types = {f["name"]: f["type"] for f in schema["fields"]}
+    int_valued: dict[str, bool] = {}
+    for entry in pby:
+        kind, src, _param = _parse_pspec(entry)
+        pc = _pspec_path_col(entry, phys_of)
+        if kind == "identity":
+            int_valued[pc] = types.get(src) in _INT_FAMILY
+        elif kind == "truncate" and types.get(src) == "string":
+            int_valued[pc] = False
+        else:
+            int_valued[pc] = True
     out: dict[str, dict[str, list]] = {}
     for rel in files:
         acc: dict[str, list] = {}
@@ -325,12 +530,12 @@ def _partition_stats(
             if "=" not in seg:
                 continue
             name, _, raw = seg.partition("=")
-            if name not in partition_by:
+            if name not in int_valued:
                 continue
             val = unquote(raw)
             if val == "__HIVE_DEFAULT_PARTITION__":
                 continue
-            if types.get(name) in ("byte", "short", "integer", "long"):
+            if int_valued[name]:
                 acc[name] = [int(val), int(val)]
             else:
                 acc[name] = [val, val]
@@ -826,6 +1031,43 @@ def plan_files(
                 if phys not in fblooms.get(f, {})  # no bloom: keep
                 or _bloom_may_contain(fblooms[f][phys], value)
             ]
+    # HIDDEN-PARTITIONING pruning: map each conjunct on a transform's
+    # SOURCE column into the partition domain and prune against the
+    # exact per-file derived stats — the caller predicates on the data
+    # column, never the layout (Iceberg's contract). Monotone
+    # transforms map ranges non-strictly; bucket maps =/IN only;
+    # unmappable literals keep every file (conservative).
+    pspecs = [
+        (_parse_pspec(e), _pspec_path_col(e, phys_of))
+        for e in m.get("partition_by", [])
+    ]
+    pspecs = [(s, pc) for s, pc in pspecs if s[0] != "identity"]
+    for col, op, value in conds:
+        for (kind, src, param), pc in pspecs:
+            if src != col:
+                continue
+            if op == "in":
+                mapped = [_pspec_literal(kind, param, v) for v in value]
+                if any(mv is None for mv in mapped):
+                    continue
+                kept = [
+                    f
+                    for f in kept
+                    if any(
+                        _file_may_match(fstats.get(f), pc, "=", mv)
+                        for mv in mapped
+                    )
+                ]
+                continue
+            op2 = _pspec_prune_op(kind, op)
+            v2 = _pspec_literal(kind, param, value)
+            if op2 is None or v2 is None:
+                continue
+            kept = [
+                f
+                for f in kept
+                if _file_may_match(fstats.get(f), pc, op2, v2)
+            ]
     return kept, len(files)
 
 
@@ -883,16 +1125,10 @@ def write_version(
     if cons:
         _check_constraints(df, cons, f"snapshot write to {table}")
     pby = [partition_by] if isinstance(partition_by, str) else partition_by
+    types = {f["name"]: f["type"] for f in schema["fields"]}
     if pby:
-        types = {f["name"]: f["type"] for f in schema["fields"]}
         for c in pby:
-            if c not in types:
-                raise ValueError(f"partition column {c!r} not in schema")
-            if types[c] not in _PARTITIONABLE_TYPES:
-                raise ValueError(
-                    f"partition column {c!r} has type {types[c]!r}; "
-                    f"supported: {sorted(_PARTITIONABLE_TYPES)}"
-                )
+            _validate_pspec(c, types)
     blooms = [bloom_cols] if isinstance(bloom_cols, str) else (bloom_cols or [])
     btypes = {f["name"]: f["type"] for f in schema["fields"]}
     for c in blooms:
@@ -904,10 +1140,14 @@ def write_version(
                 f"{sorted(_BLOOMABLE_TYPES)} canonicalize safely (a "
                 "float/decimal bloom can false-negative and drop rows)"
             )
-    files = _write_data_files(df, table, v, pby)
+    if pby:
+        dfw, path_cols = _with_pspec_cols(df, pby, {}, types)
+        files = _write_data_files(dfw, table, v, path_cols)
+    else:
+        files = _write_data_files(df, table, v, None)
     stats = _collect_file_stats(table, files)
     if pby:
-        pstats = _partition_stats(files, pby, schema)
+        pstats = _pspec_stats(files, pby, {}, types)
         stats = {
             f: {**stats.get(f, {}), **pstats.get(f, {})} for f in files
         }
@@ -987,10 +1227,11 @@ def append_version(df: DataFrame, table: str, max_retries: int = 10) -> int:
             checked = key_cons
         pby = list(prev.get("partition_by", []))
         phys_of = {mp["name"]: mp["physical"] for mp in mapping}
-        pby_phys = [phys_of.get(c, c) for c in pby]
+        types_l = {f["name"]: f["type"] for f in schema["fields"]}
+        path_cols = [_pspec_path_col(c, phys_of) for c in pby]
         key = (
             tuple(sorted((c, phys_of.get(c, c)) for c in df.columns)),
-            tuple(pby_phys),
+            tuple(path_cols),
         )
         if written is None or written_key != key:
             if written:  # stale layout: drop our own uncommitted files
@@ -998,9 +1239,10 @@ def append_version(df: DataFrame, table: str, max_retries: int = 10) -> int:
                     p = os.path.join(table, f)
                     if os.path.exists(p):
                         os.unlink(p)
-            written = _write_data_files(
-                _to_physical(df, mapping), table, v, pby_phys or None
+            dfw, _ = _with_pspec_cols(
+                _to_physical(df, mapping), pby, phys_of, types_l
             )
+            written = _write_data_files(dfw, table, v, path_cols or None)
             written_key = key
         carried = {
             f: s
@@ -1015,10 +1257,8 @@ def append_version(df: DataFrame, table: str, max_retries: int = 10) -> int:
             if f in set(prev["files"])
         }
         stats = _collect_file_stats(table, written)
-        if pby_phys:
-            pstats = _partition_stats(
-                written, pby_phys, _to_physical(df, mapping).schema.jsonValue()
-            )
+        if pby:
+            pstats = _pspec_stats(written, pby, phys_of, types_l)
             stats = {
                 f: {**stats.get(f, {}), **pstats.get(f, {})} for f in written
             }
@@ -1103,7 +1343,21 @@ def rename_column(
                 f"{cname!r} ({cexpr!r}); drop the constraint first"
             )
     v = vs[-1] + 1
-    pby = [new if c == old else c for c in prev.get("partition_by", [])]
+    # partition specs follow the rename — including transform sources
+    # ('days(old)' -> 'days(new)'). Path column names key on the
+    # PHYSICAL source, which a rename never changes, so every recorded
+    # partition stat stays valid.
+    def _pspec_renamed(entry: str) -> str:
+        kind, src, param = _parse_pspec(entry)
+        if src != old:
+            return entry
+        if kind == "identity":
+            return new
+        if param is not None:
+            return f"{kind}({param}, {new})"
+        return f"{kind}({new})"
+
+    pby = [_pspec_renamed(c) for c in prev.get("partition_by", [])]
     _commit(
         table,
         v,
@@ -1157,7 +1411,9 @@ def drop_column(spark: SparkSession, table: str, name: str) -> int:
         "type": "struct",
         "fields": [f for f in prev_schema["fields"] if f["name"] != name],
     }
-    if name in prev.get("partition_by", []):
+    if any(
+        _parse_pspec(c)[1] == name for c in prev.get("partition_by", [])
+    ):
         raise ValueError(
             f"cannot drop partition column {name!r}; rewrite the table "
             "unpartitioned (write_version) first"
@@ -2503,6 +2759,23 @@ def read_changes(
     files_from, files_to = set(m_from["files"]), set(m_to["files"])
     removed = [f for f in m_from["files"] if f not in files_to]
     added = [f for f in m_to["files"] if f not in files_from]
+    # dataChange=false fast path: when EVERY version in the window is
+    # housekeeping (OPTIMIZE / REORG PURGE — bytes moved, visible rows
+    # identical by construction), the change feed is empty. Short-
+    # circuit the file deltas to [] so the generic machinery below
+    # yields an empty frame with the right schema and ZERO data-file
+    # reads — the generic key-diff would be row-correct here too
+    # (identical rows cancel in the full-outer join) but at the cost
+    # of reading every rewritten byte, which for a full-table OPTIMIZE
+    # is the whole table twice. MIXED windows (a compaction between
+    # two DMLs) fall through to the generic diff, which stays correct
+    # because it diffs ROWS, not files.
+    window = list(range(v_from + 1, v_to + 1))
+    housekeeping_only = all(w in vs for w in window) and all(
+        manifest_info(table, w).get("data_change") is False for w in window
+    )
+    if housekeeping_only:
+        removed, added = [], []
     old = _read_files_logical(spark, table, m_from, removed)
     new = _read_files_logical(spark, table, m_to, added)
     # deletion-vector delta: rows deleted IN PLACE in carried files
@@ -2514,6 +2787,12 @@ def read_changes(
     dv_delta = [
         f for f in m_to.get("dv_files", []) if f not in dv_before
     ]
+    if housekeeping_only:
+        # REORG PURGE retires DV objects while hiding no new row and
+        # resurrecting none (the masks were applied into the rewrite);
+        # without this guard the dv_removed branch below would emit
+        # the purged rows as spurious inserts.
+        dv_delta = []
     if dv_delta:
         dvd = _dv_table(spark, table, dv_delta).select(
             F.col("file").alias("__dv_file"),
@@ -2546,9 +2825,11 @@ def read_changes(
     # rows; _read_files_logical(m_to) applies v_to's remaining DVs, so
     # a position re-masked by a newer DV stays invisible.
     dv_after = set(m_to.get("dv_files", []))
-    dv_removed = [
-        f for f in m_from.get("dv_files", []) if f not in dv_after
-    ]
+    dv_removed = (
+        []
+        if housekeeping_only
+        else [f for f in m_from.get("dv_files", []) if f not in dv_after]
+    )
     if dv_removed:
         dvr = _dv_table(spark, table, dv_removed).select(
             F.col("file").alias("__dv_file"),
@@ -2644,9 +2925,11 @@ def versioned_batch_sink(table: str):
             _check_constraints(batch_df, cons, f"stream batch {batch_id}")
         pby = list(prev.get("partition_by", [])) if vs else []
         phys_of = {mp["name"]: mp["physical"] for mp in mapping}
-        pby_phys = [phys_of.get(c, c) for c in pby]
-        phys_df = _to_physical(batch_df, mapping)
-        files = _write_data_files(phys_df, table, v, pby_phys or None)
+        types_l = {f["name"]: f["type"] for f in schema["fields"]}
+        phys_df, path_cols = _with_pspec_cols(
+            _to_physical(batch_df, mapping), pby, phys_of, types_l
+        )
+        files = _write_data_files(phys_df, table, v, path_cols or None)
         carried = (
             {
                 f: s
@@ -2657,10 +2940,8 @@ def versioned_batch_sink(table: str):
             else {}
         )
         stats = _collect_file_stats(table, files)
-        if pby_phys:
-            pstats = _partition_stats(
-                files, pby_phys, phys_df.schema.jsonValue()
-            )
+        if pby:
+            pstats = _pspec_stats(files, pby, phys_of, types_l)
             stats = {
                 f: {**stats.get(f, {}), **pstats.get(f, {})} for f in files
             }
@@ -2727,11 +3008,9 @@ def set_partitioning(
         )
     pby = list(partition_by or [])
     names = [f["name"] for f in m["schema"]["fields"]]
-    bad = [c for c in pby if c not in names]
-    if bad:
-        raise ValueError(
-            f"partition columns {bad} do not exist (have {names})"
-        )
+    types = {f["name"]: f["type"] for f in m["schema"]["fields"]}
+    for c in pby:  # identity entries AND transform specs (days/bucket/…)
+        _validate_pspec(c, types)
     if len(pby) >= len(names):
         raise ValueError("cannot partition by every column")
     if pby == list(m.get("partition_by", [])):
@@ -2821,8 +3100,18 @@ def reorg_purge(
     # masks; the rewrite materializes the survivors and _dv_prune
     # retires the purged files' DVs from the manifest in one commit
     survivors = _read_files_logical(spark, table, m, picked)
+    # dataChange=false: applying masks that already hid the rows leaves
+    # the visible row set identical — housekeeping, not DML. Streams
+    # and CDC skip the commit (it removes both data files and DV
+    # objects, which would otherwise trip BOTH append-only guards).
     return _commit_rewrite(
-        spark, table, m, picked, survivors, operation="REORG PURGE"
+        spark,
+        table,
+        m,
+        picked,
+        survivors,
+        operation="REORG PURGE",
+        data_change=False,
     )
 
 
@@ -2892,7 +3181,19 @@ def compact_version(
     else:
         df = df.coalesce(target_files)
     return _commit_rewrite(
-        spark, table, m, list(m["files"]), df, operation="OPTIMIZE"
+        spark,
+        table,
+        m,
+        list(m["files"]),
+        df,
+        operation="OPTIMIZE",
+        # Delta's dataChange=false: this commit moves bytes, never
+        # visible rows. Streaming sources and the CDC readers skip it
+        # outright instead of raising append-only errors (stream) or
+        # key-diffing the whole rewritten table (CDC) — the difference
+        # between a no-op and a 100 TB read when OPTIMIZE runs under a
+        # live readStream.
+        data_change=False,
     )
 
 
@@ -2943,6 +3244,9 @@ def history(table: str) -> list[dict]:
                 "n_added": len(m.get("added", []) or []),
                 "n_removed": len(m.get("removed", []) or []),
                 "batch_id": m.get("batch_id"),
+                # Delta's dataChange flag: False = housekeeping commit
+                # (OPTIMIZE / REORG PURGE), skipped by streams and CDC
+                "data_change": m.get("data_change", True),
             }
         )
     return out

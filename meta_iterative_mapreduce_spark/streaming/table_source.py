@@ -10,10 +10,13 @@ zero source-side state.
 
 Contracts (mirroring Delta's readStream):
 - APPEND-ONLY by default: a version that removed files (copy-on-write
-  DML, compaction) or added deletion vectors fails the stream with a
-  clear error; option("ignoreChanges", "true") streams the added
-  files anyway (rewritten rows may re-emit — Delta's documented
-  ignoreChanges semantics).
+  DML) or added deletion vectors fails the stream with a clear error;
+  option("ignoreChanges", "true") streams the added files anyway
+  (rewritten rows may re-emit — Delta's documented ignoreChanges
+  semantics). Housekeeping commits marked data_change=False (OPTIMIZE,
+  REORG PURGE) are SKIPPED outright, exactly like Delta's
+  dataChange=false actions: compacting a table never breaks or
+  re-feeds a live readStream.
 - The declared schema is the table head's at stream start. PHYSICAL
   column names are immutable per column id (column mapping), so files
   from any version read correctly under the head mapping: later-added
@@ -70,6 +73,13 @@ def _plan_version_files(
     specs: list[dict] = []
     for v in range(v_from + 1, v_to + 1):
         m = manifest_info(table, v)
+        if m.get("data_change") is False:
+            # dataChange=false housekeeping (OPTIMIZE / REORG PURGE):
+            # bytes moved, visible rows identical. Delta streams skip
+            # these commits entirely — the rewritten files' rows were
+            # already emitted from the files they replaced, and the
+            # removed-file / DV-removal guards below must not fire.
+            continue
         prev_dv: list[str] = []
         if v - 1 in have:
             prev_dv = manifest_info(table, v - 1).get("dv_files", [])
@@ -141,8 +151,11 @@ def _plan_cdc_versions(
     inserts exactly like Delta's startingVersion=0) or ONE 'diff'
     partition holding the version's removed/added/DV-delta file lists,
     diffed executor-side by key. A diff partition's memory is O(that
-    version's delta) — the same I/O read_changes does; a full-table
-    compaction version is the worst case and is the documented reason
+    version's delta) — the same I/O read_changes does. Housekeeping
+    commits (data_change=False: OPTIMIZE / REORG PURGE) are skipped
+    outright, so the former worst case — key-diffing a full-table
+    compaction only to cancel every pair — never runs; the remaining
+    heavy case is a genuinely wide DML, the documented reason
     production CDC writers persist change files at commit instead."""
     if v_from >= v_to:
         return []
@@ -158,6 +171,11 @@ def _plan_cdc_versions(
     specs: list[dict] = []
     for v in range(v_from + 1, v_to + 1):
         m = manifest_info(table, v)
+        if m.get("data_change") is False:
+            # housekeeping commit: no CDC rows by construction (the
+            # generic diff partition would read the whole rewritten
+            # file set on both sides only to cancel every pair)
+            continue
         prev_m = manifest_info(table, v - 1) if v - 1 in have else None
         prev_dv = set(prev_m.get("dv_files", [])) if prev_m else set()
         dv_delta = [f for f in m.get("dv_files", []) if f not in prev_dv]

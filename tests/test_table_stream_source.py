@@ -359,3 +359,70 @@ def test_stream_cdc_duplicate_keys_match_batch_multiplicity(
     _run_cdc(spark, table, "k", staging, ckpt, until_version=2)
     got = sorted(map(tuple, spark.read.parquet(staging).collect()))
     assert got == want
+
+
+def test_stream_skips_optimize_commit_without_ignore_changes(
+    spark, tmp_path
+):
+    """OPTIMIZE between offsets is data_change=False housekeeping:
+    the stream neither raises (it removed files — the append-only
+    guard must not fire) nor re-emits the compacted rows; a subsequent
+    append arrives exactly once."""
+    table = str(tmp_path / "t")
+    df = spark.range(0, 40).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    V.write_version(df.filter("k < 20").repartition(4), table)
+    staging, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    _run(spark, table, staging, ckpt)
+    assert spark.read.parquet(staging).count() == 20
+    V.compact_version(spark, table, sort_col="k", target_files=1)
+    V.append_version(df.filter("k >= 20").coalesce(1), table)
+    _run(spark, table, staging, ckpt)  # no ignore_changes, no raise
+    got = spark.read.parquet(staging)
+    assert got.count() == 40
+    assert got.select("k").distinct().count() == 40  # zero re-emits
+
+
+def test_stream_skips_reorg_purge_despite_file_and_dv_removal(
+    spark, tmp_path
+):
+    """REORG PURGE removes a data file AND retires its DV — each alone
+    trips an append-only guard — but as housekeeping it streams as a
+    silent no-op."""
+    table = str(tmp_path / "t")
+    df = spark.range(0, 50).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    V.write_version(df.filter("k < 25").coalesce(1), table)
+    V.append_version(df.filter("k >= 25").coalesce(1), table)
+    V.delete_where(spark, table, "k < 13", mode="dv")
+    staging, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    # consume through the DV delete (needs ignore_changes)
+    _run(spark, table, staging, ckpt, ignore_changes=True)
+    n0 = spark.read.parquet(staging).count()
+    V.reorg_purge(spark, table, min_mask_ratio=0.25)
+    # strict mode over the purge-only range: skipped, not raised
+    _run(spark, table, staging, ckpt)
+    assert spark.read.parquet(staging).count() == n0
+
+
+def test_stream_cdc_skips_optimize_version(spark, tmp_path):
+    """The CDC stream emits zero rows for a data_change=False version
+    and its per-version feed still equals batch read_changes."""
+    table = str(tmp_path / "t")
+    df = spark.range(0, 40).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("v")
+    )
+    V.write_version(df, table)
+    V.compact_version(spark, table, sort_col="k", target_files=2)  # v2
+    V.delete_where(spark, table, "k % 10 = 3")  # v3
+    staging, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    _run_cdc(spark, table, "k", staging, ckpt, until_version=2)
+    got_v2 = spark.read.parquet(staging)
+    assert got_v2.count() == 40  # v1 snapshot inserts only, v2 silent
+    assert got_v2.filter("op <> 'I'").count() == 0
+    _run_cdc(spark, table, "k", staging, ckpt)
+    deletes = spark.read.parquet(staging).filter("op = 'D'")
+    assert {r["k"] for r in deletes.collect()} == {3, 13, 23, 33}
+    assert V.read_changes(spark, table, 1, 2, "k").count() == 0

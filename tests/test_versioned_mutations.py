@@ -1421,3 +1421,67 @@ def test_reorg_purge_threshold_and_manifest_only_planning(
     m3 = V.manifest_info(table, v3)
     assert m3.get("dv_files", []) == [] and not m3.get("dv_map")
     assert sorted(r["k"] for r in V.read_version(spark, table).collect()) == want
+
+
+def test_optimize_is_data_change_false_and_cdf_window_is_empty(
+    spark, tmp_path, monkeypatch
+):
+    """OPTIMIZE commits carry data_change=False (Delta's dataChange
+    flag): a change-feed window spanning ONLY housekeeping commits is
+    empty AND reads zero data files — the fast path short-circuits the
+    file deltas instead of key-diffing the whole rewritten table."""
+    table = _range_sliced_table(spark, tmp_path)
+    v_pre = V.versions(table)[-1]
+    v_opt = V.compact_version(spark, table, sort_col="k", target_files=2)
+    m = V.manifest_info(table, v_opt)
+    assert m["data_change"] is False
+    assert m["removed"] and m["added"]  # files really moved
+    hist = {h["version"]: h["data_change"] for h in V.history(table)}
+    assert hist[v_opt] is False and hist[v_pre] is True
+    # spy: the housekeeping window must not open any data file
+    calls = []
+    real = V._read_files_logical
+
+    def spy(spark_, table_, m_, files, **kw):
+        calls.append(list(files))
+        return real(spark_, table_, m_, files, **kw)
+
+    monkeypatch.setattr(V, "_read_files_logical", spy)
+    out = V.read_changes(spark, table, v_pre, v_opt, "k")
+    assert out.count() == 0
+    assert all(c == [] for c in calls)
+
+
+def test_read_changes_mixed_window_still_row_diffs(spark, tmp_path):
+    """A window mixing OPTIMIZE with a real DML falls through to the
+    generic key-diff and reports exactly the DML's changes — the
+    compaction's rewritten-but-identical rows cancel."""
+    table = _range_sliced_table(spark, tmp_path)
+    v1 = V.versions(table)[-1]
+    V.compact_version(spark, table, sort_col="k", target_files=2)
+    v3 = V.delete_where(spark, table, "k % 25 = 3")
+    got = {
+        (r["k"], r["op"])
+        for r in V.read_changes(spark, table, v1, v3, "k").collect()
+    }
+    assert got == {(3, "D"), (28, "D"), (53, "D"), (78, "D")}
+
+
+def test_reorg_purge_data_change_false_and_cdc_silent(spark, tmp_path):
+    """REORG PURGE removes both a data file and its DV — either alone
+    would be a CDC delta — yet as data_change=False housekeeping the
+    feed across it is empty and the DV-removal branch must NOT
+    resurrect the purged rows as inserts."""
+    table = _range_sliced_table(spark, tmp_path)
+    V.delete_where(spark, table, "k < 13", mode="dv")  # 13/25 of file 0
+    v_dv = V.versions(table)[-1]
+    v_purge = V.reorg_purge(spark, table, min_mask_ratio=0.25)
+    assert v_purge == v_dv + 1
+    m = V.manifest_info(table, v_purge)
+    assert m["data_change"] is False and m["removed"]
+    out = V.read_changes(spark, table, v_dv, v_purge, "k")
+    assert out.count() == 0
+    # and the full window still reports exactly the DV delete itself
+    full = V.read_changes(spark, table, v_dv - 1, v_purge, "k")
+    assert {r["k"] for r in full.collect()} == set(range(13))
+    assert {r["op"] for r in full.collect()} == {"D"}
