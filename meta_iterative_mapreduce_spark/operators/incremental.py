@@ -2246,3 +2246,120 @@ def q_table_optimize_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(cdc_opt).cast("bigint").alias("cdc_rows_opt"),
         F.lit(cdc_after).cast("bigint").alias("cdc_inserts_after"),
     )
+
+
+def ensure_orders_hidden_part_table(spark: SparkSession, sf_dir: str) -> str:
+    """orders (o_orderkey, o_custkey, o_orderdate, cents) laid out by
+    HIDDEN partition transforms: month(o_orderdate) x
+    bucket(8, o_custkey) — the Iceberg event-table shape where queries
+    predicate on the raw date/customer columns and never name the
+    layout. Idempotent, fingerprint-keyed."""
+    from meta_iterative_mapreduce_spark.sources import versioned
+
+    table = _versioned_fixture_path(sf_dir, "orders_hidden_part", "orders")
+    if len(versioned.versions(table)) == 0:
+        o = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey",
+            "o_custkey",
+            # parquet carries timestamp_ntz; month() takes DATE only
+            # (ntz -> date is timezone-independent, so this cast is)
+            F.col("o_orderdate").cast("date").alias("o_orderdate"),
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("cents"),
+        )
+        versioned.write_version(
+            o,
+            table,
+            partition_by=["month(o_orderdate)", "bucket(8, o_custkey)"],
+        )
+    return table
+
+
+@register(
+    "q_table_hidden_partitioning",
+    oracle="""
+    WITH o AS (
+        SELECT o_orderkey, o_custkey, o_orderdate,
+               CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        FROM orders
+    ),
+    q AS (
+        SELECT COUNT(*) AS n_rows_q, CAST(SUM(cents) AS BIGINT) AS sum_cents_q
+        FROM o
+        WHERE o_orderdate >= DATE '1995-03-01'
+          AND o_orderdate < DATE '1995-06-01'
+    ),
+    c AS (
+        SELECT COUNT(*) AS n_rows_cust,
+               COALESCE(CAST(SUM(cents) AS BIGINT), 0) AS sum_cents_cust
+        FROM o WHERE o_custkey = 7
+    )
+    SELECT q.n_rows_q, q.sum_cents_q, TRUE AS month_pruned,
+           c.n_rows_cust, c.sum_cents_cust, TRUE AS cust_pruned
+    FROM q, c
+    """,
+)
+def q_table_hidden_partitioning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HIDDEN PARTITIONING (Iceberg partition transforms, round 11),
+    hash-certified: the table is laid out by month(o_orderdate) x
+    bucket(8, o_custkey) but BOTH probes predicate only on the source
+    columns — a quarter date-range scan prunes to its months' files
+    (monotone transform, non-strict bounds) and a customer point
+    lookup prunes to one bucket stripe, each flag pinning that
+    plan_files really kept fewer files than the snapshot. Values are
+    exact vs a from-scratch recompute; the residual filter after the
+    non-strict prune is applied like any engine applies partition
+    filters. At 100 TB this is THE event-table layout: time-range
+    scans open only their months, entity lookups only their bucket,
+    with zero directory listing at plan time
+    (sources/versioned.py::_parse_pspec and plan_files).
+
+    Reference analog: none (kernel.cu has no storage layout);
+    lakehouse-surface completion."""
+    from meta_iterative_mapreduce_spark.sources import versioned
+
+    table = ensure_orders_hidden_part_table(spark, sf_dir)
+    kept_m, total = versioned.plan_files(
+        table,
+        where=[
+            ("o_orderdate", ">=", "1995-03-01"),
+            ("o_orderdate", "<", "1995-06-01"),
+        ],
+    )
+    kept_c, _ = versioned.plan_files(table, where=("o_custkey", "=", 7))
+    q = (
+        versioned.read_version(
+            spark,
+            table,
+            where=[
+                ("o_orderdate", ">=", "1995-03-01"),
+                ("o_orderdate", "<", "1995-06-01"),
+            ],
+        )
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1995-03-01"))
+            & (F.col("o_orderdate") < F.lit("1995-06-01"))
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_rows_q"),
+            F.sum("cents").cast("bigint").alias("sum_cents_q"),
+        )
+    )
+    c = (
+        versioned.read_version(spark, table, where=("o_custkey", "=", 7))
+        .filter(F.col("o_custkey") == 7)
+        .agg(
+            F.count(F.lit(1)).alias("n_rows_cust"),
+            F.coalesce(F.sum("cents").cast("bigint"), F.lit(0).cast("bigint"))
+            .alias("sum_cents_cust"),
+        )
+    )
+    return q.crossJoin(c).select(
+        "n_rows_q",
+        "sum_cents_q",
+        F.lit(len(kept_m) < total).alias("month_pruned"),
+        "n_rows_cust",
+        "sum_cents_cust",
+        F.lit(len(kept_c) < total).alias("cust_pruned"),
+    )

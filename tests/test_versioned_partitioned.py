@@ -585,7 +585,7 @@ def test_partition_spec_evolution_mixed_layouts(spark, tmp_path):
         t
     ).get("partition_by")
     # guards
-    with _pytest.raises(ValueError, match="do not exist"):
+    with _pytest.raises(ValueError, match="not in schema"):
         V.set_partitioning(spark, t, ["nope"])
 
 
