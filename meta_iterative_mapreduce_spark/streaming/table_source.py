@@ -17,6 +17,12 @@ Contracts (mirroring Delta's readStream):
   REORG PURGE) are SKIPPED outright, exactly like Delta's
   dataChange=false actions: compacting a table never breaks or
   re-feeds a live readStream.
+- option("maxFilesPerTrigger", N) is Delta's admission control: each
+  micro-batch admits at most N added files, splitting wide versions at
+  FILE granularity via {"version", "index"} offsets. The first batch
+  of a run is unbounded (the Python DataSource API calls latestOffset
+  before the reader can learn its start position — no
+  SupportsAdmissionControl); every batch after it is capped.
 - The declared schema is the table head's at stream start. PHYSICAL
   column names are immutable per column id (column mapping), so files
   from any version read correctly under the head mapping: later-added
@@ -49,29 +55,50 @@ from meta_iterative_mapreduce_spark.sources.versioned import (
 _INT_TYPES = {"byte", "short", "integer", "long"}
 
 
+def _off_pos(off: dict) -> tuple[int, float]:
+    """An offset as a comparable (version, files-consumed) position.
+    `{"version": v}` (the legacy/boundary form) means v FULLY consumed
+    — greater than any partial `{"version": v, "index": i}` of the
+    same version."""
+    if "index" in off:
+        return (off["version"], off["index"])
+    return (off["version"], float("inf"))
+
+
 def _plan_version_files(
     table: str,
-    v_from: int,
-    v_to: int,
+    v_from: int | dict,
+    v_to: int | dict,
     ignore_changes: bool,
     fields: list[tuple],
 ) -> list[dict]:
     """Driver-side batch planning: the per-file read specs for every
-    version in (v_from, v_to], projecting each file to `fields` — the
-    (logical, physical, type) triples of the STREAM's declared schema,
-    fixed at stream start. Raises on vacuumed gaps and (unless
-    ignore_changes) on non-append versions."""
-    if v_from >= v_to:  # engine replay of an empty/committed range
+    ADDED file strictly after offset `v_from` up to and including
+    offset `v_to`, projecting each file to `fields` — the (logical,
+    physical, type) triples of the STREAM's declared schema, fixed at
+    stream start. Offsets are ints (whole versions, the legacy form)
+    or `{"version", "index"}` dicts at FILE granularity — how
+    maxFilesPerTrigger splits a wide version across micro-batches.
+    Raises on vacuumed gaps and (unless ignore_changes) on non-append
+    versions."""
+    start = {"version": v_from} if isinstance(v_from, int) else v_from
+    end = {"version": v_to} if isinstance(v_to, int) else v_to
+    if _off_pos(start) >= _off_pos(end):  # replay of a committed range
         return []
+    sv, si = start["version"], start.get("index")
+    ev, ei = end["version"], end.get("index")
+    # a partial start means version sv is ENTERED but not finished:
+    # planning resumes inside it; a boundary start resumes at sv+1
+    first_v = sv if si is not None else sv + 1
     have = set(versions(table))
-    missing = [v for v in range(v_from + 1, v_to + 1) if v not in have]
+    missing = [v for v in range(first_v, ev + 1) if v not in have]
     if missing:
         raise ValueError(
             f"versions {missing} of {table!r} were vacuumed past this "
             "stream's replay horizon; restart from a fresh checkpoint"
         )
     specs: list[dict] = []
-    for v in range(v_from + 1, v_to + 1):
+    for v in range(first_v, ev + 1):
         m = manifest_info(table, v)
         if m.get("data_change") is False:
             # dataChange=false housekeeping (OPTIMIZE / REORG PURGE):
@@ -99,7 +126,9 @@ def _plan_version_files(
                 "(rewritten rows may re-emit, per Delta semantics)"
             )
         added = _added_of(m, v, table, have)
-        for rel in added:
+        lo = si if (v == sv and si is not None) else 0
+        hi = ei if (v == ev and ei is not None) else len(added)
+        for rel in added[lo:hi]:
             part_vals: dict[str, object] = {}
             for seg in rel.split(os.sep):
                 if "=" not in seg:
@@ -432,6 +461,28 @@ def make_versioned_table_source():
             until = options.get("untilversion")
             self.until = int(until) if until is not None else None
             self.cdc_key = options.get("cdckey")
+            mft = options.get("maxfilespertrigger")
+            self.max_files = int(mft) if mft is not None else None
+            if self.max_files is not None and self.max_files <= 0:
+                raise ValueError("maxFilesPerTrigger must be positive")
+            if self.max_files is not None and self.cdc_key is not None:
+                raise ValueError(
+                    "maxFilesPerTrigger is not supported in CDC mode: a "
+                    "DML version's diff is atomic (old and new sides "
+                    "must be keyed together) and cannot split mid-batch"
+                )
+            # Admission-control cursor (Delta's maxFilesPerTrigger; the
+            # Python DataSource API has no SupportsAdmissionControl, so
+            # the reader tracks its own position): kept in sync by
+            # initialOffset, partitions, commit, and each latestOffset.
+            # CONTRACT CAVEAT, pinned by tests: Spark calls the FIRST
+            # latestOffset of a run before initialOffset/partitions
+            # (observed engine order), so the first micro-batch of any
+            # run — fresh or restarted — is unbounded; every subsequent
+            # batch is capped. Returning a guessed-low offset instead
+            # would regress the WAL on restarts and double-read, so the
+            # one catch-up batch is the sound side of the trade.
+            self._cursor: dict | None = None
             # (logical, physical, type) per TABLE field, FIXED at
             # stream start: physical names are immutable per column id,
             # so this projection is valid for files of every version.
@@ -457,6 +508,7 @@ def make_versioned_table_source():
                 ]
 
         def initialOffset(self) -> dict:
+            self._cursor = {"version": 0}
             return {"version": 0}
 
         def latestOffset(self) -> dict:
@@ -464,9 +516,45 @@ def make_versioned_table_source():
             head = vs[-1] if vs else 0
             if self.until is not None:
                 head = min(head, self.until)
-            return {"version": head}
+            if self.max_files is None:
+                return {"version": head}
+            if self._cursor is None:
+                # restart at a committed boundary: position unknown
+                # until partitions()/commit() — one unbounded batch
+                self._cursor = {"version": head}
+                return {"version": head}
+            cv, ci = self._cursor["version"], self._cursor.get("index")
+            budget = self.max_files
+            have = set(versions(self.table))
+            end = dict(self._cursor)
+            v = cv if ci is not None else cv + 1
+            while v <= head and budget > 0:
+                if v not in have:
+                    break  # vacuumed gap: partitions() raises clearly
+                m = manifest_info(self.table, v)
+                if m.get("data_change") is False:
+                    end = {"version": v}
+                    v += 1
+                    continue
+                added = _added_of(m, v, self.table, have)
+                lo = ci if (v == cv and ci is not None) else 0
+                remaining = len(added) - lo
+                if remaining <= budget:
+                    budget -= remaining
+                    end = {"version": v}
+                    v += 1
+                else:
+                    end = {"version": v, "index": lo + budget}
+                    budget = 0
+            if _off_pos(end) > _off_pos(self._cursor):
+                self._cursor = dict(end)
+            return end
 
         def partitions(self, start: dict, end: dict):
+            if self._cursor is None or _off_pos(end) > _off_pos(
+                self._cursor
+            ):
+                self._cursor = dict(end)  # restart with a pending batch
             if self.cdc_key is not None:
                 specs = _plan_cdc_versions(
                     self.table,
@@ -478,8 +566,8 @@ def make_versioned_table_source():
             else:
                 specs = _plan_version_files(
                     self.table,
-                    start["version"],
-                    end["version"],
+                    start,
+                    end,
                     self.ignore_changes,
                     self.fields,
                 )
@@ -497,7 +585,12 @@ def make_versioned_table_source():
             return _read_spec(partition.value)
 
         def commit(self, end: dict) -> None:
-            pass  # offsets live in Spark's checkpoint, nothing to GC
+            # offsets live in Spark's checkpoint; just sync the
+            # admission-control cursor
+            if self._cursor is None or _off_pos(end) > _off_pos(
+                self._cursor
+            ):
+                self._cursor = dict(end)
 
     class VersionedTableSource(DataSource):
         @classmethod
@@ -570,12 +663,17 @@ def stream_changes(
     table: str,
     ignore_changes: bool = False,
     until_version: int | None = None,
+    max_files_per_trigger: int | None = None,
 ) -> DataFrame:
     """readStream over a versioned table: an unbounded DataFrame whose
     micro-batches are the rows APPENDED by each committed version
     range past the checkpointed offset (the extract side of streaming
     CDC; `until_version` caps the offset for deterministic tests /
-    catch-up-to-here runs)."""
+    catch-up-to-here runs). `max_files_per_trigger` is Delta's
+    admission control: each micro-batch admits at most that many added
+    files, splitting a wide version across batches at FILE granularity
+    ({"version", "index"} offsets) — how a backfill of a 100 TB table
+    arrives as bounded batches instead of one cluster-sized gulp."""
     register_stream_source(spark)
     r = (
         spark.readStream.format("mimr_versioned_table")
@@ -584,6 +682,8 @@ def stream_changes(
     )
     if until_version is not None:
         r = r.option("untilversion", until_version)
+    if max_files_per_trigger is not None:
+        r = r.option("maxfilespertrigger", max_files_per_trigger)
     return r.load()
 
 

@@ -426,3 +426,138 @@ def test_stream_cdc_skips_optimize_version(spark, tmp_path):
     deletes = spark.read.parquet(staging).filter("op = 'D'")
     assert {r["k"] for r in deletes.collect()} == {3, 13, 23, 33}
     assert V.read_changes(spark, table, 1, 2, "k").count() == 0
+
+
+def _direct_reader(table, **opts):
+    """The stream reader instantiated OUTSIDE Spark — unit-testing the
+    admission-control walk and offset arithmetic directly."""
+    from meta_iterative_mapreduce_spark.streaming.table_source import (
+        make_versioned_table_source,
+    )
+
+    cls = make_versioned_table_source()
+    src = cls(options={"path": table, **{k.lower(): str(v) for k, v in opts.items()}})
+    return src.streamReader(src.schema())
+
+
+def test_max_files_per_trigger_offset_walk(spark, tmp_path):
+    """initialOffset -> repeated latestOffset yields file-granular
+    capped offsets: wide versions split at {"version", "index"},
+    boundaries use the legacy {"version"} form, data_change=False
+    versions cost no budget, and the planner slices added-file lists
+    exactly per offset pair."""
+    from meta_iterative_mapreduce_spark.streaming.table_source import (
+        _plan_version_files,
+    )
+
+    table = str(tmp_path / "t")
+    df = spark.range(0, 100).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    V.write_version(df.filter("k < 60").repartition(6), table)  # v1: 6 files
+    V.append_version(df.filter("k >= 60").repartition(4), table)  # v2: 4
+    V.compact_version(spark, table, sort_col="k", target_files=2)  # v3: dc=F
+    V.append_version(
+        spark.createDataFrame([(200, 400)], "k long, v long").coalesce(1),
+        table,
+    )  # v4: 1 file
+    r = _direct_reader(table, maxFilesPerTrigger=4)
+    assert r.initialOffset() == {"version": 0}
+    offs = [r.latestOffset() for _ in range(5)]
+    assert offs[0] == {"version": 1, "index": 4}
+    assert offs[1] == {"version": 2, "index": 2}  # 2 left of v1 + 2 of v2
+    fields = r.fields
+    # walk must cover every added file exactly once across the offsets
+    seen = []
+    prev = {"version": 0}
+    for off in offs:
+        if off == prev:
+            break
+        seen += [
+            s["path"] for s in _plan_version_files(table, prev, off, False, fields)
+        ]
+        prev = off
+    m1 = V.manifest_info(table, 1)
+    m2 = V.manifest_info(table, 2)
+    m4 = V.manifest_info(table, 4)
+    import os as _os
+
+    want = [
+        _os.path.join(table, f)
+        for f in (m1["added"] + m2["added"] + m4["added"])
+    ]
+    assert seen == want  # v3 (dataChange=False) contributes nothing
+    assert len(seen) == len(set(seen)) == 11
+    # batch sizes: first 4, then 4 (2 left of v1 + 2 of v2), then 2+1
+    sizes = []
+    prev = {"version": 0}
+    for off in offs:
+        if off == prev:
+            break
+        sizes.append(
+            len(_plan_version_files(table, prev, off, False, fields))
+        )
+        prev = off
+    assert all(s <= 4 for s in sizes) and sum(sizes) == 11
+    # caught up: latestOffset is a fixed point
+    assert r.latestOffset() == r.latestOffset()
+
+
+def test_max_files_per_trigger_guards(spark, tmp_path):
+    table = str(tmp_path / "t")
+    V.write_version(
+        spark.range(0, 5).select(F.col("id").alias("k")), table
+    )
+    with pytest.raises(Exception, match="positive"):
+        _direct_reader(table, maxFilesPerTrigger=0)
+    with pytest.raises(Exception, match="CDC mode"):
+        _direct_reader(table, maxFilesPerTrigger=2, cdcKey="k")
+
+
+def test_max_files_per_trigger_paces_live_appends(spark, tmp_path):
+    """End-to-end: the first batch of a run is unbounded (documented
+    Python-API limitation), but appends consumed by an ALREADY-RUNNING
+    stream arrive in capped batches — and every row exactly once."""
+    import time
+
+    table = str(tmp_path / "t")
+    df = spark.range(0, 120).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    V.write_version(df.filter("k < 20").coalesce(1), table)
+    staging = str(tmp_path / "out")
+    batches = []
+
+    def sink(bdf, bid):
+        bdf.write.mode("append").parquet(staging)
+        batches.append(bdf.count())  # count AFTER the write is durable
+
+    from meta_iterative_mapreduce_spark.streaming.table_source import (
+        stream_changes,
+    )
+
+    q = (
+        stream_changes(spark, table, max_files_per_trigger=2)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="1 seconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 120
+        while not batches and time.time() < deadline:
+            time.sleep(0.5)
+        assert batches, "first batch never arrived"
+        V.append_version(df.filter("k >= 20").repartition(5), table)
+        while sum(batches) < 120 and time.time() < deadline:
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    assert sum(batches) == 120
+    got = spark.read.parquet(staging)
+    assert got.count() == 120 and got.select("k").distinct().count() == 120
+    # the 5-file append arrived in >= 3 batches (cap 2 files/trigger):
+    # batches after the first never exceed 2 files' worth of rows
+    post = [b for b in batches[1:] if b > 0]
+    assert len(post) >= 3
+    assert max(post) <= 40  # 5 files x 100 rows / 5 = 20 rows/file -> <= 40
