@@ -3121,24 +3121,42 @@ def compact_version(
     sort_col: str | None = None,
     target_files: int = 8,
     zorder_cols: tuple[str, str] | None = None,
+    where=None,
 ) -> int:
-    """OPTIMIZE analog: rewrite the latest version's data as
-    `target_files` files, range-clustered on `sort_col` when given
-    (repartitionByRange + intra-file sort), and commit the result as a
-    new version — small-file compaction and stats-friendly clustering
-    in one log-structured commit. After compacting on a column, the
+    """OPTIMIZE analog: rewrite data as `target_files` files,
+    range-clustered on `sort_col` when given (repartitionByRange +
+    intra-file sort), and commit the result as a new version —
+    small-file compaction and stats-friendly clustering in one
+    log-structured commit. After compacting on a column, the
     manifest's per-file min/max ranges for it are near-disjoint, so
     `read_version(where=...)` skipping actually bites (the
     `q_zorder_layout` composition at the file level). Old versions
     still time-travel to the pre-compaction layout; vacuum reclaims
-    it. Returns the new version."""
+    it. Returns the new version.
+
+    `where` (Delta's OPTIMIZE ... WHERE): one `(col, op, literal)`
+    conjunct or an ANDed list SCOPING the rewrite to the files the
+    predicate may touch, selected by plan_files' manifest math —
+    partition values, footer stats, and hidden-partitioning transform
+    domains all apply, zero data read to choose. Untouched files carry
+    by reference. At 100 TB this is the only sane maintenance shape:
+    compact yesterday's partition, never rewrite the table. NOTE the
+    selection is file-granular and conservative-in: every file the
+    predicate MAY match is rewritten whole (rows outside the predicate
+    in a selected file are carried into the new files, never dropped).
+    A no-op selection (or a single already-compact file when
+    target_files >= its count) still commits a version, like Delta."""
     m = manifest_info(table)
     if "schema" not in m:
         raise ValueError(
             "compact_version needs a schema-tracking manifest; "
             "rewrite the table with write_version first"
         )
-    df = _read_files_logical(spark, table, m, m["files"])
+    if where is not None:
+        picked, _total = plan_files(table, where=where)
+    else:
+        picked = list(m["files"])
+    df = _read_files_logical(spark, table, m, picked)
     if zorder_cols is not None:
         # OPTIMIZE ZORDER BY (x, y): equi-width-bucket each dimension
         # to 8 bits from its [min, max] (one 1-row agg — approximate
@@ -3184,7 +3202,7 @@ def compact_version(
         spark,
         table,
         m,
-        list(m["files"]),
+        picked,
         df,
         operation="OPTIMIZE",
         # Delta's dataChange=false: this commit moves bytes, never

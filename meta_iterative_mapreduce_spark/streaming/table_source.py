@@ -460,6 +460,13 @@ def make_versioned_table_source():
             )
             until = options.get("untilversion")
             self.until = int(until) if until is not None else None
+            sv = options.get("startingversion")
+            # Delta's startingVersion: begin the stream AT version sv
+            # (inclusive) instead of replaying the v1 snapshot —
+            # "changes from here on", the catch-up-less subscription.
+            self.starting = int(sv) if sv is not None else None
+            if self.starting is not None and self.starting < 1:
+                raise ValueError("startingVersion must be >= 1")
             self.cdc_key = options.get("cdckey")
             mft = options.get("maxfilespertrigger")
             self.max_files = int(mft) if mft is not None else None
@@ -508,8 +515,11 @@ def make_versioned_table_source():
                 ]
 
         def initialOffset(self) -> dict:
-            self._cursor = {"version": 0}
-            return {"version": 0}
+            # offset = "consumed THROUGH version v", so starting AT
+            # version sv (inclusive) is offset sv-1
+            first = {"version": (self.starting or 1) - 1}
+            self._cursor = dict(first)
+            return first
 
         def latestOffset(self) -> dict:
             vs = versions(self.table)
@@ -664,6 +674,7 @@ def stream_changes(
     ignore_changes: bool = False,
     until_version: int | None = None,
     max_files_per_trigger: int | None = None,
+    starting_version: int | None = None,
 ) -> DataFrame:
     """readStream over a versioned table: an unbounded DataFrame whose
     micro-batches are the rows APPENDED by each committed version
@@ -684,6 +695,8 @@ def stream_changes(
         r = r.option("untilversion", until_version)
     if max_files_per_trigger is not None:
         r = r.option("maxfilespertrigger", max_files_per_trigger)
+    if starting_version is not None:
+        r = r.option("startingversion", starting_version)
     return r.load()
 
 
@@ -692,6 +705,7 @@ def stream_cdc(
     table: str,
     key: str,
     until_version: int | None = None,
+    starting_version: int | None = None,
 ) -> DataFrame:
     """readStream of the table's CHANGE FEED (Delta's readChangeFeed):
     micro-batches of (key, op, old_*, new_*) rows per committed
@@ -713,6 +727,8 @@ def stream_cdc(
     )
     if until_version is not None:
         r = r.option("untilversion", until_version)
+    if starting_version is not None:
+        r = r.option("startingversion", starting_version)
     return r.load()
 
 

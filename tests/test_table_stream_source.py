@@ -561,3 +561,49 @@ def test_max_files_per_trigger_paces_live_appends(spark, tmp_path):
     post = [b for b in batches[1:] if b > 0]
     assert len(post) >= 3
     assert max(post) <= 40  # 5 files x 100 rows / 5 = 20 rows/file -> <= 40
+
+
+def test_starting_version_skips_snapshot(spark, tmp_path):
+    """option('startingVersion', v): the stream subscribes from
+    version v (inclusive) without replaying the snapshot — and the
+    CDC flavor likewise begins its feed there."""
+    from meta_iterative_mapreduce_spark.streaming.table_source import (
+        stream_cdc,
+    )
+
+    table = str(tmp_path / "t")
+    df = spark.range(0, 60).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    V.write_version(df.filter("k < 40"), table)          # v1 snapshot
+    V.append_version(df.filter("k >= 40 AND k < 50"), table)  # v2
+    V.append_version(df.filter("k >= 50"), table)        # v3
+    staging, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    _run(spark, table, staging, ckpt, starting_version=2)
+    got = spark.read.parquet(staging)
+    assert got.count() == 20
+    assert got.agg(F.min("k")).collect()[0][0] == 40
+    # CDC: same subscription point, rows arrive as inserts from v2 on
+    staging2, ckpt2 = str(tmp_path / "out2"), str(tmp_path / "ck2")
+    n = {"b": 0}
+
+    def sink(bdf, bid):
+        bdf.write.mode("append").parquet(staging2)
+        n["b"] += 1
+
+    q = (
+        stream_cdc(spark, table, "k", starting_version=3)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt2)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    cdc = spark.read.parquet(staging2)
+    assert cdc.count() == 10 and cdc.filter("op <> 'I'").count() == 0
+    assert cdc.agg(F.min("k")).collect()[0][0] == 50
+    # guard
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="startingVersion"):
+        _direct_reader(table, startingVersion=0)

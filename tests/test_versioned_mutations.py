@@ -1485,3 +1485,25 @@ def test_reorg_purge_data_change_false_and_cdc_silent(spark, tmp_path):
     full = V.read_changes(spark, table, v_dv - 1, v_purge, "k")
     assert {r["k"] for r in full.collect()} == set(range(13))
     assert {r["op"] for r in full.collect()} == {"D"}
+
+
+def test_optimize_where_scopes_rewrite_to_matching_files(spark, tmp_path):
+    """OPTIMIZE ... WHERE (partition-scoped maintenance): only files
+    the predicate may touch are rewritten; the rest carry by
+    reference; rows are invariant; the commit is still
+    data_change=False housekeeping."""
+    table = _range_sliced_table(spark, tmp_path)  # 4 files, k-ranges
+    before = V.manifest_info(table)["files"]
+    v = V.compact_version(
+        spark, table, sort_col="k", target_files=1, where=("k", "<", 50)
+    )
+    m = V.manifest_info(table, v)
+    assert set(m["removed"]) == set(before[:2])  # k<50 lives in 2 files
+    assert set(before[2:]).issubset(set(m["files"]))
+    assert len(m["added"]) == 1 and m["data_change"] is False
+    got = V.read_version(spark, table)
+    assert got.count() == 100
+    assert got.agg(F.sum("k")).collect()[0][0] == sum(range(100))
+    # skipping still bites on the compacted side
+    kept, total = V.plan_files(table, where=("k", "<", 10))
+    assert len(kept) < total
