@@ -2363,3 +2363,106 @@ def q_table_hidden_partitioning(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sum_cents_cust",
         F.lit(len(kept_c) < total).alias("cust_pruned"),
     )
+
+
+def ensure_orders_optimize_where_table(spark: SparkSession, sf_dir: str) -> str:
+    """v1..v4 = four key-range slice appends of orders; v5 =
+    compact_version(where=o_orderkey < 2w, target_files=1) — Delta's
+    OPTIMIZE ... WHERE: only the two low-key files rewrite (chosen by
+    manifest math), the two high-key files carry by reference.
+    Idempotent, fingerprint-keyed."""
+    from meta_iterative_mapreduce_spark.sources import versioned
+
+    table = _versioned_fixture_path(sf_dir, "orders_opt_where", "orders")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    mx = int(o.agg(F.max("o_orderkey")).collect()[0][0])
+    w = mx // 4 + 1
+    done = len(versioned.versions(table))
+    for i in range(done, 4):
+        sl = o.filter(
+            (F.col("o_orderkey") >= i * w) & (F.col("o_orderkey") < (i + 1) * w)
+        ).coalesce(1)
+        (versioned.write_version if i == 0 else versioned.append_version)(
+            sl, table
+        )
+    if len(versioned.versions(table)) == 4:
+        versioned.compact_version(
+            spark,
+            table,
+            sort_col="o_orderkey",
+            target_files=1,
+            where=("o_orderkey", "<", 2 * w),
+        )
+    return table
+
+
+@register(
+    "q_table_optimize_where",
+    oracle="""
+    WITH o AS (
+        SELECT o_orderkey,
+               CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        FROM orders
+    ), w AS (SELECT MAX(o_orderkey) // 4 + 1 AS w FROM o)
+    SELECT COUNT(*) AS n_rows,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents,
+           (SELECT COUNT(*) FROM o, w WHERE o_orderkey < 2 * w.w)
+               AS n_rows_low,
+           2 AS files_rewritten, 1 AS files_added, 2 AS files_carried,
+           0 AS opt_data_change
+    FROM o
+    """,
+)
+def q_table_optimize_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE ... WHERE (round 11), hash-certified: a predicate
+    scopes the compaction to the files it may touch — the manifest
+    pins exactly 2 of 4 slice files rewritten into 1 (chosen by
+    plan_files' stats math, zero data read to plan), the 2 high-key
+    files carried by reference, the commit data_change=false, and the
+    row set invariant (head count/sum == from-scratch recompute; the
+    low-key half's count doubles as the selectivity witness). At
+    100 TB this is nightly maintenance: compact yesterday's partition,
+    never rewrite the table (sources/versioned.py::compact_version).
+
+    Reference analog: none (kernel.cu has no storage layout);
+    lakehouse-surface completion."""
+    from meta_iterative_mapreduce_spark.sources import versioned
+
+    table = ensure_orders_optimize_where_table(spark, sf_dir)
+    head = versioned.manifest_info(table)
+    n_low = (
+        versioned.read_version(spark, table)
+        .filter(
+            F.col("o_orderkey")
+            < F.lit(2 * (_orders_max_key(spark, sf_dir) // 4 + 1))
+        )
+        .count()
+    )
+    return versioned.read_version(spark, table).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("cents").cast("bigint").alias("sum_cents"),
+        F.lit(n_low).cast("bigint").alias("n_rows_low"),
+        F.lit(len(head.get("removed", []))).cast("int").alias("files_rewritten"),
+        F.lit(len(head.get("added", []))).cast("int").alias("files_added"),
+        F.lit(
+            len([f for f in head["files"] if f not in set(head.get("added", []))])
+        )
+        .cast("int")
+        .alias("files_carried"),
+        F.lit(0 if head.get("data_change") is False else 1)
+        .cast("int")
+        .alias("opt_data_change"),
+    )
+
+
+def _orders_max_key(spark: SparkSession, sf_dir: str) -> int:
+    return int(
+        load_table(spark, sf_dir, "orders")
+        .agg(F.max("o_orderkey"))
+        .collect()[0][0]
+    )

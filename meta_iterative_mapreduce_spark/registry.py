@@ -66,6 +66,7 @@ WINDOW_PRIORITY: tuple[str, ...] = (
     "q_sink_avro_roundtrip",
     "q_table_hidden_partitioning",
     "q_table_optimize_cdf",
+    "q_table_optimize_where",
     "q_table_partition_evolution",
     "q_table_reorg_purge",
     # the last 10 pre-r06 stamps (7 rows-only r05 sketches/clustering
@@ -82,9 +83,9 @@ WINDOW_PRIORITY: tuple[str, ...] = (
     "q_text_tokens",
     "q_unpivot",
     "q_window_ntile",
-    # 32 of the 50 r06-stamped queries (now the stalest cohort,
-    # alphabetical); the remaining 18 (set ops, sorts, TPC-H shapes,
-    # windows, projection pushdown) lead the r12 window
+    # 31 of the 50 r06-stamped queries (now the stalest cohort,
+    # alphabetical); the remaining 19 (set ops, sorts, TPC-H shapes,
+    # windows, parquet/projection scans) lead the r12 window
     "q_events_dau_stickiness",
     "q_filter_comparison",
     "q_filter_in_between_like",
@@ -116,7 +117,6 @@ WINDOW_PRIORITY: tuple[str, ...] = (
     "q_scan_csv",
     "q_scan_json",
     "q_scan_orc",
-    "q_scan_parquet",
 )
 
 

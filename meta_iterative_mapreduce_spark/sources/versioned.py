@@ -594,9 +594,12 @@ def _collect_file_stats(table: str, files: list[str]) -> dict:
         # harvested HERE, where the footer is already open, so row
         # counts are forever a manifest read — COUNT(*) fast paths,
         # files-metadata queries, and commit-time recounts touch zero
-        # footers. "__rows" is a reserved stats key (never a physical
-        # column name); prune probes look up real columns only.
+        # footers. "__rows"/"__bytes" are reserved stats keys (never
+        # physical column names); prune probes look up real columns
+        # only. Byte sizes feed maxBytesPerTrigger admission control
+        # and byte-targeted compaction — both pure manifest math.
         acc["__rows"] = md.num_rows
+        acc["__bytes"] = os.path.getsize(os.path.join(table, rel))
         out[rel] = acc
     return out
 
@@ -612,6 +615,16 @@ def file_row_count(table: str, m: dict, rel: str) -> int:
     import pyarrow.parquet as pq
 
     return pq.ParquetFile(os.path.join(table, rel)).metadata.num_rows
+
+
+def file_byte_size(table: str, m: dict, rel: str) -> int:
+    """A live file's on-disk size from the MANIFEST (the "__bytes"
+    stats key harvested at commit alongside "__rows"); legacy
+    manifests fall back to one stat(2) call."""
+    n = m.get("file_stats", {}).get(rel, {}).get("__bytes")
+    if n is not None:
+        return int(n)
+    return os.path.getsize(os.path.join(table, rel))
 
 
 _BLOOM_BITS = 8192  # floor; files size UP from their distinct count
@@ -3122,6 +3135,7 @@ def compact_version(
     target_files: int = 8,
     zorder_cols: tuple[str, str] | None = None,
     where=None,
+    target_bytes: int | None = None,
 ) -> int:
     """OPTIMIZE analog: rewrite data as `target_files` files,
     range-clustered on `sort_col` when given (repartitionByRange +
@@ -3156,6 +3170,17 @@ def compact_version(
         picked, _total = plan_files(table, where=where)
     else:
         picked = list(m["files"])
+    if target_bytes is not None:
+        # Delta's OPTIMIZE file-size target: bin-count from the
+        # manifest's per-file byte stats — pure metadata math, zero
+        # data read to size the job (stat(2) fallback for legacy
+        # manifests). The real OPTIMIZE knob is a SIZE, not a count:
+        # "make ~1 GiB files" survives any table growth, a count does
+        # not.
+        if target_bytes <= 0:
+            raise ValueError("target_bytes must be positive")
+        total_b = sum(file_byte_size(table, m, f) for f in picked)
+        target_files = max(1, -(-total_b // target_bytes))
     df = _read_files_logical(spark, table, m, picked)
     if zorder_cols is not None:
         # OPTIMIZE ZORDER BY (x, y): equi-width-bucket each dimension

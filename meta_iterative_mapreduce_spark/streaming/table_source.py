@@ -48,6 +48,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from meta_iterative_mapreduce_spark.sources.versioned import (
     _mapping_state,
+    file_byte_size,
     manifest_info,
     versions,
 )
@@ -472,11 +473,22 @@ def make_versioned_table_source():
             self.max_files = int(mft) if mft is not None else None
             if self.max_files is not None and self.max_files <= 0:
                 raise ValueError("maxFilesPerTrigger must be positive")
-            if self.max_files is not None and self.cdc_key is not None:
+            mbt = options.get("maxbytespertrigger")
+            # Delta semantics: a SOFT max — admission stops once the
+            # byte budget is reached, but every batch admits at least
+            # one file (a single file larger than the budget still
+            # streams, as one batch).
+            self.max_bytes = int(mbt) if mbt is not None else None
+            if self.max_bytes is not None and self.max_bytes <= 0:
+                raise ValueError("maxBytesPerTrigger must be positive")
+            if (
+                self.max_files is not None or self.max_bytes is not None
+            ) and self.cdc_key is not None:
                 raise ValueError(
-                    "maxFilesPerTrigger is not supported in CDC mode: a "
-                    "DML version's diff is atomic (old and new sides "
-                    "must be keyed together) and cannot split mid-batch"
+                    "maxFilesPerTrigger/maxBytesPerTrigger are not "
+                    "supported in CDC mode: a DML version's diff is "
+                    "atomic (old and new sides must be keyed together) "
+                    "and cannot split mid-batch"
                 )
             # Admission-control cursor (Delta's maxFilesPerTrigger; the
             # Python DataSource API has no SupportsAdmissionControl, so
@@ -526,7 +538,7 @@ def make_versioned_table_source():
             head = vs[-1] if vs else 0
             if self.until is not None:
                 head = min(head, self.until)
-            if self.max_files is None:
+            if self.max_files is None and self.max_bytes is None:
                 return {"version": head}
             if self._cursor is None:
                 # restart at a committed boundary: position unknown
@@ -534,11 +546,11 @@ def make_versioned_table_source():
                 self._cursor = {"version": head}
                 return {"version": head}
             cv, ci = self._cursor["version"], self._cursor.get("index")
-            budget = self.max_files
             have = set(versions(self.table))
             end = dict(self._cursor)
+            n_adm, b_adm, full = 0, 0, False
             v = cv if ci is not None else cv + 1
-            while v <= head and budget > 0:
+            while v <= head and not full:
                 if v not in have:
                     break  # vacuumed gap: partitions() raises clearly
                 m = manifest_info(self.table, v)
@@ -548,14 +560,32 @@ def make_versioned_table_source():
                     continue
                 added = _added_of(m, v, self.table, have)
                 lo = ci if (v == cv and ci is not None) else 0
-                remaining = len(added) - lo
-                if remaining <= budget:
-                    budget -= remaining
+                i = lo
+                while i < len(added):
+                    if (
+                        self.max_files is not None
+                        and n_adm >= self.max_files
+                    ):
+                        full = True
+                        break
+                    # bytes are a SOFT cap: check BEFORE admitting so a
+                    # batch always takes >= 1 file (n_adm guard), and a
+                    # single over-budget file still streams alone
+                    if (
+                        self.max_bytes is not None
+                        and n_adm > 0
+                        and b_adm >= self.max_bytes
+                    ):
+                        full = True
+                        break
+                    b_adm += file_byte_size(self.table, m, added[i])
+                    n_adm += 1
+                    i += 1
+                if i >= len(added):
                     end = {"version": v}
                     v += 1
-                else:
-                    end = {"version": v, "index": lo + budget}
-                    budget = 0
+                elif i > lo:
+                    end = {"version": v, "index": i}
             if _off_pos(end) > _off_pos(self._cursor):
                 self._cursor = dict(end)
             return end
@@ -675,6 +705,7 @@ def stream_changes(
     until_version: int | None = None,
     max_files_per_trigger: int | None = None,
     starting_version: int | None = None,
+    max_bytes_per_trigger: int | None = None,
 ) -> DataFrame:
     """readStream over a versioned table: an unbounded DataFrame whose
     micro-batches are the rows APPENDED by each committed version
@@ -695,6 +726,8 @@ def stream_changes(
         r = r.option("untilversion", until_version)
     if max_files_per_trigger is not None:
         r = r.option("maxfilespertrigger", max_files_per_trigger)
+    if max_bytes_per_trigger is not None:
+        r = r.option("maxbytespertrigger", max_bytes_per_trigger)
     if starting_version is not None:
         r = r.option("startingversion", starting_version)
     return r.load()

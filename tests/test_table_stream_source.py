@@ -607,3 +607,48 @@ def test_starting_version_skips_snapshot(spark, tmp_path):
 
     with _pytest.raises(Exception, match="startingVersion"):
         _direct_reader(table, startingVersion=0)
+
+
+def test_max_bytes_per_trigger_soft_cap(spark, tmp_path):
+    """Byte-budget admission from manifest "__bytes" stats: batches
+    stop once the budget is reached but always admit at least one file
+    (a single over-budget file streams alone); the file walk covers
+    every added file exactly once."""
+    from meta_iterative_mapreduce_spark.streaming.table_source import (
+        _plan_version_files,
+    )
+
+    table = str(tmp_path / "t")
+    df = spark.range(0, 90).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    V.write_version(df.filter("k < 60").repartition(6), table)  # 6 files
+    V.append_version(df.filter("k >= 60").repartition(3), table)  # 3
+    m = V.manifest_info(table)
+    sizes = [V.file_byte_size(table, m, f) for f in m["files"]]
+    one = max(sizes)
+    r = _direct_reader(table, maxBytesPerTrigger=one)  # ~1 file each
+    r.initialOffset()
+    offs, prev = [], {"version": 0}
+    for _ in range(12):
+        off = r.latestOffset()
+        if off == prev:
+            break
+        offs.append(off)
+        prev = off
+    # soft cap at one file's size => every batch is exactly 1-2 files
+    batch_files = []
+    prev = {"version": 0}
+    for off in offs:
+        batch_files.append(
+            len(_plan_version_files(table, prev, off, False, r.fields))
+        )
+        prev = off
+    assert sum(batch_files) == 9 and max(batch_files) <= 2
+    assert len(offs) >= 5
+    # a budget bigger than everything => single batch to head
+    r2 = _direct_reader(table, maxBytesPerTrigger=sum(sizes) * 10)
+    r2.initialOffset()
+    assert r2.latestOffset() == {"version": 2}
+    with pytest.raises(Exception, match="positive"):
+        _direct_reader(table, maxBytesPerTrigger=0)

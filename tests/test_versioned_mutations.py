@@ -1507,3 +1507,22 @@ def test_optimize_where_scopes_rewrite_to_matching_files(spark, tmp_path):
     # skipping still bites on the compacted side
     kept, total = V.plan_files(table, where=("k", "<", 10))
     assert len(kept) < total
+
+
+def test_compact_target_bytes_sizes_from_manifest(spark, tmp_path):
+    """OPTIMIZE with a byte target: the output file count derives from
+    the manifest's per-file "__bytes" stats (ceil(total/target)), so a
+    size policy survives table growth where a fixed count would not."""
+    table = _range_sliced_table(spark, tmp_path)  # 4 similar files
+    m = V.manifest_info(table)
+    total = sum(V.file_byte_size(table, m, f) for f in m["files"])
+    v = V.compact_version(
+        spark, table, sort_col="k", target_bytes=total // 2 + 1
+    )
+    m2 = V.manifest_info(table, v)
+    assert len(m2["added"]) == 2  # ceil(total / (total/2 + 1)) == 2
+    assert V.read_version(spark, table).count() == 100
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="positive"):
+        V.compact_version(spark, table, target_bytes=0)
