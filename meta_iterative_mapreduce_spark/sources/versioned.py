@@ -1785,20 +1785,55 @@ def _prune_may_match(m: dict, prune):
         return None
     mapping, _, _ = _mapping_state(m, m.get("schema"))
     phys_of = {mp["name"]: mp["physical"] for mp in mapping}
+    # hidden-partitioning twins: an interleaved file written under a
+    # transform spec carries exact derived stats (its __p_* path
+    # value) even when the source column's footer stats are unusable
+    # (dates) — map each conjunct into the partition domain exactly
+    # like plan_files does, so scoped DML coexists with appends to
+    # other days/buckets
+    pspecs = [
+        (_parse_pspec(e), _pspec_path_col(e, phys_of))
+        for e in m.get("partition_by", [])
+    ]
+    pspecs = [(s, pc) for s, pc in pspecs if s[0] != "identity"]
+
+    def _transform_may(fstats, pcol, pop, pval) -> bool:
+        for (kind, src, param), pc in pspecs:
+            if src != pcol:
+                continue
+            if pop == "in":
+                mapped = [_pspec_literal(kind, param, v) for v in pval]
+                if any(mv is None for mv in mapped):
+                    continue
+                if not any(
+                    _file_may_match(fstats, pc, "=", mv) for mv in mapped
+                ):
+                    return False
+                continue
+            op2 = _pspec_prune_op(kind, pop)
+            v2 = _pspec_literal(kind, param, pval)
+            if op2 is None or v2 is None:
+                continue
+            if not _file_may_match(fstats, pc, op2, v2):
+                return False
+        return True
+
     checks = []
     for pcol, pop, pval in conds:
         phys = phys_of.get(pcol, pcol)
         if pop == "in":
             vals = list(pval)
             checks.append(
-                lambda fstats, phys=phys, vals=vals: any(
+                lambda fstats, phys=phys, vals=vals, pcol=pcol: any(
                     _file_may_match(fstats, phys, "=", v) for v in vals
                 )
+                and _transform_may(fstats, pcol, "in", vals)
             )
         else:
             checks.append(
-                lambda fstats, phys=phys, pop=pop, pval=pval: (
+                lambda fstats, phys=phys, pop=pop, pval=pval, pcol=pcol: (
                     _file_may_match(fstats, phys, pop, pval)
+                    and _transform_may(fstats, pcol, pop, pval)
                 )
             )
     return lambda fstats: all(c(fstats) for c in checks)
@@ -3166,8 +3201,14 @@ def compact_version(
             "compact_version needs a schema-tracking manifest; "
             "rewrite the table with write_version first"
         )
+    added_may_match = None
     if where is not None:
         picked, _total = plan_files(table, where=where)
+        # OCC hint: an interleaved append whose stats exclude the
+        # predicate is provably disjoint from this scoped rewrite, so
+        # nightly partition compaction coexists with live appends to
+        # OTHER partitions instead of losing every race
+        added_may_match = _prune_may_match(m, where)
     else:
         picked = list(m["files"])
     if target_bytes is not None:
@@ -3229,6 +3270,7 @@ def compact_version(
         m,
         picked,
         df,
+        added_may_match=added_may_match,
         operation="OPTIMIZE",
         # Delta's dataChange=false: this commit moves bytes, never
         # visible rows. Streaming sources and the CDC readers skip it

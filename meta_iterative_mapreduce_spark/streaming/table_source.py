@@ -502,6 +502,12 @@ def make_versioned_table_source():
             # would regress the WAL on restarts and double-read, so the
             # one catch-up batch is the sound side of the trade.
             self._cursor: dict | None = None
+            # committed manifests are IMMUTABLE, so the admission walk
+            # caches the few it revisits (a wide version is re-read by
+            # every trigger consuming a slice of it — at 100k files
+            # that's ~0.5s of JSON parse per micro-batch without the
+            # cache, ~0 with; capped FIFO so long streams stay small)
+            self._mcache: dict[int, dict] = {}
             # (logical, physical, type) per TABLE field, FIXED at
             # stream start: physical names are immutable per column id,
             # so this projection is valid for files of every version.
@@ -525,6 +531,15 @@ def make_versioned_table_source():
                     (f["name"], phys_of.get(f["name"], f["name"]), f["type"])
                     for f in m["schema"]["fields"]
                 ]
+
+        def _minfo(self, v: int) -> dict:
+            m = self._mcache.get(v)
+            if m is None:
+                m = manifest_info(self.table, v)
+                if len(self._mcache) >= 8:
+                    self._mcache.pop(next(iter(self._mcache)))
+                self._mcache[v] = m
+            return m
 
         def initialOffset(self) -> dict:
             # offset = "consumed THROUGH version v", so starting AT
@@ -553,7 +568,7 @@ def make_versioned_table_source():
             while v <= head and not full:
                 if v not in have:
                     break  # vacuumed gap: partitions() raises clearly
-                m = manifest_info(self.table, v)
+                m = self._minfo(v)
                 if m.get("data_change") is False:
                     end = {"version": v}
                     v += 1

@@ -1526,3 +1526,59 @@ def test_compact_target_bytes_sizes_from_manifest(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="positive"):
         V.compact_version(spark, table, target_bytes=0)
+
+
+def test_occ_scoped_optimize_coexists_with_disjoint_append(
+    spark, tmp_path, monkeypatch
+):
+    """OPTIMIZE ... WHERE passes its predicate as the OCC hint, so an
+    interleaved append to a DIFFERENT key range rebases cleanly — and
+    the hint maps through hidden-partitioning transforms, so an append
+    of a different DAY proves disjoint even though a date column has
+    no usable footer stats."""
+    import datetime
+
+    table = str(tmp_path / "t")
+    df = spark.range(0, 60).select(
+        F.col("id").alias("k"),
+        F.date_add(F.lit("1995-01-01"), (F.col("id") % 3).cast("int")).alias(
+            "d"
+        ),
+    )
+    V.write_version(df.filter("k < 40"), table, partition_by="days(d)")
+    extra = spark.createDataFrame(
+        [(1000, datetime.date(1997, 7, 7))], "k long, d date"
+    )
+    _race(monkeypatch, lambda: V.append_version(extra, table))
+    # compact only 1995-01-01's partition; the interleaved append is a
+    # different day -> provably disjoint via the days() transform twin
+    v = V.compact_version(
+        spark,
+        table,
+        sort_col="k",
+        target_files=1,
+        where=("d", "=", "1995-01-01"),
+    )
+    monkeypatch.undo()
+    assert len(V.versions(table)) == 3  # base + append + optimize
+    got = V.read_version(spark, table)
+    assert got.count() == 41
+    assert got.filter("k = 1000").count() == 1
+    m = V.manifest_info(table, v)
+    assert m["data_change"] is False
+    # an OVERLAPPING append (same day) must conflict instead
+    extra2 = spark.createDataFrame(
+        [(2000, datetime.date(1995, 1, 1))], "k long, d date"
+    )
+    _race(monkeypatch, lambda: V.append_version(extra2, table))
+    import pytest as _pytest
+
+    with _pytest.raises(V.CommitConflict):
+        V.compact_version(
+            spark,
+            table,
+            sort_col="k",
+            target_files=1,
+            where=("d", "=", "1995-01-01"),
+        )
+    monkeypatch.undo()

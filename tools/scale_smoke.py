@@ -700,6 +700,94 @@ def main() -> None:
     iassigned.unpersist()
     ivecs.unpersist()
 
+    # --- manifest-math planning at 100k-file scale (round 11) -------
+    # Hidden-partitioning prune and streaming admission control both
+    # claim "pure manifest math, no data I/O" — prove the DRIVER cost
+    # holds at production file counts by planning against a synthetic
+    # 100k-file manifest (no data files needed: both code paths read
+    # only manifests).
+    import json as _json
+    import tempfile as _tempfile
+
+    from meta_iterative_mapreduce_spark.sources import versioned as V
+    from meta_iterative_mapreduce_spark.streaming import (
+        table_source as TS,
+    )
+
+    n_files = 100_000
+    tdir = _tempfile.mkdtemp(prefix="mimr_scale_manifest_")
+    mdir = os.path.join(tdir, "_manifests")
+    os.makedirs(mdir)
+    schema = {
+        "type": "struct",
+        "fields": [
+            {"name": "k", "type": "long", "nullable": True, "metadata": {}},
+            {"name": "d", "type": "date", "nullable": True, "metadata": {}},
+        ],
+    }
+    files, fstats = [], {}
+    for i in range(n_files):  # one file per day(ish), 1k days x 100
+        day = 9000 + i // 100
+        rel = f"data/v000001/__p_days_d={day}/part-{i:06d}.parquet"
+        files.append(rel)
+        fstats[rel] = {
+            "k": [i * 10, i * 10 + 9],
+            "__rows": 10,
+            "__bytes": 4096,
+            "__p_days_d": [day, day],
+        }
+    mapping = [
+        {"id": 1, "name": "k", "physical": "k"},
+        {"id": 2, "name": "d", "physical": "d"},
+    ]
+    base = {
+        "version": 1,
+        "files": files,
+        "n_rows": 10 * n_files,
+        "schema": schema,
+        "column_mapping": mapping,
+        "retired_physical": [],
+        "max_column_id": 2,
+        "file_stats": fstats,
+        "partition_by": ["days(d)"],
+        "added": files,
+        "removed": [],
+    }
+    _json.dump(base, open(os.path.join(mdir, "v000001.json"), "w"))
+    t0 = time.time()
+    kept, total = V.plan_files(
+        tdir, where=[("d", ">=", "1995-01-01"), ("d", "<", "1995-01-08")]
+    )
+    t_plan = time.time() - t0
+    print(
+        f"hidden-partition prune over {total:,}-file manifest: "
+        f"{t_plan:.2f}s -> kept {len(kept)} files "
+        "(7 days + 1 non-strict boundary day, x 100)"
+    )
+    assert total == n_files and len(kept) == 800
+    assert t_plan < 10.0
+    t0 = time.time()
+    cls = TS.make_versioned_table_source()
+    src = cls(options={"path": tdir, "maxfilespertrigger": "1000"})
+    r = src.streamReader(src.schema())
+    r.initialOffset()
+    offs, prev = 0, {"version": 0}
+    while True:
+        off = r.latestOffset()
+        if off == prev:
+            break
+        prev = off
+        offs += 1
+    t_walk = time.time() - t0
+    print(
+        f"admission walk over {n_files:,} added files at 1000/trigger: "
+        f"{t_walk:.2f}s -> {offs} capped offsets"
+    )
+    assert offs == n_files // 1000
+    # the reader's manifest cache is what makes this cheap: without it
+    # every trigger re-parsed the 100k-file manifest (~0.5s/batch)
+    assert t_walk < 15.0
+
     print("scale smoke OK")
 
 
