@@ -103,14 +103,90 @@ def _read_long(buf: io.BufferedIOBase) -> int:
 
 
 def _field_type(t: Any) -> Any:
-    """Normalize {"type": "string"}-style wrappers to the bare type."""
+    """Normalize {"type": "string"}-style wrappers to the bare type —
+    EXCEPT logical-type annotations, which carry meaning (the
+    {"type": "long", "logicalType": "timestamp-micros"} shape Kafka
+    Connect / Debezium payloads are full of)."""
     if isinstance(t, dict) and t.get("type") not in ("record", "array"):
+        if "logicalType" in t:
+            return t
         return t["type"]
     return t
 
 
+# Avro logical types (spec §Logical Types): the KNOWN set decodes to
+# rich Python values (and encodes back); an UNKNOWN logicalType falls
+# back to its base type, exactly as the spec mandates. timestamps map
+# to Spark timestamp_ntz carrying the UTC wall clock — interpreting
+# the instant in the reader's session zone would make the same file
+# read differently per session (the tz robustness matrix would catch
+# it).
+_EPOCH_DATE = None  # initialized lazily (datetime import stays local)
+
+
+def _logical_decode(t: dict, raw):
+    import datetime
+    from decimal import Decimal
+
+    lt, base = t["logicalType"], t.get("type")
+    if raw is None:
+        return None
+    if lt == "date" and base == "int":
+        return datetime.date(1970, 1, 1) + datetime.timedelta(days=raw)
+    if lt == "timestamp-millis" and base == "long":
+        return datetime.datetime(1970, 1, 1) + datetime.timedelta(
+            milliseconds=raw
+        )
+    if lt == "timestamp-micros" and base == "long":
+        return datetime.datetime(1970, 1, 1) + datetime.timedelta(
+            microseconds=raw
+        )
+    if lt == "decimal" and base == "bytes":
+        unscaled = int.from_bytes(raw, "big", signed=True)
+        return Decimal(unscaled).scaleb(-int(t.get("scale", 0)))
+    return raw  # uuid rides its string base; unknown logicals fall back
+
+
+def _logical_encode(t: dict, v):
+    import datetime
+    from decimal import Decimal
+
+    lt, base = t["logicalType"], t.get("type")
+    if v is None:
+        return None
+    if hasattr(v, "to_pydatetime"):  # pandas Timestamp from the sink
+        v = v.to_pydatetime()
+    if lt == "date" and base == "int":
+        if isinstance(v, datetime.datetime):
+            v = v.date()
+        if isinstance(v, datetime.date):
+            return (v - datetime.date(1970, 1, 1)).days
+        return int(v)
+    if lt == "timestamp-millis" and base == "long":
+        if isinstance(v, datetime.datetime):
+            d = v.replace(tzinfo=None) - datetime.datetime(1970, 1, 1)
+            return (d.days * 86_400_000_000 + d.seconds * 1_000_000
+                    + d.microseconds) // 1000
+        return int(v)
+    if lt == "timestamp-micros" and base == "long":
+        if isinstance(v, datetime.datetime):
+            d = v.replace(tzinfo=None) - datetime.datetime(1970, 1, 1)
+            return (d.days * 86_400_000_000 + d.seconds * 1_000_000
+                    + d.microseconds)
+        return int(v)
+    if lt == "decimal" and base == "bytes":
+        scale = int(t.get("scale", 0))
+        unscaled = int(Decimal(v).scaleb(scale).to_integral_value())
+        n = max(1, (unscaled.bit_length() + 8) // 8)
+        return unscaled.to_bytes(n, "big", signed=True)
+    return v
+
+
 def _write_value(out: bytearray, t: Any, v: Any) -> None:
     t = _field_type(t)
+    if isinstance(t, dict) and "logicalType" in t:
+        _write_value(out, t["type"], _logical_encode(t, v))
+        return
     if isinstance(t, list):  # union: varint branch index + value
         if v is None and "null" in t:
             _write_long(out, t.index("null"))
@@ -155,6 +231,8 @@ def _write_value(out: bytearray, t: Any, v: Any) -> None:
 
 def _read_value(buf: io.BufferedIOBase, t: Any) -> Any:
     t = _field_type(t)
+    if isinstance(t, dict) and "logicalType" in t:
+        return _logical_decode(t, _read_value(buf, t["type"]))
     if isinstance(t, list):
         return _read_value(buf, t[_read_long(buf)])
     if isinstance(t, dict) and t.get("type") == "array":
@@ -200,6 +278,9 @@ def _skip_value(buf: io.BufferedIOBase, t: Any) -> None:
     row-oriented format can't avoid touching bytes, but it avoids
     every decode/allocation for dropped fields."""
     t = _field_type(t)
+    if isinstance(t, dict) and "logicalType" in t:
+        _skip_value(buf, t["type"])  # skip cost = the base type's
+        return
     if isinstance(t, list):
         _skip_value(buf, t[_read_long(buf)])
         return
@@ -267,6 +348,16 @@ def _resolve_schemas(writer: dict, reader: dict):
                 raise ValueError(
                     f"reader type {rt_base!r} cannot resolve writer "
                     f"{wt_base!r} for field {wf['name']!r}"
+                )
+        elif isinstance(wt_base, dict) and "logicalType" in wt_base or (
+            isinstance(rt_base, dict) and "logicalType" in rt_base
+        ):
+            # logical types resolve only to themselves — a date read as
+            # a raw int (or vice versa) would silently change values
+            if wt_base != rt_base:
+                raise ValueError(
+                    f"logical types must match exactly to resolve "
+                    f"({wt_base!r} vs {rt_base!r}) for {wf['name']!r}"
                 )
         plan.append((wf["type"], wf["name"]))
     written = {f["name"] for f in writer["fields"]}
@@ -511,6 +602,23 @@ def _spark_type(t: Any) -> str:
         if len(non_null) != 1:
             raise NotImplementedError(f"general unions unsupported: {t!r}")
         return _spark_type(non_null[0])
+    if isinstance(t, dict) and "logicalType" in t:
+        lt = t["logicalType"]
+        if lt == "date" and t.get("type") == "int":
+            return "date"
+        if lt in ("timestamp-millis", "timestamp-micros") and (
+            t.get("type") == "long"
+        ):
+            # ntz: the UTC wall clock as written — session-timezone-
+            # independent (a plain timestamp would re-interpret the
+            # instant per reader zone)
+            return "timestamp_ntz"
+        if lt == "decimal" and t.get("type") == "bytes":
+            return (
+                f"decimal({int(t.get('precision', 38))},"
+                f"{int(t.get('scale', 0))})"
+            )
+        return _spark_type(t["type"])  # uuid/unknown: base type
     if isinstance(t, dict) and t.get("type") == "array":
         return f"array<{_spark_type(t['items'])}>"
     if t in _SPARK_TYPES:
@@ -650,6 +758,17 @@ def avro_schema_of(df: DataFrame, name: str = "row") -> dict:
 
         if isinstance(dt, T.ArrayType):
             return {"type": "array", "items": _avro_t(dt.elementType)}
+        if isinstance(dt, T.DateType):
+            return {"type": "int", "logicalType": "date"}
+        if isinstance(dt, (T.TimestampNTZType, T.TimestampType)):
+            return {"type": "long", "logicalType": "timestamp-micros"}
+        if isinstance(dt, T.DecimalType):
+            return {
+                "type": "bytes",
+                "logicalType": "decimal",
+                "precision": dt.precision,
+                "scale": dt.scale,
+            }
         key = dt.typeName()
         if key in _AVRO_TYPES:
             return _AVRO_TYPES[key]
@@ -949,4 +1068,99 @@ def q_scan_avro_resolved(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("path", root)
         .option("readerSchema", json.dumps(_DOC_READER_SCHEMA))
         .load()
+    )
+
+
+def _avro_logical_fixture_dir(spark: SparkSession, sf_dir: str) -> str:
+    """orders re-encoded with Avro LOGICAL types through the
+    DISTRIBUTED sink: date (int/date), timestamp-micros under a
+    nullable union, and decimal(18,6)-exact money — the shapes Kafka
+    Connect / Debezium feeds actually carry. Fingerprint-keyed and
+    idempotent."""
+    import tempfile
+
+    from meta_iterative_mapreduce_spark.io import fixture_fingerprint
+
+    root = os.path.join(
+        tempfile.gettempdir(),
+        "mimr_avro",
+        f"logical_{fixture_fingerprint(sf_dir, 'orders')}",
+    )
+    marker = os.path.join(root, "_COMPLETE")
+    if os.path.exists(marker):
+        return root
+    df = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            F.col("o_orderkey").alias("k"),
+            F.col("o_orderdate").cast("date").alias("d"),
+            F.when(
+                F.col("o_orderkey") % 7 != 0,
+                F.expr(
+                    "CAST(o_orderdate AS TIMESTAMP_NTZ) + make_interval("
+                    "0, 0, 0, 0, 0, 0, o_orderkey % 86400)"
+                ),
+            ).alias("ts"),
+            F.expr(
+                "CAST(FLOOR(o_totalprice * 100 + 0.5) AS DECIMAL(18,2)) "
+                "/ 100"
+            ).alias("amt"),
+        )
+        .repartition(4)
+    )
+    write_avro(df, root, codec="deflate")
+    open(marker, "w").close()
+    return root
+
+
+@register(
+    "q_scan_avro_logical",
+    oracle="""
+    WITH o AS (
+        SELECT o_orderkey AS k,
+               CAST(o_orderdate AS DATE) AS d,
+               CAST(o_orderdate AS TIMESTAMP)
+                   + (o_orderkey % 86400) * INTERVAL 1 SECOND AS ts_all,
+               CAST(FLOOR(o_totalprice * 100 + 0.5) AS DECIMAL(18,2)) / 100
+                   AS amt
+        FROM orders
+    )
+    SELECT CAST(YEAR(d) AS INT) AS yr,
+           COUNT(*) AS n,
+           CAST(SUM(amt) * 100 AS BIGINT) AS sum_cents,
+           CAST(MIN(d) AS VARCHAR) AS min_d,
+           CAST(MAX(d) AS VARCHAR) AS max_d,
+           MAX(CASE WHEN k % 7 <> 0
+                    THEN STRFTIME(ts_all, '%Y-%m-%d %H:%M:%S') END)
+               AS max_ts,
+           COUNT(CASE WHEN k % 7 <> 0 THEN 1 END) AS n_ts
+    FROM o
+    GROUP BY YEAR(d)
+    """,
+)
+def q_scan_avro_logical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Avro LOGICAL TYPES end to end (round 11), hash-certified:
+    orders' money/date/timestamp re-encoded through the distributed
+    sink as decimal(bytes + two's-complement unscaled), date(int), and
+    a NULLABLE timestamp-micros union, scanned back through the
+    block-partitioned `mimr_avro` source as Spark decimal / date /
+    timestamp_ntz, and aggregated per year against a from-scratch
+    DuckDB recompute — decimal sums exact to the cent, date bounds and
+    max timestamp string-equal, union nulls counted. timestamp-micros
+    maps to timestamp_ntz (the UTC wall clock as written) so the same
+    file reads identically under any session timezone — the tz
+    robustness cell would catch the plain-timestamp mistake.
+
+    Reference analog: none (kernel.cu reads stdin floats); ingestion-
+    surface completion for CDC/Kafka-archive feeds."""
+    register_avro_source(spark)
+    root = _avro_logical_fixture_dir(spark, sf_dir)
+    df = spark.read.format("mimr_avro").option("path", root).load()
+    return df.groupBy(F.year("d").cast("int").alias("yr")).agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum("amt") * 100).cast("bigint").alias("sum_cents"),
+        F.min("d").cast("string").alias("min_d"),
+        F.max("d").cast("string").alias("max_d"),
+        F.max(F.date_format("ts", "yyyy-MM-dd HH:mm:ss")).alias("max_ts"),
+        F.count("ts").alias("n_ts"),
     )

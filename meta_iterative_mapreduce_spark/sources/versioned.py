@@ -544,6 +544,32 @@ def _pspec_stats(
     return out
 
 
+# Above this many new files, commit-time harvests (footer stats,
+# bloom builds) run as ONE Spark job with a task per file instead of a
+# driver-side loop — the Delta/Iceberg shape where writing tasks
+# return their own stats. Below it, job-launch overhead beats the win.
+_HARVEST_DISTRIBUTE_MIN = 16
+
+
+def _harvest_per_file(table: str, files: list[str], fn) -> list[tuple]:
+    """[(rel, fn(table, rel)), ...] — executed as a distributed Spark
+    job above _HARVEST_DISTRIBUTE_MIN files (a 10k-file snapshot
+    commit harvests 10k footers in parallel tasks, not a serial
+    driver loop; the table path must be executor-visible, which is the
+    versioned log's substrate contract — shared FS or object store),
+    serially below it or with no active session."""
+    spark = SparkSession.getActiveSession()
+    if len(files) < _HARVEST_DISTRIBUTE_MIN or spark is None:
+        return [(rel, fn(table, rel)) for rel in files]
+    sc = spark.sparkContext
+    n = min(len(files), max(sc.defaultParallelism * 2, 8))
+    return (
+        sc.parallelize(files, n)
+        .map(lambda rel: (rel, fn(table, rel)))
+        .collect()
+    )
+
+
 def _collect_file_stats(table: str, files: list[str]) -> dict:
     """Per-file column min/max harvested from the parquet FOOTERS the
     writer just produced — zero data reads; this is exactly how a real
@@ -552,56 +578,60 @@ def _collect_file_stats(table: str, files: list[str]) -> dict:
     bool, no NaN) are recorded, and a column missing stats in ANY row
     group of a file is dropped for that file (pruning must stay
     conservative). Keys are PHYSICAL column names — what the footers
-    actually say."""
+    actually say. Distributed above _HARVEST_DISTRIBUTE_MIN files."""
+    return dict(_harvest_per_file(table, files, _file_stats_entry))
+
+
+def _file_stats_entry(table: str, rel: str) -> dict:
+    """One file's footer harvest — pure function of (table, rel), so it
+    runs unchanged on the driver (small commits) or inside an executor
+    task (_harvest_per_file above the threshold)."""
     import math
 
     import pyarrow.parquet as pq
 
-    out: dict[str, dict[str, list]] = {}
-    for rel in files:
-        md = pq.ParquetFile(os.path.join(table, rel)).metadata
-        acc: dict[str, list] = {}
-        bad: set[str] = set()
-        for rg in range(md.num_row_groups):
-            grp = md.row_group(rg)
-            for ci in range(grp.num_columns):
-                col = grp.column(ci)
-                name = col.path_in_schema
-                if "." in name or name in bad:
-                    continue  # nested leaf: not a top-level column
-                st = col.statistics
-                mn = st.min if st is not None and st.has_min_max else None
-                mx = st.max if st is not None and st.has_min_max else None
-                if isinstance(mn, bytes):
-                    try:
-                        mn, mx = mn.decode(), mx.decode()
-                    except UnicodeDecodeError:
-                        mn = None
-                ok = all(
-                    isinstance(v, (int, float, str, bool))
-                    and not (isinstance(v, float) and math.isnan(v))
-                    for v in (mn, mx)
-                )
-                if not ok:
-                    bad.add(name)
-                    acc.pop(name, None)
-                    continue
-                if name in acc:
-                    acc[name] = [min(acc[name][0], mn), max(acc[name][1], mx)]
-                else:
-                    acc[name] = [mn, mx]
-        # record_count, Iceberg-manifest style (VERDICT r10 item 5):
-        # harvested HERE, where the footer is already open, so row
-        # counts are forever a manifest read — COUNT(*) fast paths,
-        # files-metadata queries, and commit-time recounts touch zero
-        # footers. "__rows"/"__bytes" are reserved stats keys (never
-        # physical column names); prune probes look up real columns
-        # only. Byte sizes feed maxBytesPerTrigger admission control
-        # and byte-targeted compaction — both pure manifest math.
-        acc["__rows"] = md.num_rows
-        acc["__bytes"] = os.path.getsize(os.path.join(table, rel))
-        out[rel] = acc
-    return out
+    md = pq.ParquetFile(os.path.join(table, rel)).metadata
+    acc: dict[str, list] = {}
+    bad: set[str] = set()
+    for rg in range(md.num_row_groups):
+        grp = md.row_group(rg)
+        for ci in range(grp.num_columns):
+            col = grp.column(ci)
+            name = col.path_in_schema
+            if "." in name or name in bad:
+                continue  # nested leaf: not a top-level column
+            st = col.statistics
+            mn = st.min if st is not None and st.has_min_max else None
+            mx = st.max if st is not None and st.has_min_max else None
+            if isinstance(mn, bytes):
+                try:
+                    mn, mx = mn.decode(), mx.decode()
+                except UnicodeDecodeError:
+                    mn = None
+            ok = all(
+                isinstance(v, (int, float, str, bool))
+                and not (isinstance(v, float) and math.isnan(v))
+                for v in (mn, mx)
+            )
+            if not ok:
+                bad.add(name)
+                acc.pop(name, None)
+                continue
+            if name in acc:
+                acc[name] = [min(acc[name][0], mn), max(acc[name][1], mx)]
+            else:
+                acc[name] = [mn, mx]
+    # record_count, Iceberg-manifest style (VERDICT r10 item 5):
+    # harvested HERE, where the footer is already open, so row
+    # counts are forever a manifest read — COUNT(*) fast paths,
+    # files-metadata queries, and commit-time recounts touch zero
+    # footers. "__rows"/"__bytes" are reserved stats keys (never
+    # physical column names); prune probes look up real columns
+    # only. Byte sizes feed maxBytesPerTrigger admission control
+    # and byte-targeted compaction — both pure manifest math.
+    acc["__rows"] = md.num_rows
+    acc["__bytes"] = os.path.getsize(os.path.join(table, rel))
+    return acc
 
 
 def file_row_count(table: str, m: dict, rel: str) -> int:
@@ -678,35 +708,45 @@ def _collect_file_blooms(
     k=5, the Delta/parquet-bloom default neighborhood), floored at
     8192; the probe derives the modulus from the STORED bitset
     length, so old fixed-size blooms and new adaptive ones coexist in
-    one manifest."""
+    one manifest.
+
+    Distributed above _HARVEST_DISTRIBUTE_MIN files: unlike the footer
+    harvest this reads real column DATA (every indexed column's
+    distinct values), so a serial driver loop would be the commit-time
+    bottleneck on a wide snapshot — one executor task per file
+    instead."""
+    entries = _harvest_per_file(
+        table, files, lambda t, rel: _file_bloom_entry(t, rel, cols)
+    )
+    return {rel: per_col for rel, per_col in entries if per_col}
+
+
+def _file_bloom_entry(
+    table: str, rel: str, cols: list[str]
+) -> dict[str, str] | None:
     import base64
 
     import pyarrow.parquet as pq
 
-    out: dict[str, dict[str, str]] = {}
-    for rel in files:
-        pf = pq.ParquetFile(os.path.join(table, rel))
-        present = [c for c in cols if c in pf.schema_arrow.names]
-        if not present:
-            continue
-        tbl = pf.read(columns=present)
-        per_col: dict[str, str] = {}
-        for c in present:
-            vals = [
-                v
-                for v in tbl.column(c).unique().to_pylist()
-                if v is not None
-            ]
-            n_bits = _BLOOM_BITS
-            while n_bits < _BLOOM_BITS_PER_KEY * len(vals):
-                n_bits *= 2
-            bits = bytearray(n_bits // 8)
-            for v in vals:
-                for h in _bloom_hashes(v, n_bits):
-                    bits[h // 8] |= 1 << (h % 8)
-            per_col[c] = base64.b64encode(bytes(bits)).decode()
-        out[rel] = per_col
-    return out
+    pf = pq.ParquetFile(os.path.join(table, rel))
+    present = [c for c in cols if c in pf.schema_arrow.names]
+    if not present:
+        return None
+    tbl = pf.read(columns=present)
+    per_col: dict[str, str] = {}
+    for c in present:
+        vals = [
+            v for v in tbl.column(c).unique().to_pylist() if v is not None
+        ]
+        n_bits = _BLOOM_BITS
+        while n_bits < _BLOOM_BITS_PER_KEY * len(vals):
+            n_bits *= 2
+        bits = bytearray(n_bits // 8)
+        for v in vals:
+            for h in _bloom_hashes(v, n_bits):
+                bits[h // 8] |= 1 << (h % 8)
+        per_col[c] = base64.b64encode(bytes(bits)).decode()
+    return per_col
 
 
 def _bloom_may_contain(b64: str, value) -> bool:

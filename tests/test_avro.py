@@ -381,3 +381,169 @@ def test_reader_schema_through_spark_source(spark, tmp_path):
             .load()
             .collect()
         )
+
+
+# ------------------------------------------------------ logical types
+
+_LOGICAL_SCHEMA = {
+    "type": "record",
+    "name": "ev",
+    "fields": [
+        {"name": "k", "type": "long"},
+        {"name": "d", "type": {"type": "int", "logicalType": "date"}},
+        {
+            "name": "ts",
+            "type": ["null", {"type": "long", "logicalType": "timestamp-micros"}],
+        },
+        {
+            "name": "ts_ms",
+            "type": {"type": "long", "logicalType": "timestamp-millis"},
+        },
+        {
+            "name": "amt",
+            "type": {
+                "type": "bytes",
+                "logicalType": "decimal",
+                "precision": 12,
+                "scale": 2,
+            },
+        },
+        {"name": "u", "type": {"type": "string", "logicalType": "uuid"}},
+    ],
+}
+
+
+def _logical_rows():
+    import datetime
+    from decimal import Decimal
+
+    return [
+        {
+            "k": 1,
+            "d": datetime.date(1995, 6, 17),
+            "ts": datetime.datetime(2001, 2, 3, 4, 5, 6, 789012),
+            "ts_ms": datetime.datetime(1999, 12, 31, 23, 59, 59, 125000),
+            "amt": Decimal("12345.67"),
+            "u": "0f8fad5b-d9cb-469f-a165-70867728950e",
+        },
+        {
+            "k": 2,
+            "d": datetime.date(1969, 12, 31),  # pre-epoch: negative days
+            "ts": None,
+            "ts_ms": datetime.datetime(1970, 1, 1, 0, 0, 0, 1000),
+            "amt": Decimal("-0.03"),  # negative two's-complement bytes
+            "u": "00000000-0000-0000-0000-000000000000",
+        },
+    ]
+
+
+@pytest.mark.parametrize("codec", ["null", "deflate"])
+def test_logical_types_roundtrip(codec):
+    data = encode_avro(_logical_rows(), _LOGICAL_SCHEMA, codec=codec)
+    schema, got = read_avro(data)
+    assert got == _logical_rows()
+    assert schema == _LOGICAL_SCHEMA
+
+
+def test_logical_spark_schema_and_scan(spark, tmp_path):
+    from meta_iterative_mapreduce_spark.sources.avro_ocf import (
+        register_avro_source,
+        spark_schema_of,
+    )
+
+    ddl = spark_schema_of(_LOGICAL_SCHEMA)
+    assert "d date" in ddl and "ts timestamp_ntz" in ddl
+    assert "amt decimal(12,2)" in ddl and "u string" in ddl
+    p = tmp_path / "ev.avro"
+    p.write_bytes(encode_avro(_logical_rows(), _LOGICAL_SCHEMA))
+    register_avro_source(spark)
+    df = (
+        spark.read.format("mimr_avro")
+        .option("path", str(p))
+        .load()
+        .orderBy("k")
+    )
+    rows = df.collect()
+    import datetime
+    from decimal import Decimal
+
+    assert rows[0]["d"] == datetime.date(1995, 6, 17)
+    assert rows[0]["ts"] == datetime.datetime(2001, 2, 3, 4, 5, 6, 789012)
+    assert rows[0]["amt"] == Decimal("12345.67")
+    assert rows[1]["d"] == datetime.date(1969, 12, 31)
+    assert rows[1]["ts"] is None
+    assert rows[1]["amt"] == Decimal("-0.03")
+
+
+def test_logical_sink_roundtrip(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from meta_iterative_mapreduce_spark.sources.avro_ocf import (
+        register_avro_source,
+        write_avro,
+    )
+
+    df = spark.range(0, 20).select(
+        F.col("id").alias("k"),
+        F.date_add(F.lit("1995-01-01"), F.col("id").cast("int")).alias("d"),
+        F.to_timestamp_ntz(F.lit("2001-02-03 04:05:06.789")).alias("ts"),
+        (F.col("id") * 1.5).cast("decimal(10,2)").alias("amt"),
+    )
+    out = str(tmp_path / "sink")
+    assert write_avro(df, out) == 20
+    register_avro_source(spark)
+    back = spark.read.format("mimr_avro").option("path", out).load()
+    assert dict(back.dtypes)["d"] == "date"
+    assert dict(back.dtypes)["ts"] == "timestamp_ntz"
+    assert dict(back.dtypes)["amt"] == "decimal(10,2)"
+    a = sorted(map(tuple, df.collect()))
+    b = sorted(map(tuple, back.collect()))
+    assert a == b
+
+
+def test_logical_resolution_skip_and_mismatch():
+    data = encode_avro(_logical_rows(), _LOGICAL_SCHEMA)
+    reader = {
+        "type": "record",
+        "name": "ev",
+        "fields": [  # drops d/ts_ms/amt/u -> logical values SKIPPED
+            {"name": "k", "type": "long"},
+            {
+                "name": "ts",
+                "type": [
+                    "null",
+                    {"type": "long", "logicalType": "timestamp-micros"},
+                ],
+            },
+        ],
+    }
+    _, got = read_avro(data, reader)
+    assert [r["k"] for r in got] == [1, 2]
+    assert got[0]["ts"] is not None and got[1]["ts"] is None
+    # a logical field read as its raw base type must FAIL, not decode
+    bad = {
+        "type": "record",
+        "name": "ev",
+        "fields": [
+            {"name": "k", "type": "long"},
+            {"name": "d", "type": "int"},
+        ],
+    }
+    with pytest.raises(ValueError, match="logical types must match"):
+        read_avro(data, bad)
+
+
+def test_unknown_logical_type_falls_back_to_base():
+    schema = {
+        "type": "record",
+        "name": "r",
+        "fields": [
+            {
+                "name": "x",
+                "type": {"type": "string", "logicalType": "made-up-thing"},
+            }
+        ],
+    }
+    data = encode_avro([{"x": "hello"}], schema)
+    _, got = read_avro(data)
+    assert got == [{"x": "hello"}]  # spec: unknown logicals = base type

@@ -1582,3 +1582,27 @@ def test_occ_scoped_optimize_coexists_with_disjoint_append(
             where=("d", "=", "1995-01-01"),
         )
     monkeypatch.undo()
+
+
+def test_commit_harvests_distribute_and_match_serial(
+    spark, tmp_path, monkeypatch
+):
+    """Above the threshold, commit-time footer-stats and bloom
+    harvests run as one Spark job (task per file) — the manifest they
+    produce must be byte-identical to the serial driver loop's."""
+    table = str(tmp_path / "t")
+    df = spark.range(0, 200).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("v")
+    )
+    V.write_version(df.repartition(20), table, bloom_cols="k")
+    m = V.manifest_info(table)
+    assert len(m["files"]) == 20  # > _HARVEST_DISTRIBUTE_MIN
+    assert all(
+        "__rows" in s and "__bytes" in s for s in m["file_stats"].values()
+    )
+    assert len(m["file_blooms"]) == 20
+    monkeypatch.setattr(V, "_HARVEST_DISTRIBUTE_MIN", 10**9)  # force serial
+    assert V._collect_file_stats(table, m["files"]) == m["file_stats"]
+    assert (
+        V._collect_file_blooms(table, m["files"], ["k"]) == m["file_blooms"]
+    )

@@ -765,7 +765,9 @@ def main() -> None:
         "(7 days + 1 non-strict boundary day, x 100)"
     )
     assert total == n_files and len(kept) == 800
-    assert t_plan < 10.0
+    # sanity ceiling, not a benchmark: generous because the smoke may
+    # share the box with other jobs (idle-box time is <1s)
+    assert t_plan < 60.0
     t0 = time.time()
     cls = TS.make_versioned_table_source()
     src = cls(options={"path": tdir, "maxfilespertrigger": "1000"})
@@ -785,8 +787,10 @@ def main() -> None:
     )
     assert offs == n_files // 1000
     # the reader's manifest cache is what makes this cheap: without it
-    # every trigger re-parsed the 100k-file manifest (~0.5s/batch)
-    assert t_walk < 15.0
+    # every trigger re-parsed the 100k-file manifest (~0.5s/batch,
+    # 48s total); cached it is ~1s idle — ceiling sized for a loaded
+    # box, still far below the uncached cost
+    assert t_walk < 30.0
 
     print("scale smoke OK")
 
