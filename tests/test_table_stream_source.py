@@ -652,3 +652,67 @@ def test_max_bytes_per_trigger_soft_cap(spark, tmp_path):
     assert r2.latestOffset() == {"version": 2}
     with pytest.raises(Exception, match="positive"):
         _direct_reader(table, maxBytesPerTrigger=0)
+
+
+def test_paced_restart_resumes_from_partial_offset(spark, tmp_path):
+    """A stream stopped mid-drain checkpoints a PARTIAL
+    {"version", "index"} offset; the restarted run must resume inside
+    that version — every row exactly once, no re-emits of the files
+    already consumed."""
+    import time
+
+    table = str(tmp_path / "t")
+    df = spark.range(0, 120).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    V.write_version(df.filter("k < 20").coalesce(1), table)  # v1: 1 file
+    staging, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    batches = []
+
+    def sink(bdf, bid):
+        bdf.write.mode("append").parquet(staging)
+        batches.append(bdf.count())
+
+    from meta_iterative_mapreduce_spark.streaming.table_source import (
+        stream_changes,
+    )
+
+    def _start():
+        return (
+            stream_changes(spark, table, max_files_per_trigger=2)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime="1 seconds")
+            .start()
+        )
+
+    q = _start()
+    deadline = time.time() + 120
+    try:
+        while not batches and time.time() < deadline:
+            time.sleep(0.5)  # batch 1 (unbounded catch-up): v1's file
+        # v2: 20 files -> ~10 capped triggers, so the stop below lands
+        # mid-drain with high margin
+        V.append_version(df.filter("k >= 20").repartition(20), table)
+        # wait for the FIRST capped slice of v2, then stop mid-drain
+        while sum(batches) <= 20 and time.time() < deadline:
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    consumed_mid = spark.read.parquet(staging).count()
+    assert 20 < consumed_mid < 120  # stopped strictly inside v2
+    # restart: the WAL holds a partial {"version": 2, "index": i}
+    q = _start()
+    try:
+        while time.time() < deadline:
+            if os.path.exists(staging) and (
+                spark.read.parquet(staging).count() >= 120
+            ):
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    got = spark.read.parquet(staging)
+    assert got.count() == 120  # no losses AND no re-emits
+    assert got.select("k").distinct().count() == 120
+    assert got.agg(F.sum("v")).collect()[0][0] == sum(2 * k for k in range(120))
