@@ -173,7 +173,11 @@ def _added_of(m: dict, v: int, table: str, have: set) -> list[str]:
 
 
 def _plan_cdc_versions(
-    table: str, v_from: int, v_to: int, key: str, fields: list[tuple]
+    table: str,
+    v_from: int | dict,
+    v_to: int | dict,
+    key: str,
+    fields: list[tuple],
 ) -> list[dict]:
     """Driver-side CDC batch planning (the readChangeFeed shape): for
     each version in (v_from, v_to], either one 'insert' partition per
@@ -186,11 +190,22 @@ def _plan_cdc_versions(
     outright, so the former worst case — key-diffing a full-table
     compaction only to cancel every pair — never runs; the remaining
     heavy case is a genuinely wide DML, the documented reason
-    production CDC writers persist change files at commit instead."""
-    if v_from >= v_to:
+    production CDC writers persist change files at commit instead.
+
+    Offsets may be {"version", "index"} dicts at FILE granularity:
+    admission control splits INSERT-ONLY versions (the snapshot, plain
+    appends) across micro-batches; a DML version's diff is atomic —
+    its old and new sides must be keyed together — so partial offsets
+    never point inside one (the admission walk guarantees this)."""
+    start = {"version": v_from} if isinstance(v_from, int) else v_from
+    end = {"version": v_to} if isinstance(v_to, int) else v_to
+    if _off_pos(start) >= _off_pos(end):
         return []
+    sv, si = start["version"], start.get("index")
+    ev, ei = end["version"], end.get("index")
+    first_v = sv if si is not None else sv + 1
     have = set(versions(table))
-    missing = [v for v in range(v_from + 1, v_to + 1) if v not in have]
+    missing = [v for v in range(first_v, ev + 1) if v not in have]
     if missing:
         raise ValueError(
             f"versions {missing} of {table!r} were vacuumed past this "
@@ -199,7 +214,7 @@ def _plan_cdc_versions(
     if key not in {f[0] for f in fields}:
         raise ValueError(f"cdc key {key!r} not in table columns")
     specs: list[dict] = []
-    for v in range(v_from + 1, v_to + 1):
+    for v in range(first_v, ev + 1):
         m = manifest_info(table, v)
         if m.get("data_change") is False:
             # housekeeping commit: no CDC rows by construction (the
@@ -215,7 +230,9 @@ def _plan_cdc_versions(
         added = _added_of(m, v, table, have)
         removed = m.get("removed", [])
         if not removed and not dv_delta and not dv_removed:
-            for rel in added:
+            lo = si if (v == sv and si is not None) else 0
+            hi = ei if (v == ev and ei is not None) else len(added)
+            for rel in added[lo:hi]:
                 specs.append(
                     {
                         "kind": "insert",
@@ -227,6 +244,12 @@ def _plan_cdc_versions(
                     }
                 )
             continue
+        if (v == sv and si is not None) or (v == ev and ei is not None):
+            raise ValueError(
+                f"offset points inside DML version {v} of {table!r}; "
+                "a diff is atomic — the checkpoint is corrupt or was "
+                "written by a different source"
+            )
         if prev_m is None:
             raise ValueError(
                 f"version {v - 1} of {table!r} was vacuumed; the CDC "
@@ -481,15 +504,12 @@ def make_versioned_table_source():
             self.max_bytes = int(mbt) if mbt is not None else None
             if self.max_bytes is not None and self.max_bytes <= 0:
                 raise ValueError("maxBytesPerTrigger must be positive")
-            if (
-                self.max_files is not None or self.max_bytes is not None
-            ) and self.cdc_key is not None:
-                raise ValueError(
-                    "maxFilesPerTrigger/maxBytesPerTrigger are not "
-                    "supported in CDC mode: a DML version's diff is "
-                    "atomic (old and new sides must be keyed together) "
-                    "and cannot split mid-batch"
-                )
+            # CDC mode paces too (Delta CDF rate limits): insert-only
+            # versions split at file granularity; a DML version's diff
+            # is ATOMIC (old and new sides must be keyed together), so
+            # the walk admits it whole — as its own batch when the
+            # budget is tight — and never emits a partial offset
+            # inside one.
             # Admission-control cursor (Delta's maxFilesPerTrigger; the
             # Python DataSource API has no SupportsAdmissionControl, so
             # the reader tracks its own position): kept in sync by
@@ -574,6 +594,43 @@ def make_versioned_table_source():
                     v += 1
                     continue
                 added = _added_of(m, v, self.table, have)
+                if self.cdc_key is not None:
+                    prev_dv = (
+                        set(self._minfo(v - 1).get("dv_files", []))
+                        if (v - 1) in have
+                        else set()
+                    )
+                    cur_dv = set(m.get("dv_files", []))
+                    removed = m.get("removed", [])
+                    if removed or (cur_dv ^ prev_dv):
+                        # atomic diff version: admit whole or not at all
+                        cost = (
+                            len(added) + len(removed) + len(cur_dv ^ prev_dv)
+                        )
+                        over_files = (
+                            self.max_files is not None
+                            and n_adm + cost > self.max_files
+                        )
+                        over_bytes = (
+                            self.max_bytes is not None
+                            and b_adm >= self.max_bytes
+                        )
+                        if n_adm > 0 and (over_files or over_bytes):
+                            full = True
+                            break
+                        n_adm += cost
+                        b_adm += sum(
+                            file_byte_size(self.table, m, f) for f in added
+                        )
+                        if (v - 1) in have:
+                            pm = self._minfo(v - 1)
+                            b_adm += sum(
+                                file_byte_size(self.table, pm, f)
+                                for f in removed
+                            )
+                        end = {"version": v}
+                        v += 1
+                        continue
                 lo = ci if (v == cv and ci is not None) else 0
                 i = lo
                 while i < len(added):
@@ -613,8 +670,8 @@ def make_versioned_table_source():
             if self.cdc_key is not None:
                 specs = _plan_cdc_versions(
                     self.table,
-                    start["version"],
-                    end["version"],
+                    start,
+                    end,
                     self.cdc_key,
                     self.fields,
                 )
@@ -754,6 +811,8 @@ def stream_cdc(
     key: str,
     until_version: int | None = None,
     starting_version: int | None = None,
+    max_files_per_trigger: int | None = None,
+    max_bytes_per_trigger: int | None = None,
 ) -> DataFrame:
     """readStream of the table's CHANGE FEED (Delta's readChangeFeed):
     micro-batches of (key, op, old_*, new_*) rows per committed
@@ -777,6 +836,10 @@ def stream_cdc(
         r = r.option("untilversion", until_version)
     if starting_version is not None:
         r = r.option("startingversion", starting_version)
+    if max_files_per_trigger is not None:
+        r = r.option("maxfilespertrigger", max_files_per_trigger)
+    if max_bytes_per_trigger is not None:
+        r = r.option("maxbytespertrigger", max_bytes_per_trigger)
     return r.load()
 
 

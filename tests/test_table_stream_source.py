@@ -510,8 +510,6 @@ def test_max_files_per_trigger_guards(spark, tmp_path):
     )
     with pytest.raises(Exception, match="positive"):
         _direct_reader(table, maxFilesPerTrigger=0)
-    with pytest.raises(Exception, match="CDC mode"):
-        _direct_reader(table, maxFilesPerTrigger=2, cdcKey="k")
 
 
 def test_max_files_per_trigger_paces_live_appends(spark, tmp_path):
@@ -716,3 +714,60 @@ def test_paced_restart_resumes_from_partial_offset(spark, tmp_path):
     assert got.count() == 120  # no losses AND no re-emits
     assert got.select("k").distinct().count() == 120
     assert got.agg(F.sum("v")).collect()[0][0] == sum(2 * k for k in range(120))
+
+
+def test_cdc_admission_splits_inserts_keeps_diffs_atomic(spark, tmp_path):
+    """CDC pacing (Delta CDF rate limits): insert-only versions split
+    at file granularity, a DML version's diff is admitted WHOLE (as
+    its own batch under a tight budget), a partial offset never lands
+    inside a diff — and the union of all paced batches equals the
+    unpaced feed exactly."""
+    from meta_iterative_mapreduce_spark.streaming.table_source import (
+        _plan_cdc_versions,
+        _read_cdc_spec,
+        _read_spec,
+    )
+
+    table = str(tmp_path / "t")
+    df = spark.range(0, 40).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("v")
+    )
+    V.write_version(df.repartition(4), table)  # v1: 4 insert files
+    V.delete_where(spark, table, "k % 10 = 3")  # v2: CoW diff
+    V.append_version(
+        spark.createDataFrame(
+            [(100 + i, i) for i in range(9)], "k long, v long"
+        ).repartition(3),
+        table,
+    )  # v3: 3 insert files
+    r = _direct_reader(table, maxFilesPerTrigger=2, cdcKey="k")
+    r.initialOffset()
+    offs, prev = [], {"version": 0}
+    for _ in range(12):
+        off = r.latestOffset()
+        if off == prev:
+            break
+        offs.append(off)
+        prev = off
+    # v1 splits (2+2), v2 is atomic and alone, v3 splits (2+1)
+    assert offs[0] == {"version": 1, "index": 2}
+    assert offs[1] == {"version": 1}
+    assert offs[2] == {"version": 2}  # the diff, whole, own batch
+    assert all("index" not in o or o["version"] != 2 for o in offs)
+    assert offs[-1] == {"version": 3}
+    # paced batches' union == the unpaced feed
+    def rows_between(a, b):
+        out = []
+        for spec in _plan_cdc_versions(table, a, b, "k", r.fields):
+            fn = _read_cdc_spec if spec.get("kind") in ("insert", "diff") else _read_spec
+            out.extend(fn(spec))
+        return out
+
+    paced = []
+    prev = {"version": 0}
+    for off in offs:
+        paced.extend(rows_between(prev, off))
+        prev = off
+    unpaced = rows_between(0, 3)
+    assert sorted(map(tuple, paced)) == sorted(map(tuple, unpaced))
+    assert len(paced) == len(unpaced) > 40
