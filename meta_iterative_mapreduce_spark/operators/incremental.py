@@ -2466,3 +2466,48 @@ def _orders_max_key(spark: SparkSession, sf_dir: str) -> int:
         .agg(F.max("o_orderkey"))
         .collect()[0][0]
     )
+
+
+@register(
+    "q_table_describe_detail",
+    oracle="""
+    SELECT 5 AS n_versions, 3 AS n_files,
+           COUNT(*) AS n_rows, TRUE AS bytes_positive,
+           0 AS n_constraints, 0 AS n_dv_files,
+           'OPTIMIZE' AS last_operation, 0 AS head_data_change
+    FROM orders
+    """,
+)
+def q_table_describe_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DESCRIBE DETAIL (round 11) — the table-level summary tier above
+    q_table_files_meta, hash-certified on the scoped-OPTIMIZE fixture:
+    after 4 slice appends and one OPTIMIZE ... WHERE, the manifest
+    must say 5 versions, 3 live files (2 carried + 1 compacted),
+    every orders row accounted for, positive total bytes from the
+    per-file "__bytes" stats, no constraints/DVs, and a head commit
+    that is OPTIMIZE with dataChange=false. Pure manifest math — zero
+    data or footer I/O at query time
+    (sources/versioned.py::describe_detail).
+
+    Reference analog: none; lakehouse-surface completion."""
+    from meta_iterative_mapreduce_spark.sources import versioned
+
+    table = ensure_orders_optimize_where_table(spark, sf_dir)
+    d = versioned.describe_detail(table)
+    return spark.createDataFrame(
+        [
+            (
+                d["n_versions"],
+                d["n_files"],
+                d["n_rows"],
+                d["total_bytes"] > 0,
+                len(d["constraints"]),
+                d["n_dv_files"],
+                d["operation"],
+                0 if d["data_change"] is False else 1,
+            )
+        ],
+        "n_versions int, n_files int, n_rows bigint, bytes_positive "
+        "boolean, n_constraints int, n_dv_files int, last_operation "
+        "string, head_data_change int",
+    )

@@ -65,6 +65,7 @@ WINDOW_PRIORITY: tuple[str, ...] = (
     "q_scan_avro_logical",
     "q_scan_avro_resolved",
     "q_sink_avro_roundtrip",
+    "q_table_describe_detail",
     "q_table_hidden_partitioning",
     "q_table_optimize_cdf",
     "q_table_optimize_where",
@@ -84,9 +85,9 @@ WINDOW_PRIORITY: tuple[str, ...] = (
     "q_text_tokens",
     "q_unpivot",
     "q_window_ntile",
-    # 30 of the 50 r06-stamped queries (now the stalest cohort,
-    # alphabetical); the remaining 20 (set ops, sorts, TPC-H shapes,
-    # windows, orc/parquet/projection scans) lead the r12 window
+    # 29 of the 50 r06-stamped queries (now the stalest cohort,
+    # alphabetical); the remaining 21 (set ops, sorts, TPC-H shapes,
+    # windows, json/orc/parquet/projection scans) lead the r12 window
     "q_events_dau_stickiness",
     "q_filter_comparison",
     "q_filter_in_between_like",
@@ -116,7 +117,6 @@ WINDOW_PRIORITY: tuple[str, ...] = (
     "q_scalar_math",
     "q_scalar_string",
     "q_scan_csv",
-    "q_scan_json",
 )
 
 

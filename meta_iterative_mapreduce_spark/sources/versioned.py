@@ -3526,3 +3526,86 @@ def vacuum(
         "deleted_files": deleted,
         "kept_files": len(live),
     }
+
+
+def vacuum_orphans(
+    table: str, grace_seconds: float = 7 * 24 * 3600.0, dry_run: bool = False
+) -> dict:
+    """Remove ORPHANED files — on-disk parquet under the table that no
+    retained manifest references: the debris of crashed writers (data
+    files are written BEFORE the manifest commit, so a writer dying
+    mid-transaction strands them) and of lost OCC races that died
+    before their own cleanup ran. This is the other half of Delta's
+    VACUUM (retention GC handles referenced-but-expired files; this
+    handles never-referenced ones).
+
+    `grace_seconds` is the SAFETY WINDOW, exactly Delta's modification-
+    time threshold (default 7 days): a file younger than it is NEVER
+    touched, because an in-flight writer's files are indistinguishable
+    from orphans until its commit lands — deleting them would break a
+    transaction that was about to succeed. Tests pass a tiny grace;
+    production keeps the default. Returns {"orphans": [...],
+    "deleted": n, "dry_run": bool} (orphans listed relative to the
+    table root)."""
+    import time as _time
+
+    if grace_seconds < 0:
+        raise ValueError("grace_seconds must be >= 0")
+    referenced: set[str] = set()
+    for v in versions(table):
+        m = json.load(open(_manifest_path(table, v)))
+        referenced.update(m["files"])
+        referenced.update(m.get("dv_files", []))
+    horizon = _time.time() - grace_seconds
+    orphans: list[str] = []
+    for dirpath, _dirs, names in os.walk(os.path.join(table, _DATA_DIR)):
+        for n in names:
+            p = os.path.join(dirpath, n)
+            rel = os.path.relpath(p, table)
+            if rel in referenced or not n.endswith(".parquet"):
+                continue
+            if os.path.getmtime(p) > horizon:
+                continue  # could be an in-flight writer: never touch
+            orphans.append(rel)
+    orphans.sort()
+    if not dry_run:
+        for rel in orphans:
+            os.unlink(os.path.join(table, rel))
+        # prune now-empty version subdirectories (cosmetic, best-effort)
+        for dirpath, dirs, names in os.walk(
+            os.path.join(table, _DATA_DIR), topdown=False
+        ):
+            if not dirs and not names:
+                try:
+                    os.rmdir(dirpath)
+                except OSError:
+                    pass
+    return {"orphans": orphans, "deleted": 0 if dry_run else len(orphans),
+            "dry_run": dry_run}
+
+
+def describe_detail(table: str) -> dict:
+    """DESCRIBE DETAIL (Delta's table-level summary), pure manifest
+    math: head version, live file/row counts, total bytes from the
+    per-file "__bytes" stats, layout declarations (partition spec —
+    including hidden-partitioning transform specs verbatim — bloom
+    columns, constraints), merge-on-read state (live DV objects), and
+    the head commit's operation and dataChange flag. Zero data or
+    footer I/O: every number is what the manifest already knows, which
+    is the point — on a 100k-file table this answers instantly."""
+    m = manifest_info(table)
+    return {
+        "version": m["version"],
+        "n_versions": len(versions(table)),
+        "n_files": len(m["files"]),
+        "n_rows": m["n_rows"],
+        "total_bytes": sum(
+            file_byte_size(table, m, f) for f in m["files"]
+        ),
+        "partition_by": list(m.get("partition_by", [])),
+        "constraints": sorted(m.get("constraints", {})),
+        "bloom_cols": list(m.get("bloom_cols", [])),
+        "n_dv_files": len(m.get("dv_files", [])),
+        "operation": m.get("operation", "UNKNOWN"),
+        "data_change": m.get("data_change", True),
+    }

@@ -1606,3 +1606,43 @@ def test_commit_harvests_distribute_and_match_serial(
     assert (
         V._collect_file_blooms(table, m["files"], ["k"]) == m["file_blooms"]
     )
+
+
+def test_vacuum_orphans_removes_stranded_files_with_grace(spark, tmp_path):
+    """Crashed-writer debris (parquet on disk, referenced by NO
+    manifest) is removed — but only past the modification-time grace
+    window, so an in-flight writer's just-written files survive."""
+    import os as _os
+    import time as _time
+
+    table = _range_sliced_table(spark, tmp_path)
+    live_before = set(V.manifest_info(table)["files"])
+    # strand two fake writer files: one "old" crash, one "in-flight"
+    vdir = _os.path.join(table, "data", "v000099-deadbeef")
+    _os.makedirs(vdir)
+    old = _os.path.join(vdir, "part-000-orphan.parquet")
+    young = _os.path.join(vdir, "part-001-inflight.parquet")
+    for p in (old, young):
+        spark.range(3).coalesce(1).write.mode("overwrite").parquet(p + ".d")
+        src = [
+            f
+            for f in _os.listdir(p + ".d")
+            if f.endswith(".parquet")
+        ][0]
+        _os.rename(_os.path.join(p + ".d", src), p)
+    _os.utime(old, (  # age the crash artifact past the grace window
+        _time.time() - 3600, _time.time() - 3600
+    ))
+    res = V.vacuum_orphans(table, grace_seconds=600, dry_run=True)
+    assert res["orphans"] == [_os.path.relpath(old, table)]
+    assert _os.path.exists(old)  # dry run touched nothing
+    res = V.vacuum_orphans(table, grace_seconds=600)
+    assert res["deleted"] == 1
+    assert not _os.path.exists(old) and _os.path.exists(young)
+    # every referenced file survives; the table still reads exactly
+    assert set(V.manifest_info(table)["files"]) == live_before
+    assert V.read_version(spark, table).count() == 100
+    # past the grace window the in-flight file becomes an orphan too
+    _os.utime(young, (_time.time() - 3600, _time.time() - 3600))
+    assert V.vacuum_orphans(table, grace_seconds=600)["deleted"] == 1
+    assert not _os.path.exists(young)
