@@ -3264,41 +3264,55 @@ def compact_version(
         target_files = max(1, -(-total_b // target_bytes))
     df = _read_files_logical(spark, table, m, picked)
     if zorder_cols is not None:
-        # OPTIMIZE ZORDER BY (x, y): equi-width-bucket each dimension
-        # to 8 bits from its [min, max] (one 1-row agg — approximate
+        # OPTIMIZE ZORDER BY (c1, ..., cn): equi-width-bucket each
+        # dimension from its [min, max] (one 1-row agg — approximate
         # quantile buckets would be finer on skew, equi-width keeps
         # the whole path in codegen arithmetic), interleave the bits
         # (Morton), range-cluster files on the z value. Every file
-        # then bounds BOTH dimensions, so plan_files skips on either
-        # column's predicate — single-column sort gives one of them.
-        x, y = zorder_cols
-        rng = df.agg(
-            F.min(x).alias("x0"),
-            F.max(x).alias("x1"),
-            F.min(y).alias("y0"),
-            F.max(y).alias("y1"),
-        ).collect()[0]
+        # then bounds ALL n dimensions, so plan_files skips on any
+        # column's predicate. Bits per dimension = 16 // n (8 for the
+        # classic 2-column case, 5 for 3, 4 for 4): the z value stays
+        # a cheap long and the bucket resolution stays far above the
+        # file count it needs to separate.
+        cols = list(zorder_cols)
+        if len(cols) < 2:
+            raise ValueError("zorder_cols needs at least 2 columns")
+        bits = max(2, 16 // len(cols))
+        top = (1 << bits) - 1
+        aggs = []
+        for i, c in enumerate(cols):
+            aggs += [F.min(c).alias(f"lo{i}"), F.max(c).alias(f"hi{i}")]
+        rng = df.agg(*aggs).collect()[0]
+
         def bucket(c, lo, hi):
             span = max(float(hi) - float(lo), 1e-12)
             return F.least(
-                F.lit(255),
+                F.lit(top),
                 F.floor(
-                    (F.col(c).cast("double") - float(lo)) / span * 256
+                    (F.col(c).cast("double") - float(lo))
+                    / span
+                    * (top + 1)
                 ).cast("long"),
             )
-        zdf = df.withColumn("__xb", bucket(x, rng["x0"], rng["x1"])).withColumn(
-            "__yb", bucket(y, rng["y0"], rng["y1"])
-        )
+
+        zdf = df
+        names = []
+        for i, c in enumerate(cols):
+            names.append(f"__zb{i}")
+            zdf = zdf.withColumn(
+                names[i], bucket(c, rng[f"lo{i}"], rng[f"hi{i}"])
+            )
+        n = len(cols)
         z_expr = " + ".join(
-            f"shiftleft((__xb >> {b}) & 1, {2 * b + 1}) + "
-            f"shiftleft((__yb >> {b}) & 1, {2 * b})"
-            for b in range(8)
+            f"shiftleft(({nm} >> {b}) & 1, {b * n + (n - 1 - i)})"
+            for b in range(bits)
+            for i, nm in enumerate(names)
         )
         zdf = zdf.withColumn("__z", F.expr(z_expr))
         df = (
             zdf.repartitionByRange(target_files, F.col("__z"))
             .sortWithinPartitions("__z")
-            .drop("__xb", "__yb", "__z")
+            .drop(*names, "__z")
         )
     elif sort_col is not None:
         df = df.repartitionByRange(target_files, F.col(sort_col)).sortWithinPartitions(sort_col)

@@ -489,6 +489,34 @@ def make_versioned_table_source():
             # (inclusive) instead of replaying the v1 snapshot —
             # "changes from here on", the catch-up-less subscription.
             self.starting = int(sv) if sv is not None else None
+            st = options.get("startingtimestamp")
+            if st is not None:
+                if self.starting is not None:
+                    raise ValueError(
+                        "startingVersion and startingTimestamp are "
+                        "mutually exclusive"
+                    )
+                # Delta semantics: the first version committed AT or
+                # AFTER the timestamp (epoch seconds) — resolved once,
+                # here, so the offset arithmetic stays purely integral
+                ts = float(st)
+                from meta_iterative_mapreduce_spark.sources.versioned import (
+                    manifest_info as _mi,
+                    versions as _vs,
+                )
+
+                cand = [
+                    v
+                    for v in _vs(self.table)
+                    if _mi(self.table, v).get("committed_at", 0) >= ts
+                ]
+                if not cand:
+                    raise ValueError(
+                        f"no version of {self.table!r} was committed at "
+                        f"or after startingTimestamp={st} (head is "
+                        "older); use a plain stream for future commits"
+                    )
+                self.starting = cand[0]
             if self.starting is not None and self.starting < 1:
                 raise ValueError("startingVersion must be >= 1")
             self.cdc_key = options.get("cdckey")

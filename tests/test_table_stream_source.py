@@ -771,3 +771,53 @@ def test_cdc_admission_splits_inserts_keeps_diffs_atomic(spark, tmp_path):
     unpaced = rows_between(0, 3)
     assert sorted(map(tuple, paced)) == sorted(map(tuple, unpaced))
     assert len(paced) == len(unpaced) > 40
+
+
+def test_starting_timestamp_resolves_to_first_version_at_or_after(
+    spark, tmp_path
+):
+    """startingTimestamp (Delta): the stream begins at the first
+    version committed at or after the timestamp; a timestamp past the
+    head raises instead of silently streaming nothing."""
+    import json as _json
+    import os as _os
+
+    table = str(tmp_path / "t")
+    df = spark.range(0, 30).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    V.write_version(df.filter("k < 10"), table)
+    V.append_version(df.filter("k >= 10 AND k < 20"), table)
+    V.append_version(df.filter("k >= 20"), table)
+    # pin commit times: v1=1000, v2=2000, v3=3000 (test-controlled)
+    for v, ts in ((1, 1000.0), (2, 2000.0), (3, 3000.0)):
+        p = _os.path.join(table, "_manifests", f"v{v:06d}.json")
+        m = _json.load(open(p))
+        m["committed_at"] = ts
+        _json.dump(m, open(p, "w"))
+    staging, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    from meta_iterative_mapreduce_spark.streaming.table_source import (
+        register_stream_source,
+    )
+
+    register_stream_source(spark)
+    q = (
+        spark.readStream.format("mimr_versioned_table")
+        .option("path", table)
+        .option("startingtimestamp", "1500")
+        .load()
+        .writeStream.foreachBatch(
+            lambda bdf, bid: bdf.write.mode("append").parquet(staging)
+        )
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = spark.read.parquet(staging)
+    assert got.count() == 20  # v2 + v3 only
+    assert got.agg(F.min("k")).collect()[0][0] == 10
+    with pytest.raises(Exception, match="at\\s+or after|mutually"):
+        _direct_reader(table, startingTimestamp=99999999.0)
+    with pytest.raises(Exception, match="mutually exclusive"):
+        _direct_reader(table, startingTimestamp=1500.0, startingVersion=2)

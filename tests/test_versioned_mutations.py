@@ -1646,3 +1646,27 @@ def test_vacuum_orphans_removes_stranded_files_with_grace(spark, tmp_path):
     _os.utime(young, (_time.time() - 3600, _time.time() - 3600))
     assert V.vacuum_orphans(table, grace_seconds=600)["deleted"] == 1
     assert not _os.path.exists(young)
+
+
+def test_zorder_three_columns_bounds_every_dimension(spark, tmp_path):
+    """OPTIMIZE ZORDER BY over THREE columns: after clustering, a
+    selective predicate on ANY of the three skips files (each file
+    bounds all dimensions), and rows are invariant."""
+    table = str(tmp_path / "t")
+    df = spark.range(0, 4096).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 64).alias("a"),
+        (F.floor(F.col("id") / 64) % 64).alias("b"),
+        (F.pmod(F.col("id") * 37, F.lit(64))).alias("c"),
+    )
+    V.write_version(df, table)
+    V.compact_version(
+        spark, table, target_files=16, zorder_cols=("a", "b", "c")
+    )
+    assert V.read_version(spark, table).count() == 4096
+    total = len(V.manifest_info(table)["files"])
+    for col in ("a", "b", "c"):
+        kept, _ = V.plan_files(table, where=(col, "<", 8))
+        assert len(kept) < total, f"no skipping on {col}"
+    got = V.read_version(spark, table, where=("b", "<", 8)).filter("b < 8")
+    assert got.count() == df.filter("b < 8").count()
