@@ -24,9 +24,11 @@ Format, per spec:
   varint branch index + value, arrays as count-prefixed blocks
   terminated by a 0 count, records as their fields in order;
 - ``deflate`` codec = RAW deflate (zlib with neither header nor
-  checksum — wbits -15), per spec. Unknown codecs (snappy/zstd — the
-  libraries aren't in this container) raise NotImplementedError, a
-  documented codec scope guard, not a stub.
+  checksum — wbits -15), per spec; ``snappy`` = the raw snappy block
+  format (pure-stdlib twin in sources/snappy_codec.py) followed by a
+  4-byte big-endian CRC32 of the uncompressed data, per spec. Unknown
+  codecs (zstd — the library isn't in this container) raise
+  NotImplementedError, a documented codec scope guard, not a stub.
 
 Scale design (the 100 TB story): ``index_avro_blocks`` walks ONLY the
 block headers — per block it reads two varints, ``seek``s past the
@@ -54,11 +56,15 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from meta_iterative_mapreduce_spark.io import load_table
+from meta_iterative_mapreduce_spark.sources.snappy_codec import (
+    snappy_compress,
+    snappy_decompress,
+)
 from meta_iterative_mapreduce_spark.registry import register
 
 _MAGIC = b"Obj\x01"
 _SYNC_LEN = 16
-_CODECS = ("null", "deflate")
+_CODECS = ("null", "deflate", "snappy")
 
 # ---------------------------------------------------------------- varints
 
@@ -162,17 +168,23 @@ def _logical_encode(t: dict, v):
         if isinstance(v, datetime.date):
             return (v - datetime.date(1970, 1, 1)).days
         return int(v)
-    if lt == "timestamp-millis" and base == "long":
+    if lt in ("timestamp-millis", "timestamp-micros") and base == "long":
         if isinstance(v, datetime.datetime):
-            d = v.replace(tzinfo=None) - datetime.datetime(1970, 1, 1)
-            return (d.days * 86_400_000_000 + d.seconds * 1_000_000
-                    + d.microseconds) // 1000
-        return int(v)
-    if lt == "timestamp-micros" and base == "long":
-        if isinstance(v, datetime.datetime):
-            d = v.replace(tzinfo=None) - datetime.datetime(1970, 1, 1)
-            return (d.days * 86_400_000_000 + d.seconds * 1_000_000
-                    + d.microseconds)
+            # The spec defines timestamp-millis/micros as UTC
+            # INSTANTS: a tz-AWARE datetime converts to UTC before
+            # the epoch delta (ADVICE r11 — plain replace(tzinfo=None)
+            # wrote the writer session's wall clock, so the same
+            # instant encoded differently per session timezone). A
+            # NAIVE datetime is the TimestampNTZ wall-clock path and
+            # encodes as-is.
+            if v.tzinfo is not None:
+                v = v.astimezone(datetime.timezone.utc).replace(
+                    tzinfo=None
+                )
+            d = v - datetime.datetime(1970, 1, 1)
+            micros = (d.days * 86_400_000_000 + d.seconds * 1_000_000
+                      + d.microseconds)
+            return micros // 1000 if lt == "timestamp-millis" else micros
         return int(v)
     if lt == "decimal" and base == "bytes":
         scale = int(t.get("scale", 0))
@@ -434,6 +446,12 @@ def encode_avro(
         if codec == "deflate":
             co = zlib.compressobj(9, zlib.DEFLATED, -15)
             raw = co.compress(raw) + co.flush()
+        elif codec == "snappy":
+            # Avro spec: snappy blocks carry a 4-byte BIG-endian CRC32
+            # of the UNCOMPRESSED data after the compressed bytes
+            raw = snappy_compress(raw) + struct.pack(
+                ">I", zlib.crc32(raw) & 0xFFFFFFFF
+            )
         _write_long(out, len(chunk))
         _write_long(out, len(raw))
         out += raw
@@ -478,6 +496,15 @@ def _decode_block(
 ) -> list[dict]:
     if codec == "deflate":
         raw = zlib.decompress(raw, -15)
+    elif codec == "snappy":
+        if len(raw) < 4:
+            raise ValueError("Avro snappy block too short for its CRC")
+        body, crc = raw[:-4], struct.unpack(">I", raw[-4:])[0]
+        raw = snappy_decompress(body)
+        if zlib.crc32(raw) & 0xFFFFFFFF != crc:
+            raise ValueError(
+                "Avro snappy block CRC mismatch (corrupt block)"
+            )
     buf = io.BytesIO(raw)
     if reader_schema is not None and reader_schema != schema:
         plan, defaults = _resolve_schemas(schema, reader_schema)
@@ -871,10 +898,10 @@ _DOC_AVRO_SCHEMA = {
 
 
 def _avro_fixture_dir(spark: SparkSession, sf_dir: str) -> str:
-    """Documents re-encoded as 4 Avro OCF files (multi-block; even
-    files deflate, odd files null codec — both real at-rest layouts),
-    content-fingerprint keyed and idempotent like every derived
-    fixture in this repo."""
+    """Documents re-encoded as 4 Avro OCF files (multi-block;
+    deflate, null AND snappy codecs rotating per file — the three
+    real at-rest layouts), content-fingerprint keyed and idempotent
+    like every derived fixture in this repo."""
     import tempfile
 
     from meta_iterative_mapreduce_spark.io import fixture_fingerprint
@@ -882,7 +909,7 @@ def _avro_fixture_dir(spark: SparkSession, sf_dir: str) -> str:
     root = os.path.join(
         tempfile.gettempdir(),
         "mimr_avro",
-        f"docs_{fixture_fingerprint(sf_dir, 'documents')}",
+        f"docs_{fixture_fingerprint(sf_dir, 'documents')}_c3",
     )
     marker = os.path.join(root, "_COMPLETE")
     if os.path.exists(marker):
@@ -914,7 +941,7 @@ def _avro_fixture_dir(spark: SparkSession, sf_dir: str) -> str:
         data = encode_avro(
             recs,
             _DOC_AVRO_SCHEMA,
-            codec="deflate" if i % 2 == 0 else "null",
+            codec=("deflate", "null", "snappy")[i % 3],
             block_records=50,
             sync=bytes([i]) * _SYNC_LEN,
         )
@@ -938,8 +965,10 @@ def _avro_fixture_dir(spark: SparkSession, sf_dir: str) -> str:
 )
 def q_scan_avro(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Avro OCF scan, byte-exact: documents re-encoded as 4 multi-
-    block container files (deflate AND null codecs, per-file sync
-    markers, a nullable union column) and read back through the
+    block container files (deflate, null AND snappy codecs — snappy
+    via the pure-stdlib raw-block codec in sources/snappy_codec.py,
+    CRC-framed per the Avro spec — per-file sync markers, a nullable
+    union column) and read back through the
     `mimr_avro` Python Data Source — one InputPartition per data
     block, executor-side seek-and-decode, zero driver payload I/O.
     The oracle md5-verifies every payload against the source table,

@@ -443,17 +443,35 @@ def _with_pspec_cols(
     return out, path_cols
 
 
-def _pspec_literal(kind: str, param: int | None, value):
+def _pspec_literal(kind: str, param: int | None, value, src_type=None):
     """Python-side twin of _with_pspec_cols' expressions: map a
     predicate literal into the partition domain at PLAN time. Must
     agree exactly with the Spark expression for every value both can
     see (pinned by tests); returns None when the literal's type can't
-    map — the caller keeps the files (pruning stays conservative)."""
+    map — the caller keeps the files (pruning stays conservative).
+
+    `src_type` is the SOURCE column's declared type (manifest schema).
+    bucket/truncate hash/slice in the source column's domain, so a
+    literal of the wrong type family must NOT map: bucket('s',N) of an
+    int literal would land in the crc32 domain's wrong cell and
+    silently drop files whose rows Spark's cast-based comparison
+    matches (ADVICE r11, medium). Family mismatch → None (keep files).
+    An unknown src_type (pre-schema manifests) is treated as mismatch
+    for bucket/truncate — conservative, never lossy."""
     import datetime
     import zlib
 
     if isinstance(value, bool):
         return None
+    if kind in ("bucket", "truncate"):
+        if src_type in _INT_FAMILY:
+            if not isinstance(value, int):
+                return None
+        elif src_type == "string":
+            if not isinstance(value, str):
+                return None
+        else:
+            return None
     if kind in ("days", "month"):
         if isinstance(value, datetime.datetime):
             d = value.date()
@@ -1090,6 +1108,10 @@ def plan_files(
     # column, never the layout (Iceberg's contract). Monotone
     # transforms map ranges non-strictly; bucket maps =/IN only;
     # unmappable literals keep every file (conservative).
+    src_types = {
+        f["name"]: f["type"]
+        for f in (m.get("schema") or {}).get("fields", [])
+    }
     pspecs = [
         (_parse_pspec(e), _pspec_path_col(e, phys_of))
         for e in m.get("partition_by", [])
@@ -1099,8 +1121,11 @@ def plan_files(
         for (kind, src, param), pc in pspecs:
             if src != col:
                 continue
+            styp = src_types.get(src)
             if op == "in":
-                mapped = [_pspec_literal(kind, param, v) for v in value]
+                mapped = [
+                    _pspec_literal(kind, param, v, styp) for v in value
+                ]
                 if any(mv is None for mv in mapped):
                     continue
                 kept = [
@@ -1113,7 +1138,7 @@ def plan_files(
                 ]
                 continue
             op2 = _pspec_prune_op(kind, op)
-            v2 = _pspec_literal(kind, param, value)
+            v2 = _pspec_literal(kind, param, value, styp)
             if op2 is None or v2 is None:
                 continue
             kept = [
@@ -1831,6 +1856,10 @@ def _prune_may_match(m: dict, prune):
     # (dates) — map each conjunct into the partition domain exactly
     # like plan_files does, so scoped DML coexists with appends to
     # other days/buckets
+    src_types = {
+        f["name"]: f["type"]
+        for f in (m.get("schema") or {}).get("fields", [])
+    }
     pspecs = [
         (_parse_pspec(e), _pspec_path_col(e, phys_of))
         for e in m.get("partition_by", [])
@@ -1841,8 +1870,11 @@ def _prune_may_match(m: dict, prune):
         for (kind, src, param), pc in pspecs:
             if src != pcol:
                 continue
+            styp = src_types.get(src)
             if pop == "in":
-                mapped = [_pspec_literal(kind, param, v) for v in pval]
+                mapped = [
+                    _pspec_literal(kind, param, v, styp) for v in pval
+                ]
                 if any(mv is None for mv in mapped):
                     continue
                 if not any(
@@ -1851,7 +1883,7 @@ def _prune_may_match(m: dict, prune):
                     return False
                 continue
             op2 = _pspec_prune_op(kind, pop)
-            v2 = _pspec_literal(kind, param, pval)
+            v2 = _pspec_literal(kind, param, pval, styp)
             if op2 is None or v2 is None:
                 continue
             if not _file_may_match(fstats, pc, op2, v2):
@@ -2595,6 +2627,8 @@ def merge_version(
     delete_predicate: str | None = None,
     mode: str = "cow",
     merge_schema: bool = False,
+    not_matched_by_source: str | dict[str, str] | None = None,
+    not_matched_by_source_condition: str | None = None,
 ) -> int:
     """MERGE INTO the versioned log, copy-on-write, in ONE commit —
     Delta's three clauses (VERDICT r9 item 3):
@@ -2649,9 +2683,40 @@ def merge_version(
     contract: CDC metadata only — consumable by `delete_predicate`,
     never stored, never schema-changing. NOTE: with the flag, EVERY
     extra column is adopted, including op/ts metadata — drop metadata
-    columns before merging with merge_schema=True."""
+    columns before merging with merge_schema=True.
+
+    `not_matched_by_source` (VERDICT r11 Missing #5 — Delta's THIRD
+    clause family, WHEN NOT MATCHED BY SOURCE, the dimension-sync
+    shape): acts on TARGET rows whose key is absent from the batch.
+    Pass the string "delete" to delete them, or a {column: sql_expr}
+    dict to UPDATE SET them in place (exprs evaluate over the OLD
+    target row — e.g. {"active": "false", "closed_n": "closed_n + 1"}
+    — and cast back to the column's declared type).
+    `not_matched_by_source_condition` (a SQL boolean over the TARGET
+    row) restricts which absent rows the clause touches, exactly like
+    Delta's WHEN NOT MATCHED BY SOURCE AND <cond>. Both modes honor
+    it: cow rewrites only the files holding affected rows; dv masks
+    the affected positions (update additionally appends the rewritten
+    images). Because the clause reads rows the batch does NOT name,
+    the transaction's read set is the whole table — the commit's OCC
+    probe therefore treats ANY interleaved add as a conflict (no
+    added_may_match pruning), the sound posture for a full-table
+    predicate."""
     if mode not in ("cow", "dv"):
         raise ValueError(f"mode must be 'cow' or 'dv', not {mode!r}")
+    if not_matched_by_source is not None:
+        if not_matched_by_source != "delete" and not (
+            isinstance(not_matched_by_source, dict) and not_matched_by_source
+        ):
+            raise ValueError(
+                "not_matched_by_source must be 'delete' or a non-empty "
+                "{column: sql_expr} dict"
+            )
+    elif not_matched_by_source_condition is not None:
+        raise ValueError(
+            "not_matched_by_source_condition needs a "
+            "not_matched_by_source clause"
+        )
     if batch_id is not None and batch_id in committed_batch_ids(table):
         return versions(table)[-1]
     m = manifest_info(table)
@@ -2715,12 +2780,28 @@ def merge_version(
         )
     # keys drive BOTH the touched-file probe and the anti-join: a
     # deleted key's old row must vanish (anti-joined, not re-added).
+    if isinstance(not_matched_by_source, dict):
+        bad = [c for c in not_matched_by_source if c not in target_cols]
+        if bad:
+            raise ValueError(
+                f"not_matched_by_source SET columns {bad} not in table "
+                f"columns {sorted(target_cols)}"
+            )
+        if key in not_matched_by_source:
+            raise ValueError(
+                "not_matched_by_source must not SET the merge key"
+            )
     keys = all_key_rows.distinct()
     krange = all_key_rows.agg(
         F.min(key).alias("lo"), F.max(key).alias("hi")
     ).collect()[0]
     candidates = m["files"]
     amm = None
+    if not_matched_by_source is not None:
+        # the by-source clause predicates on rows the batch does NOT
+        # name: the read set is every file, and no interleaved add can
+        # be proven irrelevant — keep candidates whole and amm None
+        krange = {"lo": None, "hi": None}
     if krange["lo"] is not None:
         mapping, _, _ = _mapping_state(m, m["schema"])
         phys_key = {mp["name"]: mp["physical"] for mp in mapping}.get(key, key)
@@ -2736,19 +2817,77 @@ def merge_version(
     tagged = _read_files_logical(
         spark, table, m, candidates, with_position=True
     )
-    if mode == "dv":
-        matched = (
-            tagged.join(keys, key, "left_semi")
-            .select(
-                F.col("__file").alias("file"),
-                F.col("__row_index").alias("row_index"),
+    # WHEN NOT MATCHED BY SOURCE machinery, shared by both modes: the
+    # clause condition over the TARGET row (absent-from-source rows
+    # satisfying it are acted on) and the SET projection for the
+    # update form (exprs see the OLD row; cast back to the declared
+    # column type so a SQL literal can't drift the schema).
+    commit_schema = schema_evo["schema"] if schema_evo else m["schema"]
+    col_types = {f["name"]: f["type"] for f in commit_schema["fields"]}
+    bys_cond = None
+    if not_matched_by_source is not None:
+        bys_cond = (
+            F.coalesce(
+                F.expr(not_matched_by_source_condition), F.lit(False)
             )
-            .cache()
+            if not_matched_by_source_condition is not None
+            else F.lit(True)
         )
+
+    def _bys_set_projection(df: DataFrame) -> DataFrame:
+        have = set(df.columns)
+        cols = []
+        for c in target_cols:
+            if c in not_matched_by_source:
+                e = F.expr(not_matched_by_source[c])
+                t = col_types.get(c)
+                if isinstance(t, str):
+                    e = e.cast(t)
+                cols.append(e.alias(c))
+            elif c in have:
+                cols.append(F.col(c))
+            # else: a just-adopted (merge_schema) column the carried
+            # row predates — omitted; unionByName(allowMissing...)
+            # null-fills it downstream
+        return df.select(*cols)
+
+    if mode == "dv":
+        mask_pos = tagged.join(keys, key, "left_semi").select(
+            F.col("__file").alias("file"),
+            F.col("__row_index").alias("row_index"),
+        )
+        appended = updates
+        bysrc = None
+        if not_matched_by_source is not None:
+            # live target rows absent from the batch, clause-filtered;
+            # DVs already applied by _read_files_logical so a masked
+            # row can't be re-deleted or re-written
+            bysrc = (
+                tagged.join(keys, key, "left_anti")
+                .filter(bys_cond)
+                .cache()
+            )
+            mask_pos = mask_pos.unionByName(
+                bysrc.select(
+                    F.col("__file").alias("file"),
+                    F.col("__row_index").alias("row_index"),
+                )
+            )
+            if isinstance(not_matched_by_source, dict):
+                # update form: mask the old position AND append the
+                # rewritten image (position-delete + insert, the
+                # Iceberg v2 update shape)
+                rewritten = _bys_set_projection(
+                    bysrc.drop("__file", "__row_index")
+                )
+                appended = updates.unionByName(
+                    rewritten, allowMissingColumns=schema_evo is not None
+                ).select(*target_cols)
+        matched = mask_pos.cache()
         try:
-            n_matched = matched.count()
-            n_up = updates.count()
-            if n_matched == 0 and n_up == 0:
+            n_masked = matched.count()
+            n_app = appended.count()
+            if n_masked == 0 and n_app == 0:
                 # no-op commit still records batch_id: a replayed
                 # empty/unmatched CDC batch must hit the exactly-once
                 # ledger, not mint a fresh version per replay
@@ -2758,7 +2897,7 @@ def merge_version(
                     **({} if batch_id is None else {"batch_id": batch_id}),
                 )
             _check_constraints(
-                updates, m.get("constraints", {}), f"merge into {table}"
+                appended, m.get("constraints", {}), f"merge into {table}"
             )
             if schema_evo is not None:
                 mapping = schema_evo["column_mapping"]
@@ -2770,40 +2909,46 @@ def merge_version(
             new_files = (
                 _write_data_files(
                     _to_physical(
-                        updates.coalesce(max(1, -(-n_up // 1_000_000))),
+                        appended.coalesce(max(1, -(-n_app // 1_000_000))),
                         mapping,
                     ),
                     table,
                     v,
                 )
-                if n_up
+                if n_app
                 else []
             )
             new_dv: list[str] = []
             dv_map: dict[str, list[str]] = {}
-            if n_matched:
+            if n_masked:
                 new_dv, dv_map = _write_dv_files(matched, table, v)
         finally:
             matched.unpersist()
+            if bysrc is not None:
+                bysrc.unpersist()
         return _commit_dv(
             spark,
             table,
             m,
             new_files,
             new_dv,
-            n_up - n_matched,
+            n_app - n_masked,
             added_may_match=amm,
             dv_map=dv_map,
             schema_evolution=schema_evo,
             operation="MERGE",
             **({} if batch_id is None else {"batch_id": batch_id}),
         )
+    sel = tagged.join(keys, key, "left_semi").select("__file")
+    if not_matched_by_source is not None:
+        # files holding by-source-affected rows rewrite too
+        sel = sel.unionByName(
+            tagged.join(keys, key, "left_anti")
+            .filter(bys_cond)
+            .select("__file")
+        )
     touched_names = {
-        r["__file"]
-        for r in tagged.join(keys, key, "left_semi")
-        .select("__file")
-        .distinct()
-        .collect()
+        r["__file"] for r in sel.distinct().collect()
     }
     touched = [f for f in m["files"] if f in touched_names]
     # new content = untouched rows of the touched files + EVERY update
@@ -2811,6 +2956,15 @@ def merge_version(
     carried = _read_files_logical(spark, table, m, touched).join(
         keys, key, "left_anti"
     )
+    if not_matched_by_source == "delete":
+        carried = carried.filter(~bys_cond)
+    elif isinstance(not_matched_by_source, dict):
+        # per-row: clause rows take the SET image, others carry as-is
+        kept = carried.filter(~bys_cond)
+        flipped = _bys_set_projection(carried.filter(bys_cond))
+        carried = kept.unionByName(
+            flipped, allowMissingColumns=schema_evo is not None
+        )
     # schema evolution: carried rows predate the new columns and
     # null-fill here, exactly as untouched files null-fill on read
     replacement = carried.unionByName(

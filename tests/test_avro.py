@@ -82,13 +82,13 @@ def test_bad_magic_raises():
 
 
 def test_unknown_codec_guard_both_sides():
-    with pytest.raises(NotImplementedError, match="snappy"):
-        encode_avro(_recs(1), SCHEMA, codec="snappy")
-    # a file CLAIMING snappy must raise the scope guard, not garbage
+    with pytest.raises(NotImplementedError, match="zstd"):
+        encode_avro(_recs(1), SCHEMA, codec="zstd")
+    # a file CLAIMING zstd must raise the scope guard, not garbage
     data = encode_avro(_recs(1), SCHEMA, codec="null")
-    forged = data.replace(b"\x08null", b"\x0csnappy", 1)
+    forged = data.replace(b"\x08null", b"\x08zstd", 1)
     assert forged != data  # the codec metadata entry was rewritten
-    with pytest.raises(NotImplementedError, match="snappy"):
+    with pytest.raises(NotImplementedError, match="zstd"):
         read_avro(forged)
 
 

@@ -124,9 +124,9 @@ def test_spark_python_transform_parity(spark, tmp_path):
         idf, ["bucket(16, k)", "truncate(10, k)"], {}, {"k": "long"}
     )
     for r in sdf.collect():
-        assert r["__p_bucket16_k"] == V._pspec_literal("bucket", 16, r["k"])
+        assert r["__p_bucket16_k"] == V._pspec_literal("bucket", 16, r["k"], "long")
         assert r["__p_truncate10_k"] == V._pspec_literal(
-            "truncate", 10, r["k"]
+            "truncate", 10, r["k"], "long"
         )
     strs = ["", "a", "user_42", "ümlaut", "x" * 40]
     tdf = spark.createDataFrame([(s,) for s in strs], "s string")
@@ -134,8 +134,8 @@ def test_spark_python_transform_parity(spark, tmp_path):
         tdf, ["bucket(8, s)", "truncate(3, s)"], {}, {"s": "string"}
     )
     for r in sdf.collect():
-        assert r["__p_bucket8_s"] == V._pspec_literal("bucket", 8, r["s"])
-        assert r["__p_truncate3_s"] == V._pspec_literal("truncate", 3, r["s"])
+        assert r["__p_bucket8_s"] == V._pspec_literal("bucket", 8, r["s"], "string")
+        assert r["__p_truncate3_s"] == V._pspec_literal("truncate", 3, r["s"], "string")
 
 
 def test_transform_spec_guards(spark, tmp_path):
@@ -228,3 +228,42 @@ def test_null_source_values_partition_and_read_safely(spark, tmp_path):
     # empty for the predicate); the dated file still prunes exactly
     kept, total = V.plan_files(table, where=("d", "=", "1996-06-06"))
     assert total >= 2 and len(kept) == total - 1  # only dated file pruned
+
+
+def test_bucket_literal_type_mismatch_keeps_files(spark, tmp_path):
+    """ADVICE r11 (medium): a predicate literal of the wrong type
+    family must NOT map into the bucket hash domain. A string column
+    bucketed by crc32 probed with an INT literal previously mapped
+    via `lit % N` — the wrong cell — and silently pruned the file
+    holding the rows Spark's cast-based comparison matches. The guard
+    keeps every file on family mismatch, so the read stays exact."""
+    table = str(tmp_path / "t_mismatch")
+    rows = [(str(i),) for i in range(20)]  # numeric STRINGS
+    V.write_version(
+        spark.createDataFrame(rows, "s string"),
+        table,
+        partition_by="bucket(8, s)",
+    )
+    # int literal on a string-bucketed column: no pruning allowed
+    kept, total = V.plan_files(table, where=("s", "=", 5))
+    assert len(kept) == total
+    # ... and the cast-based read still finds the row
+    got = V.read_version(spark, table, where=("s", "=", 5)).filter(
+        F.col("s") == 5
+    )
+    assert [r["s"] for r in got.collect()] == ["5"]
+    # matched family still prunes
+    kept_s, _ = V.plan_files(table, where=("s", "=", "5"))
+    assert len(kept_s) < total
+
+    # converse: int-bucketed column probed with a numeric STRING
+    # literal must also keep all files (old code crc32-hashed it)
+    table2 = str(tmp_path / "t_mismatch_int")
+    df = spark.range(0, 20).select(F.col("id").alias("k"))
+    V.write_version(df, table2, partition_by="bucket(8, k)")
+    kept2, total2 = V.plan_files(table2, where=("k", "=", "5"))
+    assert len(kept2) == total2
+    got2 = V.read_version(spark, table2, where=("k", "=", "5")).filter(
+        F.col("k") == "5"
+    )
+    assert [r["k"] for r in got2.collect()] == [5]
