@@ -75,6 +75,40 @@ def materialize(df) -> None:
     df.write.mode("overwrite").format("noop").save()
 
 
+def _cpu_ticks() -> tuple[int, int, int]:
+    """(total, idle+iowait, steal) jiffies from /proc/stat's aggregate
+    cpu line — the per-query contention evidence VERDICT r11 item 1
+    asked for: a query whose window shows near-zero idle AND elevated
+    load (or nonzero steal on a VM) regressed because the box was
+    busy, not because its plan changed."""
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+        vals = [int(x) for x in parts[1:]]
+        total = sum(vals)
+        idle = vals[3] + (vals[4] if len(vals) > 4 else 0)
+        steal = vals[7] if len(vals) > 7 else 0
+        return total, idle, steal
+    except (OSError, ValueError, IndexError):
+        return 0, 0, 0
+
+
+def _sys_window(c0: tuple[int, int, int]) -> dict:
+    """Idle/steal fractions across the window since `c0`, plus the
+    1-minute load average at window end (normalized per CPU)."""
+    c1 = _cpu_ticks()
+    dt = max(1, c1[0] - c0[0])
+    try:
+        load1 = os.getloadavg()[0] / max(1, os.cpu_count() or 1)
+    except OSError:
+        load1 = -1.0
+    return {
+        "idle_frac": round((c1[1] - c0[1]) / dt, 3),
+        "steal_frac": round((c1[2] - c0[2]) / dt, 4),
+        "load1_per_cpu": round(load1, 2),
+    }
+
+
 def _best_of(trials: int, fn) -> float:
     best = None
     for _ in range(trials):
@@ -194,9 +228,11 @@ def main() -> None:
     station_at = {
         round(q * len(items)) for q in (0.0, 0.25, 0.5, 0.75)
     }
+    sys_by_query: dict[str, dict] = {}
     for i, (name, fn) in enumerate(items):
         if i in station_at:
             _station()
+        c0 = _cpu_ticks()
         try:
             if name in WARMUP_FIRST:
                 materialize(fn(spark, sf_dir))
@@ -204,6 +240,7 @@ def main() -> None:
         except Exception as exc:  # noqa: BLE001
             timings[name] = -1.0
             print(f"bench error in {name}: {exc}", file=sys.stderr)
+        sys_by_query[name] = _sys_window(c0)
     _station()
 
     def _trimmed_mean(xs: list[float]) -> float:
@@ -299,13 +336,22 @@ def main() -> None:
                 f"probe station samples: {probe_samples}\n\n"
                 f"family means now: {calibration_by_family} => drift "
                 f"{drift_by_family or None} (median x{drift})\n\n"
-                "| query | family | prev s | now s | ratio | norm_ratio |\n"
-                "|---|---|---|---|---|---|\n"
+                "per-query system evidence (this run): idle = box-wide "
+                "idle fraction during the query's window (near-zero "
+                "idle + high load on a regressed query = contention, "
+                "not plan change), steal = hypervisor steal fraction, "
+                "load = 1-min loadavg per CPU at window end.\n\n"
+                "| query | family | prev s | now s | ratio | "
+                "norm_ratio | idle | steal | load |\n"
+                "|---|---|---|---|---|---|---|---|---|\n"
             )
             for nratio, ratio, k, fam, p, t in sorted(rows, reverse=True):
+                sysw = sys_by_query.get(k, {})
                 f.write(
                     f"| {k} | {fam} | {p} | {t} | {ratio:.2f} "
-                    f"| {nratio:.2f} |\n"
+                    f"| {nratio:.2f} | {sysw.get('idle_frac', '')} "
+                    f"| {sysw.get('steal_frac', '')} "
+                    f"| {sysw.get('load1_per_cpu', '')} |\n"
                 )
     except (OSError, ValueError):
         pass  # first run: nothing to compare against
@@ -319,6 +365,7 @@ def main() -> None:
         "calibration_sec": calibration,
         "calibration_by_family": calibration_by_family,
         "calibration_stations": probe_samples,
+        "sys_by_query": sys_by_query,
     }
     with open(prev_path, "w") as f:
         json.dump(full, f, indent=1, sort_keys=True)

@@ -46,77 +46,75 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 
 
 # The external verification window records the FIRST 50 queries in the
-# order queries() yields them. Rounds 1-10 certified all 254 then-
-# registered queries at least once with zero failures; the debt is
-# staleness only. The round-11 priority below = (a) the six round-11
-# registrations (never-stamped: Avro OCF scan + reader-schema
-# resolution + sink round trip, MERGE schema evolution, REORG PURGE,
-# partition-spec evolution), then (b) the LAST 10 pre-r06 stamps,
-# then (c) 34 of the 50 r06-stamped queries. Every query is additionally verified by the
+# order queries() yields them. Rounds 1-11 certified all previously-
+# registered queries at least once with zero failures; after round 11
+# nothing in the ledger predates r06, and the debt is staleness only.
+# The round-12 priority below = (a) the round-12 registration
+# (never-stamped: MERGE WHEN NOT MATCHED BY SOURCE dimension sync),
+# then (b) ALL 21 remaining r06-stamped queries (set ops, sorts,
+# TPC-H shapes, windows, parquet/orc/json/projection scans — VERDICT
+# r11 next-round item 2: after this round nothing predates r07), then
+# (c) 28 of the 45 r07-stamped queries (now the stalest cohort,
+# alphabetical). Every query is additionally verified by the
 # identical in-repo oracle harness (tools/check.py, tests/
 # test_oracle.py) every round regardless of window membership, and
 # every name below must be registered (phantom entries fail CI
 # instead of being silently dropped by _ordered()).
 WINDOW_PRIORITY: tuple[str, ...] = (
-    # never-stamped round-11 registrations lead (test_registry_window
+    # never-stamped round-12 registrations lead (test_registry_window
     # derives this requirement from CORRECTNESS_r*.json)
-    "q_merge_schema_evolution",
-    "q_scan_avro",
-    "q_scan_avro_logical",
-    "q_scan_avro_resolved",
-    "q_sink_avro_roundtrip",
-    "q_table_describe_detail",
-    "q_table_hidden_partitioning",
-    "q_table_optimize_cdf",
-    "q_table_optimize_where",
-    "q_table_partition_evolution",
-    "q_table_reorg_purge",
-    # the last 10 pre-r06 stamps (7 rows-only r05 sketches/clustering
-    # + the three displaced by round-10 registrations) — VERDICT r10
-    # Missing #1 / next-round item 2: after this round nothing in the
-    # ledger predates r06
-    "q_agg_approx_distinct",
-    "q_agg_approx_quantile",
-    "q_cluster_kmeans",
-    "q_dedup_near_minhash",
-    "q_dedup_simhash",
-    "q_dedup_simhash_pairs",
-    "q_sketch_count_min",
-    "q_text_tokens",
-    "q_unpivot",
-    "q_window_ntile",
-    # 29 of the 50 r06-stamped queries (now the stalest cohort,
-    # alphabetical); the remaining 21 (set ops, sorts, TPC-H shapes,
-    # windows, json/orc/parquet/projection scans) lead the r12 window
-    "q_events_dau_stickiness",
-    "q_filter_comparison",
-    "q_filter_in_between_like",
-    "q_filter_null",
-    "q_join_anti",
-    "q_join_asof",
-    "q_join_broadcast",
-    "q_join_bucketed",
-    "q_join_null_safe",
-    "q_join_outer",
-    "q_join_outer_full",
-    "q_join_range",
-    "q_join_semi",
-    "q_join_shuffle_hash",
-    "q_join_sort_merge",
-    "q_join_theta_nl",
-    "q_multimodal_decode_webp",
-    "q_multimodal_frame_sample_avi",
-    "q_project_compute",
-    "q_regression_iterative_ema",
-    "q_scalar_array",
-    "q_scalar_array_setops",
-    "q_scalar_conditional",
-    "q_scalar_date",
-    "q_scalar_json",
-    "q_scalar_map",
-    "q_scalar_math",
-    "q_scalar_string",
-    "q_scan_csv",
+    "q_merge_dim_sync",
+    # all 21 remaining r06-stamped queries
+    "q_scan_json",
+    "q_scan_orc",
+    "q_scan_parquet",
+    "q_scan_projection_pushdown",
+    "q_set_except",
+    "q_set_except_all",
+    "q_set_intersect",
+    "q_set_union_all",
+    "q_set_union_distinct",
+    "q_sort_limit",
+    "q_sort_multi_key",
+    "q_topk_per_group",
+    "q_tpch_q18_shape",
+    "q_tpch_q1_shape",
+    "q_tpch_q3_shape",
+    "q_tpch_q5_shape",
+    "q_tpch_q6_shape",
+    "q_window_analytic",
+    "q_window_frame_range",
+    "q_window_frame_rows",
+    "q_window_ranking",
+    # 28 of the 45 r07-stamped queries (alphabetical)
+    "q_agg_incremental",
+    "q_cdc_snapshot_diff",
+    "q_corpus_mix",
+    "q_dedup_components",
+    "q_embed_gram",
+    "q_embed_quantize",
+    "q_events_attribution",
+    "q_events_funnel_k",
+    "q_events_funnel_staged",
+    "q_events_sessionize",
+    "q_events_transition",
+    "q_graph_degree",
+    "q_graph_pagerank",
+    "q_graph_triangles",
+    "q_join_lateral",
+    "q_join_skew_salted",
+    "q_multimodal_audio_features",
+    "q_multimodal_decode",
+    "q_multimodal_decode_png",
+    "q_multimodal_frame_sample",
+    "q_multimodal_mp4_index",
+    "q_multimodal_resize",
+    "q_pipeline_corpus_clean",
+    "q_scalar_variant",
+    "q_scan_binaryfile",
+    "q_scan_xml",
+    "q_sim_recall_at_k",
+    "q_sketch_hll",
 )
 
 

@@ -1049,6 +1049,71 @@ def _where_conds(where) -> list[tuple]:
     return list(where)
 
 
+_SIMPLE_COND_RE = None  # compiled lazily in _conds_from_predicate
+
+
+def _conds_from_predicate(predicate: str) -> list[tuple]:
+    """Best-effort (col, op, literal) conjuncts IMPLIED by a SQL
+    predicate string — the automatic analog of the explicit `prune`
+    hint (VERDICT r11 next-round item 6). Soundness: only TOP-LEVEL
+    conjuncts of a pure conjunction are harvested (any parens / OR /
+    NOT / IN / BETWEEN / LIKE / IS disqualifies the whole string), and
+    a subset of conjuncts is always implied by the conjunction — so
+    files excluded by the harvested conds cannot hold matching rows,
+    and interleaved-added files excluded by them cannot conflict.
+    Unparseable conjuncts are simply skipped; anything we are not
+    sure about yields fewer conds, never wrong ones."""
+    import re
+
+    global _SIMPLE_COND_RE
+    if _SIMPLE_COND_RE is None:
+        _SIMPLE_COND_RE = re.compile(
+            r"^\s*([A-Za-z_][A-Za-z0-9_]*)\s*(==|=|<=|>=|<|>)\s*(.+?)\s*$"
+        )
+    if re.search(
+        r"\(|\bor\b|\bnot\b|\bin\b|\bbetween\b|\blike\b|\bis\b",
+        predicate,
+        re.IGNORECASE,
+    ):
+        return []
+
+    def _lit(s: str):
+        s = s.strip()
+        if re.fullmatch(r"-?\d+", s):
+            return int(s)
+        if re.fullmatch(r"-?\d+\.\d+", s):
+            return float(s)
+        mq = re.fullmatch(r"'([^']*)'", s)
+        if mq:
+            return mq.group(1)
+        md = re.fullmatch(r"(?i:date)\s*'(\d{4}-\d{2}-\d{2})'", s)
+        if md:
+            return md.group(1)
+        return None
+
+    out: list[tuple] = []
+    for part in re.split(r"\band\b", predicate, flags=re.IGNORECASE):
+        mt = _SIMPLE_COND_RE.match(part)
+        if not mt:
+            continue
+        col, op, rhs = mt.groups()
+        val = _lit(rhs)
+        if val is None:
+            continue
+        out.append((col, "=" if op == "==" else op, val))
+    return out
+
+
+def _effective_prune(predicate: str, prune):
+    """The caller's explicit prune hint, or conjuncts auto-derived
+    from the predicate when none was given (None when neither yields
+    anything — the whole-table-read posture)."""
+    if prune is not None:
+        return prune
+    conds = _conds_from_predicate(predicate)
+    return conds or None
+
+
 def plan_files(
     table: str,
     version: int | None = None,
@@ -2425,6 +2490,10 @@ def delete_where(
             "delete_where needs a schema-tracking manifest; "
             "rewrite the table with write_version first"
         )
+    # no explicit hint: harvest implied conjuncts from the predicate
+    # itself, so two writers deleting provably-disjoint ranges rebase
+    # past each other instead of surfacing an OCC conflict
+    prune = _effective_prune(predicate, prune)
     probe_files = (
         plan_files(table, where=prune)[0] if prune is not None else m["files"]
     )
@@ -2534,6 +2603,9 @@ def update_where(
     for c in set_exprs:
         if c not in cols:
             raise ValueError(f"SET column {c!r} not in table columns {cols}")
+    # auto-derive the prune hint from simple predicates (see
+    # delete_where): disjoint concurrent updates rebase, not conflict
+    prune = _effective_prune(predicate, prune)
     probe_files = (
         plan_files(table, where=prune)[0] if prune is not None else m["files"]
     )

@@ -1801,3 +1801,125 @@ def test_merge_by_source_guards_and_exactly_once(spark, tmp_path):
     assert V.read_version(spark, table).agg(
         F.sum("v")
     ).collect()[0][0] == s
+
+
+def test_conds_from_predicate_harvests_only_sound_conjuncts():
+    """The auto-prune parser (VERDICT r11 item 6): top-level simple
+    conjuncts parse; anything with parens / OR / NOT / IN / BETWEEN /
+    LIKE / IS disqualifies the WHOLE predicate (a harvested conjunct
+    must be implied by it); unparseable conjuncts are skipped."""
+    f = V._conds_from_predicate
+    assert f("k >= 50 AND k < 60") == [("k", ">=", 50), ("k", "<", 60)]
+    assert f("p = 1 AND k % 2 = 0") == [("p", "=", 1)]
+    assert f("status = 'stale'") == [("status", "=", "stale")]
+    assert f("d >= DATE '1995-03-01'") == [("d", ">=", "1995-03-01")]
+    assert f("x == 2.5") == [("x", "=", 2.5)]
+    # disqualified shapes: nothing harvested at all
+    assert f("k >= 50 OR k < 10") == []
+    assert f("(k >= 50) AND k < 60") == []
+    assert f("k NOT IN (1, 2)") == []
+    assert f("k BETWEEN 1 AND 5") == []
+    assert f("v IS NULL AND k = 3") == []
+    assert f("k LIKE 'a%'") == []
+    # unparseable conjunct skipped, parseable kept
+    assert f("k % 10 = 3 AND p = 2") == [("p", "=", 2)]
+
+
+def test_occ_autoprune_disjoint_dml_rebases_without_hints(
+    spark, tmp_path, monkeypatch
+):
+    """VERDICT r11 item 6: DML with a SIMPLE predicate and NO explicit
+    prune hint auto-harvests the implied conjuncts, so two writers
+    touching provably disjoint file sets rebase past each other (both
+    directions) — and a genuinely overlapping pair still raises."""
+    import pytest
+
+    table = _partitioned_table(spark, tmp_path)
+    # delete vs interleaved delete in ANOTHER partition — no hints
+    _race(
+        monkeypatch,
+        lambda: V.delete_where(spark, table, "p = 1 AND k % 2 = 0"),
+    )
+    V.delete_where(spark, table, "p = 2 AND k % 2 = 0")
+    monkeypatch.undo()
+    assert len(V.versions(table)) == 3  # base + BOTH deletes
+    got = V.read_version(spark, table)
+    assert got.filter("p = 1 AND k % 2 = 0").count() == 0
+    assert got.filter("p = 2 AND k % 2 = 0").count() == 0
+    assert got.filter("p = 0").count() == 40
+    # update vs interleaved append OUTSIDE the predicate's range
+    _race(
+        monkeypatch,
+        lambda: V.append_version(
+            spark.range(2000, 2010).select(
+                F.col("id").alias("k"),
+                F.lit(1).cast("int").alias("p"),
+                (F.col("id") * 2).alias("v"),
+            ),
+            table,
+        ),
+    )
+    V.update_where(spark, table, {"v": "v + 1"}, "k < 500 AND p = 0")
+    monkeypatch.undo()
+    got = V.read_version(spark, table)
+    assert got.filter("k >= 2000").count() == 10  # append intact
+    assert got.filter("p = 0").agg(F.sum("v")).collect()[0][0] == sum(
+        2 * k + 1 for k in range(120) if k % 3 == 0
+    )
+    # overlapping file sets: still a conflict (both rewrite p=0 files)
+    _race(
+        monkeypatch,
+        lambda: V.delete_where(spark, table, "p = 0 AND k % 4 = 1"),
+    )
+    with pytest.raises(V.CommitConflict):
+        V.delete_where(spark, table, "p = 0 AND k % 4 = 2")
+    monkeypatch.undo()
+
+
+def test_write_dv_files_driver_walk_is_listdir_only(
+    spark, tmp_path, monkeypatch
+):
+    """Spy-pin of PLANS.md §35: after the parallel DV write,
+    _write_dv_files' driver-side map build is a pure listdir walk —
+    1 + n_masked directory listings, ZERO file opens of any DV
+    parquet (the hex-encoded partition dir name alone recovers the
+    data-file mapping)."""
+    import builtins
+    import os as _os
+
+    table = str(tmp_path / "t")
+    n_masked = 20
+    matches = spark.range(n_masked * 2).select(
+        F.concat(
+            F.lit("data/v000001/part-"),
+            F.lpad((F.col("id") % n_masked).cast("string"), 4, "0"),
+            F.lit(".parquet"),
+        ).alias("file"),
+        (F.col("id") / n_masked).cast("long").alias("row_index"),
+    )
+    calls = {"listdir": 0, "opens": []}
+    real_listdir = _os.listdir
+    real_open = builtins.open
+
+    def spy_listdir(path):
+        calls["listdir"] += 1
+        return real_listdir(path)
+
+    def spy_open(f, *a, **k):
+        if isinstance(f, str) and f.endswith(".parquet"):
+            calls["opens"].append(f)
+        return real_open(f, *a, **k)
+
+    monkeypatch.setattr(V.os, "listdir", spy_listdir)
+    monkeypatch.setattr(builtins, "open", spy_open)
+    try:
+        new_dv, dv_map = V._write_dv_files(matches, table, 1)
+    finally:
+        monkeypatch.undo()
+    assert len(dv_map) == n_masked
+    assert all(len(v) == 1 for v in dv_map.values())
+    # 1 root listing + one per masked file; a few extra tolerated for
+    # unrelated interpreter activity, but never O(rows)
+    assert calls["listdir"] <= n_masked + 5
+    # the driver opened NO dv parquet bytes
+    assert calls["opens"] == []

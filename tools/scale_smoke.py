@@ -792,6 +792,35 @@ def main() -> None:
     # box, still far below the uncached cost
     assert t_walk < 30.0
 
+    # --- wide-DELETE DV fan-out at 10k masked files (round 12) ------
+    # A DELETE masking 10k+ files must write ONE deletion vector per
+    # masked file from a parallel probe (repartition on the masked
+    # path + partitionBy), with driver-side work bounded by the
+    # manifest-scale listdir walk — never a per-row or per-footer
+    # read. Synthetic positions, real _write_dv_files.
+    n_masked = 10_000
+    dv_table = _tempfile.mkdtemp(prefix="mimr_scale_dv_")
+    matches = spark.range(n_masked * 3).select(
+        F.concat(
+            F.lit("data/v000001/part-"),
+            F.lpad((F.col("id") % n_masked).cast("string"), 6, "0"),
+            F.lit(".parquet"),
+        ).alias("file"),
+        (F.col("id") / n_masked).cast("long").alias("row_index"),
+    )
+    t0 = time.time()
+    new_dv, dv_map = V._write_dv_files(matches, dv_table, 2)
+    t_dv = time.time() - t0
+    print(
+        f"wide-DELETE DV fan-out over {n_masked:,} masked files: "
+        f"{t_dv:.1f}s -> {len(new_dv):,} DV objects"
+    )
+    assert len(dv_map) == n_masked
+    assert all(len(v) == 1 for v in dv_map.values())  # ONE DV per file
+    assert len(new_dv) == n_masked
+    # generous loaded-box ceiling; idle-box time is tens of seconds
+    assert t_dv < 300.0
+
     print("scale smoke OK")
 
 
