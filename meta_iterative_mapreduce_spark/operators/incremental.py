@@ -2637,3 +2637,79 @@ def q_merge_dim_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
             "grp", "n", "sum_key", "sum_cents", "n_stale", "n_r",
         )
     )
+
+
+def ensure_orders_clone_tables(
+    spark: SparkSession, sf_dir: str
+) -> tuple[str, str]:
+    """(src, clone) fixture for CLONE certification: src = one-version
+    orders snapshot (exact cents); clone = zero-copy hard-link fork,
+    then a copy-on-write DELETE applied to the CLONE ONLY. Idempotent,
+    fingerprint-keyed."""
+    from meta_iterative_mapreduce_spark.sources import versioned
+
+    src = _versioned_fixture_path(sf_dir, "orders_clone_src", "orders")
+    dst = _versioned_fixture_path(sf_dir, "orders_clone_dst", "orders")
+    base = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    if len(versioned.versions(src)) == 0:
+        versioned.write_version(base, src)
+    if len(versioned.versions(dst)) == 0:
+        versioned.clone_table(src, dst)
+    if len(versioned.versions(dst)) == 1:
+        versioned.delete_where(spark, dst, "o_orderkey % 10 IN (2, 6)")
+    return src, dst
+
+
+@register(
+    "q_table_clone",
+    oracle="""
+    WITH o AS (
+        SELECT o_orderkey,
+               CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        FROM orders
+    )
+    SELECT 1 AS src_versions,
+           2 AS clone_versions,
+           (SELECT COUNT(*) FROM o) AS src_rows,
+           (SELECT CAST(SUM(cents) AS BIGINT) FROM o) AS src_cents,
+           COUNT(*) AS clone_rows,
+           CAST(SUM(cents) AS BIGINT) AS clone_cents
+    FROM o WHERE o_orderkey % 10 NOT IN (2, 6)
+    """,
+)
+def q_table_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CLONE, hash-certified (Delta's CREATE TABLE ... CLONE): a
+    zero-copy hard-link fork of the orders snapshot takes a
+    copy-on-write DELETE while the SOURCE must remain byte-identical —
+    the oracle recomputes both sides from scratch and pins each
+    table's version count (src stays at 1: a clone that wrote
+    anything into its source, or a delete that leaked across the
+    fork, changes a pinned number). Metadata — stats, schema, ledger
+    — carries verbatim; divergence is per-table manifests over shared
+    inodes (sources/versioned.py::clone_table)."""
+    from meta_iterative_mapreduce_spark.sources import versioned
+
+    src, dst = ensure_orders_clone_tables(spark, sf_dir)
+    src_df = versioned.read_version(spark, src).agg(
+        F.count(F.lit(1)).alias("src_rows"),
+        F.sum("cents").cast("bigint").alias("src_cents"),
+    )
+    clone_df = versioned.read_version(spark, dst).agg(
+        F.count(F.lit(1)).alias("clone_rows"),
+        F.sum("cents").cast("bigint").alias("clone_cents"),
+    )
+    return src_df.crossJoin(clone_df).select(
+        F.lit(len(versioned.versions(src))).cast("int").alias("src_versions"),
+        F.lit(len(versioned.versions(dst)))
+        .cast("int")
+        .alias("clone_versions"),
+        "src_rows",
+        "src_cents",
+        "clone_rows",
+        "clone_cents",
+    )

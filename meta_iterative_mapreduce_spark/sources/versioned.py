@@ -3686,6 +3686,96 @@ def restore_version(spark: SparkSession, table: str, version: int) -> int:
     return v
 
 
+def clone_table(
+    src: str, dst: str, version: int | None = None
+) -> int:
+    """CLONE (the Delta CREATE TABLE ... CLONE verb): a zero-copy fork
+    of `src` at `version` (default head) into a brand-new table `dst`
+    whose history starts at v1 = the cloned snapshot. Metadata —
+    schema, column mapping, partition spec, file stats, bloom index,
+    deletion vectors, constraints, and the exactly-once batch-id
+    ledger — carries verbatim (all of it keys on table-RELATIVE
+    paths, which are preserved), so pruning and replay-dedup work on
+    the clone without recomputation, and the two tables then diverge
+    independently: DML on either side rewrites only its own manifest
+    and version-scoped new files.
+
+    Zero-copy mechanism: every referenced data/DV file is HARD-LINKED
+    under the same relative path (`os.link` — the same primitive the
+    manifest publish uses), so no byte is copied and, unlike
+    Delta's absolute-URI shallow clones, VACUUM ON EITHER SIDE IS
+    SAFE: unlinking a shared file on one side only drops that side's
+    link; the inode lives until the last referencing table releases
+    it. Cross-device destinations (EXDEV) fall back to a real copy —
+    still a correct clone, no longer zero-copy. On an object store
+    the equivalent is server-side copy or absolute-URI references;
+    hard links are the local-filesystem rendition of "reference,
+    don't rewrite".
+
+    Reference analog: none — kernel.cu:1-220 has no storage layer;
+    table management is engine surface the north star adds."""
+    import shutil
+
+    m = manifest_info(src, version)
+    if "schema" not in m:
+        raise ValueError("clone_table needs a schema-tracking manifest")
+    if versions(dst):
+        raise ValueError(f"clone destination {dst!r} is already a table")
+    to_link = list(m["files"]) + list(m.get("dv_files", []))
+    missing = [
+        f for f in to_link if not os.path.exists(os.path.join(src, f))
+    ]
+    if missing:
+        raise ValueError(
+            f"cannot clone v{m['version']}: {len(missing)} of its files "
+            f"were vacuumed (first: {missing[0]!r})"
+        )
+    for rel in to_link:
+        s, d = os.path.join(src, rel), os.path.join(dst, rel)
+        os.makedirs(os.path.dirname(d), exist_ok=True)
+        try:
+            os.link(s, d)
+        except FileExistsError:
+            raise ValueError(
+                f"clone destination {dst!r} already holds {rel!r}"
+            ) from None
+        except OSError:  # EXDEV etc.: fall back to a real copy
+            shutil.copy2(s, d)
+    ledger = set(m.get("seen_batch_ids", []))
+    if "batch_id" in m:
+        ledger.add(m["batch_id"])
+    _commit(
+        dst,
+        1,
+        list(m["files"]),
+        m["n_rows"],
+        schema=m["schema"],
+        column_mapping=m.get("column_mapping", []),
+        retired_physical=m.get("retired_physical", []),
+        max_column_id=m.get("max_column_id", 0),
+        file_stats=m.get("file_stats", {}),
+        added=list(m["files"]),
+        removed=[],
+        **_dv_carry(m),
+        **(
+            {"partition_by": list(m["partition_by"])}
+            if m.get("partition_by")
+            else {}
+        ),
+        **(
+            {"constraints": dict(m["constraints"])}
+            if m.get("constraints")
+            else {}
+        ),
+        **_bloom_carry(m, m["files"]),
+        seen_batch_ids=sorted(ledger),
+        operation="CLONE",
+        clone_source=os.path.abspath(src),
+        clone_source_version=m["version"],
+    )
+    return 1
+
+
 def vacuum(
     table: str,
     keep_versions: int = 2,

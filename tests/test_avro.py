@@ -547,3 +547,43 @@ def test_unknown_logical_type_falls_back_to_base():
     data = encode_avro([{"x": "hello"}], schema)
     _, got = read_avro(data)
     assert got == [{"x": "hello"}]  # spec: unknown logicals = base type
+
+
+def test_timestamp_micros_encodes_utc_instant_not_wall_clock():
+    """ADVICE r11: the spec defines timestamp-millis/micros as UTC
+    INSTANTS — a tz-AWARE datetime must convert to UTC before the
+    epoch delta, so the same instant encodes identically regardless
+    of the writer's zone; naive datetimes stay the NTZ wall-clock
+    path."""
+    import datetime
+
+    from meta_iterative_mapreduce_spark.sources.avro_ocf import (
+        _logical_decode,
+        _logical_encode,
+    )
+
+    t_micros = {"type": "long", "logicalType": "timestamp-micros"}
+    t_millis = {"type": "long", "logicalType": "timestamp-millis"}
+    utc = datetime.timezone.utc
+    instant = datetime.datetime(2024, 6, 1, 12, 0, 0, 500, tzinfo=utc)
+    east = instant.astimezone(datetime.timezone(datetime.timedelta(hours=9)))
+    west = instant.astimezone(datetime.timezone(datetime.timedelta(hours=-7)))
+    want = int(
+        (
+            instant.replace(tzinfo=None) - datetime.datetime(1970, 1, 1)
+        ).total_seconds()
+        * 1_000_000
+    ) + 0  # microsecond field folded in below
+    got_utc = _logical_encode(t_micros, instant)
+    assert _logical_encode(t_micros, east) == got_utc
+    assert _logical_encode(t_micros, west) == got_utc
+    assert got_utc % 1_000_000 == 500  # the .000500s survived
+    assert abs(got_utc - want) < 1_000_000
+    assert _logical_encode(t_millis, east) == _logical_encode(
+        t_millis, west
+    ) == got_utc // 1000
+    # naive datetime: wall clock as-is (the TimestampNTZ contract)
+    naive = datetime.datetime(2024, 6, 1, 12, 0, 0, 500)
+    assert _logical_encode(t_micros, naive) == got_utc
+    # decode round-trips to the naive UTC wall clock
+    assert _logical_decode(t_micros, got_utc) == naive
