@@ -2713,3 +2713,59 @@ def q_table_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
         "clone_rows",
         "clone_cents",
     )
+
+
+@register(
+    "q_table_partitions_meta",
+    oracle="""
+    WITH o AS (
+        SELECT o_orderkey, CAST(YEAR(o_orderdate) AS INT) AS o_year
+        FROM orders
+    )
+    SELECT o_year,
+           1 AS n_files,
+           COUNT(*) AS n_rows,
+           CAST(MIN(o_orderkey) AS BIGINT) AS k_min,
+           CAST(MAX(o_orderkey) AS BIGINT) AS k_max
+    FROM o GROUP BY o_year
+    """,
+)
+def q_table_partitions_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PARTITIONS metadata table (Iceberg's `table.partitions`),
+    hash-certified against the data: one row per live partition of the
+    hive-partitioned orders table with its file count, row count, and
+    key range — every number aggregated from the MANIFEST alone (path
+    segments + per-file __rows + footer-harvested key stats; zero
+    file opens at query time), while the oracle recomputes the same
+    numbers from the raw rows. The n_files=1 pin holds because the
+    fixture repartitions by the partition column before writing —
+    a partition-layout drift or a stats-harvest drift breaks the
+    hash. At 100k files this is the partition-health dashboard query:
+    O(manifest) driver work, no data I/O."""
+    import os
+
+    from meta_iterative_mapreduce_spark.sources import versioned
+
+    table = ensure_orders_partitioned_table(spark, sf_dir)
+    m = versioned.manifest_info(table)
+    agg: dict[int, list] = {}
+    for f in m["files"]:
+        year = None
+        for seg in f.split(os.sep):
+            if seg.startswith("o_year="):
+                year = int(seg.split("=", 1)[1])
+        st = m["file_stats"][f]
+        a = agg.setdefault(year, [0, 0, None, None])
+        a[0] += 1
+        a[1] += int(st["__rows"])
+        ks = st["o_orderkey"]
+        a[2] = int(ks[0]) if a[2] is None else min(a[2], int(ks[0]))
+        a[3] = int(ks[1]) if a[3] is None else max(a[3], int(ks[1]))
+    rows = [
+        (y, a[0], a[1], a[2], a[3]) for y, a in sorted(agg.items())
+    ]
+    return spark.createDataFrame(
+        rows,
+        "o_year int, n_files int, n_rows bigint, k_min bigint, "
+        "k_max bigint",
+    )

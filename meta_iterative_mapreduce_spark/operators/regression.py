@@ -594,3 +594,84 @@ def q_regression_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_valid",
         "rmse_e4",
     )
+
+
+@register(
+    "q_regression_logistic",
+    oracle="""
+    WITH d AS (
+        SELECT l_quantity / 50.0 AS x,
+               CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END AS y
+        FROM lineitem
+    ), g1 AS (
+        SELECT AVG(1.0 / (1.0 + EXP(-(0.0 + 0.0 * x))) - y) AS g0,
+               AVG((1.0 / (1.0 + EXP(-(0.0 + 0.0 * x))) - y) * x) AS g1
+        FROM d
+    ), w1 AS (
+        SELECT 0.0 - 1.0 * g0 AS w0, 0.0 - 1.0 * g1 AS w1 FROM g1
+    ), g2 AS (
+        SELECT AVG(1.0 / (1.0 + EXP(-(w.w0 + w.w1 * x))) - y) AS g0,
+               AVG((1.0 / (1.0 + EXP(-(w.w0 + w.w1 * x))) - y) * x) AS g1
+        FROM d, w1 w
+    ), w2 AS (
+        SELECT w.w0 - 1.0 * g2.g0 AS w0, w.w1 - 1.0 * g2.g1 AS w1
+        FROM w1 w, g2
+    ), g3 AS (
+        SELECT AVG(1.0 / (1.0 + EXP(-(w.w0 + w.w1 * x))) - y) AS g0,
+               AVG((1.0 / (1.0 + EXP(-(w.w0 + w.w1 * x))) - y) * x) AS g1
+        FROM d, w2 w
+    ), w3 AS (
+        SELECT w.w0 - 1.0 * g3.g0 AS w0, w.w1 - 1.0 * g3.g1 AS w1
+        FROM w2 w, g3
+    )
+    SELECT 3 AS n_iters,
+           (SELECT COUNT(*) FROM d) AS n,
+           CAST(FLOOR(w0 * 10000 + 0.5) AS BIGINT) AS w0_e4,
+           CAST(FLOOR(w1 * 10000 + 0.5) AS BIGINT) AS w1_e4
+    FROM w3
+    """,
+)
+def q_regression_logistic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative LOGISTIC regression by full-batch gradient descent —
+    the classifier twin of the reference's iterative linear loop
+    (kernel.cu:135-217 refines weights over repeated passes; here the
+    model is sigmoid(w0 + w1·x) on return-flag labels, 3 fixed
+    iterations, lr=1). Each iteration is ONE distributed aggregate
+    (two mean-gradient sums, map-side combined) with O(1) driver
+    traffic — the shape that scales to 100 TB: no per-row driver
+    work, no cached intermediate, each pass a fresh scan Catalyst can
+    prune to two columns. Hash-certified: DuckDB replays the same 3
+    unrolled iterations through chained CTEs, and both engines'
+    weights are floor-scaled to 1e-4 ints."""
+    from meta_iterative_mapreduce_spark.io import load_table
+
+    d = load_table(spark, sf_dir, "lineitem").select(
+        (F.col("l_quantity") / 50.0).alias("x"),
+        F.when(F.col("l_returnflag") == "R", 1.0)
+        .otherwise(0.0)
+        .alias("y"),
+    )
+    w0, w1 = 0.0, 0.0
+    n_iters = 3
+    for _ in range(n_iters):
+        z = F.lit(w0) + F.lit(w1) * F.col("x")
+        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+        r = d.agg(
+            F.avg(p - F.col("y")).alias("g0"),
+            F.avg((p - F.col("y")) * F.col("x")).alias("g1"),
+            F.count(F.lit(1)).alias("n"),
+        ).collect()[0]
+        w0 -= 1.0 * r["g0"]
+        w1 -= 1.0 * r["g1"]
+        n = r["n"]
+    return spark.createDataFrame(
+        [
+            (
+                n_iters,
+                int(n),
+                int(__import__("math").floor(w0 * 10000 + 0.5)),
+                int(__import__("math").floor(w1 * 10000 + 0.5)),
+            )
+        ],
+        "n_iters int, n bigint, w0_e4 bigint, w1_e4 bigint",
+    )

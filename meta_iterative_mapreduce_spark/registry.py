@@ -51,11 +51,12 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # nothing in the ledger predates r06, and the debt is staleness only.
 # The round-12 priority below = (a) the round-12 registrations
 # (never-stamped: MERGE WHEN NOT MATCHED BY SOURCE dimension sync,
-# zero-copy CLONE),
+# zero-copy CLONE, partitions metadata table, iterative logistic
+# regression, streaming Avro source),
 # then (b) ALL 21 remaining r06-stamped queries (set ops, sorts,
 # TPC-H shapes, windows, parquet/orc/json/projection scans — VERDICT
 # r11 next-round item 2: after this round nothing predates r07), then
-# (c) 27 of the 45 r07-stamped queries (now the stalest cohort,
+# (c) 24 of the 45 r07-stamped queries (now the stalest cohort,
 # alphabetical). Every query is additionally verified by the
 # identical in-repo oracle harness (tools/check.py, tests/
 # test_oracle.py) every round regardless of window membership, and
@@ -65,7 +66,10 @@ WINDOW_PRIORITY: tuple[str, ...] = (
     # never-stamped round-12 registrations lead (test_registry_window
     # derives this requirement from CORRECTNESS_r*.json)
     "q_merge_dim_sync",
+    "q_regression_logistic",
+    "q_stream_avro_source",
     "q_table_clone",
+    "q_table_partitions_meta",
     # all 21 remaining r06-stamped queries
     "q_scan_json",
     "q_scan_orc",
@@ -88,7 +92,7 @@ WINDOW_PRIORITY: tuple[str, ...] = (
     "q_window_frame_range",
     "q_window_frame_rows",
     "q_window_ranking",
-    # 27 of the 45 r07-stamped queries (alphabetical)
+    # 24 of the 45 r07-stamped queries (alphabetical)
     "q_agg_incremental",
     "q_cdc_snapshot_diff",
     "q_corpus_mix",
@@ -113,9 +117,6 @@ WINDOW_PRIORITY: tuple[str, ...] = (
     "q_multimodal_resize",
     "q_pipeline_corpus_clean",
     "q_scalar_variant",
-    "q_scan_binaryfile",
-    "q_scan_xml",
-    "q_sim_recall_at_k",
 )
 
 

@@ -672,6 +672,7 @@ def register_avro_source(spark: SparkSession) -> None:
     from pyspark.sql.datasource import (
         DataSource,
         DataSourceReader,
+        DataSourceStreamReader,
         InputPartition,
     )
 
@@ -684,6 +685,39 @@ def register_avro_source(spark: SparkSession) -> None:
             if f.endswith(".avro")
         )
 
+    def _block_parts(path: str, reader_schema) -> list:
+        """One InputPartition spec per data block of one OCF file —
+        the shared planning step of the batch and stream readers."""
+        idx = index_avro_blocks(path)
+        if reader_schema is not None:
+            # fail at PLAN time, not per task, on an unresolvable
+            # writer/reader pair
+            _resolve_schemas(idx["schema"], reader_schema)
+        return [
+            {
+                "path": path,
+                "offset": offset,
+                "codec": idx["codec"],
+                "schema": idx["schema"],
+                "reader": reader_schema,
+                "sync": idx["sync"].hex(),
+            }
+            for offset, _n, _size in idx["blocks"]
+        ]
+
+    def _read_block_spec(spec: dict):
+        out_schema = spec["reader"] or spec["schema"]
+        names = [f["name"] for f in out_schema["fields"]]
+        for rec in read_avro_block(
+            spec["path"],
+            spec["offset"],
+            spec["codec"],
+            spec["schema"],
+            bytes.fromhex(spec["sync"]),
+            reader_schema=spec["reader"],
+        ):
+            yield tuple(rec[n] for n in names)
+
     class AvroReader(DataSourceReader):
         def __init__(self, options):
             self.root = options.get("path")
@@ -695,24 +729,10 @@ def register_avro_source(spark: SparkSession) -> None:
         def partitions(self):
             parts = []
             for p in _paths(self.root):
-                idx = index_avro_blocks(p)
-                if self.reader_schema is not None:
-                    # fail at PLAN time, not per task, on an
-                    # unresolvable writer/reader pair
-                    _resolve_schemas(idx["schema"], self.reader_schema)
-                for offset, _n, _size in idx["blocks"]:
-                    parts.append(
-                        InputPartition(
-                            {
-                                "path": p,
-                                "offset": offset,
-                                "codec": idx["codec"],
-                                "schema": idx["schema"],
-                                "reader": self.reader_schema,
-                                "sync": idx["sync"].hex(),
-                            }
-                        )
-                    )
+                parts.extend(
+                    InputPartition(s)
+                    for s in _block_parts(p, self.reader_schema)
+                )
             # header-only files (zero blocks) still need a schema pass
             return parts or [InputPartition(None)]
 
@@ -720,17 +740,63 @@ def register_avro_source(spark: SparkSession) -> None:
             spec = partition.value
             if spec is None:
                 return
-            out_schema = spec["reader"] or spec["schema"]
-            names = [f["name"] for f in out_schema["fields"]]
-            for rec in read_avro_block(
-                spec["path"],
-                spec["offset"],
-                spec["codec"],
-                spec["schema"],
-                bytes.fromhex(spec["sync"]),
-                reader_schema=spec["reader"],
-            ):
-                yield tuple(rec[n] for n in names)
+            yield from _read_block_spec(spec)
+
+    class AvroStreamReader(DataSourceStreamReader):
+        """The OCF directory as a STREAMING source — how a Kafka
+        archive replays into the engine as micro-batches. Offsets are
+        the lexicographically-last fully-consumed FILE NAME, so each
+        micro-batch plans exactly the newly-arrived files' blocks
+        (one InputPartition per block, the same executor-side
+        seek-and-decode as the batch scan) and Spark's checkpoint
+        gives exactly-once across restarts with zero source state.
+
+        Arrival contract (documented, the archive-dump convention):
+        file names arrive in increasing sort order (part-00001 < ...)
+        and files are immutable once visible; a file added with a
+        name at or below the consumed frontier is never picked up.
+        The declared schema is fixed at stream start (single-writer-
+        schema OCF convention) — later files with a DIFFERENT writer
+        schema still decode through schema resolution when a
+        readerSchema option pins the output shape."""
+
+        def __init__(self, options):
+            self.root = options.get("path")
+            if not self.root:
+                raise ValueError("mimr_avro needs .option('path', ...)")
+            rs = options.get("readerschema")
+            self.reader_schema = json.loads(rs) if rs else None
+
+        def initialOffset(self) -> dict:
+            return {"file": ""}
+
+        def latestOffset(self) -> dict:
+            names = [os.path.basename(p) for p in _paths(self.root)]
+            return {"file": names[-1] if names else ""}
+
+        def partitions(self, start: dict, end: dict):
+            lo, hi = start.get("file", ""), end.get("file", "")
+            parts = []
+            for p in _paths(self.root):
+                b = os.path.basename(p)
+                if not (lo < b <= hi):
+                    continue
+                parts.extend(
+                    InputPartition(s)
+                    for s in _block_parts(p, self.reader_schema)
+                )
+            # an offset range over header-only files still needs one
+            # (empty) partition: the engine plans a batch per advance
+            return parts or [InputPartition(None)]
+
+        def read(self, partition):
+            spec = partition.value
+            if spec is None:
+                return iter(())
+            return _read_block_spec(spec)
+
+        def commit(self, end: dict) -> None:
+            pass  # offsets live in Spark's checkpoint
 
     class AvroSource(DataSource):
         @classmethod
@@ -752,6 +818,9 @@ def register_avro_source(spark: SparkSession) -> None:
 
         def reader(self, schema):
             return AvroReader(self.options)
+
+        def streamReader(self, schema):
+            return AvroStreamReader(self.options)
 
     try:
         spark.dataSource.register(AvroSource)
@@ -1192,4 +1261,92 @@ def q_scan_avro_logical(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("d").cast("string").alias("max_d"),
         F.max(F.date_format("ts", "yyyy-MM-dd HH:mm:ss")).alias("max_ts"),
         F.count("ts").alias("n_ts"),
+    )
+
+
+@register(
+    "q_stream_avro_source",
+    oracle="""
+    SELECT 2 AS n_batches,
+           COUNT(*) AS n_rows,
+           CAST(SUM(doc_id) AS BIGINT) AS sum_doc,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           COUNT(CASE WHEN doc_id % 5 <> 0 THEN source END) AS n_note
+    FROM documents
+    """,
+)
+def q_stream_avro_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Avro OCF directory as a STRUCTURED STREAMING source,
+    hash-certified end-to-end — the Kafka-archive replay shape: the
+    4-file fixture (deflate/null/snappy codec rotation) arrives in
+    TWO waves consumed by two availableNow runs sharing one
+    checkpoint; each micro-batch plans only the newly-arrived files'
+    blocks (one InputPartition per block, executor-side
+    seek-and-decode, zero driver payload I/O). The oracle pins
+    n_batches to the literal 2 (a replay after the restart would
+    raise the count and double rows) and recomputes the aggregates
+    from the source table: every record exactly once across the
+    restart. Scale: at a petabyte archive each trigger's plan cost is
+    O(new files' block headers) — the arrival frontier is a file
+    NAME, not a listing diff."""
+    import shutil
+    import tempfile
+    import uuid as _uuid
+
+    register_avro_source(spark)
+    src = _avro_fixture_dir(spark, sf_dir)
+    work = os.path.join(
+        tempfile.gettempdir(), "mimr_avro_stream", _uuid.uuid4().hex
+    )
+    arrive = os.path.join(work, "arrive")
+    staging = os.path.join(work, "staged")
+    ckpt = os.path.join(work, "ckpt")
+    os.makedirs(arrive)
+    names = sorted(
+        f for f in os.listdir(src) if f.endswith(".avro")
+    )
+    n = {"batches": 0}
+
+    def sink(bdf: DataFrame, bid: int) -> None:
+        n["batches"] += 1
+        bdf.write.mode("append").parquet(staging)
+
+    for wave in (names[:2], names[2:]):
+        for f in wave:
+            os.link(os.path.join(src, f), os.path.join(arrive, f))
+        q = (
+            spark.readStream.format("mimr_avro")
+            .option("path", arrive)
+            .load()
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+    # materialize BEFORE tearing the work dir down (the returned
+    # frame must not depend on the staging files)
+    r = (
+        spark.read.parquet(staging)
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("doc_id").cast("bigint").alias("sum_doc"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+            F.count("source_note").alias("n_note"),
+        )
+        .collect()[0]
+    )
+    shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(
+        [
+            (
+                n["batches"],
+                r["n_rows"],
+                r["sum_doc"],
+                r["sum_chars"],
+                r["n_note"],
+            )
+        ],
+        "n_batches int, n_rows bigint, sum_doc bigint, "
+        "sum_chars bigint, n_note bigint",
     )

@@ -1,0 +1,130 @@
+"""Avro OCF directory as a Structured Streaming source (round 12):
+file-name-frontier offsets, block-granular planning, exactly-once
+across checkpointed restarts, and schema resolution on the stream."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from meta_iterative_mapreduce_spark.sources.avro_ocf import (
+    encode_avro,
+    register_avro_source,
+)
+
+SCHEMA = {
+    "type": "record",
+    "name": "r",
+    "fields": [
+        {"name": "k", "type": "long"},
+        {"name": "s", "type": ["null", "string"]},
+    ],
+}
+
+
+def _write_file(dirpath: str, name: str, lo: int, hi: int, codec="deflate"):
+    recs = [
+        {"k": i, "s": None if i % 7 == 0 else f"v{i % 5}"}
+        for i in range(lo, hi)
+    ]
+    data = encode_avro(recs, SCHEMA, codec=codec, block_records=16)
+    with open(os.path.join(dirpath, name), "wb") as f:
+        f.write(data)
+
+
+def _drain(spark, arrive, staging, ckpt) -> int:
+    n = {"batches": 0}
+
+    def sink(bdf, bid):
+        n["batches"] += 1
+        bdf.write.mode("append").parquet(staging)
+
+    q = (
+        spark.readStream.format("mimr_avro")
+        .option("path", arrive)
+        .load()
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    return n["batches"]
+
+
+def test_avro_stream_exactly_once_across_restarts(spark, tmp_path):
+    register_avro_source(spark)
+    arrive = str(tmp_path / "arrive")
+    staging, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    os.makedirs(arrive)
+    _write_file(arrive, "part-00001.avro", 0, 50, codec="null")
+    _write_file(arrive, "part-00002.avro", 50, 90, codec="deflate")
+    assert _drain(spark, arrive, staging, ckpt) == 1
+    assert spark.read.parquet(staging).count() == 90
+    # two more files arrive (snappy among them); a RESTARTED run picks
+    # up only them
+    _write_file(arrive, "part-00003.avro", 90, 130, codec="snappy")
+    _write_file(arrive, "part-00004.avro", 130, 150)
+    _drain(spark, arrive, staging, ckpt)
+    got = spark.read.parquet(staging)
+    assert got.count() == 150
+    assert got.select("k").distinct().count() == 150  # no replays
+    assert got.agg(F.sum("k")).collect()[0][0] == sum(range(150))
+    # nothing new: an extra run appends zero rows
+    _drain(spark, arrive, staging, ckpt)
+    assert spark.read.parquet(staging).count() == 150
+
+
+def test_avro_stream_matches_batch_scan(spark, tmp_path):
+    register_avro_source(spark)
+    arrive = str(tmp_path / "arrive")
+    os.makedirs(arrive)
+    _write_file(arrive, "a.avro", 0, 40, codec="snappy")
+    _write_file(arrive, "b.avro", 40, 70, codec="null")
+    staging, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    _drain(spark, arrive, staging, ckpt)
+    streamed = spark.read.parquet(staging)
+    batch = (
+        spark.read.format("mimr_avro").option("path", arrive).load()
+    )
+    assert streamed.count() == batch.count() == 70
+    assert sorted(
+        (r["k"], r["s"]) for r in streamed.collect()
+    ) == sorted((r["k"], r["s"]) for r in batch.collect())
+
+
+def test_avro_stream_reader_schema_projection(spark, tmp_path):
+    """Schema resolution applies on the stream exactly as on the batch
+    scan: the reader schema drops a field (skip-decoded) and the
+    declared stream schema is the reader's."""
+    register_avro_source(spark)
+    arrive = str(tmp_path / "arrive")
+    os.makedirs(arrive)
+    _write_file(arrive, "a.avro", 0, 30)
+    reader = {
+        "type": "record",
+        "name": "r",
+        "fields": [{"name": "k", "type": "long"}],
+    }
+    staging, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    n = {"batches": 0}
+
+    def sink(bdf, bid):
+        n["batches"] += 1
+        bdf.write.mode("append").parquet(staging)
+
+    q = (
+        spark.readStream.format("mimr_avro")
+        .option("path", arrive)
+        .option("readerschema", json.dumps(reader))
+        .load()
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = spark.read.parquet(staging)
+    assert got.columns == ["k"] and got.count() == 30
