@@ -766,16 +766,69 @@ def register_avro_source(spark: SparkSession) -> None:
                 raise ValueError("mimr_avro needs .option('path', ...)")
             rs = options.get("readerschema")
             self.reader_schema = json.loads(rs) if rs else None
+            # admission control (the table_source pattern): cap the
+            # number of NEW FILES each micro-batch admits, so a
+            # petabyte-archive catch-up drains in bounded batches.
+            # option('stateDir', <writable dir>) persists the cursor
+            # (the archive dir itself may be read-only) so a RESTARTED
+            # run's first batch is bounded too; without it, the first
+            # batch of a restart is unbounded (the engine calls
+            # latestOffset before revealing the checkpoint position —
+            # the same documented Python-API caveat as the versioned
+            # table source).
+            mft = options.get("maxfilespertrigger")
+            self.max_files = int(mft) if mft is not None else None
+            if self.max_files is not None and self.max_files <= 0:
+                raise ValueError("maxFilesPerTrigger must be positive")
+            self.state_dir = options.get("statedir")
+            self._cursor: dict | None = None
+            if self.state_dir is not None:
+                side = self._state_path()
+                if os.path.exists(side):
+                    with open(side) as fh:
+                        self._cursor = json.load(fh)
+                else:
+                    self._cursor = {"file": ""}
+
+        def _state_path(self) -> str:
+            return os.path.join(self.state_dir, "mimr_avro_offset.json")
+
+        def _persist(self, off: dict) -> None:
+            os.makedirs(self.state_dir, exist_ok=True)
+            tmp = self._state_path() + ".tmp"
+            with open(tmp, "w") as fh:
+                json.dump(off, fh)
+            os.replace(tmp, self._state_path())
 
         def initialOffset(self) -> dict:
+            if self._cursor is None:
+                self._cursor = {"file": ""}
             return {"file": ""}
 
         def latestOffset(self) -> dict:
             names = [os.path.basename(p) for p in _paths(self.root)]
-            return {"file": names[-1] if names else ""}
+            head = {"file": names[-1] if names else ""}
+            if self.max_files is None:
+                return head
+            if self._cursor is None:
+                # restart without stateDir: position unknown until
+                # partitions()/commit() — one unbounded catch-up batch
+                self._cursor = dict(head)
+                return head
+            lo = self._cursor.get("file", "")
+            pending = [b for b in names if b > lo]
+            take = pending[: self.max_files]
+            end = {"file": take[-1]} if take else dict(self._cursor)
+            if end["file"] > self._cursor.get("file", ""):
+                self._cursor = dict(end)
+            return end
 
         def partitions(self, start: dict, end: dict):
             lo, hi = start.get("file", ""), end.get("file", "")
+            if self._cursor is None or hi > self._cursor.get("file", ""):
+                self._cursor = {"file": hi}
+            if self.state_dir is not None:
+                self._persist(dict(self._cursor))
             parts = []
             for p in _paths(self.root):
                 b = os.path.basename(p)
@@ -796,7 +849,14 @@ def register_avro_source(spark: SparkSession) -> None:
             return _read_block_spec(spec)
 
         def commit(self, end: dict) -> None:
-            pass  # offsets live in Spark's checkpoint
+            # offsets live in Spark's checkpoint; keep the admission
+            # cursor (and its sidecar) in sync
+            if self._cursor is None or end.get("file", "") > (
+                self._cursor.get("file", "")
+            ):
+                self._cursor = dict(end)
+            if self.state_dir is not None:
+                self._persist(dict(self._cursor))
 
     class AvroSource(DataSource):
         @classmethod

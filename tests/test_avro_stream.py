@@ -128,3 +128,65 @@ def test_avro_stream_reader_schema_projection(spark, tmp_path):
     q.awaitTermination(180)
     got = spark.read.parquet(staging)
     assert got.columns == ["k"] and got.count() == 30
+
+
+def _paced_drain(spark, arrive, staging, ckpt, batches, want, **opts):
+    import time
+
+    def sink(bdf, bid):
+        bdf.write.mode("append").parquet(staging)
+        batches.append(bdf.count())
+
+    r = spark.readStream.format("mimr_avro").option("path", arrive)
+    for k, v in opts.items():
+        r = r.option(k, str(v))
+    q = (
+        r.load()
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(processingTime="1 seconds")
+        .start()
+    )
+    deadline = time.time() + 120
+    try:
+        while time.time() < deadline and sum(batches) < want:
+            time.sleep(0.5)
+        time.sleep(1.5)  # let the final commit land
+    finally:
+        q.stop()
+
+
+def test_avro_stream_max_files_per_trigger_paces_and_restarts_bounded(
+    spark, tmp_path
+):
+    """maxFilesPerTrigger caps each micro-batch at N newly-arrived
+    files; with a stateDir the admission cursor survives the restart,
+    so a 6-file backlog drains in >= 3 capped batches FROM BATCH ONE
+    of the restarted run — and every record exactly once."""
+    register_avro_source(spark)
+    arrive = str(tmp_path / "arrive")
+    os.makedirs(arrive)
+    _write_file(arrive, "part-01.avro", 0, 10)
+    staging, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    state = str(tmp_path / "state")
+    b1: list[int] = []
+    _paced_drain(
+        spark, arrive, staging, ckpt, b1, want=10,
+        maxFilesPerTrigger=2, stateDir=state,
+    )
+    assert sum(b1) == 10
+    assert os.path.exists(os.path.join(state, "mimr_avro_offset.json"))
+    # 6-file backlog arrives while the stream is DOWN
+    for i in range(2, 8):
+        _write_file(arrive, f"part-{i:02d}.avro", i * 10, i * 10 + 10)
+    b2: list[int] = []
+    _paced_drain(
+        spark, arrive, staging, ckpt, b2, want=60,
+        maxFilesPerTrigger=2, stateDir=state,
+    )
+    got = spark.read.parquet(staging)
+    assert got.count() == 70
+    assert got.select("k").distinct().count() == 70
+    post = [b for b in b2 if b > 0]
+    assert len(post) >= 3  # 6 files / cap 2
+    assert max(post) <= 20  # never more than 2 files' rows, batch 1 too

@@ -182,3 +182,38 @@ def test_avro_crc_is_big_endian_of_uncompressed(tmp_path):
     for r in recs:
         A._write_value(out, schema, r)
     assert raw == bytes(out)
+
+
+def test_roundtrip_property_hypothesis():
+    """Property: decompress(compress(x)) == x for arbitrary bytes —
+    including pathological repetition the example matrix can't
+    enumerate."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.binary(max_size=4096))
+    def prop(data):
+        assert snappy_decompress(snappy_compress(data)) == data
+
+    prop()
+
+
+def test_roundtrip_property_structured_repetition():
+    """Repetitive structures: short alphabets and tiled blocks drive
+    the copy-emitting paths (copy1 vs copy2, chunked long matches,
+    overlapping runs)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=150, deadline=None)
+    @given(
+        st.binary(min_size=1, max_size=64),
+        st.integers(min_value=1, max_value=2000),
+        st.binary(max_size=32),
+    )
+    def prop(tile, reps, tail):
+        data = tile * reps + tail
+        assert snappy_decompress(snappy_compress(data)) == data
+
+    prop()
