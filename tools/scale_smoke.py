@@ -818,8 +818,12 @@ def main() -> None:
     assert len(dv_map) == n_masked
     assert all(len(v) == 1 for v in dv_map.values())  # ONE DV per file
     assert len(new_dv) == n_masked
-    # generous loaded-box ceiling; idle-box time is tens of seconds
-    assert t_dv < 300.0
+    # generous loaded-box ceiling: idle-box time is ~175 s (dominated
+    # by the local FileOutputCommitter's sequential partition-dir
+    # renames — PLANS.md §35); at the END of the full smoke the box
+    # is hot and 330+ s was observed, so the ceiling guards against
+    # O(rows) regressions, not committer constants
+    assert t_dv < 600.0
 
     print("scale smoke OK")
 
