@@ -858,3 +858,55 @@ def q_events_dau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("stickiness_e4"),
     )
+
+
+@register(
+    "q_events_gaps_islands",
+    oracle="""
+    WITH d AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS d
+        FROM events
+    ), tagged AS (
+        SELECT user_id, d,
+               d - CAST(ROW_NUMBER() OVER (
+                   PARTITION BY user_id ORDER BY d
+               ) AS INTEGER) AS anchor
+        FROM d
+    ), islands AS (
+        SELECT user_id, anchor, COUNT(*) AS island_len
+        FROM tagged GROUP BY user_id, anchor
+    )
+    SELECT CAST(island_len AS INT) AS island_len,
+           COUNT(*) AS n_islands,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM islands GROUP BY 1
+    """,
+)
+def q_events_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GAPS-AND-ISLANDS (the canonical streak analysis): maximal runs
+    of CONSECUTIVE active days per user, found by the date-minus-
+    row_number anchor trick — one distinct, one ranking window, one
+    groupBy; every step a partitioned shuffle on user_id with no
+    self-join (the naive formulation joins the table to itself per
+    day — O(days) scans at 100 TB; this is 3 passes total). Output:
+    streak-length distribution. Reference analog: none (kernel.cu has
+    no sessions); this is the engine-side idiom every activity
+    pipeline needs."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("d")
+    ).distinct()
+    w = W.partitionBy("user_id").orderBy("d")
+    tagged = ev.select(
+        "user_id",
+        "d",
+        F.date_sub(F.col("d"), F.row_number().over(w)).alias("anchor"),
+    )
+    islands = tagged.groupBy("user_id", "anchor").agg(
+        F.count(F.lit(1)).alias("island_len")
+    )
+    return islands.groupBy(
+        F.col("island_len").cast("int").alias("island_len")
+    ).agg(
+        F.count(F.lit(1)).alias("n_islands"),
+        F.countDistinct("user_id").alias("n_users"),
+    )

@@ -546,3 +546,60 @@ def q_ts_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("b.k").alias("cp_k"),
         F.col("b.dev").alias("cp_dev"),
     )
+
+
+@register(
+    "q_ts_seasonal_ma",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS d,
+               ROUND(SUM(value), 6) AS v
+        FROM events GROUP BY 1
+    ), ma AS (
+        SELECT d, v,
+               AVG(v) OVER (ORDER BY d
+                   ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS trend,
+               COUNT(*) OVER (ORDER BY d
+                   ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS wn
+        FROM daily
+    )
+    SELECT CAST(dayofweek(d) AS INT) AS dow,
+           COUNT(*) AS n_days,
+           CAST(FLOOR(AVG(v - trend) * 10000 + 0.5) AS BIGINT)
+               AS seasonal_e4
+    FROM ma WHERE wn = 7
+    GROUP BY 1
+    """,
+)
+def q_ts_seasonal_ma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical SEASONAL DECOMPOSITION by centered moving average
+    (the moving-average step of STL): daily revenue -> centered 7-day
+    trend (full windows only) -> detrended residual -> per-weekday
+    seasonal index. One groupBy + one unpartitioned-but-tiny ordered
+    window (the series is DAYS — thousands of rows at any data scale,
+    so the single-partition window is over the AGGREGATE, never the
+    raw events; the 100 TB cost is the first groupBy, a plain
+    map-side-combined shuffle). Both engines floor-scale the index to
+    1e-4 ints; the daily sums are pre-rounded at 1e-6 on BOTH sides
+    so engine-order float drift cannot leak through the subtraction.
+    """
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.to_date("ts").alias("d"))
+        .agg(F.round(F.sum("value"), 6).alias("v"))
+    )
+    w = W.orderBy("d").rowsBetween(-3, 3)
+    ma = daily.select(
+        "d",
+        "v",
+        F.avg("v").over(w).alias("trend"),
+        F.count(F.lit(1)).over(w).alias("wn"),
+    ).filter(F.col("wn") == 7)
+    return ma.groupBy(
+        (F.dayofweek("d") - 1).cast("int").alias("dow")
+    ).agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.floor(
+            F.avg(F.col("v") - F.col("trend")) * 10000 + F.lit(0.5)
+        ).cast("bigint").alias("seasonal_e4"),
+    )
