@@ -380,6 +380,16 @@ def main() -> None:
         "n_errors": sum(1 for t in timings.values() if t < 0),
         "full_timings": "BENCH_local.json",
     }
+    # run-level contention fingerprint: median + p90 hypervisor-steal
+    # fraction across all query windows. A quiet box reads ~0.000;
+    # the round-12 contaminated run read median 0.09 — any delta
+    # adjudication should check this BEFORE blaming a plan.
+    steals = sorted(
+        w["steal_frac"] for w in sys_by_query.values() if "steal_frac" in w
+    )
+    if steals:
+        summary["steal_median"] = steals[len(steals) // 2]
+        summary["steal_p90"] = steals[(len(steals) * 9) // 10]
     if prev_total is not None:
         summary["prev_total"] = prev_total
         summary["n_regressed"] = n_reg
