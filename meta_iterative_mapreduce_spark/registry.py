@@ -53,11 +53,11 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # (never-stamped: MERGE WHEN NOT MATCHED BY SOURCE dimension sync,
 # zero-copy CLONE, partitions metadata table, iterative logistic
 # regression, streaming Avro source, gaps-and-islands, seasonal MA
-# decomposition),
+# decomposition, complex-Avro-type scan),
 # then (b) ALL 21 remaining r06-stamped queries (set ops, sorts,
 # TPC-H shapes, windows, parquet/orc/json/projection scans — VERDICT
 # r11 next-round item 2: after this round nothing predates r07), then
-# (c) 22 of the 45 r07-stamped queries (now the stalest cohort,
+# (c) 21 of the 45 r07-stamped queries (now the stalest cohort,
 # alphabetical). Every query is additionally verified by the
 # identical in-repo oracle harness (tools/check.py, tests/
 # test_oracle.py) every round regardless of window membership, and
@@ -68,6 +68,7 @@ WINDOW_PRIORITY: tuple[str, ...] = (
     # derives this requirement from CORRECTNESS_r*.json)
     "q_events_gaps_islands",
     "q_merge_dim_sync",
+    "q_scan_avro_complex",
     "q_regression_logistic",
     "q_stream_avro_source",
     "q_ts_seasonal_ma",
@@ -95,7 +96,7 @@ WINDOW_PRIORITY: tuple[str, ...] = (
     "q_window_frame_range",
     "q_window_frame_rows",
     "q_window_ranking",
-    # 22 of the 45 r07-stamped queries (alphabetical)
+    # 21 of the 45 r07-stamped queries (alphabetical)
     "q_agg_incremental",
     "q_cdc_snapshot_diff",
     "q_corpus_mix",
@@ -117,7 +118,6 @@ WINDOW_PRIORITY: tuple[str, ...] = (
     "q_multimodal_decode_png",
     "q_multimodal_frame_sample",
     "q_multimodal_mp4_index",
-    "q_multimodal_resize",
 )
 
 

@@ -21,8 +21,10 @@ Format, per spec:
   block boundary without trusting upstream byte counts;
 - values: zigzag-varint int/long, little-endian IEEE float/double,
   length-prefixed bytes/string, 1-byte boolean, unions as
-  varint branch index + value, arrays as count-prefixed blocks
-  terminated by a 0 count, records as their fields in order;
+  varint branch index + value, arrays AND maps as count-prefixed
+  blocks terminated by a 0 count (map entries = string key + value),
+  enums as a varint symbol index, fixed as its declared raw size,
+  records as their fields in order;
 - ``deflate`` codec = RAW deflate (zlib with neither header nor
   checksum — wbits -15), per spec; ``snappy`` = the raw snappy block
   format (pure-stdlib twin in sources/snappy_codec.py) followed by a
@@ -113,7 +115,13 @@ def _field_type(t: Any) -> Any:
     EXCEPT logical-type annotations, which carry meaning (the
     {"type": "long", "logicalType": "timestamp-micros"} shape Kafka
     Connect / Debezium payloads are full of)."""
-    if isinstance(t, dict) and t.get("type") not in ("record", "array"):
+    if isinstance(t, dict) and t.get("type") not in (
+        "record",
+        "array",
+        "map",
+        "enum",
+        "fixed",
+    ):
         if "logicalType" in t:
             return t
         return t["type"]
@@ -216,6 +224,30 @@ def _write_value(out: bytearray, t: Any, v: Any) -> None:
                 _write_value(out, t["items"], item)
         _write_long(out, 0)
         return
+    if isinstance(t, dict) and t.get("type") == "map":
+        if v:
+            _write_long(out, len(v))
+            for k, item in v.items():
+                _write_value(out, "string", k)
+                _write_value(out, t["values"], item)
+        _write_long(out, 0)
+        return
+    if isinstance(t, dict) and t.get("type") == "enum":
+        try:
+            _write_long(out, t["symbols"].index(v))
+        except ValueError:
+            raise ValueError(
+                f"Avro enum value {v!r} not in symbols {t['symbols']}"
+            ) from None
+        return
+    if isinstance(t, dict) and t.get("type") == "fixed":
+        b = bytes(v)
+        if len(b) != int(t["size"]):
+            raise ValueError(
+                f"Avro fixed({t['size']}) got {len(b)} bytes"
+            )
+        out += b
+        return
     if isinstance(t, dict) and t.get("type") == "record":
         for f in t["fields"]:
             _write_value(out, f["type"], v[f["name"]])
@@ -258,6 +290,32 @@ def _read_value(buf: io.BufferedIOBase, t: Any) -> Any:
                 n = -n
             for _ in range(n):
                 out.append(_read_value(buf, t["items"]))
+    if isinstance(t, dict) and t.get("type") == "map":
+        out_m: dict = {}
+        while True:
+            n = _read_long(buf)
+            if n == 0:
+                return out_m
+            if n < 0:  # spec: negative count is followed by byte size
+                _read_long(buf)
+                n = -n
+            for _ in range(n):
+                k = _read_value(buf, "string")
+                out_m[k] = _read_value(buf, t["values"])
+    if isinstance(t, dict) and t.get("type") == "enum":
+        i = _read_long(buf)
+        symbols = t["symbols"]
+        if not 0 <= i < len(symbols):
+            raise ValueError(
+                f"Avro enum index {i} out of range for {symbols}"
+            )
+        return symbols[i]
+    if isinstance(t, dict) and t.get("type") == "fixed":
+        size = int(t["size"])
+        raw = buf.read(size)
+        if len(raw) != size:
+            raise ValueError("truncated Avro fixed")
+        return raw
     if isinstance(t, dict) and t.get("type") == "record":
         return {f["name"]: _read_value(buf, f["type"]) for f in t["fields"]}
     if t == "null":
@@ -307,6 +365,22 @@ def _skip_value(buf: io.BufferedIOBase, t: Any) -> None:
                 continue
             for _ in range(n):
                 _skip_value(buf, t["items"])
+    elif isinstance(t, dict) and t.get("type") == "map":
+        while True:
+            n = _read_long(buf)
+            if n == 0:
+                return
+            if n < 0:  # negative count: byte size follows — seek it
+                size = _read_long(buf)
+                buf.seek(size, os.SEEK_CUR)
+                continue
+            for _ in range(n):
+                _skip_value(buf, "string")
+                _skip_value(buf, t["values"])
+    elif isinstance(t, dict) and t.get("type") == "enum":
+        _read_long(buf)
+    elif isinstance(t, dict) and t.get("type") == "fixed":
+        buf.seek(int(t["size"]), os.SEEK_CUR)
     elif isinstance(t, dict) and t.get("type") == "record":
         for f in t["fields"]:
             _skip_value(buf, f["type"])
@@ -369,6 +443,16 @@ def _resolve_schemas(writer: dict, reader: dict):
             if wt_base != rt_base:
                 raise ValueError(
                     f"logical types must match exactly to resolve "
+                    f"({wt_base!r} vs {rt_base!r}) for {wf['name']!r}"
+                )
+        elif isinstance(wt_base, dict) or isinstance(rt_base, dict):
+            # complex types (array/map/enum/fixed/record): conservative
+            # exact-match resolution — the spec allows finer-grained
+            # rules (item promotion, enum symbol subsetting) but a
+            # silent partial match would be a correctness trap
+            if wt_base != rt_base:
+                raise ValueError(
+                    f"complex types must match exactly to resolve "
                     f"({wt_base!r} vs {rt_base!r}) for {wf['name']!r}"
                 )
         plan.append((wf["type"], wf["name"]))
@@ -648,6 +732,12 @@ def _spark_type(t: Any) -> str:
         return _spark_type(t["type"])  # uuid/unknown: base type
     if isinstance(t, dict) and t.get("type") == "array":
         return f"array<{_spark_type(t['items'])}>"
+    if isinstance(t, dict) and t.get("type") == "map":
+        return f"map<string,{_spark_type(t['values'])}>"
+    if isinstance(t, dict) and t.get("type") == "enum":
+        return "string"  # symbols surface as their names
+    if isinstance(t, dict) and t.get("type") == "fixed":
+        return "binary"
     if t in _SPARK_TYPES:
         return _SPARK_TYPES[t]
     raise NotImplementedError(f"Avro type not supported: {t!r}")
@@ -914,6 +1004,13 @@ def avro_schema_of(df: DataFrame, name: str = "row") -> dict:
 
         if isinstance(dt, T.ArrayType):
             return {"type": "array", "items": _avro_t(dt.elementType)}
+        if isinstance(dt, T.MapType):
+            if not isinstance(dt.keyType, T.StringType):
+                raise NotImplementedError(
+                    "avro maps have string keys; got "
+                    f"{dt.keyType.simpleString()} keys"
+                )
+            return {"type": "map", "values": _avro_t(dt.valueType)}
         if isinstance(dt, T.DateType):
             return {"type": "int", "logicalType": "date"}
         if isinstance(dt, (T.TimestampNTZType, T.TimestampType)):
@@ -1409,4 +1506,122 @@ def q_stream_avro_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "n_batches int, n_rows bigint, sum_doc bigint, "
         "sum_chars bigint, n_note bigint",
+    )
+
+
+_EVENT_ENUM = ["click", "view", "purchase", "signup", "error"]
+
+_EVENTS_AVRO_SCHEMA = {
+    "type": "record",
+    "name": "event",
+    "fields": [
+        {"name": "event_id", "type": "long"},
+        {
+            "name": "etype",
+            "type": {
+                "type": "enum",
+                "name": "EType",
+                "symbols": _EVENT_ENUM,
+            },
+        },
+        {"name": "props", "type": {"type": "map", "values": "long"}},
+        {
+            "name": "fx",
+            "type": {"type": "fixed", "name": "IdBE8", "size": 8},
+        },
+    ],
+}
+
+
+def _avro_complex_fixture_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Events re-encoded with the COMPLEX Avro types (map / enum /
+    fixed — the Kafka-payload staples): etype as an enum symbol,
+    props as map<string,long> {"k": json k, "u": user_id}, fx as an
+    8-byte big-endian fixed of event_id. Two files, deflate+snappy,
+    fingerprint-keyed and idempotent."""
+    import tempfile
+
+    from meta_iterative_mapreduce_spark.io import fixture_fingerprint
+
+    root = os.path.join(
+        tempfile.gettempdir(),
+        "mimr_avro",
+        f"events_cx_{fixture_fingerprint(sf_dir, 'events')}",
+    )
+    marker = os.path.join(root, "_COMPLETE")
+    if os.path.exists(marker):
+        return root
+    os.makedirs(root, exist_ok=True)
+    rows = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "event_id",
+            "event_type",
+            "user_id",
+            F.get_json_object("props", "$.k").cast("long").alias("k"),
+        )
+        .collect()
+    )
+    buckets: list[list[dict]] = [[], []]
+    for r in sorted(rows, key=lambda r: r["event_id"]):
+        buckets[r["event_id"] % 2].append(
+            {
+                "event_id": r["event_id"],
+                "etype": r["event_type"],
+                "props": {"k": r["k"], "u": r["user_id"]},
+                "fx": int(r["event_id"]).to_bytes(8, "big"),
+            }
+        )
+    for i, recs in enumerate(buckets):
+        data = encode_avro(
+            recs,
+            _EVENTS_AVRO_SCHEMA,
+            codec=("deflate", "snappy")[i % 2],
+            block_records=100,
+            sync=bytes([0xA0 + i]) * _SYNC_LEN,
+        )
+        with open(os.path.join(root, f"part-{i}.avro"), "wb") as f:
+            f.write(data)
+    open(marker, "w").close()
+    return root
+
+
+@register(
+    "q_scan_avro_complex",
+    oracle="""
+    SELECT event_type AS etype,
+           COUNT(*) AS n,
+           CAST(SUM(event_id) AS BIGINT) AS sum_id,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS sum_k,
+           CAST(SUM(user_id) AS BIGINT) AS sum_u,
+           COUNT(*) AS n_fx_ok
+    FROM events GROUP BY event_type
+    """,
+)
+def q_scan_avro_complex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Avro COMPLEX types through the scan, hash-certified: events
+    re-encoded with an enum (event type), a map<string,long> payload,
+    and an 8-byte fixed (big-endian event_id), under deflate AND
+    snappy. The aggregate reads the enum as its symbol, sums BOTH map
+    values by key, and verifies every fixed decodes back to its row's
+    event_id (n_fx_ok is COUNT(*) in the oracle — one corrupt or
+    misaligned fixed breaks the pinned equality). Per the map spec,
+    entries ride count-prefixed blocks exactly like arrays, so the
+    block-partitioned executor decode path is unchanged."""
+    register_avro_source(spark)
+    root = _avro_complex_fixture_dir(spark, sf_dir)
+    df = spark.read.format("mimr_avro").option("path", root).load()
+    return df.groupBy(F.col("etype")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("event_id").cast("bigint").alias("sum_id"),
+        F.sum(F.element_at("props", "k")).cast("bigint").alias("sum_k"),
+        F.sum(F.element_at("props", "u")).cast("bigint").alias("sum_u"),
+        F.sum(
+            F.when(
+                F.hex(F.col("fx"))
+                == F.lpad(F.hex(F.col("event_id")), 16, "0"),
+                1,
+            ).otherwise(0)
+        ).cast("bigint").alias("n_fx_ok"),
     )

@@ -116,12 +116,33 @@ def test_spark_schema_mapping():
         "id bigint, name string, note string, flag boolean, "
         "score double, blob binary, vec array<double>"
     )
+    # complex types map through (round 12): map/enum/fixed
+    assert spark_schema_of(
+        {
+            "type": "record",
+            "name": "x",
+            "fields": [
+                {"name": "m", "type": {"type": "map", "values": "int"}},
+                {
+                    "name": "e",
+                    "type": {
+                        "type": "enum", "name": "E", "symbols": ["a"]
+                    },
+                },
+                {
+                    "name": "f",
+                    "type": {"type": "fixed", "name": "F", "size": 4},
+                },
+            ],
+        }
+    ) == "m map<string,int>, e string, f binary"
+    # general (multi-branch non-null) unions stay out of scope
     with pytest.raises(NotImplementedError):
         spark_schema_of(
             {
                 "type": "record",
                 "name": "x",
-                "fields": [{"name": "m", "type": {"type": "map", "values": "int"}}],
+                "fields": [{"name": "u", "type": ["int", "string"]}],
             }
         )
 
@@ -587,3 +608,103 @@ def test_timestamp_micros_encodes_utc_instant_not_wall_clock():
     assert _logical_encode(t_micros, naive) == got_utc
     # decode round-trips to the naive UTC wall clock
     assert _logical_decode(t_micros, got_utc) == naive
+
+
+def test_map_enum_fixed_roundtrip_all_codecs():
+    """Complex-type codec (round 12): map<string,long> as
+    count-prefixed key+value blocks, enum as a varint symbol index,
+    fixed as raw declared-size bytes — round-tripping under every
+    codec, with reader-schema projection SKIPPING the complex fields
+    without decoding them."""
+    import io as _io
+
+    from meta_iterative_mapreduce_spark.sources import avro_ocf as A
+
+    schema = {
+        "type": "record",
+        "name": "r",
+        "fields": [
+            {"name": "k", "type": "long"},
+            {"name": "m", "type": {"type": "map", "values": "long"}},
+            {
+                "name": "e",
+                "type": {
+                    "type": "enum",
+                    "name": "E",
+                    "symbols": ["a", "b", "c"],
+                },
+            },
+            {
+                "name": "fx",
+                "type": {"type": "fixed", "name": "F8", "size": 8},
+            },
+        ],
+    }
+    recs = [
+        {
+            "k": i,
+            "m": {} if i % 10 == 0 else {"x": i, "y": 2 * i},
+            "e": ["a", "b", "c"][i % 3],
+            "fx": i.to_bytes(8, "big"),
+        }
+        for i in range(200)
+    ]
+    for codec in ("null", "deflate", "snappy"):
+        data = A.encode_avro(recs, schema, codec=codec, block_records=32)
+        _, got = A.read_avro(data)
+        assert got == recs
+    reader = {
+        "type": "record",
+        "name": "r",
+        "fields": [
+            {"name": "k", "type": "long"},
+            {
+                "name": "e",
+                "type": {
+                    "type": "enum",
+                    "name": "E",
+                    "symbols": ["a", "b", "c"],
+                },
+            },
+        ],
+    }
+    _, got2 = A.read_avro(
+        A.encode_avro(recs, schema, codec="deflate"), reader_schema=reader
+    )
+    assert got2 == [{"k": r["k"], "e": r["e"]} for r in recs]
+    # guards: out-of-range enum index, wrong fixed size, unknown symbol
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="symbols"):
+        A.encode_avro(
+            [{"k": 1, "m": {}, "e": "zzz", "fx": b"\0" * 8}], schema
+        )
+    with _pytest.raises(ValueError, match="fixed"):
+        A.encode_avro(
+            [{"k": 1, "m": {}, "e": "a", "fx": b"\0" * 3}], schema
+        )
+    # complex reader/writer mismatch fails at PLAN time
+    bad_reader = {
+        "type": "record",
+        "name": "r",
+        "fields": [
+            {"name": "m", "type": {"type": "map", "values": "string"}}
+        ],
+    }
+    with _pytest.raises(ValueError, match="complex"):
+        A._resolve_schemas(schema, bad_reader)
+    # map entries survive a negative-count block (spec: size follows)
+    buf = bytearray()
+    A._write_long(buf, -2)  # 2 entries, size-prefixed form
+    entries = bytearray()
+    A._write_value(entries, "string", "a")
+    A._write_value(entries, "long", 7)
+    A._write_value(entries, "string", "b")
+    A._write_value(entries, "long", 9)
+    A._write_long(buf, len(entries))
+    buf += entries
+    A._write_long(buf, 0)
+    got3 = A._read_value(
+        _io.BytesIO(bytes(buf)), {"type": "map", "values": "long"}
+    )
+    assert got3 == {"a": 7, "b": 9}
