@@ -1052,6 +1052,38 @@ def _where_conds(where) -> list[tuple]:
 _SIMPLE_COND_RE = None  # compiled lazily in _conds_from_predicate
 
 
+def _mask_quoted(predicate: str) -> tuple[str, list[str]] | None:
+    """Replace every quoted span (single-quoted SQL string literals,
+    '' as the escaped quote, and double-quoted identifiers) with a
+    placeholder `\\x00<i>\\x00` that cannot contain AND / parens /
+    operator text, so the structural scan never looks INSIDE a
+    literal. Returns (masked, spans) or None on an unterminated quote
+    (unparseable → harvest nothing)."""
+    out: list[str] = []
+    spans: list[str] = []
+    i, n = 0, len(predicate)
+    while i < n:
+        ch = predicate[i]
+        if ch in ("'", '"'):
+            j = i + 1
+            while j < n:
+                if predicate[j] == ch:
+                    if ch == "'" and j + 1 < n and predicate[j + 1] == "'":
+                        j += 2  # doubled quote = escaped quote inside
+                        continue
+                    break
+                j += 1
+            if j >= n:
+                return None  # unterminated quote
+            out.append(f"\x00{len(spans)}\x00")
+            spans.append(predicate[i : j + 1])
+            i = j + 1
+        else:
+            out.append(ch)
+            i += 1
+    return "".join(out), spans
+
+
 def _conds_from_predicate(predicate: str) -> list[tuple]:
     """Best-effort (col, op, literal) conjuncts IMPLIED by a SQL
     predicate string — the automatic analog of the explicit `prune`
@@ -1061,8 +1093,13 @@ def _conds_from_predicate(predicate: str) -> list[tuple]:
     a subset of conjuncts is always implied by the conjunction — so
     files excluded by the harvested conds cannot hold matching rows,
     and interleaved-added files excluded by them cannot conflict.
-    Unparseable conjuncts are simply skipped; anything we are not
-    sure about yields fewer conds, never wrong ones."""
+    Quoted literals are MASKED before the disqualifier check and the
+    AND split (ADVICE r12 item 1: a string literal containing
+    "' and col = N and '" must never yield a false conjunct — a false
+    conjunct would silently stats-prune away genuinely matching rows
+    in delete_where/update_where). Unparseable conjuncts are simply
+    skipped; anything we are not sure about yields fewer conds, never
+    wrong ones."""
     import re
 
     global _SIMPLE_COND_RE
@@ -1070,12 +1107,21 @@ def _conds_from_predicate(predicate: str) -> list[tuple]:
         _SIMPLE_COND_RE = re.compile(
             r"^\s*([A-Za-z_][A-Za-z0-9_]*)\s*(==|=|<=|>=|<|>)\s*(.+?)\s*$"
         )
+    masked = _mask_quoted(predicate)
+    if masked is None:
+        return []
+    masked_pred, spans = masked
     if re.search(
         r"\(|\bor\b|\bnot\b|\bin\b|\bbetween\b|\blike\b|\bis\b",
-        predicate,
+        masked_pred,
         re.IGNORECASE,
     ):
         return []
+
+    def _unmask(s: str) -> str:
+        return re.sub(
+            "\x00(\\d+)\x00", lambda mm: spans[int(mm.group(1))], s
+        )
 
     def _lit(s: str):
         s = s.strip()
@@ -1083,16 +1129,17 @@ def _conds_from_predicate(predicate: str) -> list[tuple]:
             return int(s)
         if re.fullmatch(r"-?\d+\.\d+", s):
             return float(s)
-        mq = re.fullmatch(r"'([^']*)'", s)
+        mq = re.fullmatch(r"'((?:[^']|'')*)'", s)
         if mq:
-            return mq.group(1)
+            return mq.group(1).replace("''", "'")
         md = re.fullmatch(r"(?i:date)\s*'(\d{4}-\d{2}-\d{2})'", s)
         if md:
             return md.group(1)
         return None
 
     out: list[tuple] = []
-    for part in re.split(r"\band\b", predicate, flags=re.IGNORECASE):
+    for mpart in re.split(r"\band\b", masked_pred, flags=re.IGNORECASE):
+        part = _unmask(mpart)
         mt = _SIMPLE_COND_RE.match(part)
         if not mt:
             continue
@@ -2472,12 +2519,16 @@ def delete_where(
 
     `prune=(col, op, literal)` stats-prunes the match PROBE through
     plan_files before any file opens — the explicit form of Delta's
-    WHERE-clause file pruning (this engine does not derive it from the
-    predicate string). CONTRACT: the tuple must be IMPLIED by
-    `predicate` (every matching row satisfies it); rows matching the
-    predicate in pruned-away files would survive the delete. The
-    correctness tests pin an implied hint; merge_version's key-range
-    prune is the automatic analog.
+    WHERE-clause file pruning. When NO hint is given, conjuncts are
+    AUTO-DERIVED from the predicate string by _conds_from_predicate
+    (top-level simple conjuncts of a pure conjunction only; quoted
+    literals masked so text inside a string can never fabricate a
+    conjunct; anything ambiguous harvests nothing). CONTRACT either
+    way: every applied cond must be IMPLIED by `predicate` (every
+    matching row satisfies it) — rows matching the predicate in
+    pruned-away files would survive the delete. The correctness tests
+    pin both the implied-hint and the auto-derived path;
+    merge_version's key-range prune is the same mechanism.
 
     Reference analog: the batch-mutation loop kernel.cu:190-196 —
     state updated in place each round; here the "in place" is a
@@ -2585,8 +2636,11 @@ def update_where(
     Old versions time-travel to the pre-update rows either way.
     Returns the new version. `prune=(col, op, literal)` stats-prunes
     the probe under the same implied-by-predicate contract as
-    delete_where. Updating a row already DV-masked is a no-op (the
-    probe reads with DVs applied).
+    delete_where — and like delete_where, when no hint is given the
+    implied conjuncts are auto-derived from the predicate string
+    (quote-masked, conjunction-only; see _conds_from_predicate).
+    Updating a row already DV-masked is a no-op (the probe reads with
+    DVs applied).
 
     Reference analog: the in-place state mutation each iteration of
     kernel.cu:190-196 — rendered as a manifest swap over immutable

@@ -1823,6 +1823,62 @@ def test_conds_from_predicate_harvests_only_sound_conjuncts():
     assert f("k LIKE 'a%'") == []
     # unparseable conjunct skipped, parseable kept
     assert f("k % 10 = 3 AND p = 2") == [("p", "=", 2)]
+    # ADVICE r12 item 1: text INSIDE a string literal must never
+    # fabricate a conjunct — this exact predicate used to yield the
+    # false conjunct ('priority','=',1), silently pruning away files
+    # whose rows genuinely match the DELETE/UPDATE.
+    assert f("o_comment = 'pending and priority = 1 and urgent'") == [
+        ("o_comment", "=", "pending and priority = 1 and urgent")
+    ]
+    # quoted disqualifier words don't disqualify; real ones still do
+    assert f("note = 'a or b (c) like is' AND p = 3") == [
+        ("note", "=", "a or b (c) like is"),
+        ("p", "=", 3),
+    ]
+    assert f("note = 'a or b' OR p = 3") == []
+    # doubled-quote escape inside a literal parses to the raw quote
+    assert f("name = 'O''Brien and Sons'") == [
+        ("name", "=", "O'Brien and Sons")
+    ]
+    # unterminated quote = unparseable: harvest nothing
+    assert f("name = 'oops AND p = 3") == []
+    # double-quoted identifiers mask safely (conjunct skipped, sound)
+    assert f('"weird and col" = 5 AND p = 4') == [("p", "=", 4)]
+
+
+def test_delete_where_string_literal_with_and_is_not_pruned_away(
+    spark, tmp_path
+):
+    """ADVICE r12 item 1 end-to-end: a DELETE whose predicate's string
+    literal contains ' and col = N and ' used to auto-harvest a FALSE
+    conjunct that stats-pruned the probe past the matching files, so
+    matching rows silently survived. The quote-masked parser must
+    delete them."""
+    table = str(tmp_path / "strdel")
+    df = spark.createDataFrame(
+        [
+            (i, 0, "pending and priority = 1 and urgent")
+            if i % 10 == 0
+            else (i, i % 3, f"note-{i}")
+            for i in range(60)
+        ],
+        "k bigint, priority int, o_comment string",
+    )
+    V.write_version(df, table, partition_by="priority")
+    n = V.delete_where(
+        spark,
+        table,
+        "o_comment = 'pending and priority = 1 and urgent'",
+    )
+    got = V.read_version(spark, table)
+    assert (
+        got.filter(
+            "o_comment = 'pending and priority = 1 and urgent'"
+        ).count()
+        == 0
+    )
+    assert got.count() == 54
+    assert n == V.versions(table)[-1]
 
 
 def test_occ_autoprune_disjoint_dml_rebases_without_hints(
