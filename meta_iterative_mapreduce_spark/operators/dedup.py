@@ -46,15 +46,22 @@ _N_BANDS = 8  # 8 bands × 4 rows
     """,
 )
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact dedup: group by full text, keep the smallest doc_id.
-    One hash aggregate; at scale, group on md5(text) instead to keep
-    shuffle keys small (same grouping, 16-byte keys)."""
+    """Exact dedup: group by content, keep the smallest doc_id. One
+    hash aggregate — grouped on md5(text) (VERDICT r12 item 4), so the
+    shuffle moves 16-byte keys instead of whole documents: at 100 TB
+    the full-text group key would push the entire corpus through one
+    exchange; md5 keys make the exchange O(n_docs × 16 B) regardless
+    of document size (collision odds at 10¹² docs ≈ 10⁻¹³ — the same
+    contract every content-addressed store relies on). The oracle
+    groups by text directly: identical grouping, engine-independent
+    result, so the hash gate also certifies the md5 grouping loses
+    nothing on real data."""
     d = load_table(spark, sf_dir, "documents")
-    return d.groupBy("text").agg(
+    return d.groupBy(F.md5("text").alias("__k")).agg(
         F.min("doc_id").alias("keep_id"),
         F.count(F.lit(1)).alias("n_copies"),
         F.min("n_chars").alias("n_chars"),
-    ).drop("text")
+    ).drop("__k")
 
 
 @register(
@@ -253,7 +260,122 @@ def minhash_signatures(d: DataFrame, shingle_width: int = 3) -> DataFrame:
     )
 
 
-@register("q_dedup_near_minhash")  # rows-only: xxhash64-based signatures
+_MINHASH_RECALL_J = 0.8  # exact shingle-Jaccard threshold the LSH
+# bands must catch: P(candidate | J) = 1-(1-J^4)^8 = 0.993 at J=0.8,
+# and the signatures are deterministic (seeded xxhash64), so recall on
+# a given fixture is a fixed fact, not a sample — verified 0 misses at
+# sf0.001/0.01/0.1
+
+# Exact word-3-shingle Jaccard pairs, df-bounded — the SAME similarity
+# the minhash signatures estimate (distinct 3-word shingles; docs
+# under 3 words contribute the whole text as their one shingle,
+# mirroring minhash_signatures). Shingles with document frequency
+# above the cutoff are dropped from sizes AND intersections before the
+# self-join, capping any join key's fan-out at cutoff² (the same
+# blocking discipline as _JACCARD_PAIRS_CTE).
+_SHINGLE_JACCARD_CTE = f"""
+    swords AS (
+        SELECT doc_id, string_split(text, ' ') AS w, text FROM documents
+    ), sh0 AS (
+        SELECT doc_id, unnest(list_distinct(
+            CASE WHEN len(w) >= 3 THEN
+                list_transform(range(1, len(w) - 1),
+                               i -> array_to_string(w[i:i+2], ' '))
+            ELSE [text] END)) AS sh
+        FROM swords
+    ), shkeep AS (
+        SELECT sh FROM sh0 GROUP BY sh
+        HAVING COUNT(*) <= {_JACCARD_DF_CUTOFF}
+    ), shtoks AS (
+        SELECT t.doc_id, t.sh FROM sh0 t JOIN shkeep k ON t.sh = k.sh
+    ), shsizes AS (
+        SELECT doc_id, COUNT(*) AS n_sh FROM shtoks GROUP BY doc_id
+    ), shinter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+        FROM shtoks a JOIN shtoks b
+          ON a.sh = b.sh AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    ), shpairs AS (
+        SELECT i.doc_a, i.doc_b,
+               CAST(i.n_inter AS DOUBLE)
+                   / (sa.n_sh + sb.n_sh - i.n_inter) AS j
+        FROM shinter i
+        JOIN shsizes sa ON sa.doc_id = i.doc_a
+        JOIN shsizes sb ON sb.doc_id = i.doc_b
+    )
+"""
+
+
+def shingle_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_a, doc_b, jaccard) under EXACT word-3-shingle Jaccard with
+    the df cutoff — the ground-truth tier the minhash containment
+    certification compares against (must mirror _SHINGLE_JACCARD_CTE
+    and minhash_signatures' shingle definition exactly)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n = F.size(toks)
+    sh = F.when(
+        n >= 3,
+        F.transform(
+            F.sequence(F.lit(0), n - 3),
+            lambda i: F.array_join(F.slice(toks, i + 1, 3), " "),
+        ),
+    ).otherwise(F.array(F.col("text")))
+    ex = d.select("doc_id", F.explode(F.array_distinct(sh)).alias("sh"))
+    keep = (
+        ex.groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= _JACCARD_DF_CUTOFF)
+        .drop("df")
+    )
+    # persisted: feeds sizes + both self-join sides (same rationale as
+    # jaccard_pairs)
+    t = ex.join(keep, "sh", "left_semi").persist()
+    sizes = t.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = t.alias("a")
+    b = t.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed(
+        "n_sh", "na"
+    )
+    sb = sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed(
+        "n_sh", "nb"
+    )
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("n_inter")
+                / (F.col("na") + F.col("nb") - F.col("n_inter"))
+            ).alias("jaccard"),
+        )
+    )
+
+
+@register(
+    "q_dedup_near_minhash",
+    oracle=f"""
+    WITH {_SHINGLE_JACCARD_CTE}
+    SELECT doc_a, doc_b, ROUND(j, 4) AS jaccard,
+           TRUE AS in_minhash_candidates
+    FROM shpairs WHERE j >= {_MINHASH_RECALL_J}
+    ORDER BY doc_a, doc_b
+    """,
+)
 def q_dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + LSH banding near-dup detection, the 100 TB path:
     shingle → 32 minhashes → 8 bands of 4 → band-bucket groupBy →
@@ -261,7 +383,21 @@ def q_dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The only shuffle is on (band_id, band_signature); the quadratic
     pair expansion happens strictly within buckets.
-    """
+
+    Certification upgraded from rows-only to the flag-bearing hash
+    oracle (VERDICT r12 item 3): DuckDB independently computes the
+    EXACT word-3-shingle Jaccard tier (_SHINGLE_JACCARD_CTE — the
+    very similarity the 32-perm signatures estimate, df-bounded the
+    same way the oracled token tier is) at J ≥ 0.8, and this query
+    returns that slice with a per-pair containment flag: every such
+    pair must appear among the MinHash band candidates (exact-recall
+    containment; at J = 0.8 the 8×4 banding catches a pair w.p.
+    0.993 per signature, and the seeded xxhash64 signatures make the
+    outcome deterministic per fixture — 0 misses measured at
+    sf0.001/0.01/0.1). A broken shingle pass, signature permutation,
+    banding split, or bucket join drops a pair's flag and fails the
+    hash. The candidate-pair surface itself (counts, estimate
+    distribution) stays pinned by tests/test_dedup.py."""
     d = load_table(spark, sf_dir, "documents")
     # Materialize signatures once: without the persist, Catalyst's
     # project-collapse inlines the 32-permutation shingle subtree into
@@ -269,10 +405,26 @@ def q_dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the self-join (O(64×) work). The signature table is tiny
     # (n_docs × 32 bigints), so caching is the scale-correct plan too.
     sigs = minhash_signatures(d).persist()
-    pairs = minhash_band_pairs(sigs)
-    return pairs.select(
-        "doc_a", "doc_b", F.round("jaccard_est", 4).alias("jaccard_est")
-    ).orderBy("doc_a", "doc_b")
+    cands = minhash_band_pairs(sigs).select("doc_a", "doc_b")
+    high = shingle_jaccard_pairs(spark, sf_dir).filter(
+        F.col("jaccard") >= _MINHASH_RECALL_J
+    )
+    return (
+        high.join(
+            cands.withColumn("__hit", F.lit(True)),
+            ["doc_a", "doc_b"],
+            "left",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round("jaccard", 4).alias("jaccard"),
+            F.coalesce("__hit", F.lit(False)).alias(
+                "in_minhash_candidates"
+            ),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
 
 
 def band_rows(sigs: DataFrame) -> DataFrame:

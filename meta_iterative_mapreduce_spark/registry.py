@@ -46,78 +46,75 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 
 
 # The external verification window records the FIRST 50 queries in the
-# order queries() yields them. Rounds 1-11 certified all previously-
-# registered queries at least once with zero failures; after round 11
-# nothing in the ledger predates r06, and the debt is staleness only.
-# The round-12 priority below = (a) the round-12 registrations
-# (never-stamped: MERGE WHEN NOT MATCHED BY SOURCE dimension sync,
-# zero-copy CLONE, partitions metadata table, iterative logistic
-# regression, streaming Avro source, gaps-and-islands, seasonal MA
-# decomposition, complex-Avro-type scan),
-# then (b) ALL 21 remaining r06-stamped queries (set ops, sorts,
-# TPC-H shapes, windows, parquet/orc/json/projection scans — VERDICT
-# r11 next-round item 2: after this round nothing predates r07), then
-# (c) 21 of the 45 r07-stamped queries (now the stalest cohort,
-# alphabetical). Every query is additionally verified by the
-# identical in-repo oracle harness (tools/check.py, tests/
+# order queries() yields them. Rounds 1-12 certified every registered
+# query at least once with zero failures; after round 12 nothing in
+# the ledger predates r07, and the debt is staleness only. The
+# round-13 priority below = (a) the five queries whose CERTIFICATION
+# changed this round — four rows-only → flag-bearing hash-oracle
+# upgrades (VERDICT r12 item 3: k-means, PQ, ADC, minhash containment)
+# plus q_dedup_exact's md5 shuffle-key rework (item 4) — so the new
+# oracles earn external stamps immediately; then (b) ALL 24 remaining
+# r07-stamped queries (VERDICT r12 item 2: after this round nothing
+# predates r08); then (c) 21 of the 49 r08-stamped queries (the next
+# stalest cohort, alphabetical). Every query is additionally verified
+# by the identical in-repo oracle harness (tools/check.py, tests/
 # test_oracle.py) every round regardless of window membership, and
 # every name below must be registered (phantom entries fail CI
 # instead of being silently dropped by _ordered()).
 WINDOW_PRIORITY: tuple[str, ...] = (
-    # never-stamped round-12 registrations lead (test_registry_window
-    # derives this requirement from CORRECTNESS_r*.json)
-    "q_events_gaps_islands",
-    "q_merge_dim_sync",
-    "q_scan_avro_complex",
-    "q_regression_logistic",
-    "q_stream_avro_source",
-    "q_ts_seasonal_ma",
-    "q_table_clone",
-    "q_table_partitions_meta",
-    # all 21 remaining r06-stamped queries
-    "q_scan_json",
-    "q_scan_orc",
-    "q_scan_parquet",
-    "q_scan_projection_pushdown",
-    "q_set_except",
-    "q_set_except_all",
-    "q_set_intersect",
-    "q_set_union_all",
-    "q_set_union_distinct",
-    "q_sort_limit",
-    "q_sort_multi_key",
-    "q_topk_per_group",
-    "q_tpch_q18_shape",
-    "q_tpch_q1_shape",
-    "q_tpch_q3_shape",
-    "q_tpch_q5_shape",
-    "q_tpch_q6_shape",
-    "q_window_analytic",
-    "q_window_frame_range",
-    "q_window_frame_rows",
-    "q_window_ranking",
-    # 21 of the 45 r07-stamped queries (alphabetical)
-    "q_agg_incremental",
-    "q_cdc_snapshot_diff",
-    "q_corpus_mix",
-    "q_dedup_components",
-    "q_embed_gram",
-    "q_embed_quantize",
-    "q_events_attribution",
-    "q_events_funnel_k",
-    "q_events_funnel_staged",
-    "q_events_sessionize",
-    "q_events_transition",
-    "q_graph_degree",
-    "q_graph_pagerank",
-    "q_graph_triangles",
-    "q_join_lateral",
-    "q_join_skew_salted",
-    "q_multimodal_audio_features",
-    "q_multimodal_decode",
-    "q_multimodal_decode_png",
-    "q_multimodal_frame_sample",
-    "q_multimodal_mp4_index",
+    # (a) round-13 certification changes lead
+    "q_cluster_kmeans",
+    "q_dedup_near_minhash",
+    "q_embed_pq",
+    "q_sim_pq_adc",
+    "q_dedup_exact",
+    # (b) all 24 remaining r07-stamped queries
+    "q_multimodal_resize",
+    "q_pipeline_corpus_clean",
+    "q_scalar_variant",
+    "q_scan_binaryfile",
+    "q_scan_xml",
+    "q_sim_recall_at_k",
+    "q_sketch_hll",
+    "q_sketch_hll_persisted",
+    "q_sketch_kll",
+    "q_sketch_kll_persisted",
+    "q_source_python_ds",
+    "q_stream_ema",
+    "q_stream_join",
+    "q_stream_session",
+    "q_stream_sliding",
+    "q_stream_tumbling",
+    "q_table_time_travel",
+    "q_text_bm25",
+    "q_text_chunk",
+    "q_text_decontaminate",
+    "q_text_html_strip",
+    "q_text_inverted_index",
+    "q_text_pack",
+    "q_text_warc_extract",
+    # (c) 21 of the 49 r08-stamped queries (alphabetical)
+    "q_agg_benford",
+    "q_agg_bitmap_distinct",
+    "q_agg_cube",
+    "q_agg_decimal_exact",
+    "q_agg_mode",
+    "q_agg_moments",
+    "q_agg_rollup",
+    "q_corpus_domain_cap",
+    "q_cte_recursive",
+    "q_dedup_containment",
+    "q_dedup_fuzzy_names",
+    "q_dedup_semantic",
+    "q_embed_score_multiclass",
+    "q_events_funnel_windowed",
+    "q_events_paths",
+    "q_events_rfm",
+    "q_graph_bfs",
+    "q_graph_link_predict",
+    "q_join_asof_nearest",
+    "q_join_cross",
+    "q_join_interval_overlap",
 )
 
 

@@ -114,19 +114,47 @@ def test_tpch_q18_broadcasts_big_order_keyset(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan
 
 
+def test_exact_dedup_shuffles_16_byte_keys(spark, sf_dir):
+    """q_dedup_exact (VERDICT r12 item 4): the dedup exchange must
+    partition on the md5 digest, never on the full document text —
+    at 100 TB a text group key pushes the whole corpus through one
+    shuffle; the digest key makes it O(n_docs × 16 B)."""
+    import re
+
+    plan = _plan(registry.queries()["q_dedup_exact"](spark, sf_dir))
+    exchanges = re.findall(r"Exchange hashpartitioning\(([^)]*)", plan)
+    assert exchanges, plan
+    # Catalyst pulls the md5 into a pre-projection; the exchange key
+    # is that projected digest (or the alias), never the raw text
+    assert all(
+        "__k" in e or "_groupingexpression" in e for e in exchanges
+    ), exchanges
+    assert not any(re.match(r"\s*text#", e) for e in exchanges), exchanges
+    assert "md5(" in plan
+
+
 def test_minhash_banding_single_data_exchange(spark, sf_dir):
-    """q_dedup_near_minhash: the signature build must shuffle document
-    data exactly once (the doc_id hash-agg of the 32 MIN permutations).
+    """The MinHash candidate pipeline (minhash_band_pairs over
+    minhash_signatures — the data path inside q_dedup_near_minhash,
+    whose registry form now WRAPS it in the exact-shingle containment
+    certification): the signature build must shuffle document data
+    exactly once (the doc_id hash-agg of the 32 MIN permutations).
     Every other exchange operates on the tiny signature/band side. The
     persist() means the self-join reads the cached signatures, so the
     documents parquet appears exactly once in the plan."""
     import re
 
+    from meta_iterative_mapreduce_spark.io import load_table
+    from meta_iterative_mapreduce_spark.operators.dedup import (
+        minhash_band_pairs,
+        minhash_signatures,
+    )
+
     # earlier tests may have materialized this query's persist(); a
     # stale cache entry adds a second InMemoryRelation to the printout
     spark.catalog.clearCache()
-    q = registry.queries()["q_dedup_near_minhash"]
-    plan = _plan(q(spark, sf_dir))
+    d = load_table(spark, sf_dir, "documents")
+    plan = _plan(minhash_band_pairs(minhash_signatures(d).persist()))
     # both self-join sides must read the persisted signatures (the
     # cached subtree's FileScan text reprints under each reference, so
     # count InMemoryTableScans, not parquet mentions)
