@@ -881,6 +881,25 @@ def register_stream_source(spark: SparkSession) -> None:
             raise
 
 
+def stream_id_for_checkpoint(checkpoint: str) -> str:
+    """The DEFAULT admission-cursor id for a stream checkpointed at
+    `checkpoint` (VERDICT r12 item 6): a filesystem-safe digest of the
+    checkpoint location's absolute path. Spark never passes
+    checkpointLocation into a Python data source's options (verified
+    empirically — the reader sees only its own .option() calls), so
+    the 1:1 streamId↔checkpoint pairing the sidecar contract needs is
+    derived HERE, at the helper layer where callers already hold the
+    checkpoint path. Same checkpoint → same id across restarts →
+    bounded first batch; different checkpoint → different sidecar, no
+    pacing cross-talk."""
+    import hashlib
+
+    digest = hashlib.sha256(
+        os.path.abspath(checkpoint).encode()
+    ).hexdigest()[:16]
+    return f"ck-{digest}"
+
+
 def stream_changes(
     spark: SparkSession,
     table: str,
@@ -890,6 +909,7 @@ def stream_changes(
     starting_version: int | None = None,
     max_bytes_per_trigger: int | None = None,
     stream_id: str | None = None,
+    checkpoint: str | None = None,
 ) -> DataFrame:
     """readStream over a versioned table: an unbounded DataFrame whose
     micro-batches are the rows APPENDED by each committed version
@@ -899,8 +919,16 @@ def stream_changes(
     admission control: each micro-batch admits at most that many added
     files, splitting a wide version across batches at FILE granularity
     ({"version", "index"} offsets) — how a backfill of a 100 TB table
-    arrives as bounded batches instead of one cluster-sized gulp."""
+    arrives as bounded batches instead of one cluster-sized gulp.
+
+    Pass `checkpoint` = the SAME path the writeStream's
+    checkpointLocation uses and the admission cursor id is derived
+    from it automatically (stream_id_for_checkpoint), so a restarted
+    backlog drains bounded from batch one with NO explicit streamId
+    (VERDICT r12 item 6). An explicit `stream_id` still wins."""
     register_stream_source(spark)
+    if stream_id is None and checkpoint is not None:
+        stream_id = stream_id_for_checkpoint(checkpoint)
     r = (
         spark.readStream.format("mimr_versioned_table")
         .option("path", table)
@@ -928,6 +956,7 @@ def stream_cdc(
     max_files_per_trigger: int | None = None,
     max_bytes_per_trigger: int | None = None,
     stream_id: str | None = None,
+    checkpoint: str | None = None,
 ) -> DataFrame:
     """readStream of the table's CHANGE FEED (Delta's readChangeFeed):
     micro-batches of (key, op, old_*, new_*) rows per committed
@@ -940,8 +969,11 @@ def stream_cdc(
     (every old x new pair, identical pairs suppressed) are identical
     to the batch read_changes, so the two are drop-in
     interchangeable — pinned per-version by
-    tests/test_table_stream_source.py."""
+    tests/test_table_stream_source.py. `checkpoint` derives the
+    admission-cursor streamId exactly as in stream_changes."""
     register_stream_source(spark)
+    if stream_id is None and checkpoint is not None:
+        stream_id = stream_id_for_checkpoint(checkpoint)
     r = (
         spark.readStream.format("mimr_versioned_table")
         .option("path", table)
@@ -965,4 +997,5 @@ __all__ = [
     "register_stream_source",
     "stream_cdc",
     "stream_changes",
+    "stream_id_for_checkpoint",
 ]
