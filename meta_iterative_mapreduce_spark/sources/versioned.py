@@ -1749,38 +1749,72 @@ def _write_dv_files(
       rewrite of one data file retires ONE small DV object instead of
       invalidating a commit-wide blob.
 
-    The partition key is the hex-encoded relpath (reversible, so the
-    directory name alone recovers the mapping — no post-write read of
-    any DV), while `file` stays a physical column inside each DV
-    parquet so legacy whole-list readers (_dv_table) need no map.
+    The write is COMMITTER-FREE (VERDICT r12 item 7): each task
+    writes its groups' DV parquets straight to their FINAL paths via
+    pyarrow — no Spark output committer, no _temporary staging, no
+    sequential partition-dir renames (the rename pass dominated the
+    10k-DV scale smoke at ~174 s idle). Safe without a commit
+    protocol because the MANIFEST is the commit point, exactly the
+    Delta/Iceberg object-store discipline: a failed/retried task's
+    orphan objects are simply never referenced (vacuum reclaims
+    them), and uuid object names make attempts collision-free.
+    `file` stays a physical column inside each DV parquet so legacy
+    whole-list readers (_dv_table) need no map; the (file → dv) map
+    rides back as the tasks' O(n_masked) return rows, so the driver
+    touches ZERO filesystem metadata.
     Returns (dv relpaths, {data file relpath: [its dv relpaths]})."""
     sub = os.path.join(
         _DATA_DIR, f"v{version:06d}-dv-{uuid.uuid4().hex[:8]}"
     )
-    (
-        matches.withColumn(
-            "__fkey", F.hex(F.encode(F.col("file"), "UTF-8"))
-        )
-        .repartition("__fkey")
-        .write.mode("error")
-        .partitionBy("__fkey")
-        .parquet(os.path.join(table, sub))
+    abs_root = os.path.join(table, sub)
+    os.makedirs(abs_root, exist_ok=True)
+
+    def write_groups(batches):
+        import uuid as _uuid
+
+        import numpy as np
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        by_file: dict[str, list] = {}
+        for pdf in batches:
+            for f, grp in pdf.groupby("file"):
+                by_file.setdefault(f, []).append(
+                    grp["row_index"].to_numpy()
+                )
+        files, dvs = [], []
+        for f, chunks in by_file.items():
+            idxs = np.sort(np.concatenate(chunks))
+            name = f"dv-{_uuid.uuid4().hex}.parquet"
+            pq.write_table(
+                pa.table(
+                    {
+                        "file": pa.array([f] * len(idxs)),
+                        "row_index": pa.array(idxs, type=pa.int64()),
+                    }
+                ),
+                os.path.join(abs_root, name),
+            )
+            files.append(f)
+            dvs.append(name)
+        yield pd.DataFrame({"file": files, "dv": dvs})
+
+    # repartition on the masked file co-locates each file's positions
+    # in ONE task => exactly one DV object per masked data file (the
+    # same fan-out pin as before), written by as many tasks as Spark
+    # schedules
+    pairs = (
+        matches.select("file", "row_index")
+        .repartition("file")
+        .mapInPandas(write_groups, "file string, dv string")
+        .collect()
     )
-    new_dv: list[str] = []
-    dv_map: dict[str, list[str]] = {}
-    root = os.path.join(table, sub)
-    for d in sorted(os.listdir(root)):
-        if not d.startswith("__fkey="):
-            continue
-        data_file = bytes.fromhex(d[len("__fkey="):]).decode("utf-8")
-        fs = sorted(
-            os.path.join(sub, d, f)
-            for f in os.listdir(os.path.join(root, d))
-            if f.endswith(".parquet")
-        )
-        dv_map[data_file] = fs
-        new_dv.extend(fs)
-    return sorted(new_dv), dv_map
+    dv_map = {
+        r["file"]: [os.path.join(sub, r["dv"])] for r in pairs
+    }
+    new_dv = sorted(os.path.join(sub, r["dv"]) for r in pairs)
+    return new_dv, dv_map
 
 
 def _relevant_dvs(m: dict, files: list[str]) -> list[str]:

@@ -1935,11 +1935,12 @@ def test_occ_autoprune_disjoint_dml_rebases_without_hints(
 def test_write_dv_files_driver_walk_is_listdir_only(
     spark, tmp_path, monkeypatch
 ):
-    """Spy-pin of PLANS.md §35: after the parallel DV write,
-    _write_dv_files' driver-side map build is a pure listdir walk —
-    1 + n_masked directory listings, ZERO file opens of any DV
-    parquet (the hex-encoded partition dir name alone recovers the
-    data-file mapping)."""
+    """Spy-pin of PLANS.md §35 (tightened r13, committer-free write):
+    the driver builds the (file -> dv) map purely from the tasks'
+    returned rows — ZERO parquet opens and no per-DV directory walk
+    at all (pre-r13 this was 1 + n_masked listdirs after a
+    FileOutputCommitter rename pass; now tasks write final objects
+    directly and the manifest is the commit point)."""
     import builtins
     import os as _os
 
@@ -1974,8 +1975,12 @@ def test_write_dv_files_driver_walk_is_listdir_only(
         monkeypatch.undo()
     assert len(dv_map) == n_masked
     assert all(len(v) == 1 for v in dv_map.values())
-    # 1 root listing + one per masked file; a few extra tolerated for
-    # unrelated interpreter activity, but never O(rows)
-    assert calls["listdir"] <= n_masked + 5
+    # no per-DV directory walk: a handful of unrelated interpreter
+    # listings tolerated, but never O(n_masked)
+    assert calls["listdir"] <= 5
     # the driver opened NO dv parquet bytes
     assert calls["opens"] == []
+    # every mapped DV object really exists at its final path
+    for f, dvs in dv_map.items():
+        for d in dvs:
+            assert os.path.exists(os.path.join(table, d))

@@ -792,12 +792,14 @@ def main() -> None:
     # box, still far below the uncached cost
     assert t_walk < 30.0
 
-    # --- wide-DELETE DV fan-out at 10k masked files (round 12) ------
-    # A DELETE masking 10k+ files must write ONE deletion vector per
-    # masked file from a parallel probe (repartition on the masked
-    # path + partitionBy), with driver-side work bounded by the
-    # manifest-scale listdir walk — never a per-row or per-footer
-    # read. Synthetic positions, real _write_dv_files.
+    # --- wide-DELETE DV fan-out at 10k masked files (round 12; ------
+    # committer-free since r13) — A DELETE masking 10k+ files must
+    # write ONE deletion vector per masked file from a parallel probe
+    # (repartition on the masked path; tasks write final objects via
+    # pyarrow, manifest = commit point), with driver-side work
+    # bounded by the tasks' O(n_masked) returned rows — never a
+    # per-row, per-footer, or per-directory pass. Synthetic
+    # positions, real _write_dv_files.
     n_masked = 10_000
     dv_table = _tempfile.mkdtemp(prefix="mimr_scale_dv_")
     matches = spark.range(n_masked * 3).select(
@@ -818,12 +820,11 @@ def main() -> None:
     assert len(dv_map) == n_masked
     assert all(len(v) == 1 for v in dv_map.values())  # ONE DV per file
     assert len(new_dv) == n_masked
-    # generous loaded-box ceiling: idle-box time is ~175 s (dominated
-    # by the local FileOutputCommitter's sequential partition-dir
-    # renames — PLANS.md §35); at the END of the full smoke the box
-    # is hot and 330+ s was observed, so the ceiling guards against
-    # O(rows) regressions, not committer constants
-    assert t_dv < 600.0
+    # idle-box time is ~15 s since the r13 committer-free write
+    # (was ~175 s under the local FileOutputCommitter's sequential
+    # partition-dir renames); generous loaded-box ceiling guards
+    # against O(rows) regressions, not box weather
+    assert t_dv < 120.0
 
     print("scale smoke OK")
 
