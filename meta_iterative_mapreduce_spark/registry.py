@@ -62,7 +62,10 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # every name below must be registered (phantom entries fail CI
 # instead of being silently dropped by _ordered()).
 WINDOW_PRIORITY: tuple[str, ...] = (
-    # (a) round-13 certification changes lead
+    # (a) round-13 registrations + certification changes lead
+    # (never-stamped first — test_registry_window derives this from
+    # CORRECTNESS_r*.json)
+    "q_sql_frontend",
     "q_cluster_kmeans",
     "q_dedup_near_minhash",
     "q_embed_pq",
@@ -114,7 +117,6 @@ WINDOW_PRIORITY: tuple[str, ...] = (
     "q_graph_link_predict",
     "q_join_asof_nearest",
     "q_join_cross",
-    "q_join_interval_overlap",
 )
 
 
@@ -176,6 +178,7 @@ def _ensure_loaded() -> None:
         layout,
         modern,
     )
+    from meta_iterative_mapreduce_spark import sql  # noqa: F401
     from meta_iterative_mapreduce_spark.operators import (  # noqa: F401
         avi,
         clustering,
