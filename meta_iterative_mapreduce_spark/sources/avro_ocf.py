@@ -1032,6 +1032,40 @@ def read_avro_block(
         return _decode_block(raw, codec, schema, n, reader_schema)
 
 
+def read_avro_span(
+    path: str,
+    offset: int,
+    n_blocks: int,
+    codec: str,
+    schema: dict,
+    sync: bytes,
+    reader_schema: dict | None = None,
+):
+    """Decode `n_blocks` CONSECUTIVE blocks from one seek — the
+    executor-side read behind span partitioning. Blocks are
+    contiguous on disk (offset addresses the first block's count
+    varint), so a span costs one open + one sequential read, instead
+    of n_blocks tiny tasks each paying scheduler + open + seek
+    overhead (r13: at sf0.1 the per-block plan was ~6k 100-record
+    Python tasks for one table — task overhead dominated the scan).
+    Yields records lazily to keep span memory at one block's worth
+    of decoded rows."""
+    with open(path, "rb") as f:
+        f.seek(offset)
+        for _ in range(n_blocks):
+            n = _read_long(f)
+            size = _read_long(f)
+            raw = f.read(size)
+            if len(raw) != size:
+                raise ValueError("truncated Avro data block")
+            if f.read(_SYNC_LEN) != sync:
+                raise ValueError(
+                    "Avro sync marker mismatch after block — corrupt "
+                    "file"
+                )
+            yield from _decode_block(raw, codec, schema, n, reader_schema)
+
+
 # ------------------------------------------------------- spark datasource
 
 _SPARK_TYPES = {
@@ -1114,32 +1148,45 @@ def register_avro_source(spark: SparkSession) -> None:
             if f.endswith(".avro")
         )
 
+    _SPAN_TARGET = 64  # spans per file: enough tasks to keep a wide
+    # executor busy, few enough that task overhead stays negligible
+    # (files under 64 blocks keep exactly one block per partition,
+    # preserving the block-granular splits small fixtures pin)
+
     def _block_parts(path: str, reader_schema) -> list:
-        """One InputPartition spec per data block of one OCF file —
-        the shared planning step of the batch and stream readers."""
+        """InputPartition specs for one OCF file: consecutive data
+        blocks grouped into at most _SPAN_TARGET spans (one seek +
+        sequential decode per span) — the shared planning step of the
+        batch and stream readers. Per-block tasks at 100-record block
+        sizes drowned the scan in scheduler overhead (~6k tasks for
+        one sf0.1 table, r13)."""
         idx = index_avro_blocks(path)
         if reader_schema is not None:
             # fail at PLAN time, not per task, on an unresolvable
             # writer/reader pair
             _resolve_schemas(idx["schema"], reader_schema)
+        blocks = idx["blocks"]
+        per = max(1, -(-len(blocks) // _SPAN_TARGET))
         return [
             {
                 "path": path,
-                "offset": offset,
+                "offset": blocks[i][0],
+                "n_blocks": len(blocks[i : i + per]),
                 "codec": idx["codec"],
                 "schema": idx["schema"],
                 "reader": reader_schema,
                 "sync": idx["sync"].hex(),
             }
-            for offset, _n, _size in idx["blocks"]
+            for i in range(0, len(blocks), per)
         ]
 
     def _read_block_spec(spec: dict):
         out_schema = spec["reader"] or spec["schema"]
         names = [f["name"] for f in out_schema["fields"]]
-        for rec in read_avro_block(
+        for rec in read_avro_span(
             spec["path"],
             spec["offset"],
+            spec.get("n_blocks", 1),
             spec["codec"],
             spec["schema"],
             bytes.fromhex(spec["sync"]),
