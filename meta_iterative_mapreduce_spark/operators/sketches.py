@@ -64,17 +64,54 @@ def cms_estimate(sketch: DataFrame, probes: DataFrame, col: str = "token") -> Da
     return joined.groupBy(col).agg(F.min("cnt").alias("est_count"))
 
 
-@register("q_sketch_count_min")  # rows-only: xxhash64-based hashing
+@register(
+    "q_sketch_count_min",
+    oracle="""
+    SELECT token,
+           COUNT(*) AS n_exact,
+           TRUE AS cms_ge_exact,
+           TRUE AS cms_within_eps_n
+    FROM (SELECT unnest(string_split(text, ' ')) AS token
+          FROM documents)
+    GROUP BY token ORDER BY token
+    """,
+)
 def q_sketch_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CMS heavy-hitter estimates: build a 4×256 sketch over all corpus
-    tokens, then estimate every distinct token's frequency — returned
-    alongside nothing else so the overestimate property is auditable
-    against q_text_tokens."""
+    """CMS frequency estimates: build a 4×256 sketch over all corpus
+    tokens, then estimate every distinct token's frequency.
+
+    Certification upgraded from rows-only to the sketch-contract hash
+    oracle (VERDICT r12 item 3 pattern, r13): DuckDB recomputes every
+    token's EXACT count, and the query pins two flags per token —
+    `cms_ge_exact`, the one-sided CMS THEOREM (a count-min estimate
+    can only overcount: every depth's bucket contains the token's own
+    occurrences), and `cms_within_eps_n`, the standard ε = e/width
+    error bound (estimate ≤ exact + εN; deterministic here because
+    the hashes are seeded xxhash64 — measured overestimate on the
+    fixtures is 0 at all SFs, so the bound carries the full εN ≈
+    0.011·N margin). A broken bucket hash, a dropped depth, or a
+    lost map-side combine flips a flag and fails the hash."""
     d = load_table(spark, sf_dir, "documents")
     toks = d.select(F.explode(F.split("text", " ")).alias("token"))
+    n_total = toks.count()
+    eps_n = (2.718281828459045 / _WIDTH) * n_total
     sketch = cms_build(toks)
-    probes = toks.distinct()
-    return cms_estimate(sketch, probes).orderBy("token")
+    exact = toks.groupBy("token").agg(F.count(F.lit(1)).alias("n_exact"))
+    est = cms_estimate(sketch, toks.distinct())
+    return (
+        exact.join(est, "token")
+        .select(
+            "token",
+            "n_exact",
+            (F.col("est_count") >= F.col("n_exact")).alias(
+                "cms_ge_exact"
+            ),
+            (
+                F.col("est_count") <= F.col("n_exact") + F.lit(eps_n)
+            ).alias("cms_within_eps_n"),
+        )
+        .orderBy("token")
+    )
 
 
 @register(
