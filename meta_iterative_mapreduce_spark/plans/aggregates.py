@@ -105,14 +105,54 @@ def q_agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_agg_approx_distinct")  # rows-only: HLL algorithms differ per engine
+@register(
+    "q_agg_approx_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_partkey) AS n_parts_exact,
+           COUNT(DISTINCT l_orderkey) AS n_orders_exact,
+           TRUE AS parts_est_ok,
+           TRUE AS orders_est_ok
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
 def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate count-distinct (HyperLogLog++) — the scale path for
-    high-cardinality distincts: O(1) memory per group, no expand."""
+    high-cardinality distincts: O(1) memory per group, no expand.
+
+    Certification upgraded from rows-only to the sketch-contract hash
+    oracle (the q_sketch_hll pattern, r13): DuckDB recomputes the
+    EXACT distinct counts per group, and the query pins flags
+    asserting the HLL++ estimates land within 10% of them (rsd=0.02
+    makes that a 5σ bound — insensitive to fixture regeneration).
+    HLL++ state depends only on the SET of hashed values, so the
+    flags are order- and partitioning-deterministic; a silent sketch
+    regression flips a flag and fails the hash gate."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
-        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
+    est_ok = lambda approx, exact: (  # noqa: E731
+        F.abs(F.col(approx) - F.col(exact)) / F.col(exact) <= 0.10
+    )
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey", rsd=0.02).alias(
+                "approx_parts"
+            ),
+            F.approx_count_distinct("l_orderkey", rsd=0.02).alias(
+                "approx_orders"
+            ),
+            F.countDistinct("l_partkey").alias("n_parts_exact"),
+            F.countDistinct("l_orderkey").alias("n_orders_exact"),
+        )
+        .select(
+            "l_returnflag",
+            "n_parts_exact",
+            "n_orders_exact",
+            est_ok("approx_parts", "n_parts_exact").alias("parts_est_ok"),
+            est_ok("approx_orders", "n_orders_exact").alias(
+                "orders_est_ok"
+            ),
+        )
     )
 
 
