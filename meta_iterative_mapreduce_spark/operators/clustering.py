@@ -715,11 +715,7 @@ def ensure_ivfpq_index(
     return table, m["pq_books"], m["ivf_centers"]
 
 
-@register("q_sim_ivf_pq")  # rows-only: codebook+centers are
-#                            driver-iterative artifacts (SQL oracle
-#                            can't train Lloyd); recall contract is
-#                            pytest-pinned in tests/test_clustering.py
-def q_sim_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ivfpq_eval(spark: SparkSession, sf_dir: str) -> dict:
     """The production ANN shape END-TO-END — IVF probe → PQ ADC →
     exact re-rank — over ONE persisted artifact: (1) the query picks
     its nProbe nearest coarse centers driver-side (k constants); (2)
@@ -811,20 +807,75 @@ def q_sim_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(10)
     )
     hits = rerank10.join(exact10.select("vec_id"), "vec_id").count()
+    # triangle certification over every probed candidate (same
+    # theorem as q_sim_pq_adc: ADC distance IS the distance to the
+    # reconstruction, recon_err IS the reconstruction error)
+    tri = (
+        F.abs(F.sqrt(F.col("adc")) - F.sqrt(F.col("exact")))
+        <= F.sqrt(F.col("recon_err")) + F.lit(1e-6)
+    )
+    cert = (
+        probed.select("vec_id", "recon_err", adc.alias("adc"))
+        .join(e.select("vec_id", exact_d.alias("exact")), "vec_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.bool_and(tri).alias("ok"))
+        .collect()[0]
+    )
+    return {
+        "n_lists_probed": len(probe_lists),
+        "n_files_read": n_read,
+        "n_files_total": n_total,
+        "n_probed": int(cert["n"]),
+        "adc_triangle_ok": bool(cert["ok"]),
+        "hits_at_10": hits,
+        "recall_at_10": round(hits / 10.0, 4),
+        "n_corpus": e.count(),
+    }
+
+
+@register(
+    "q_sim_ivf_pq",
+    oracle=f"""
+    SELECT 0 AS query_id,
+           {_N_PROBE} AS n_lists_probed,
+           10 AS k,
+           COUNT(*) AS n_corpus,
+           TRUE AS probe_pruned,
+           TRUE AS probe_share_ok,
+           TRUE AS adc_triangle_ok,
+           TRUE AS hits_le_k
+    FROM embeddings
+    """,
+)
+def q_sim_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flag-oracle wrapper over ivfpq_eval (r13 upgrade from
+    rows-only; the pipeline docstring lives there): DuckDB pins the
+    exact corpus size plus four invariants — the probe opened a
+    STRICT subset of the index's files (partition prune engaged),
+    the files read stay within 2x the nProbe/K share (one file per
+    inverted list in the committed layout; 2x tolerates list
+    splits), the per-candidate ADC triangle theorem holds over every
+    probed code, and pipeline hits never exceed k. recall@10 >= 0.7
+    remains the pytest pin (fixture-dependent value, wrong thing to
+    hash)."""
+    ev = ivfpq_eval(spark, sf_dir)
+    share_cap = 2.0 * _N_PROBE / _IVF_K
     return spark.createDataFrame(
         [
             (
                 0,
-                len(probe_lists),
-                n_read,
-                n_total,
-                round(n_read / n_total, 4),
+                ev["n_lists_probed"],
                 10,
-                hits,
-                round(hits / 10.0, 4),
+                ev["n_corpus"],
+                bool(0 < ev["n_files_read"] < ev["n_files_total"]),
+                bool(
+                    ev["n_files_read"]
+                    <= share_cap * ev["n_files_total"]
+                ),
+                ev["adc_triangle_ok"],
+                bool(ev["hits_at_10"] <= 10),
             )
         ],
-        "query_id int, n_lists_probed int, n_files_read int, "
-        "n_files_total int, scan_fraction double, k int, "
-        "hits_at_10 bigint, recall_at_10 double",
+        "query_id int, n_lists_probed int, k int, n_corpus bigint, "
+        "probe_pruned boolean, probe_share_ok boolean, "
+        "adc_triangle_ok boolean, hits_le_k boolean",
     )

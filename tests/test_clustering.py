@@ -191,10 +191,15 @@ def test_ivfpq_probe_is_partition_pruned_and_recalls(spark, sf_dir):
     fraction IS nProbe/K) and the full probe→ADC→re-rank pipeline must
     keep recall@10 ≥ 0.7 against the global exact top-10."""
     from meta_iterative_mapreduce_spark.operators.clustering import (
+        ivfpq_eval,
         q_sim_ivf_pq,
     )
 
-    r = q_sim_ivf_pq(spark, sf_dir).collect()[0]
+    r = ivfpq_eval(spark, sf_dir)
     assert r["n_files_read"] < r["n_files_total"]
-    assert r["scan_fraction"] <= 0.5
+    assert r["n_files_read"] / r["n_files_total"] <= 0.5
     assert r["recall_at_10"] >= 0.7
+    assert r["adc_triangle_ok"] is True
+    row = q_sim_ivf_pq(spark, sf_dir).collect()[0]
+    assert row["probe_pruned"] and row["probe_share_ok"]
+    assert row["adc_triangle_ok"] and row["hits_le_k"]
