@@ -715,8 +715,30 @@ def bpe_learn(words: DataFrame, n_rounds: int = _BPE_ROUNDS) -> list[tuple]:
         syms.unpersist()
 
 
-@register("q_text_bpe_learn")  # rows-only: driver-iterative argmax loop
-# (the per-round merge choice is model state, like k-means centroids)
+@register(
+    "q_text_bpe_learn",
+    oracle="""
+    WITH words AS (
+        SELECT word, COUNT(*) AS freq
+        FROM (SELECT unnest(string_split(text, ' ')) AS word
+              FROM documents)
+        WHERE LENGTH(word) > 0 GROUP BY word
+    ), pairs AS (
+        SELECT substr(word, CAST(i AS INT), 1) AS l,
+               substr(word, CAST(i + 1 AS INT), 1) AS r,
+               SUM(freq) AS pf
+        FROM words, UNNEST(range(1, LENGTH(word))) AS t(i)
+        GROUP BY 1, 2
+    )
+    SELECT 6 AS n_merges,
+           l AS first_left,
+           r AS first_right,
+           CAST(pf AS BIGINT) AS first_pair_freq,
+           TRUE AS merges_distinct,
+           TRUE AS merged_is_concat
+    FROM pairs ORDER BY pf DESC, l ASC, r ASC LIMIT 1
+    """,
+)
 def q_text_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Learn the first 6 BPE merges over the corpus word-frequency
     table: per round, ONE weighted adjacent-pair aggregate over the
@@ -724,8 +746,19 @@ def q_text_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
     the trick that makes real BPE training tractable at 100 TB (the
     corpus collapses to its vocabulary once; rounds then scan
     |vocab| rows) — plus a 1-row argmax collect. Deterministic
-    tie-break (freq desc, pair asc); brute-force-equality tested
-    against a pure-Python reference BPE in tests."""
+    tie-break (freq desc, pair asc).
+
+    Certification upgraded from rows-only to the flag-bearing hash
+    oracle (r13): DuckDB independently replays ROUND 1 of the trainer
+    — the freq-weighted adjacent-character pair argmax with the same
+    tie-break — and the hash pins the chosen pair AND its exact
+    weighted frequency (rounds 2-6 run the identical code path with
+    the merge folded in; they stay brute-force-equality pytest-pinned
+    against a pure-Python reference, tests/test_properties.py). The
+    flags pin structural invariants of the full table: all merged
+    symbols distinct, every merged symbol the concatenation of its
+    pair. A mis-weighted count, broken tie-break, or corrupted merge
+    fold fails the hash on the exact round-1 row."""
     d = load_table(spark, sf_dir, "documents")
     words = (
         d.select(F.explode(F.split("text", " ")).alias("word"))
@@ -734,8 +767,22 @@ def q_text_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("freq"))
     )
     merges = bpe_learn(words)
+    first = merges[0]
+    merged_syms = [m[3] for m in merges]
     return spark.createDataFrame(
-        merges, "rank int, left string, right string, merged string, pair_freq long"
+        [
+            (
+                len(merges),
+                first[1],
+                first[2],
+                int(first[4]),
+                bool(len(set(merged_syms)) == len(merged_syms)),
+                bool(all(m[3] == m[1] + m[2] for m in merges)),
+            )
+        ],
+        "n_merges int, first_left string, first_right string, "
+        "first_pair_freq bigint, merges_distinct boolean, "
+        "merged_is_concat boolean",
     )
 
 
