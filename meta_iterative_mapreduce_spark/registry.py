@@ -49,15 +49,16 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # order queries() yields them. Rounds 1-12 certified every registered
 # query at least once with zero failures; after round 12 nothing in
 # the ledger predates r07, and the debt is staleness only. The
-# round-13 priority below = (a) the new q_sql_frontend plus the 12
-# queries whose CERTIFICATION changed this round — 11 rows-only →
+# round-13 priority below = (a) the new q_sql_frontend plus the 13
+# queries whose CERTIFICATION changed this round — 12 rows-only →
 # flag-bearing hash-oracle upgrades (VERDICT r12 item 3: k-means,
 # PQ, ADC, minhash containment, count-min, approx-distinct,
-# approx-quantile, incremental dedup, IVF-PQ, BPE apply+learn) plus
+# approx-quantile, incremental dedup, IVF-PQ, BPE apply+learn,
+# simhash-pairs sample-exactness) plus
 # q_dedup_exact's md5 shuffle-key rework (item 4) — so the new
 # oracles earn external stamps immediately; then (b) ALL 24
 # remaining r07-stamped queries (VERDICT r12 item 2: after this
-# round nothing predates r08); then (c) 12 of the 49 r08-stamped
+# round nothing predates r08); then (c) 11 of the 49 r08-stamped
 # queries (the next stalest cohort, alphabetical). Every query is additionally verified
 # by the identical in-repo oracle harness (tools/check.py, tests/
 # test_oracle.py) every round regardless of window membership, and
@@ -79,6 +80,7 @@ WINDOW_PRIORITY: tuple[str, ...] = (
     "q_sim_ivf_pq",
     "q_text_bpe_apply",
     "q_text_bpe_learn",
+    "q_dedup_simhash_pairs",
     "q_dedup_exact",
     # (b) all 24 remaining r07-stamped queries
     "q_multimodal_resize",
@@ -118,7 +120,6 @@ WINDOW_PRIORITY: tuple[str, ...] = (
     "q_dedup_containment",
     "q_dedup_fuzzy_names",
     "q_dedup_semantic",
-    "q_embed_score_multiclass",
 )
 
 

@@ -60,18 +60,27 @@ def test_simhash_pairs_exact_recall_synthetic(spark):
 
 
 def test_simhash_pairs_exact_recall_on_documents(spark, sf_dir):
-    """End-to-end on the real fixture: the registered query's pair set
-    equals brute force over the actual document fingerprints."""
-    fps = [
-        (r.doc_id, r.simhash)
-        for r in q_dedup_simhash(spark, sf_dir).collect()
-    ]
+    """End-to-end on the real fixture: the FULL-corpus blocked pair
+    set equals brute force over the actual document fingerprints
+    (the registered query certifies the same property on a bounded
+    sample and now returns the certification row — assert its flags
+    too)."""
+    from meta_iterative_mapreduce_spark.operators.dedup import (
+        simhash_hamming_pairs,
+    )
+
+    fp_df = q_dedup_simhash(spark, sf_dir).select("doc_id", "simhash")
+    fps = [(r.doc_id, r.simhash) for r in fp_df.collect()]
     expected = _brute_force_pairs(fps, _SIMHASH_MAX_HAMMING)
     got = {
         (r.doc_a, r.doc_b)
-        for r in q_dedup_simhash_pairs(spark, sf_dir).collect()
+        for r in simhash_hamming_pairs(fp_df).collect()
     }
     assert got == expected
+    cert = q_dedup_simhash_pairs(spark, sf_dir).collect()[0]
+    assert cert["blocking_exact_on_sample"] is True
+    assert cert["fingerprints_in_range"] is True
+    assert cert["n_docs"] == len(fps)
 
 
 def test_simhash_pairs_hamming_column_is_true_distance(spark):
