@@ -75,7 +75,10 @@ def _update_centers(
     the assignment w.r.t. the centers it was made against, from the
     per-(cluster, dim) sufficient stats (n, Σv, Σv²):
     SSE = Σ_{j,d} [Σv² − 2·c_jd·Σv + n·c_jd²] — no second scan, the
-    certification signal is free (VERDICT r12 item 3)."""
+    certification signal is free (VERDICT r12 item 3) — plus the
+    total row count of the assignment (Σ n at dim 0), so the
+    every-vector-assigned-exactly-once certification is ALSO free
+    (VERDICT r13 item 7: no separate assignment re-scan)."""
     dims = assigned.select(
         "cluster", F.posexplode(vec_col).alias("dim", "v")
     )
@@ -91,8 +94,11 @@ def _update_centers(
     )
     by_cluster: dict[int, dict[int, float]] = {}
     sse = 0.0
+    n_assigned = 0
     for r in rows:
         by_cluster.setdefault(r["cluster"], {})[r["dim"]] = r["s1"] / r["n"]
+        if r["dim"] == 0:
+            n_assigned += r["n"]
         if cur_centers is not None:
             c = cur_centers[r["cluster"]][r["dim"]]
             sse += r["s2"] - 2.0 * c * r["s1"] + r["n"] * c * c
@@ -104,7 +110,7 @@ def _update_centers(
         else:
             centers.append([d[i] for i in range(len(d))])
     if cur_centers is not None:
-        return centers, sse
+        return centers, sse, n_assigned
     return centers
 
 
@@ -115,6 +121,8 @@ class KMeansResult:
     sses: list[float] | None = None  # per-iter SSE w.r.t. that iter's
     #                                  assignment centers (Lloyd ⇒
     #                                  non-increasing)
+    n_assigned: list[int] | None = None  # per-iter assignment row
+    #                                  totals from the same stats pass
 
 
 def kmeans(
@@ -130,14 +138,16 @@ def kmeans(
     try:
         centers = [list(c) for c in init_centers]
         sses: list[float] = []
+        n_assigned: list[int] = []
         for _ in range(n_iters):
             assigned = assign_clusters(cached, vec_col, centers)
-            new, sse = _update_centers(
+            new, sse, n_tot = _update_centers(
                 assigned, vec_col, len(centers), cur_centers=centers
             )
             sses.append(sse)
+            n_assigned.append(n_tot)
             centers = [n if n is not None else old for n, old in zip(new, centers)]
-        return KMeansResult(centers, n_iters, sses)
+        return KMeansResult(centers, n_iters, sses, n_assigned)
     finally:
         cached.unpersist()
 
@@ -174,15 +184,17 @@ def q_cluster_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     Certification upgraded from rows-only to the flag-bearing hash
     oracle (VERDICT r12 item 3, the r8 PCA pattern): DuckDB pins the
     exact inputs it can compute independently — dimensionality, k,
-    iteration count, and that the FINAL assignment partitions EVERY
-    embedding exactly once (n_assigned = COUNT(*)) — plus the Lloyd
+    iteration count, and that EVERY iteration's assignment partitions
+    EVERY embedding exactly once (n_assigned = COUNT(*), taken from
+    the SAME sufficient-stats pass that updates the centroids — no
+    separate assignment re-scan, VERDICT r13 item 7) — plus the Lloyd
     invariants as booleans: the per-iteration SSE sequence (measured
     w.r.t. each iteration's own assignment centers, from the same
-    sufficient-stats pass that updates the centroids) is
-    non-increasing, and the final SSE is no worse than the first. A
-    broken assignment (lost/duplicated rows), a wrong centroid
-    update, or a diverging loop each flip a field and fail the hash.
-    Per-cluster sizes/SSE remain pinned by tests/test_clustering.py."""
+    pass) is non-increasing, and the final SSE is no worse than the
+    first. A broken assignment (lost/duplicated rows), a wrong
+    centroid update, or a diverging loop each flip a field and fail
+    the hash. Per-cluster sizes/SSE remain pinned by
+    tests/test_clustering.py."""
     e = load_table(spark, sf_dir, "embeddings")
     res = kmeans(e, "embedding", _init_centers(spark, sf_dir, 4), n_iters=3)
     sses = res.sses or []
@@ -191,13 +203,10 @@ def q_cluster_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         b <= a * (1 + tol) + tol for a, b in zip(sses, sses[1:])
     )
     improved = bool(sses and sses[-1] <= sses[0] * (1 + tol) + tol)
-    n_assigned = (
-        assign_clusters(e, "embedding", res.centers)
-        .groupBy("cluster")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .agg(F.sum("n").alias("t"))
-        .collect()[0]["t"]
-    )
+    counts = set(res.n_assigned or [])
+    # every Lloyd pass must have assigned the same total row count;
+    # emit it only if consistent (a mismatch poisons the hash gate)
+    n_assigned = counts.pop() if len(counts) == 1 else -1
     d = len(res.centers[0])
     return spark.createDataFrame(
         [(d, 4, res.n_iters, int(n_assigned), bool(monotone), improved)],

@@ -12,8 +12,12 @@ Four tiers, cheap→thorough, all shuffle-frugal:
 
 MinHash/SimHash use Spark's xxhash64 (engine-specific, 64-bit — a
 32-bit shingle hash has a measurable collision floor at tens of
-millions of shingles) → rows-only checks; the exact tiers are
-DuckDB-oracle-checked.
+millions of shingles), so their raw pair/estimate surfaces are
+rows-only checks; each carries a `q_*_cert` certification twin
+(VERDICT r13 item 1) whose flag-bearing hash oracle proves the
+blocking/estimation claims on budget-bounded samples, keeping the
+benched production queries on the lean scale-path plans. The exact
+tiers are DuckDB-oracle-checked directly.
 """
 
 from __future__ import annotations
@@ -366,8 +370,33 @@ def shingle_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("q_dedup_near_minhash")  # rows-only: xxhash64-based signature
+# estimates; the hash certification lives in q_dedup_near_minhash_cert
+def q_dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH banding near-dup detection, the 100 TB path:
+    shingle → 32 minhashes → 8 bands of 4 → band-bucket groupBy →
+    candidate pairs → signature-agreement estimate of Jaccard.
+
+    The only shuffle is on (band_id, band_signature); the quadratic
+    pair expansion happens strictly within buckets. This is the
+    PRODUCTION plan the bench measures (VERDICT r13 item 1: the exact
+    shingle-Jaccard recall arm lives in q_dedup_near_minhash_cert so
+    the benched query stays the scale path)."""
+    d = load_table(spark, sf_dir, "documents")
+    # Materialize signatures once: without the persist, Catalyst's
+    # project-collapse inlines the 32-permutation shingle subtree into
+    # every downstream reference AND recomputes it for both sides of
+    # the self-join (O(64×) work). The signature table is tiny
+    # (n_docs × 32 bigints), so caching is the scale-correct plan too.
+    sigs = minhash_signatures(d).persist()
+    pairs = minhash_band_pairs(sigs)
+    return pairs.select(
+        "doc_a", "doc_b", F.round("jaccard_est", 4).alias("jaccard_est")
+    ).orderBy("doc_a", "doc_b")
+
+
 @register(
-    "q_dedup_near_minhash",
+    "q_dedup_near_minhash_cert",
     oracle=f"""
     WITH {_SHINGLE_JACCARD_CTE}
     SELECT doc_a, doc_b, ROUND(j, 4) AS jaccard,
@@ -376,55 +405,57 @@ def shingle_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY doc_a, doc_b
     """,
 )
-def q_dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash + LSH banding near-dup detection, the 100 TB path:
-    shingle → 32 minhashes → 8 bands of 4 → band-bucket groupBy →
-    candidate pairs → signature-agreement estimate of Jaccard.
+def q_dedup_near_minhash_cert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-recall certification twin of q_dedup_near_minhash
+    (VERDICT r13 item 1: the certification arm is its own registered
+    query so the production plan stays lean): DuckDB independently
+    computes the EXACT word-3-shingle Jaccard tier
+    (_SHINGLE_JACCARD_CTE — the very similarity the 32-perm
+    signatures estimate, df-bounded the same way the oracled token
+    tier is) at J ≥ 0.8, and this query returns that slice with a
+    per-pair containment flag: every such pair must appear among the
+    MinHash band candidates (exact-recall containment). A broken
+    shingle pass, signature permutation, banding split, or bucket
+    join drops a pair's flag and fails the hash.
 
-    The only shuffle is on (band_id, band_signature); the quadratic
-    pair expansion happens strictly within buckets.
-
-    Certification upgraded from rows-only to the flag-bearing hash
-    oracle (VERDICT r12 item 3): DuckDB independently computes the
-    EXACT word-3-shingle Jaccard tier (_SHINGLE_JACCARD_CTE — the
-    very similarity the 32-perm signatures estimate, df-bounded the
-    same way the oracled token tier is) at J ≥ 0.8, and this query
-    returns that slice with a per-pair containment flag: every such
-    pair must appear among the MinHash band candidates (exact-recall
-    containment; at J = 0.8 the 8×4 banding catches a pair w.p.
-    0.993 per signature, and the seeded xxhash64 signatures make the
-    outcome deterministic per fixture — 0 misses measured at
-    sf0.001/0.01/0.1). A broken shingle pass, signature permutation,
-    banding split, or bucket join drops a pair's flag and fails the
-    hash. The candidate-pair surface itself (counts, estimate
-    distribution) stays pinned by tests/test_dedup.py."""
+    Margin note (ADVICE r13): 8×4 banding catches a J = 0.8 pair
+    w.p. 1-(1-0.8^4)^8 ≈ 0.993 per pair; the seeded xxhash64
+    signatures make the outcome DETERMINISTIC per fixture (0 misses
+    measured at sf0.001/0.01/0.1), but the guarantee is per-fixture,
+    not universal — REGENERATING the documents fixture (or adding
+    docs) requires re-running this query at every SF before trusting
+    the stamp; a miss here is an expected ~0.7%-per-pair event, not
+    necessarily a code bug. The candidate-pair surface itself stays
+    pinned by tests/test_dedup.py."""
     d = load_table(spark, sf_dir, "documents")
-    # Materialize signatures once: without the persist, Catalyst's
-    # project-collapse inlines the 32-permutation shingle subtree into
-    # every downstream reference AND recomputes it for both sides of
-    # the self-join (O(64×) work). The signature table is tiny
-    # (n_docs × 32 bigints), so caching is the scale-correct plan too.
     sigs = minhash_signatures(d).persist()
-    cands = minhash_band_pairs(sigs).select("doc_a", "doc_b")
-    high = shingle_jaccard_pairs(spark, sf_dir).filter(
-        F.col("jaccard") >= _MINHASH_RECALL_J
-    )
-    return (
-        high.join(
-            cands.withColumn("__hit", F.lit(True)),
-            ["doc_a", "doc_b"],
-            "left",
+    try:
+        cands = minhash_band_pairs(sigs).select("doc_a", "doc_b")
+        high = shingle_jaccard_pairs(spark, sf_dir).filter(
+            F.col("jaccard") >= _MINHASH_RECALL_J
         )
-        .select(
-            "doc_a",
-            "doc_b",
-            F.round("jaccard", 4).alias("jaccard"),
-            F.coalesce("__hit", F.lit(False)).alias(
-                "in_minhash_candidates"
-            ),
+        out = (
+            high.join(
+                cands.withColumn("__hit", F.lit(True)),
+                ["doc_a", "doc_b"],
+                "left",
+            )
+            .select(
+                "doc_a",
+                "doc_b",
+                F.round("jaccard", 4).alias("jaccard"),
+                F.coalesce("__hit", F.lit(False)).alias(
+                    "in_minhash_candidates"
+                ),
+            )
+            .orderBy("doc_a", "doc_b")
         )
-        .orderBy("doc_a", "doc_b")
-    )
+        # materialize before unpersist: the returned DataFrame must not
+        # depend on a cache this function already released
+        out = out.localCheckpoint(eager=True)
+    finally:
+        sigs.unpersist()
+    return out
 
 
 def band_rows(sigs: DataFrame) -> DataFrame:
@@ -501,17 +532,12 @@ _SIMHASH_BLOCK_BITS = _SIMHASH_BITS // _SIMHASH_N_BLOCKS  # 15
 _SIMHASH_MASK = (1 << _SIMHASH_BITS) - 1
 
 
-@register("q_dedup_simhash")  # rows-only: xxhash64-based fingerprint
-def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash: 60-bit fingerprint from per-token hash bit votes
-    (xxhash64 masked to 60 bits so all arithmetic stays in positive
-    bigint range). Docs whose fingerprints agree on most bits are
-    near-dups; q_dedup_simhash_pairs blocks them for the join."""
-    d = load_table(spark, sf_dir, "documents")
-    # one (doc_id, token-hash) row per distinct token, then all 60 bit
-    # votes as SUM aggregates in a single hash-agg pass (same shape
-    # rationale as minhash_signatures)
-    hashed = d.select(
+def simhash_votes(docs: DataFrame) -> DataFrame:
+    """(doc_id, v0..v59) per-bit vote sums over each doc's DISTINCT
+    token set: one (doc_id, token-hash) row per distinct token, then
+    all 60 bit votes as SUM aggregates in a single hash-agg pass (same
+    shape rationale as minhash_signatures)."""
+    hashed = docs.select(
         "doc_id",
         F.explode(
             F.transform(
@@ -528,15 +554,170 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias(f"v{bit}")
         for bit in range(_SIMHASH_BITS)
     ]
-    per_doc = hashed.groupBy("doc_id").agg(*votes)
+    return hashed.groupBy("doc_id").agg(*votes)
+
+
+def _fingerprint_expr() -> F.Column:
+    """60-bit fingerprint column from v0..v59 vote columns: bit = 1
+    iff the vote sum is positive."""
     fingerprint = F.lit(0).cast("bigint")
     for bit in range(_SIMHASH_BITS):
         fingerprint = fingerprint + F.when(
             F.col(f"v{bit}") > 0, F.lit(1 << bit)
         ).otherwise(F.lit(0))
-    return per_doc.select(
-        "doc_id", fingerprint.cast("bigint").alias("simhash")
-    ).orderBy("doc_id")
+    return fingerprint.cast("bigint")
+
+
+def simhash_fingerprints(docs: DataFrame) -> DataFrame:
+    """SimHash: (doc_id, simhash) 60-bit fingerprint from per-token
+    hash bit votes (xxhash64 masked to 60 bits so all arithmetic stays
+    in positive bigint range). Docs whose fingerprints agree on most
+    bits are near-dups; q_dedup_simhash_pairs blocks them for the
+    join."""
+    return simhash_votes(docs).select(
+        "doc_id", _fingerprint_expr().alias("simhash")
+    )
+
+
+_SIMHASH_MUT_DOC_BUDGET = 2000  # certification sample row budget for
+# q_dedup_simhash's clone/mutation slice (VERDICT r13 item 2: derive
+# sample moduli from budgets, not constants — the mutation arm is
+# LINEAR in the sample, so the budget is a doc count, and the modulus
+# max(1, ceil(n/budget)) keeps the arm bounded at any fixture scale)
+
+
+@register(
+    "q_dedup_simhash",
+    oracle=f"""
+    WITH n AS (SELECT COUNT(*) AS c FROM documents),
+         m AS (SELECT GREATEST(1, CAST(CEIL(
+                   c / {_SIMHASH_MUT_DOC_BUDGET}.0) AS BIGINT)) AS md
+               FROM n)
+    SELECT n.c AS n_docs,
+           (SELECT COUNT(*) FROM documents, m
+            WHERE doc_id % m.md = 0) AS n_sample_docs,
+           TRUE AS fingerprints_in_range,
+           TRUE AS clone_fp_identical,
+           TRUE AS mutation_within_margin
+    FROM n
+    """,
+)
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash fingerprinting, certified by an in-query synthetic
+    mutation slice (VERDICT r13 item 4 — the last rows-only query,
+    now flag-oracled; the raw (doc_id, simhash) surface stays exposed
+    via simhash_fingerprints and is consumed by q_dedup_simhash_pairs
+    and pytest).
+
+    Fingerprint values are xxhash64-based, so no SQL oracle can
+    recompute them — but two exact THEOREMS about the pipeline are
+    checkable on a deterministic budget-bounded doc sample:
+
+    - clone_fp_identical: appending a DUPLICATE of a doc's first
+      token must leave the fingerprint bit-identical (votes are over
+      the distinct token set — array_distinct semantics pinned);
+    - mutation_within_margin: replacing one distinct token with a
+      fresh token changes each bit's vote sum by at most 2 (remove
+      ±1, add ±1), so only bits whose original |vote| ≤ 2 can flip —
+      hamming(fp, fp_mutant) ≤ #{bits: |v| ≤ 2}, computed per doc
+      from the original vote sums. Deterministic for ANY fixture (no
+      probabilistic margin), unlike a raw hamming-distance pin.
+
+    DuckDB pins the exact corpus/sample doc counts (sample modulus
+    derived from the same doc budget formula) and TRUE flags; a
+    broken tokenizer, bit-vote aggregate, or fingerprint fold flips
+    a flag and fails the hash. fingerprint ∈ [0, 2^60) is checked
+    corpus-wide."""
+    import math
+
+    d = load_table(spark, sf_dir, "documents")
+    n_docs = d.count()
+    mod = max(1, math.ceil(n_docs / _SIMHASH_MUT_DOC_BUDGET))
+    votes = simhash_votes(d).persist()
+    try:
+        fp = votes.select("doc_id", _fingerprint_expr().alias("simhash"))
+        in_range = fp.agg(
+            F.bool_and(
+                (F.col("simhash") >= 0)
+                & (F.col("simhash") < F.lit(1 << _SIMHASH_BITS))
+            ).alias("ok")
+        ).collect()[0]["ok"]
+
+        toks = F.array_distinct(F.split("text", " "))
+        sample = d.filter(F.col("doc_id") % mod == 0)
+        newtok = F.concat(F.lit("zzmut"), F.col("doc_id").cast("string"))
+        # Both variants are rebuilt by joining token ARRAYS (tokens
+        # cannot contain the separator — they came from split), so the
+        # round-tripped distinct set is exact even for docs holding
+        # empty-string tokens (concat_ws would mangle those).
+        # clone: duplicate the first distinct token => same distinct
+        # token set => identical fingerprint
+        clone = sample.select(
+            "doc_id",
+            F.array_join(F.concat(toks, F.slice(toks, 1, 1)), " ").alias(
+                "text"
+            ),
+        )
+        # mutant: drop the first distinct token, add a fresh one the
+        # corpus cannot contain => per-bit vote delta in {-2, 0, +2}
+        mutant = sample.select(
+            "doc_id",
+            F.array_join(
+                F.concat(F.slice(toks, 2, F.size(toks)), F.array(newtok)),
+                " ",
+            ).alias("text"),
+        )
+        margin = sum(
+            F.when(F.abs(F.col(f"v{bit}")) <= 2, 1).otherwise(0)
+            for bit in range(_SIMHASH_BITS)
+        )
+        cert = (
+            votes.filter(F.col("doc_id") % mod == 0)
+            .select(
+                "doc_id",
+                _fingerprint_expr().alias("fp"),
+                margin.alias("margin_bits"),
+            )
+            .join(
+                simhash_fingerprints(clone).withColumnRenamed(
+                    "simhash", "clone_fp"
+                ),
+                "doc_id",
+            )
+            .join(
+                simhash_fingerprints(mutant).withColumnRenamed(
+                    "simhash", "mut_fp"
+                ),
+                "doc_id",
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_sample"),
+                F.bool_and(F.col("clone_fp") == F.col("fp")).alias(
+                    "clone_ok"
+                ),
+                F.bool_and(
+                    F.bit_count(F.col("fp").bitwiseXOR(F.col("mut_fp")))
+                    <= F.col("margin_bits")
+                ).alias("mut_ok"),
+            )
+            .collect()[0]
+        )
+    finally:
+        votes.unpersist()
+    return spark.createDataFrame(
+        [
+            (
+                n_docs,
+                int(cert["n_sample"]),
+                bool(in_range),
+                bool(cert["clone_ok"]),
+                bool(cert["mut_ok"]),
+            )
+        ],
+        "n_docs bigint, n_sample_docs bigint, "
+        "fingerprints_in_range boolean, clone_fp_identical boolean, "
+        "mutation_within_margin boolean",
+    )
 
 
 def simhash_hamming_pairs(
@@ -601,69 +782,101 @@ def simhash_hamming_pairs(
     )
 
 
-_SIMHASH_SAMPLE_MOD = 37  # certification sample: ~1/37 of the corpus
-# keeps the brute-force all-pairs verify at ~1M pairs even at sf0.1
-# (1.5k docs), while the BLOCKED pipeline still runs corpus-wide
-
-
-@register(
-    "q_dedup_simhash_pairs",
-    oracle=f"""
-    SELECT COUNT(*) AS n_docs,
-           CAST(SUM(CASE WHEN doc_id % {_SIMHASH_SAMPLE_MOD} = 0
-                         THEN 1 ELSE 0 END) AS BIGINT) AS n_sample_docs,
-           TRUE AS blocking_exact_on_sample,
-           TRUE AS fingerprints_in_range
-    FROM documents
-    """,
-)
+@register("q_dedup_simhash_pairs")  # rows-only: xxhash64-based
+# fingerprints; the hash certification lives in q_dedup_simhash_pairs_cert
 def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup candidates: ALL document pairs whose 60-bit
     fingerprints are within Hamming distance 3, via exact-recall
     pigeonhole blocking on 4×15-bit fingerprint blocks (see
-    simhash_hamming_pairs).
+    simhash_hamming_pairs; property-tested against brute force, and
+    sample-certified by q_dedup_simhash_pairs_cert). This is the
+    PRODUCTION plan the bench measures — no brute-force arm."""
+    fp = simhash_fingerprints(load_table(spark, sf_dir, "documents"))
+    return simhash_hamming_pairs(fp).orderBy("doc_a", "doc_b")
 
-    Certification upgraded from rows-only to the flag-bearing hash
-    oracle (r13). Fingerprint values are xxhash64-based, so no SQL
-    oracle can recompute them — but the BLOCKING CLAIM is checkable:
-    on a deterministic 1/37 sample of the corpus (bounded so the
-    brute-force stays ~1M pairs at sf0.1), the blocked pipeline's
-    pair set must EQUAL the brute-force all-pairs hamming ≤ 3 set —
-    both directions, so the pigeonhole blocking's exact recall AND
-    the hamming filter's precision are pinned. DuckDB pins the exact
-    corpus/sample doc counts; a broken block split, mask, or popcount
-    flips a flag and fails the hash. (The full-corpus pair surface
-    remains property-tested against brute force in
-    tests/test_dedup.py; fingerprint range ⊂ [0, 2^60) is the second
-    flag.)"""
-    fp = q_dedup_simhash(spark, sf_dir).select("doc_id", "simhash").persist()
-    sample = fp.filter(F.col("doc_id") % _SIMHASH_SAMPLE_MOD == 0)
-    blocked = simhash_hamming_pairs(sample).select("doc_a", "doc_b")
-    a = sample.alias("a")
-    b = sample.alias("b")
-    ham = F.bit_count(
-        F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+
+_SIMHASH_CERT_PAIR_BUDGET = 20_000  # brute-force pair budget for the
+# certification sample (VERDICT r13 item 2: the modulus is DERIVED —
+# mod = ceil(n / sqrt(2·budget)) keeps C(n/mod, 2) ≈ budget at ANY
+# fixture scale, where the old constant mod 37 grew O(n²))
+
+
+def simhash_cert_mod(n_docs: int) -> int:
+    """Budget-derived sample modulus: C(n/mod, 2) ≤ ~budget pairs."""
+    import math
+
+    return max(
+        1, math.ceil(n_docs / math.sqrt(2 * _SIMHASH_CERT_PAIR_BUDGET))
     )
-    brute = (
-        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
-        .filter(ham <= _SIMHASH_MAX_HAMMING)
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
+
+
+@register(
+    "q_dedup_simhash_pairs_cert",
+    oracle=f"""
+    WITH n AS (SELECT COUNT(*) AS c FROM documents),
+         m AS (SELECT GREATEST(1, CAST(CEIL(
+                   c / SQRT(2 * {_SIMHASH_CERT_PAIR_BUDGET})) AS BIGINT))
+                   AS md
+               FROM n)
+    SELECT n.c AS n_docs,
+           (SELECT COUNT(*) FROM documents, m
+            WHERE doc_id % m.md = 0) AS n_sample_docs,
+           TRUE AS blocking_exact_on_sample,
+           TRUE AS fingerprints_in_range
+    FROM n
+    """,
+)
+def q_dedup_simhash_pairs_cert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-exactness certification twin of q_dedup_simhash_pairs
+    (VERDICT r13 item 1: the brute-force arm is its own registered
+    query so the production plan stays lean). Fingerprint values are
+    xxhash64-based, so no SQL oracle can recompute them — but the
+    BLOCKING CLAIM is checkable: on a deterministic budget-bounded
+    doc sample (mod = ceil(n/√(2·budget)) keeps the all-pairs verify
+    at ~{_SIMHASH_CERT_PAIR_BUDGET} pairs at ANY corpus size), the
+    blocked pipeline's pair set must EQUAL the brute-force
+    hamming ≤ 3 set — both directions, so the pigeonhole blocking's
+    exact recall AND the hamming filter's precision are pinned.
+    DuckDB pins the exact corpus/sample doc counts (same modulus
+    formula in SQL); a broken block split, mask, or popcount flips a
+    flag and fails the hash. (The full-corpus pair surface remains
+    property-tested against brute force in tests/test_dedup.py;
+    fingerprint range ⊂ [0, 2^60) is the second flag.)"""
+    fp = (
+        simhash_fingerprints(load_table(spark, sf_dir, "documents"))
+        .persist()
+    )
+    try:
+        in_range = fp.agg(
+            F.bool_and(
+                (F.col("simhash") >= 0)
+                & (F.col("simhash") < F.lit(1 << _SIMHASH_BITS))
+            ).alias("ok"),
+            F.count(F.lit(1)).alias("n"),
+        ).collect()[0]
+        mod = simhash_cert_mod(int(in_range["n"]))
+        sample = fp.filter(F.col("doc_id") % mod == 0)
+        blocked = simhash_hamming_pairs(sample).select("doc_a", "doc_b")
+        a = sample.alias("a")
+        b = sample.alias("b")
+        ham = F.bit_count(
+            F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
         )
-    )
-    sym_diff = (
-        blocked.exceptAll(brute).count() + brute.exceptAll(blocked).count()
-    )
-    in_range = fp.agg(
-        F.bool_and(
-            (F.col("simhash") >= 0)
-            & (F.col("simhash") < F.lit(1 << _SIMHASH_BITS))
-        ).alias("ok"),
-        F.count(F.lit(1)).alias("n"),
-    ).collect()[0]
-    n_sample = sample.count()
-    fp.unpersist()
+        brute = (
+            a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+            .filter(ham <= _SIMHASH_MAX_HAMMING)
+            .select(
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+            )
+        )
+        sym_diff = (
+            blocked.exceptAll(brute).count()
+            + brute.exceptAll(blocked).count()
+        )
+        n_sample = sample.count()
+    finally:
+        fp.unpersist()
     return spark.createDataFrame(
         [
             (
@@ -950,18 +1163,8 @@ def ensure_minhash_band_log(spark: SparkSession, sf_dir: str) -> str:
     return table
 
 
-@register(
-    "q_dedup_incremental",
-    oracle="""
-    SELECT CAST(SUM(CASE WHEN doc_id % 4 != 0 THEN 1 ELSE 0 END)
-                AS BIGINT) AS n_base_docs,
-           CAST(SUM(CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END)
-                AS BIGINT) AS n_batch_docs,
-           TRUE AS union_equals_full,
-           TRUE AS no_pair_overlap
-    FROM documents
-    """,
-)
+@register("q_dedup_incremental")  # rows-only: xxhash64-based signature
+# estimates; the hash certification lives in q_dedup_incremental_cert
 def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch-incremental near-dup detection WITHOUT a corpus rescan:
     the base corpus's LSH band table lives in the versioned log
@@ -969,44 +1172,110 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     new batch (doc_id % 4 == 0) computes only ITS signatures and joins
     them against the persisted bands, at per-batch cost independent of
     corpus size — the only sustainable dedup shape for a growing
-    100 TB corpus.
-
-    Certification upgraded from rows-only to the flag-bearing hash
-    oracle (r13): the incremental path's defining CONTRACT — the
-    batch pairs unioned with the base corpus's internal pairs equal
-    the from-scratch full recompute EXACTLY (same (doc_a, doc_b,
-    signature-agreement estimate) triples), and the two sets never
-    overlap — is evaluated inside the query over the persisted band
-    log and pinned as flags; DuckDB pins the exact base/batch doc
-    counts and TRUE. A stale band log, a lossy band join, or a
-    double-emitted pair flips a flag and fails the hash. (The same
-    equality is also pytest-pinned:
-    tests/test_dedup.py::test_incremental_dedup_equals_full_recompute.)"""
+    100 TB corpus. This is the PRODUCTION plan the bench measures
+    (VERDICT r13 item 1); the union-equals-full-recompute contract is
+    certified by q_dedup_incremental_cert and pytest-pinned by
+    tests/test_dedup.py::test_incremental_dedup_equals_full_recompute."""
     from meta_iterative_mapreduce_spark.sources import versioned
 
     table = ensure_minhash_band_log(spark, sf_dir)
     corpus_bands = versioned.read_version(spark, table)
-    d = load_table(spark, sf_dir, "documents")
-    base = d.filter(F.col("doc_id") % 4 != 0)
-    batch = d.filter(F.col("doc_id") % 4 == 0)
-    new_bands = band_rows(minhash_signatures(batch)).persist()
-    inc = incremental_band_pairs(new_bands, corpus_bands)
-    base_pairs = minhash_band_pairs(minhash_signatures(base).persist())
-    full = minhash_band_pairs(minhash_signatures(d).persist())
-    key = ["doc_a", "doc_b", "jaccard_est"]
-    got = base_pairs.select(*key).union(inc.select(*key))
-    extra = got.exceptAll(full.select(*key)).count()
-    missing = full.select(*key).exceptAll(got).count()
-    overlap = (
-        base_pairs.select("doc_a", "doc_b")
-        .intersect(inc.select("doc_a", "doc_b"))
-        .count()
+    batch = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 4 == 0
     )
+    new_bands = band_rows(minhash_signatures(batch))
+    pairs = incremental_band_pairs(new_bands, corpus_bands)
+    return pairs.select(
+        "doc_a", "doc_b", F.round("jaccard_est", 4).alias("jaccard_est")
+    ).orderBy("doc_a", "doc_b")
+
+
+_INC_CERT_DOC_BUDGET = 20_000  # doc budget for the from-scratch
+# recompute arm in q_dedup_incremental_cert (VERDICT r13 item 2: the
+# equality check runs on a deterministic doc sample whose size is
+# BOUNDED — mod = ceil(n/budget) — so the cert twin survives fixture
+# growth; at today's fixtures mod = 1, i.e. the full contract)
+
+
+@register(
+    "q_dedup_incremental_cert",
+    oracle=f"""
+    WITH n AS (SELECT COUNT(*) AS c FROM documents),
+         m AS (SELECT GREATEST(1, CAST(CEIL(
+                   c / {_INC_CERT_DOC_BUDGET}.0) AS BIGINT)) AS md
+               FROM n)
+    SELECT (SELECT CAST(SUM(CASE WHEN doc_id % 4 != 0 THEN 1 ELSE 0 END)
+                        AS BIGINT)
+            FROM documents, m WHERE (doc_id // 4) % m.md = 0)
+               AS n_base_docs,
+           (SELECT CAST(SUM(CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END)
+                        AS BIGINT)
+            FROM documents, m WHERE (doc_id // 4) % m.md = 0)
+               AS n_batch_docs,
+           TRUE AS union_equals_full,
+           TRUE AS no_pair_overlap
+    FROM n
+    """,
+)
+def q_dedup_incremental_cert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Certification twin of q_dedup_incremental (VERDICT r13 item 1:
+    the from-scratch recompute arm is its own registered query so the
+    benched production plan stays per-batch-bounded). The incremental
+    path's defining CONTRACT — batch pairs unioned with the base
+    corpus's internal pairs equal the from-scratch full recompute
+    EXACTLY (same (doc_a, doc_b, signature-agreement estimate)
+    triples), and the two sets never overlap — is evaluated on a
+    deterministic budget-bounded doc sample (restricting every leg to
+    (doc_id div 4) % mod == 0 — blocks of 4 consecutive ids, so the
+    sample always straddles the %4 base/batch split — commutes with
+    the band join: a sampled pair exists in the restricted run iff it
+    exists in the full run, so the restricted equality is exact, not
+    approximate). DuckDB pins
+    the sampled base/batch doc counts (same modulus formula in SQL)
+    and TRUE flags. A stale band log, a lossy band join, or a
+    double-emitted pair flips a flag and fails the hash."""
+    import math
+
+    from meta_iterative_mapreduce_spark.sources import versioned
+
+    d = load_table(spark, sf_dir, "documents")
+    n_docs = d.count()
+    mod = max(1, math.ceil(n_docs / _INC_CERT_DOC_BUDGET))
+    in_sample = F.expr(f"(doc_id div 4) % {mod} = 0")
+    table = ensure_minhash_band_log(spark, sf_dir)
+    corpus_bands = versioned.read_version(spark, table).filter(in_sample)
+    ds = d.filter(in_sample)
+    base = ds.filter(F.col("doc_id") % 4 != 0)
+    batch = ds.filter(F.col("doc_id") % 4 == 0)
+    new_bands = band_rows(minhash_signatures(batch)).persist()
+    base_sigs = minhash_signatures(base).persist()
+    full_sigs = minhash_signatures(ds).persist()
+    try:
+        inc = incremental_band_pairs(new_bands, corpus_bands)
+        base_pairs = minhash_band_pairs(base_sigs)
+        full = minhash_band_pairs(full_sigs)
+        key = ["doc_a", "doc_b", "jaccard_est"]
+        got = base_pairs.select(*key).union(inc.select(*key))
+        extra = got.exceptAll(full.select(*key)).count()
+        missing = full.select(*key).exceptAll(got).count()
+        overlap = (
+            base_pairs.select("doc_a", "doc_b")
+            .intersect(inc.select("doc_a", "doc_b"))
+            .count()
+        )
+        n_base = base.count()
+        n_batch = batch.count()
+    finally:
+        # ADVICE r13: release the cached signature/band state instead
+        # of letting it accumulate across a full registry run
+        new_bands.unpersist()
+        base_sigs.unpersist()
+        full_sigs.unpersist()
     return spark.createDataFrame(
         [
             (
-                base.count(),
-                batch.count(),
+                n_base,
+                n_batch,
                 bool(extra == 0 and missing == 0),
                 bool(overlap == 0),
             )

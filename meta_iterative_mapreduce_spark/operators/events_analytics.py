@@ -127,8 +127,10 @@ def q_events_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT l_returnflag,
            COUNT(*) AS n,
-           TRUE AS median_rank_ok,
-           TRUE AS p99_rank_ok
+           ROUND(MIN(l_extendedprice), 4) AS min_price,
+           ROUND(MAX(l_extendedprice), 4) AS max_price,
+           TRUE AS quantiles_ordered,
+           TRUE AS quantiles_in_range
     FROM lineitem GROUP BY l_returnflag
     """,
 )
@@ -136,15 +138,71 @@ def q_agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate quantiles (Greenwald-Khanna sketch) — the mergeable-
     sketch path for percentiles at scale (exact percentile sorts).
 
-    Certification upgraded from rows-only to the sketch-contract hash
-    oracle (r13). The GK guarantee is about RANK, not value — the
-    returned value's rank must sit within ±ε·N of the target (ε =
-    1/accuracy = 1e-4 here), and that bound survives arbitrary
-    partial merges, so it is the order-independent thing to pin
-    (the raw values are merge-order-sensitive — the reason this was
-    rows-only). The query recomputes each approx value's true rank
-    interval per group ([count(< v)+1, count(≤ v)], tie-safe) and
-    flags it within ±δ·N of q·N at δ = 0.01 — a 100× margin over
+    PRODUCTION plan (VERDICT r13 item 1): ONE partial-aggregating
+    pass computing the two GK sketches plus exact count/min/max —
+    no per-value rank recount (that lives in
+    q_agg_approx_quantile_cert). The hash oracle pins the exact
+    group sizes and min/max (free in the same pass) and two flags
+    the sketch outputs must satisfy: median ≤ p99 (monotone in the
+    quantile) and min ≤ median ∧ p99 ≤ max (GK returns actual data
+    values, so both hold for any correct sketch)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice"
+    )
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.percentile_approx("l_extendedprice", 0.5, 10000).alias(
+                "median_approx"
+            ),
+            F.percentile_approx("l_extendedprice", 0.99, 10000).alias(
+                "p99_approx"
+            ),
+            F.count(F.lit(1)).alias("n"),
+            F.min("l_extendedprice").alias("min_raw"),
+            F.max("l_extendedprice").alias("max_raw"),
+        )
+        .select(
+            "l_returnflag",
+            "n",
+            F.round("min_raw", 4).alias("min_price"),
+            F.round("max_raw", 4).alias("max_price"),
+            (F.col("median_approx") <= F.col("p99_approx")).alias(
+                "quantiles_ordered"
+            ),
+            # flags compare against the UNROUNDED extrema — rounding
+            # min up could spuriously fail an all-equal group
+            (
+                (F.col("min_raw") <= F.col("median_approx"))
+                & (F.col("p99_approx") <= F.col("max_raw"))
+            ).alias("quantiles_in_range"),
+        )
+    )
+
+
+@register(
+    "q_agg_approx_quantile_cert",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) AS n,
+           TRUE AS median_rank_ok,
+           TRUE AS p99_rank_ok
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_agg_approx_quantile_cert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Certification twin of q_agg_approx_quantile (VERDICT r13
+    item 1: the exact rank-interval recount is its own registered
+    query so the benched production plan stays one sketch pass).
+
+    The GK guarantee is about RANK, not value — the returned value's
+    rank must sit within ±ε·N of the target (ε = 1/accuracy = 1e-4
+    here), and that bound survives arbitrary partial merges, so it is
+    the order-independent thing to pin (the raw values are
+    merge-order-sensitive — the reason the production surface is
+    flag-certified). The query recomputes each approx value's true
+    rank interval per group ([count(< v)+1, count(≤ v)], tie-safe)
+    and flags it within ±δ·N of q·N at δ = 0.01 — a 100× margin over
     the sketch's own ε. DuckDB pins the exact group sizes and TRUE
     flags; a broken sketch/merge path lands a value with a wrong
     rank and fails the hash."""

@@ -109,10 +109,9 @@ def q_agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_agg_approx_distinct",
     oracle="""
     SELECT l_returnflag,
-           COUNT(DISTINCT l_partkey) AS n_parts_exact,
-           COUNT(DISTINCT l_orderkey) AS n_orders_exact,
-           TRUE AS parts_est_ok,
-           TRUE AS orders_est_ok
+           COUNT(*) AS n_rows,
+           TRUE AS parts_est_sane,
+           TRUE AS orders_est_sane
     FROM lineitem GROUP BY l_returnflag
     """,
 )
@@ -120,14 +119,60 @@ def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate count-distinct (HyperLogLog++) — the scale path for
     high-cardinality distincts: O(1) memory per group, no expand.
 
-    Certification upgraded from rows-only to the sketch-contract hash
-    oracle (the q_sketch_hll pattern, r13): DuckDB recomputes the
-    EXACT distinct counts per group, and the query pins flags
-    asserting the HLL++ estimates land within 10% of them (rsd=0.02
-    makes that a 5σ bound — insensitive to fixture regeneration).
-    HLL++ state depends only on the SET of hashed values, so the
-    flags are order- and partitioning-deterministic; a silent sketch
-    regression flips a flag and fails the hash gate."""
+    PRODUCTION plan (VERDICT r13 item 1): one partial-aggregating
+    pass, HLL++ sketches only — no exact countDistinct arm (that
+    lives in q_agg_approx_distinct_cert). The hash oracle pins the
+    exact per-group row counts (free in the same pass) plus two
+    sanity flags the estimates must satisfy against them: 1 ≤ est ≤
+    9/8 · n_rows (the true distinct count is ≤ n_rows and the rsd =
+    0.02 sketch cannot overshoot it by 12.5%; integer arithmetic so
+    the flag is engine-exact)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    sane = lambda approx: (  # noqa: E731
+        (F.col(approx) >= 1)
+        & (F.col(approx) * 8 <= F.col("n_rows") * 9)
+    )
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey", rsd=0.02).alias(
+                "approx_parts"
+            ),
+            F.approx_count_distinct("l_orderkey", rsd=0.02).alias(
+                "approx_orders"
+            ),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .select(
+            "l_returnflag",
+            "n_rows",
+            sane("approx_parts").alias("parts_est_sane"),
+            sane("approx_orders").alias("orders_est_sane"),
+        )
+    )
+
+
+@register(
+    "q_agg_approx_distinct_cert",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_partkey) AS n_parts_exact,
+           COUNT(DISTINCT l_orderkey) AS n_orders_exact,
+           TRUE AS parts_est_ok,
+           TRUE AS orders_est_ok
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_agg_approx_distinct_cert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Certification twin of q_agg_approx_distinct (VERDICT r13
+    item 1: the exact countDistinct arm is its own registered query
+    so the benched production plan stays sketch-only). DuckDB
+    recomputes the EXACT distinct counts per group, and the query
+    pins flags asserting the HLL++ estimates land within 10% of them
+    (rsd=0.02 makes that a 5σ bound — insensitive to fixture
+    regeneration). HLL++ state depends only on the SET of hashed
+    values, so the flags are order- and partitioning-deterministic; a
+    silent sketch regression flips a flag and fails the hash gate."""
     li = load_table(spark, sf_dir, "lineitem")
     est_ok = lambda approx, exact: (  # noqa: E731
         F.abs(F.col(approx) - F.col(exact)) / F.col(exact) <= 0.10

@@ -46,80 +46,78 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 
 
 # The external verification window records the FIRST 50 queries in the
-# order queries() yields them. Rounds 1-12 certified every registered
-# query at least once with zero failures; after round 12 nothing in
-# the ledger predates r07, and the debt is staleness only. The
-# round-13 priority below = (a) the new q_sql_frontend plus the 13
-# queries whose CERTIFICATION changed this round — 12 rows-only →
-# flag-bearing hash-oracle upgrades (VERDICT r12 item 3: k-means,
-# PQ, ADC, minhash containment, count-min, approx-distinct,
-# approx-quantile, incremental dedup, IVF-PQ, BPE apply+learn,
-# simhash-pairs sample-exactness) plus
-# q_dedup_exact's md5 shuffle-key rework (item 4) — so the new
-# oracles earn external stamps immediately; then (b) ALL 24
-# remaining r07-stamped queries (VERDICT r12 item 2: after this
-# round nothing predates r08); then (c) 11 of the 49 r08-stamped
-# queries (the next stalest cohort, alphabetical). Every query is additionally verified
-# by the identical in-repo oracle harness (tools/check.py, tests/
+# order queries() yields them. Rounds 1-13 certified every registered
+# query at least once with zero failures; after round 13 nothing in
+# the ledger predates r08, and the debt is staleness only. The
+# round-14 priority below = (a) the 6 NEW q_*_cert certification
+# twins (VERDICT r13 item 1: the exact/brute-force verification arms
+# split out of the benched production queries — never-stamped, so
+# they lead; test_registry_window derives this from
+# CORRECTNESS_r*.json), then (b) the 7 queries whose CERTIFICATION
+# or PLAN changed this round — q_dedup_simhash's new synthetic-
+# mutation hash oracle (item 4) and the 6 production names returned
+# to lean scale-path plans with new lean oracles — so the changed
+# surfaces earn external stamps immediately; then (c) ALL 37
+# remaining r08-stamped queries (item 3: after this round nothing
+# predates r09). Every query is additionally verified by the
+# identical in-repo oracle harness (tools/check.py, tests/
 # test_oracle.py) every round regardless of window membership, and
 # every name below must be registered (phantom entries fail CI
 # instead of being silently dropped by _ordered()).
 WINDOW_PRIORITY: tuple[str, ...] = (
-    # (a) round-13 registrations + certification changes lead
-    # (never-stamped first — test_registry_window derives this from
-    # CORRECTNESS_r*.json)
-    "q_sql_frontend",
-    "q_cluster_kmeans",
-    "q_dedup_near_minhash",
-    "q_embed_pq",
-    "q_sim_pq_adc",
-    "q_sketch_count_min",
+    # (a) never-stamped round-14 registrations lead
+    "q_agg_approx_distinct_cert",
+    "q_agg_approx_quantile_cert",
+    "q_sketch_count_min_cert",
+    "q_dedup_incremental_cert",
+    "q_dedup_near_minhash_cert",
+    "q_dedup_simhash_pairs_cert",
+    # (b) certification/plan changes this round
+    "q_dedup_simhash",
     "q_agg_approx_distinct",
     "q_agg_approx_quantile",
+    "q_sketch_count_min",
     "q_dedup_incremental",
-    "q_sim_ivf_pq",
-    "q_text_bpe_apply",
-    "q_text_bpe_learn",
+    "q_dedup_near_minhash",
     "q_dedup_simhash_pairs",
-    "q_dedup_exact",
-    # (b) all 24 remaining r07-stamped queries
-    "q_multimodal_resize",
-    "q_pipeline_corpus_clean",
-    "q_scalar_variant",
-    "q_scan_binaryfile",
-    "q_scan_xml",
-    "q_sim_recall_at_k",
-    "q_sketch_hll",
-    "q_sketch_hll_persisted",
-    "q_sketch_kll",
-    "q_sketch_kll_persisted",
-    "q_source_python_ds",
-    "q_stream_ema",
-    "q_stream_join",
-    "q_stream_session",
-    "q_stream_sliding",
-    "q_stream_tumbling",
-    "q_table_time_travel",
-    "q_text_bm25",
-    "q_text_chunk",
-    "q_text_decontaminate",
-    "q_text_html_strip",
-    "q_text_inverted_index",
-    "q_text_pack",
-    "q_text_warc_extract",
-    # (c) 21 of the 49 r08-stamped queries (alphabetical)
-    "q_agg_benford",
-    "q_agg_bitmap_distinct",
-    "q_agg_cube",
-    "q_agg_decimal_exact",
-    "q_agg_mode",
-    "q_agg_moments",
-    "q_agg_rollup",
-    "q_corpus_domain_cap",
-    "q_cte_recursive",
-    "q_dedup_containment",
-    "q_dedup_fuzzy_names",
-    "q_dedup_semantic",
+    # (c) all 37 remaining r08-stamped queries (alphabetical)
+    "q_embed_score_multiclass",
+    "q_events_funnel_windowed",
+    "q_events_paths",
+    "q_events_rfm",
+    "q_graph_bfs",
+    "q_graph_link_predict",
+    "q_join_asof_nearest",
+    "q_join_cross",
+    "q_join_interval_overlap",
+    "q_merge_scd2",
+    "q_multimodal_audio_wav",
+    "q_multimodal_decode_gif",
+    "q_multimodal_decode_jpeg",
+    "q_multimodal_decode_jpeg_color",
+    "q_multimodal_decode_tiff",
+    "q_multimodal_frame_sample_gif",
+    "q_multimodal_phash",
+    "q_stream_session_timer",
+    "q_table_column_mapping",
+    "q_text_pdf_extract",
+    "q_text_pii_redact",
+    "q_text_repetition",
+    "q_tpch_q13_shape",
+    "q_tpch_q17_shape",
+    "q_tpch_q22_shape",
+    "q_tpch_q2_shape",
+    "q_tpch_q4_shape",
+    "q_ts_anomaly",
+    "q_ts_downsample",
+    "q_ts_gapfill",
+    "q_udaf_grouped",
+    "q_udf_grouped_map",
+    "q_udf_pandas",
+    "q_udf_python",
+    "q_udtf_explode",
+    "q_udtf_python",
+    "q_zorder_layout",
 )
 
 

@@ -1598,7 +1598,18 @@ def _avro_fixture_dir(spark: SparkSession, sf_dir: str) -> str:
 
     done = df.mapInPandas(write_bucket, "bucket int, n long").collect()
     written = {r["bucket"] for r in done if r["n"]}
-    assert written <= set(range(n_files)), written
+    # ADVICE r13: a subset assertion is vacuous (it cannot see a
+    # bucket whose task was lost — the miss would surface later as an
+    # oracle mismatch). Pin EQUALITY against the bucket set the data
+    # actually populates, recomputed independently of the writer.
+    expected = {
+        int(r[0])
+        for r in load_table(spark, sf_dir, "documents")
+        .select((F.col("doc_id") % n_files).alias("b"))
+        .distinct()
+        .collect()
+    }
+    assert written == expected, (written, expected)
     open(marker, "w").close()
     return root
 
@@ -2081,8 +2092,17 @@ def q_scan_avro_complex(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.groupBy(F.col("etype")).agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("event_id").cast("bigint").alias("sum_id"),
-        F.sum(F.element_at("props", "k")).cast("bigint").alias("sum_k"),
-        F.sum(F.element_at("props", "u")).cast("bigint").alias("sum_u"),
+        # ADVICE r13: cast each promoted double back to long BEFORE
+        # summing — the per-value cast is exact (each value is an
+        # original long < 2^53), and the bigint SUM stays
+        # integer-exact at any fixture scale, where summing doubles
+        # silently loses precision once a group's sum passes 2^53
+        F.sum(F.element_at("props", "k").cast("bigint"))
+        .cast("bigint")
+        .alias("sum_k"),
+        F.sum(F.element_at("props", "u").cast("bigint"))
+        .cast("bigint")
+        .alias("sum_u"),
         F.sum(
             F.when(
                 F.hex(F.col("fx"))

@@ -992,7 +992,58 @@ def stream_cdc(
     return r.load()
 
 
+def drain_available_now(
+    writer, timeout: float = 180.0
+) -> list[dict]:
+    """Multi-batch Trigger.AvailableNow semantics for Python data
+    sources (VERDICT r13 item 5).
+
+    Spark's real AvailableNow needs SupportsTriggerAvailableNow on the
+    JVM MicroBatchStream; Python data sources don't implement it, so
+    `.trigger(availableNow=True)` silently falls back to ONE
+    `Trigger.Once`-style batch per start() (Spark logs the
+    "does not support Trigger.AvailableNow" warning). Two failure
+    modes follow for a backlogged restart: an UNCAPPED stream gulps
+    the whole backlog as one cluster-sized batch, and a CAPPED stream
+    stops EARLY with backlog remaining (latestOffset admits one
+    bounded slice and the run terminates).
+
+    This helper provides the availableNow contract at the driver
+    layer instead: start the already-configured writer with a
+    zero-interval processingTime trigger — admission caps
+    (maxFilesPerTrigger / maxBytesPerTrigger) bind on every
+    micro-batch — and block until everything available has been
+    processed AND committed (StreamingQuery.processAllAvailable, the
+    engine's own drain barrier), then stop. Data committed to the
+    source WHILE draining is processed too (a superset of the
+    availableNow snapshot — same end state as re-running availableNow
+    until idle).
+
+    `writer` is a DataStreamWriter with sink + checkpoint configured
+    and NO trigger set. Returns the per-micro-batch progress dicts
+    (batchId, numInputRows, ...) so callers can assert bounded
+    multi-batch drains."""
+    import json as _json
+
+    q = writer.trigger(processingTime="0 seconds").start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination(timeout)
+    out = []
+    for p in q.recentProgress or []:
+        if isinstance(p, dict):
+            out.append(p)
+        elif hasattr(p, "json"):
+            out.append(_json.loads(p.json))
+        else:
+            out.append(_json.loads(str(p)))
+    return out
+
+
 __all__ = [
+    "drain_available_now",
     "make_versioned_table_source",
     "register_stream_source",
     "stream_cdc",

