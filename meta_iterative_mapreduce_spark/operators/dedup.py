@@ -631,17 +631,20 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     import math
 
     d = load_table(spark, sf_dir, "documents")
-    n_docs = d.count()
-    mod = max(1, math.ceil(n_docs / _SIMHASH_MUT_DOC_BUDGET))
     votes = simhash_votes(d).persist()
     try:
         fp = votes.select("doc_id", _fingerprint_expr().alias("simhash"))
-        in_range = fp.agg(
+        # one job: corpus size (drives the sample modulus) + the
+        # corpus-wide range flag from the same cached votes
+        head = fp.agg(
+            F.count(F.lit(1)).alias("n"),
             F.bool_and(
                 (F.col("simhash") >= 0)
                 & (F.col("simhash") < F.lit(1 << _SIMHASH_BITS))
-            ).alias("ok")
-        ).collect()[0]["ok"]
+            ).alias("ok"),
+        ).collect()[0]
+        n_docs, in_range = int(head["n"]), head["ok"]
+        mod = max(1, math.ceil(n_docs / _SIMHASH_MUT_DOC_BUDGET))
 
         toks = F.array_distinct(F.split("text", " "))
         sample = d.filter(F.col("doc_id") % mod == 0)
