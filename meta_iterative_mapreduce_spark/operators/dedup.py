@@ -559,13 +559,22 @@ def simhash_votes(docs: DataFrame) -> DataFrame:
 
 def _fingerprint_expr() -> F.Column:
     """60-bit fingerprint column from v0..v59 vote columns: bit = 1
-    iff the vote sum is positive."""
-    fingerprint = F.lit(0).cast("bigint")
-    for bit in range(_SIMHASH_BITS):
-        fingerprint = fingerprint + F.when(
-            F.col(f"v{bit}") > 0, F.lit(1 << bit)
-        ).otherwise(F.lit(0))
-    return fingerprint.cast("bigint")
+    iff the vote sum is positive. Folded via F.aggregate over a flat
+    60-element array — a chained `+ when(...)` builds a 60-DEEP Add
+    tree whose Catalyst analysis cost dominated the whole query
+    (BENCH r14 dry run: ~10x), where the array form is depth ~2 for
+    identical arithmetic."""
+    bits = F.array(
+        *[
+            F.when(F.col(f"v{bit}") > 0, F.lit(1 << bit)).otherwise(
+                F.lit(0)
+            )
+            for bit in range(_SIMHASH_BITS)
+        ]
+    )
+    return F.aggregate(
+        bits, F.lit(0).cast("bigint"), lambda acc, x: acc + x
+    ).cast("bigint")
 
 
 def simhash_fingerprints(docs: DataFrame) -> DataFrame:
@@ -670,9 +679,39 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " ",
             ).alias("text"),
         )
-        margin = sum(
-            F.when(F.abs(F.col(f"v{bit}")) <= 2, 1).otherwise(0)
-            for bit in range(_SIMHASH_BITS)
+        # flat-array fold, same rationale as _fingerprint_expr
+        margin = F.aggregate(
+            F.array(
+                *[
+                    F.when(F.abs(F.col(f"v{bit}")) <= 2, 1).otherwise(0)
+                    for bit in range(_SIMHASH_BITS)
+                ]
+            ),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        )
+        # ONE variant fingerprint pipeline for clone + mutant (doc_id
+        # is tagged even/odd) — two separate simhash_votes plans cost
+        # a second 60-aggregate analysis/codegen round for no data win
+        variants = clone.select(
+            (F.col("doc_id") * 2).alias("doc_id"), "text"
+        ).unionByName(
+            mutant.select(
+                (F.col("doc_id") * 2 + 1).alias("doc_id"), "text"
+            )
+        )
+        vfp = simhash_fingerprints(variants).select(
+            F.expr("doc_id div 2").alias("doc_id"),
+            (F.col("doc_id") % 2).alias("is_mut"),
+            "simhash",
+        )
+        both = vfp.groupBy("doc_id").agg(
+            F.max(
+                F.when(F.col("is_mut") == 0, F.col("simhash"))
+            ).alias("clone_fp"),
+            F.max(
+                F.when(F.col("is_mut") == 1, F.col("simhash"))
+            ).alias("mut_fp"),
         )
         cert = (
             votes.filter(F.col("doc_id") % mod == 0)
@@ -681,18 +720,7 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                 _fingerprint_expr().alias("fp"),
                 margin.alias("margin_bits"),
             )
-            .join(
-                simhash_fingerprints(clone).withColumnRenamed(
-                    "simhash", "clone_fp"
-                ),
-                "doc_id",
-            )
-            .join(
-                simhash_fingerprints(mutant).withColumnRenamed(
-                    "simhash", "mut_fp"
-                ),
-                "doc_id",
-            )
+            .join(both, "doc_id")
             .agg(
                 F.count(F.lit(1)).alias("n_sample"),
                 F.bool_and(F.col("clone_fp") == F.col("fp")).alias(
@@ -1253,10 +1281,13 @@ def q_dedup_incremental_cert(spark: SparkSession, sf_dir: str) -> DataFrame:
     new_bands = band_rows(minhash_signatures(batch)).persist()
     base_sigs = minhash_signatures(base).persist()
     full_sigs = minhash_signatures(ds).persist()
+    # The three PAIR sets are each consumed by 2-3 set-op counts —
+    # persist them too, or every exceptAll/intersect re-runs the band
+    # self-joins (the expensive legs) from the cached signatures.
+    inc = incremental_band_pairs(new_bands, corpus_bands).persist()
+    base_pairs = minhash_band_pairs(base_sigs).persist()
+    full = minhash_band_pairs(full_sigs).persist()
     try:
-        inc = incremental_band_pairs(new_bands, corpus_bands)
-        base_pairs = minhash_band_pairs(base_sigs)
-        full = minhash_band_pairs(full_sigs)
         key = ["doc_a", "doc_b", "jaccard_est"]
         got = base_pairs.select(*key).union(inc.select(*key))
         extra = got.exceptAll(full.select(*key)).count()
@@ -1269,11 +1300,12 @@ def q_dedup_incremental_cert(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_base = base.count()
         n_batch = batch.count()
     finally:
-        # ADVICE r13: release the cached signature/band state instead
-        # of letting it accumulate across a full registry run
-        new_bands.unpersist()
-        base_sigs.unpersist()
-        full_sigs.unpersist()
+        # ADVICE r13: release the cached signature/band/pair state
+        # instead of letting it accumulate across a full registry run
+        for cached in (
+            new_bands, base_sigs, full_sigs, inc, base_pairs, full
+        ):
+            cached.unpersist()
     return spark.createDataFrame(
         [
             (
