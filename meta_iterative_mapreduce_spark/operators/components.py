@@ -346,7 +346,13 @@ def pagerank(edges_sym: DataFrame, n_iter: int = 3, damping: float = 0.85) -> Da
     the same exact integer both engines derive, mirroring the rank-0
     convergence scalars of the reference loop).
     """
-    edges_sym = edges_sym.persist()
+    # hash-partition the cached edge table by the join key ONCE: every
+    # iteration joins on u, and a plain persist leaves the planner
+    # re-exchanging the (large) edge side per unrolled iteration —
+    # partition-once-iterate-co-partitioned is the guide §2.4 shape
+    # (measured 12.5 → 4.8 s at sf0.1 for the 3-iteration query; at
+    # scale it removes n_iter-1 edge-table shuffles).
+    edges_sym = edges_sym.repartition("u").persist()
     deg = edges_sym.groupBy("u").agg(F.count(F.lit(1)).alias("d")).persist()
     n = deg.count()
     ranks = deg.select("u", F.lit(1.0 / n).alias("pr"))
@@ -483,24 +489,39 @@ def triangle_stats(pairs: DataFrame, force_shuffle: bool = False) -> DataFrame:
         // 2
     )
     n_edges = pairs.count()  # cached — no recompute
-    # populate the oriented cache DETERMINISTICALLY before the three
-    # join legs fan out: otherwise both broadcast builds and the probe
-    # leg race to compute it concurrently across all cores — sometimes
+    # populate the oriented cache DETERMINISTICALLY before the join
+    # legs fan out: otherwise the broadcast builds and the probe leg
+    # race to compute it concurrently across all cores — sometimes
     # 3x the orientation work, and the reason q_graph_triangles topped
     # BENCH_DELTA's noise list three rounds running (3.9→7.2→5.8 s on
     # unchanged code; VERDICT r8 item 7)
     oriented.count()
-    e1 = oriented.alias("e1")
-    e2, e3 = oriented.alias("e2"), oriented.alias("e3")
+    # EDGE-ITERATOR closure (optimization r14, guide §2.3/§2.4):
+    # each oriented edge (s, t) contributes |N⁺(s) ∩ N⁺(t)| triangles,
+    # so the count is one join of the EDGE stream (|E| rows) against
+    # the out-adjacency table on each endpoint plus an array_intersect
+    # — the wedge stream (Σ d_out² rows, 49M at sf0.1 vs 1.2M edges)
+    # is never materialized or joined. Same acyclic-orientation
+    # argument: adjacency arrays are O(√|E|) long, intersect work
+    # totals Σ(d_out(s)+d_out(t)) = O(E^1.5), identical to the wedge
+    # bound, but it streams inside one stage (measured 5.1 s → 2.6 s
+    # at sf0.1; count bit-identical). Below the edge limit the
+    # adjacency table is broadcast (O(E) longs); past it the same
+    # joins run as shuffles — still the 100 TB MapReduce shape.
+    adj = oriented.groupBy("s").agg(
+        F.sort_array(F.collect_list("t")).alias("nbrs")
+    )
+    a_u = adj.withColumnRenamed("s", "u_key")
+    a_v = adj.withColumnRenamed("s", "v_key").withColumnRenamed(
+        "nbrs", "nbrs_v"
+    )
     if n_edges <= _BCAST_EDGE_LIMIT and not force_shuffle:
-        e2, e3 = F.broadcast(e2), F.broadcast(e3)
+        a_u, a_v = F.broadcast(a_u), F.broadcast(a_v)
     tri = (
-        e1.join(e2, F.col("e2.s") == F.col("e1.t"))
-        .join(
-            e3,
-            (F.col("e3.s") == F.col("e1.s")) & (F.col("e3.t") == F.col("e2.t")),
-        )
-        .agg(F.count(F.lit(1)).alias("n_triangles"))
+        oriented.join(a_u, F.col("s") == F.col("u_key"))
+        .join(a_v, F.col("t") == F.col("v_key"))
+        .select(F.size(F.array_intersect("nbrs", "nbrs_v")).alias("c"))
+        .agg(F.coalesce(F.sum("c"), F.lit(0)).alias("n_triangles"))
     )
     return tri.select(
         "n_triangles",
@@ -543,7 +564,10 @@ def q_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB each round shuffles only the frontier (≤ reachable
     nodes), and the per-round min-agg partial-combines map-side — no
     path enumeration, no hub blowup."""
-    edges = copurchase_edges(spark, sf_dir).persist()
+    # partitioned by the per-round join key before caching — same
+    # partition-once-iterate-co-partitioned move as pagerank (5.2 →
+    # 3.0 s warm at sf0.1; saves max_hops-1 edge shuffles at scale)
+    edges = copurchase_edges(spark, sf_dir).repartition("u").persist()
     return bfs_hop_histogram(edges, _BFS_MAX_HOPS)
 
 
@@ -633,16 +657,36 @@ def link_predict_pairs(
     edge list — see q_graph_link_predict. Returns non-adjacent pairs
     with >= 2 common neighbors through centers of degree <= center_cap,
     scored in integer basis points."""
-    deg = edges.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
-    ok = deg.filter(F.col("d") <= center_cap).select("u")
-    small = edges.join(ok, "u")
-    a, b = small.alias("a"), small.alias("b")
+    # edges feeds the neighbor aggregate AND the adjacency anti-join;
+    # unpersisted, the whole upstream pair pipeline recomputes per leg
+    # (same rationale as q_graph_triangles' persisted `pairs`).
+    edges = edges.persist()
+    # Wedges through each non-hub center are emitted INLINE from the
+    # center's sorted neighbor array (C(d, 2) combinations via
+    # higher-order functions) instead of the edge-table self-join on u
+    # — the same one-groupBy-plus-explode shape copurchase_edges uses
+    # for pair generation (optimization r14, guide §2.4: the self-join
+    # shuffled the capped edge list twice and joined; this shuffles it
+    # once into the center groupBy). Fan-out per center is the same
+    # C(d ≤ cap, 2) either way, and the degree table now falls out of
+    # the SAME neighbor aggregate (size(vs)) instead of its own
+    # count shuffle.
+    nbrs = edges.groupBy("u").agg(
+        F.sort_array(F.collect_list("v")).alias("vs")
+    ).persist()
+    deg = nbrs.select("u", F.size("vs").alias("d"))
+    per_center = nbrs.filter(F.size("vs") <= center_cap)
     wedge = (
-        a.join(
-            b,
-            (F.col("a.u") == F.col("b.u")) & (F.col("a.v") < F.col("b.v")),
+        per_center.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(vs, (x, i) -> "
+                    "transform(slice(vs, i + 2, size(vs) - i - 1), "
+                    "y -> struct(x AS x, y AS y))))"
+                )
+            ).alias("w")
         )
-        .groupBy(F.col("a.v").alias("x"), F.col("b.v").alias("y"))
+        .groupBy("w.x", "w.y")
         .agg(F.count(F.lit(1)).alias("n_common"))
         .filter(F.col("n_common") >= 2)
     )

@@ -225,6 +225,32 @@ def jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def word_shingles(text_col: str, width: int = 3) -> F.Column:
+    """Array of space-joined word `width`-shingles of `text_col`
+    (docs under `width` words contribute the whole text as their one
+    shingle). Built by folding zip_with over SHIFTED SLICES of the
+    token array, never by indexing inside a transform lambda: a
+    lambda body like array_join(slice(split(text), i+1, w)) re-runs
+    the split() per OUTPUT ELEMENT (Catalyst inlines the expression
+    into the lambda, making shingling O(len²) per doc — measured
+    3.2 s → 0.6 s at sf0.1 for the shingle explode alone, guide §1.2
+    step 2). Here every slice is an argument-level expression,
+    evaluated once per row; the zip_with null-padded tail is filtered
+    off. Output strings are byte-identical to the old form."""
+    w = F.split(text_col, " ")
+    n = F.size(w)
+    acc: F.Column = w
+    for k in range(1, width):
+        acc = F.zip_with(
+            w if k == 1 else acc,
+            F.slice(w, k + 1, F.greatest(n - k, F.lit(0))),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
+    return F.when(
+        n >= width, F.filter(acc, lambda x: x.isNotNull())
+    ).otherwise(F.array(F.col(text_col)))
+
+
 def minhash_signatures(d: DataFrame, shingle_width: int = 3) -> DataFrame:
     """(doc_id, sig: array<bigint>) — MinHash over word shingles.
 
@@ -242,18 +268,10 @@ def minhash_signatures(d: DataFrame, shingle_width: int = 3) -> DataFrame:
     re-evaluates the shingle subtree once per permutation — 32× the
     work — because Catalyst's project collapse inlines it.
     """
-    toks = F.split("text", " ")
-    n = F.size(toks)
-    shingles = F.when(
-        n >= shingle_width,
-        F.transform(
-            F.sequence(F.lit(0), n - shingle_width),
-            lambda i: F.xxhash64(
-                F.array_join(F.slice(toks, i + 1, shingle_width), " ")
-            ),
-        ),
-    ).otherwise(F.array(F.xxhash64(F.col("text"))))
-    hashed = d.select("doc_id", F.explode(shingles).alias("h"))
+    hashed = d.select(
+        "doc_id",
+        F.explode(word_shingles("text", shingle_width)).alias("s"),
+    ).select("doc_id", F.xxhash64("s").alias("h"))
     mins = [
         F.min(F.xxhash64(F.col("h"), F.lit(j))).alias(f"m{j}")
         for j in range(_N_HASHES)
@@ -316,16 +334,10 @@ def shingle_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     certification compares against (must mirror _SHINGLE_JACCARD_CTE
     and minhash_signatures' shingle definition exactly)."""
     d = load_table(spark, sf_dir, "documents")
-    toks = F.split("text", " ")
-    n = F.size(toks)
-    sh = F.when(
-        n >= 3,
-        F.transform(
-            F.sequence(F.lit(0), n - 3),
-            lambda i: F.array_join(F.slice(toks, i + 1, 3), " "),
-        ),
-    ).otherwise(F.array(F.col("text")))
-    ex = d.select("doc_id", F.explode(F.array_distinct(sh)).alias("sh"))
+    ex = d.select(
+        "doc_id",
+        F.explode(F.array_distinct(word_shingles("text", 3))).alias("sh"),
+    )
     keep = (
         ex.groupBy("sh")
         .agg(F.count(F.lit(1)).alias("df"))

@@ -177,18 +177,27 @@ def q_agg_approx_distinct_cert(spark: SparkSession, sf_dir: str) -> DataFrame:
     est_ok = lambda approx, exact: (  # noqa: E731
         F.abs(F.col(approx) - F.col(exact)) / F.col(exact) <= 0.10
     )
+    # The sketch and exact arms run as SEPARATE aggregates joined on
+    # the 3-row group key: one agg mixing approx_count_distinct with
+    # two countDistinct's makes Catalyst expand every input row 3x and
+    # key the partial HLL++ buffers by (flag, partkey/orderkey, gid) —
+    # ~1.8M sketch allocations for 3 output rows (8.4 s at sf0.1; this
+    # split is 1.3 s with identical output — guide §2.4/§3.1, the join
+    # is a broadcast of 3 rows).
+    est = li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias(
+            "approx_parts"
+        ),
+        F.approx_count_distinct("l_orderkey", rsd=0.02).alias(
+            "approx_orders"
+        ),
+    )
+    exact = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts_exact"),
+        F.countDistinct("l_orderkey").alias("n_orders_exact"),
+    )
     return (
-        li.groupBy("l_returnflag")
-        .agg(
-            F.approx_count_distinct("l_partkey", rsd=0.02).alias(
-                "approx_parts"
-            ),
-            F.approx_count_distinct("l_orderkey", rsd=0.02).alias(
-                "approx_orders"
-            ),
-            F.countDistinct("l_partkey").alias("n_parts_exact"),
-            F.countDistinct("l_orderkey").alias("n_orders_exact"),
-        )
+        exact.join(F.broadcast(est), "l_returnflag")
         .select(
             "l_returnflag",
             "n_parts_exact",
