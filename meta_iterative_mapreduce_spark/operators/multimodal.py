@@ -878,20 +878,45 @@ def _g711_alaw_to_linear(a: int) -> int:
 _ULAW2LIN: tuple[int, ...] = tuple(_g711_ulaw_to_linear(u) for u in range(256))
 _ALAW2LIN: tuple[int, ...] = tuple(_g711_alaw_to_linear(a) for a in range(256))
 
+# numpy copies of the tables for vectorized decode (guide §4.2: hand
+# whole batches to native code — the per-byte Python loops made
+# q_multimodal_audio_wav sample-bound, 5.3 s at sf0.1)
+_ULAW2LIN_NP = np.array(_ULAW2LIN, dtype=np.int64)
+_ALAW2LIN_NP = np.array(_ALAW2LIN, dtype=np.int64)
+
 # WAVE format codes (RIFF spec): PCM / A-law / µ-law
 _WAV_FMT_PCM, _WAV_FMT_ALAW, _WAV_FMT_ULAW = 1, 6, 7
+
+
+def _wav_container(fmt: bytes, data: bytes) -> bytes:
+    """RIFF/WAVE container around a prepared fmt chunk and data chunk."""
+    import struct
+
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def encode_wav_pcm16_bytes(data: bytes, rate: int = _WAV_RATE) -> bytes:
+    """Encode an already-little-endian int16 sample buffer as a valid
+    PCM16 WAV file — the zero-copy fast path of encode_wav_pcm16
+    (byte pairs ARE the samples; packing an unpacked copy is a no-op
+    round trip the vectorized audio operator skips)."""
+    import struct
+
+    if len(data) % 2:
+        raise ValueError("odd PCM16 data length")
+    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+    return _wav_container(fmt, bytes(data))
 
 
 def encode_wav_pcm16(samples: list[int], rate: int = _WAV_RATE) -> bytes:
     """Encode signed 16-bit mono PCM samples as a valid WAV file:
     RIFF header, fmt chunk (PCM, 1 channel), data chunk."""
-    import struct
-
-    data = struct.pack(f"<{len(samples)}h", *samples)
-    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
-    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
-    body += b"data" + struct.pack("<I", len(data)) + data
-    return b"RIFF" + struct.pack("<I", len(body)) + body
+    arr = np.asarray(samples, dtype=np.int64)
+    if arr.size and (arr.max() > 32767 or arr.min() < -32768):
+        raise ValueError("sample out of int16 range")
+    return encode_wav_pcm16_bytes(arr.astype("<i2").tobytes(), rate)
 
 
 def encode_wav_g711(codes: bytes, law: str, rate: int = _WAV_RATE) -> bytes:
@@ -902,9 +927,7 @@ def encode_wav_g711(codes: bytes, law: str, rate: int = _WAV_RATE) -> bytes:
 
     fmt_code = {"ulaw": _WAV_FMT_ULAW, "alaw": _WAV_FMT_ALAW}[law]
     fmt = struct.pack("<HHIIHH", fmt_code, 1, rate, rate, 1, 8)
-    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
-    body += b"data" + struct.pack("<I", len(codes)) + bytes(codes)
-    return b"RIFF" + struct.pack("<I", len(body)) + body
+    return _wav_container(fmt, bytes(codes))
 
 
 def decode_wav_pcm16(payload: bytes) -> dict:
@@ -940,23 +963,26 @@ def decode_wav_pcm16(payload: bytes) -> dict:
     if fmt_params is None or raw is None:
         raise ValueError("missing fmt or data chunk")
     audio_fmt, n_ch, rate, _, _, bits = fmt_params
+    # vectorized decode (guide §4.2): samples come back as an int64
+    # numpy array and sum_sq is one native reduction — the per-byte
+    # Python loops made the full-corpus audio scan sample-bound
     if (audio_fmt, n_ch, bits) == (_WAV_FMT_PCM, 1, 16):
         if len(raw) % 2:
             raise ValueError("odd PCM16 data length")
-        samples = struct.unpack(f"<{len(raw) // 2}h", raw)
+        samples = np.frombuffer(raw, dtype="<i2").astype(np.int64)
     elif (audio_fmt, n_ch, bits) == (_WAV_FMT_ULAW, 1, 8):
-        samples = tuple(_ULAW2LIN[b] for b in raw)
+        samples = _ULAW2LIN_NP[np.frombuffer(raw, dtype=np.uint8)]
     elif (audio_fmt, n_ch, bits) == (_WAV_FMT_ALAW, 1, 8):
-        samples = tuple(_ALAW2LIN[b] for b in raw)
+        samples = _ALAW2LIN_NP[np.frombuffer(raw, dtype=np.uint8)]
     else:
         raise NotImplementedError(
             "only mono PCM16 / G.711 u-law / A-law decoded here "
             "(codec injection point)"
         )
     return {
-        "n_samples": len(samples),
+        "n_samples": int(samples.size),
         "sample_rate": rate,
-        "sum_sq": sum(int(s) * int(s) for s in samples),
+        "sum_sq": int((samples * samples).sum()),
         "samples": samples,
     }
 
@@ -1040,8 +1066,10 @@ def q_multimodal_audio_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
                 variant = int(doc_id) % 3
                 if variant == 0:
                     n = len(data) // 2
-                    samples = list(struct.unpack(f"<{n}h", data[: 2 * n]))
-                    out.append(encode_wav_pcm16(samples))
+                    # document byte pairs ARE little-endian int16
+                    # samples; unpack+repack was an identity round
+                    # trip paid per sample
+                    out.append(encode_wav_pcm16_bytes(data[: 2 * n]))
                 elif variant == 1:
                     out.append(encode_wav_g711(data, "ulaw"))
                 else:

@@ -433,7 +433,8 @@ def test_wav_g711_round_trip_code_exact():
     for law, table in (("ulaw", _ULAW2LIN), ("alaw", _ALAW2LIN)):
         f = decode_wav_pcm16(encode_wav_g711(codes, law))
         assert f["n_samples"] == 256
-        assert f["samples"] == table
+        # samples decode vectorized to an int64 numpy array (r14)
+        assert tuple(int(s) for s in f["samples"]) == table
         assert f["sum_sq"] == sum(v * v for v in table)
 
 
