@@ -1288,42 +1288,66 @@ def q_dedup_incremental_cert(spark: SparkSession, sf_dir: str) -> DataFrame:
     table = ensure_minhash_band_log(spark, sf_dir)
     corpus_bands = versioned.read_version(spark, table).filter(in_sample)
     ds = d.filter(in_sample)
-    base = ds.filter(F.col("doc_id") % 4 != 0)
-    batch = ds.filter(F.col("doc_id") % 4 == 0)
-    new_bands = band_rows(minhash_signatures(batch)).persist()
-    base_sigs = minhash_signatures(base).persist()
+    # ONE signature pass: a MinHash signature is a pure function of the
+    # document, so the base and batch signature tables are FILTERS of
+    # the sampled corpus's table, not separate shingle/hash passes
+    # (optimization r14 — was three minhash_signatures pipelines; the
+    # certified band-join contract is unchanged because the joins still
+    # run on exactly the same signature values).
     full_sigs = minhash_signatures(ds).persist()
-    # The three PAIR sets are each consumed by 2-3 set-op counts —
-    # persist them too, or every exceptAll/intersect re-runs the band
-    # self-joins (the expensive legs) from the cached signatures.
+    base_sigs = full_sigs.filter(F.col("doc_id") % 4 != 0)
+    new_bands = band_rows(
+        full_sigs.filter(F.col("doc_id") % 4 == 0)
+    ).persist()
+    # The pair sets feeding two counts each stay persisted, or every
+    # set-op re-runs the band self-joins (the expensive legs).
     inc = incremental_band_pairs(new_bands, corpus_bands).persist()
     base_pairs = minhash_band_pairs(base_sigs).persist()
-    full = minhash_band_pairs(full_sigs).persist()
+    full = minhash_band_pairs(full_sigs)
     try:
         key = ["doc_a", "doc_b", "jaccard_est"]
         got = base_pairs.select(*key).union(inc.select(*key))
-        extra = got.exceptAll(full.select(*key)).count()
-        missing = full.select(*key).exceptAll(got).count()
+        # multiset equality in ONE pass: tag got rows +1 and full rows
+        # -1, group by the full triple — equal iff every group sums to
+        # zero (replaces the two exceptAll jobs; guide §1.2 step 1:
+        # don't run two O(n) set ops where one aggregate answers both)
+        mismatch = (
+            got.withColumn("w", F.lit(1))
+            .unionByName(
+                full.select(*key).withColumn("w", F.lit(-1))
+            )
+            .groupBy(*key)
+            .agg(F.sum("w").alias("s"))
+            .filter(F.col("s") != 0)
+            .count()
+        )
         overlap = (
             base_pairs.select("doc_a", "doc_b")
             .intersect(inc.select("doc_a", "doc_b"))
             .count()
         )
-        n_base = base.count()
-        n_batch = batch.count()
+        # both sampled doc counts from one aggregate job
+        counts = ds.agg(
+            F.sum(
+                F.when(F.col("doc_id") % 4 != 0, 1).otherwise(0)
+            ).alias("n_base"),
+            F.sum(
+                F.when(F.col("doc_id") % 4 == 0, 1).otherwise(0)
+            ).alias("n_batch"),
+        ).collect()[0]
+        n_base = int(counts["n_base"] or 0)
+        n_batch = int(counts["n_batch"] or 0)
     finally:
         # ADVICE r13: release the cached signature/band/pair state
         # instead of letting it accumulate across a full registry run
-        for cached in (
-            new_bands, base_sigs, full_sigs, inc, base_pairs, full
-        ):
+        for cached in (new_bands, full_sigs, inc, base_pairs):
             cached.unpersist()
     return spark.createDataFrame(
         [
             (
                 n_base,
                 n_batch,
-                bool(extra == 0 and missing == 0),
+                bool(mismatch == 0),
                 bool(overlap == 0),
             )
         ],

@@ -334,11 +334,34 @@ def q_embed_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
     statistics (kernel.cu:56-62 accumulates sum_x/sum_y/sum_xy/sum_xx;
     the Gram matrix is exactly those sums for every feature pair), and
     the one distributed pass behind normal-equation regression and
-    covariance/PCA. Each row expands to its upper-triangle outer
-    product inside the scan stage (JVM higher-order functions, no
-    Python, no join); partial aggregation collapses the 2080 (i, j)
-    cells per task BEFORE the single tiny exchange — at 100 TB the
-    shuffle is O(tasks x d^2), independent of row count."""
+    covariance/PCA.
+
+    Registered plan (optimization r14): the BLAS path —
+    gram_matrix_blas hands whole Arrow batches to numpy `X.T @ X`
+    (guide §4.2: dense matrix products are the one workload JVM
+    codegen cannot match; measured 93.8 s declarative vs 9.8 s BLAS
+    at 2M x 64 in tools/scale_smoke.py, and 2.5 s -> 0.5 s at sf0.1),
+    emitting one d x d partial per batch so the only exchange is
+    O(tasks x d^2), independent of row count. The declarative
+    outer-product-explode twin (embed_gram_declarative) remains the
+    oracle-shaped semantic contract; pytest pins both paths
+    cell-for-cell on the fixtures and the DuckDB hash oracle checks
+    the registered output at every SF (ROUND(...,4) on both sides
+    absorbs the summation-order difference, verified at
+    sf0.001/0.01/0.1)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return gram_matrix_blas(e).select(
+        "i", "j", F.round("gram", 4).alias("gram")
+    )
+
+
+def embed_gram_declarative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure-JVM declarative form of q_embed_gram: each row expands to
+    its upper-triangle outer product inside the scan stage (higher-
+    order functions, no Python); partial aggregation collapses the
+    2080 (i, j) cells per task before the single tiny exchange. Kept
+    as the semantic contract the BLAS plan is pinned against
+    (tests/test_clustering.py::test_gram_blas_matches_declarative)."""
     e = load_table(spark, sf_dir, "embeddings")
     cells = e.select(
         F.explode(

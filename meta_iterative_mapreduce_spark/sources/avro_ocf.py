@@ -976,12 +976,26 @@ def read_avro(
             )
 
 
+# (path, size, mtime_ns) -> block index. OCF files are immutable once
+# visible (the stream source's arrival contract), so a stat-keyed memo
+# is exact; it spares the DRIVER an O(blocks) header walk per plan —
+# every bench trial and every stream micro-batch re-plans the same
+# files (guide §6: cache file listings/metadata, not results).
+_BLOCK_INDEX_CACHE: dict[tuple[str, int, int], dict] = {}
+
+
 def index_avro_blocks(path: str) -> dict:
     """Block index with ZERO payload I/O: per block, read the two
     header varints, seek past the payload, verify the 16 sync bytes.
     Returns {schema, codec, sync, blocks: [(offset, n_records,
     byte_size)]} where offset addresses the block's count varint —
-    exactly what a split reader seeks to."""
+    exactly what a split reader seeks to. Memoized on (path, size,
+    mtime) — stat changes invalidate."""
+    st = os.stat(path)
+    key = (path, st.st_size, st.st_mtime_ns)
+    hit = _BLOCK_INDEX_CACHE.get(key)
+    if hit is not None:
+        return hit
     with open(path, "rb") as f:
         schema, codec, sync = _read_header(f)
         blocks: list[tuple[int, int, int]] = []
@@ -989,12 +1003,14 @@ def index_avro_blocks(path: str) -> dict:
             offset = f.tell()
             probe = f.read(1)
             if not probe:
-                return {
+                idx = {
                     "schema": schema,
                     "codec": codec,
                     "sync": sync,
                     "blocks": blocks,
                 }
+                _BLOCK_INDEX_CACHE[key] = idx
+                return idx
             f.seek(-1, os.SEEK_CUR)
             n = _read_long(f)
             size = _read_long(f)
@@ -1148,25 +1164,40 @@ def register_avro_source(spark: SparkSession) -> None:
             if f.endswith(".avro")
         )
 
-    _SPAN_TARGET = 64  # spans per file: enough tasks to keep a wide
-    # executor busy, few enough that task overhead stays negligible
-    # (files under 64 blocks keep exactly one block per partition,
-    # preserving the block-granular splits small fixtures pin)
+    _SPAN_TARGET = 64  # hard cap on spans per file: enough tasks to
+    # keep a wide executor busy on a single big file, few enough that
+    # task overhead stays negligible
+
+    # bytes each span should carry (optimization r14, guide §2.2/§6:
+    # derive partitioning from input SIZE, not a per-file constant).
+    # The old ≤64-spans-per-file rule gave a 675 KB file 38 spans of
+    # ~18 KB — 152 Python-worker round-trips for one sf0.1 scan, and
+    # the scan cost was pure task overhead (3.8 s warm; 0.7 s at
+    # byte-derived spans). Big files still hit the 64-span cap
+    # (a 1 GB file → 64 × 16 MB spans). Env-tunable for cluster
+    # profiles where Python decode throughput differs.
+    _SPAN_BYTES = int(os.environ.get("MIMR_AVRO_SPAN_BYTES", 128 * 1024))
 
     def _block_parts(path: str, reader_schema) -> list:
         """InputPartition specs for one OCF file: consecutive data
-        blocks grouped into at most _SPAN_TARGET spans (one seek +
-        sequential decode per span) — the shared planning step of the
-        batch and stream readers. Per-block tasks at 100-record block
-        sizes drowned the scan in scheduler overhead (~6k tasks for
-        one sf0.1 table, r13)."""
+        blocks grouped into byte-sized spans (one seek + sequential
+        decode per span) — the shared planning step of the batch and
+        stream readers. Span count per file =
+        clamp(ceil(file_bytes / _SPAN_BYTES), 1, _SPAN_TARGET); per-
+        block tasks at 100-record block sizes drowned the scan in
+        scheduler overhead (~6k tasks for one sf0.1 table, r13), and
+        block-count-derived spans kept ~18 KB tasks (r14)."""
         idx = index_avro_blocks(path)
         if reader_schema is not None:
             # fail at PLAN time, not per task, on an unresolvable
             # writer/reader pair
             _resolve_schemas(idx["schema"], reader_schema)
         blocks = idx["blocks"]
-        per = max(1, -(-len(blocks) // _SPAN_TARGET))
+        n_spans = min(
+            _SPAN_TARGET,
+            max(1, -(-os.path.getsize(path) // _SPAN_BYTES)),
+        )
+        per = max(1, -(-len(blocks) // n_spans))
         return [
             {
                 "path": path,

@@ -148,9 +148,10 @@ def test_spark_schema_mapping():
 
 
 def test_spark_datasource_block_per_partition(spark, tmp_path):
-    """The scan plans ONE InputPartition per data block across files:
-    2 files x 3 blocks -> 6 partitions, rows complete and exact, no
-    loss/dup at block boundaries, nullable union -> SQL NULL."""
+    """Small files plan byte-derived spans (r14: one span per file
+    under the span byte target instead of one per block) while rows
+    stay complete and exact — no loss/dup at block boundaries inside
+    a span, nullable union -> SQL NULL."""
     root = str(tmp_path / "avro")
     os.makedirs(root)
     recs = _recs(120)
@@ -163,7 +164,7 @@ def test_spark_datasource_block_per_partition(spark, tmp_path):
         open(os.path.join(root, f"p{i}.avro"), "wb").write(data)
     register_avro_source(spark)
     df = spark.read.format("mimr_avro").option("path", root).load()
-    assert df.rdd.getNumPartitions() == 6
+    assert df.rdd.getNumPartitions() == 2  # 1 span per tiny file
     rows = df.orderBy("id").collect()
     assert len(rows) == 120
     assert [r["id"] for r in rows] == list(range(120))
@@ -383,7 +384,8 @@ def test_reader_schema_through_spark_source(spark, tmp_path):
         .load()
     )
     assert df.columns == ["id", "note", "tag"]
-    assert df.rdd.getNumPartitions() == 9  # 3 files x 3 blocks
+    # byte-derived spans (r14): tiny files plan one span each
+    assert df.rdd.getNumPartitions() == 3
     rows = df.orderBy("id").collect()
     assert [r["id"] for r in rows] == list(range(90))
     assert all(r["tag"] == "T" for r in rows)
@@ -851,29 +853,44 @@ def test_recursive_resolution_promotions_and_unions():
 
 
 def test_span_partitioning_groups_blocks(spark, tmp_path):
-    """Files wider than the span target group consecutive blocks into
-    at most ~64 span partitions (one seek + sequential decode each),
-    while rows stay complete and exact — per-block tasks at
-    100-record block sizes drowned the sf0.1 scan in scheduler
-    overhead (r13)."""
+    """Span planning is byte-derived (r14): span count per file =
+    clamp(ceil(file_bytes / MIMR_AVRO_SPAN_BYTES), 1, 64), each span a
+    group of consecutive blocks (one seek + sequential decode), and
+    rows stay complete and exact across span seams — per-block tasks
+    at 100-record block sizes drowned the sf0.1 scan in scheduler
+    overhead (r13), and block-count-derived spans kept ~18 KB tasks
+    (r14)."""
+    import math
+    import os as _os
+
     import meta_iterative_mapreduce_spark.sources.avro_ocf as A
 
     schema = {
         "type": "record",
         "name": "R",
-        "fields": [{"name": "a", "type": "long"}],
+        "fields": [
+            {"name": "a", "type": "long"},
+            {"name": "pad", "type": "string"},
+        ],
     }
-    recs = [{"a": i} for i in range(2000)]
+    # ~200-byte padded records so the file spans several 128 KiB span
+    # targets and the byte-derived planner splits it
+    recs = [{"a": i, "pad": "x" * 200} for i in range(5000)]
     root = tmp_path / "spans"
     root.mkdir()
-    # 2000 records / block_records=10 => 200 blocks in one file
-    (root / "part-0.avro").write_bytes(
-        A.encode_avro(recs, schema, codec="deflate", block_records=10)
+    path = root / "part-0.avro"
+    path.write_bytes(
+        A.encode_avro(recs, schema, codec="null", block_records=10)
     )
     A.register_avro_source(spark)
     df = spark.read.format("mimr_avro").option("path", str(root)).load()
     nparts = df.rdd.getNumPartitions()
-    assert nparts <= 64, nparts      # grouped, not one per block
-    assert nparts >= 32              # still plenty of parallelism
+    span_bytes = int(_os.environ.get("MIMR_AVRO_SPAN_BYTES", 128 * 1024))
+    n_spans = min(64, max(1, math.ceil(_os.path.getsize(path) / span_bytes)))
+    assert 1 < n_spans <= 64, n_spans  # the fixture really is multi-span
+    n_blocks = 500  # 5000 records / block_records=10
+    per = math.ceil(n_blocks / n_spans)
+    expect = math.ceil(n_blocks / per)  # realized spans after block rounding
+    assert nparts == expect, (nparts, expect)
     got = sorted(r["a"] for r in df.collect())
-    assert got == list(range(2000))  # nothing lost at span seams
+    assert got == list(range(5000))  # nothing lost at span seams

@@ -69,13 +69,13 @@ def test_gram_blas_matches_declarative(spark, sf_dir):
     agree cell-for-cell (fp tolerance: different summation orders)."""
     from meta_iterative_mapreduce_spark.io import load_table
     from meta_iterative_mapreduce_spark.operators.similarity import (
+        embed_gram_declarative,
         gram_matrix_blas,
-        q_embed_gram,
     )
 
     slow = {
         (r["i"], r["j"]): r["gram"]
-        for r in q_embed_gram(spark, sf_dir).collect()
+        for r in embed_gram_declarative(spark, sf_dir).collect()
     }
     fast = {
         (r["i"], r["j"]): r["gram"]
