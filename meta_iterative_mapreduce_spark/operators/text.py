@@ -677,42 +677,56 @@ def bpe_learn(words: DataFrame, n_rounds: int = _BPE_ROUNDS) -> list[tuple]:
     not corpus) is cached once and re-derived symbol arrays fold the
     merge history in as literals — no lineage growth past n_rounds
     bounded expression nesting."""
+    # Round r's symbol arrays are MATERIALIZED (localCheckpoint) by
+    # applying only the newest merge to round r-1's arrays, instead of
+    # re-folding the whole merge history into one expression per round
+    # (optimization r14, guide §1.2 step 2: round 6 was evaluating —
+    # and Catalyst was re-analyzing — 5 nested aggregate folds per row;
+    # 6.2 s -> 1.5 s at sf0.1 with identical merges). The vocab table
+    # is tiny (|vocab| rows), so per-round materialization is the
+    # scale-correct plan too, and the checkpoint cuts the lineage the
+    # old cache+fold form grew per round.
     syms = words.select(
         "freq", F.split("word", "").alias("symbols")
-    ).cache()
-    try:
-        merges: list[tuple] = []
-        for r in range(1, n_rounds + 1):
-            cur_col = F.col("symbols")
-            for _, left, right, _, _ in merges:
-                cur_col = _merge_pair(cur_col, left, right)
-            pairs = (
-                syms.select(
-                    "freq",
-                    F.explode(
-                        F.zip_with(
-                            cur_col,
-                            F.slice(cur_col, 2, F.greatest(F.size(cur_col) - 1, F.lit(0))),
-                            lambda a, b: F.struct(a.alias("l"), b.alias("r")),
-                        )
-                    ).alias("p"),
-                )
-                .filter(F.col("p.r").isNotNull())  # zip_with pads the tail
-                .groupBy("p.l", "p.r")
-                .agg(F.sum("freq").alias("pf"))
-                .orderBy(F.col("pf").desc(), F.col("l").asc(), F.col("r").asc())
-                .limit(1)
-                .collect()
+    ).localCheckpoint(eager=True)
+    merges: list[tuple] = []
+    for r in range(1, n_rounds + 1):
+        pairs = (
+            syms.select(
+                "freq",
+                F.explode(
+                    F.zip_with(
+                        F.col("symbols"),
+                        F.slice(
+                            F.col("symbols"),
+                            2,
+                            F.greatest(F.size("symbols") - 1, F.lit(0)),
+                        ),
+                        lambda a, b: F.struct(a.alias("l"), b.alias("r")),
+                    )
+                ).alias("p"),
             )
-            if not pairs:
-                break
-            row = pairs[0]
-            merges.append(
-                (r, row["l"], row["r"], row["l"] + row["r"], int(row["pf"]))
-            )
-        return merges
-    finally:
-        syms.unpersist()
+            .filter(F.col("p.r").isNotNull())  # zip_with pads the tail
+            .groupBy("p.l", "p.r")
+            .agg(F.sum("freq").alias("pf"))
+            .orderBy(F.col("pf").desc(), F.col("l").asc(), F.col("r").asc())
+            .limit(1)
+            .collect()
+        )
+        if not pairs:
+            break
+        row = pairs[0]
+        merges.append(
+            (r, row["l"], row["r"], row["l"] + row["r"], int(row["pf"]))
+        )
+        if r < n_rounds:
+            syms = syms.select(
+                "freq",
+                _merge_pair(
+                    F.col("symbols"), row["l"], row["r"]
+                ).alias("symbols"),
+            ).localCheckpoint(eager=True)
+    return merges
 
 
 @register(
