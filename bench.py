@@ -241,6 +241,19 @@ def main() -> None:
             timings[name] = -1.0
             print(f"bench error in {name}: {exc}", file=sys.stderr)
         sys_by_query[name] = _sys_window(c0)
+        # Measurement fix (optimization r14, declared in
+        # OPTIMIZATION_r14.md): drop every DataFrame cache BETWEEN
+        # queries. Operators persist intermediates inside their own
+        # timed plans (legal and part of the plan); but CacheManager
+        # matches by logical plan, so a LATER query whose subtree
+        # matched an earlier query's persisted one silently reused its
+        # cache instead of computing from parquet — and the
+        # accumulated never-unpersisted entries (graph edge tables,
+        # token/signature tables) grew executor memory pressure that
+        # inflated unrelated queries late in the run. Trials WITHIN a
+        # query keep the documented warm-measurement contract; queries
+        # now start cache-cold, every one computing from its inputs.
+        spark.catalog.clearCache()
     _station()
 
     def _trimmed_mean(xs: list[float]) -> float:

@@ -91,37 +91,41 @@ def connected_components(
     """
     import time as _time
 
-    def _sig(df: DataFrame) -> tuple[int, int]:
-        """One-pass (count, xxhash64 xor-fold) edge-set signature. A
+    from pyspark.sql import Observation
+
+    def _ckpt_with_sig(df: DataFrame) -> tuple[DataFrame, tuple[int, int]]:
+        """Eagerly checkpoint the edge set and return its one-pass
+        (count, xxhash64 xor-fold) signature, collected via observe()
+        DURING the checkpoint job — no separate signature job per
+        round (optimization r14; was one extra agg job per round). A
         differing signature PROVES non-convergence without the O(E)
         anti-join the exact test costs; only a matching signature
         escalates to the exact subtract (once, at the true fixpoint).
-        The r7 50M-edge profile showed why this matters: the edge
-        COUNT goes flat after round 1 while the content keeps
-        changing for ~log(diameter) more rounds, so a count-gated
-        subtract ran the anti-join every round."""
-        row = df.agg(
+        The r7 50M-edge profile showed why the sig (not the count)
+        gates the subtract: the edge COUNT goes flat after round 1
+        while the content keeps changing for ~log(diameter) more
+        rounds. XOR fold, not SUM: overflow-free under ANSI mode and
+        order-independent; the edge set is distinct so nothing
+        self-cancels."""
+        obs = Observation()
+        d = df.observe(
+            obs,
             F.count(F.lit(1)).alias("n"),
-            # XOR fold, not SUM: overflow-free under ANSI mode and
-            # order-independent; the edge set is distinct so nothing
-            # self-cancels.
             F.bit_xor(F.xxhash64("u", "v")).alias("h"),
-        ).first()
-        return row["n"] or 0, row["h"] or 0
+        ).localCheckpoint(eager=True)
+        m = obs.get
+        return d, (m["n"] or 0, m["h"] or 0)
 
-    e = (
+    e, prev_sig = _ckpt_with_sig(
         edges.select(F.col(edges.columns[0]).alias("u"), F.col(edges.columns[1]).alias("v"))
         .where(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint(eager=True)
     )
-    prev_sig = _sig(e)
     for i in range(max_iter):
         if prev_sig[0] == 0:
             break
         t0 = _time.time()
-        e_new = _small_star(_large_star(e)).localCheckpoint(eager=True)
-        new_sig = _sig(e_new)
+        e_new, new_sig = _ckpt_with_sig(_small_star(_large_star(e)))
         # signature match is necessary but not sufficient (xor-hash
         # collisions exist in principle), so the fixpoint is always
         # CONFIRMED by the exact set test — which now runs only when
