@@ -384,6 +384,41 @@ def _read_cdc_spec(spec: dict):
     key = spec["key"]
     ki = [f[0] for f in fields].index(key)
     if spec["kind"] == "insert":
+        # Arrow fast path (same gate as _read_spec): 'insert' specs
+        # are a pure projection of one added file into the
+        # (key, 'I', old-nulls, new-values) feed layout — buildable
+        # column-wise with zero per-row Python tuples. The snapshot
+        # version streams EVERY table row through here, so this is
+        # the CDC stream's data-heavy leg.
+        part_vals = spec["part_vals"]
+        arrow_ok = all(
+            typ in _PA_OF_TYPE for _, _, typ in fields
+        ) and all(
+            typ in _INT_TYPES or typ == "string"
+            for _, phys, typ in fields
+            if phys in part_vals
+        )
+        if arrow_ok:
+            import pyarrow as pa
+
+            others = [i for i in range(len(fields)) if i != ki]
+            names = (
+                [key, "op"]
+                + [f"old_{fields[i][0]}" for i in others]
+                + [f"new_{fields[i][0]}" for i in others]
+            )
+            for b in _file_batches(spec["path"], fields, part_vals):
+                n = b.num_rows
+                cols = (
+                    [b.column(ki), pa.array(["I"] * n, type=pa.string())]
+                    + [
+                        pa.nulls(n, type=b.schema.field(i).type)
+                        for i in others
+                    ]
+                    + [b.column(i) for i in others]
+                )
+                yield pa.RecordBatch.from_arrays(cols, names=names)
+            return
         for row in _file_rows(spec["path"], fields, spec["part_vals"]):
             yield (
                 row[ki],
@@ -455,12 +490,78 @@ def _read_cdc_spec(spec: dict):
                     )
 
 
+# Spark typeName -> pyarrow type for the Arrow fast path of
+# _read_spec. Only types with an unambiguous 1:1 arrow mapping are
+# listed; any other declared type routes the whole file through the
+# row path.
+_PA_OF_TYPE = {
+    "byte": "int8",
+    "short": "int16",
+    "integer": "int32",
+    "long": "int64",
+    "float": "float32",
+    "double": "float64",
+    "string": "string",
+    "boolean": "bool",
+}
+
+
+def _file_batches(path: str, fields: list[tuple], part_vals: dict):
+    """Arrow fast path of _read_spec (optimization r14, guide §4.1):
+    yield the file's rows as pyarrow RecordBatches — the Python data
+    source API accepts them directly, so no per-row Python tuple is
+    ever built (the row path materialized every cell via to_pylist +
+    zip). Columns are cast to the declared stream types; hive
+    partition values broadcast as constant arrays; columns the file
+    predates come back as typed nulls."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(path)
+    n = tbl.num_rows
+    names = set(tbl.schema.names)
+    arrays, out_names = [], []
+    for logical, phys, typ in fields:
+        t = pa.type_for_alias(_PA_OF_TYPE[typ])
+        if phys in names:
+            arrays.append(tbl.column(phys).cast(t))
+        elif phys in part_vals:
+            raw = part_vals[phys]
+            v = (
+                None
+                if raw is None
+                else int(raw)
+                if typ in _INT_TYPES
+                else raw
+            )
+            arrays.append(pa.chunked_array([pa.array([v] * n, type=t)]))
+        else:
+            arrays.append(pa.chunked_array([pa.nulls(n, type=t)]))
+        out_names.append(logical)
+    if not arrays:
+        return
+    yield from pa.table(arrays, names=out_names).to_batches()
+
+
 def _read_spec(spec: dict):
-    """Executor-side file read: yield tuples in the declared field
-    order — parquet columns under their physical names, hive
+    """Executor-side file read: yield the declared-field projection of
+    one file — parquet columns under their physical names, hive
     partition values from the path, nulls for columns the file
-    predates."""
-    yield from _file_rows(spec["path"], spec["fields"], spec["part_vals"])
+    predates. Arrow-batched whenever every declared type has a 1:1
+    arrow mapping and every partition-sourced value is int/string
+    (exactly the cases whose row-path coercion is a plain cast);
+    otherwise the original row path."""
+    fields = spec["fields"]
+    part_vals = spec["part_vals"]
+    arrow_ok = all(typ in _PA_OF_TYPE for _, _, typ in fields) and all(
+        typ in _INT_TYPES or typ == "string"
+        for _, phys, typ in fields
+        if phys in part_vals
+    )
+    if arrow_ok:
+        yield from _file_batches(spec["path"], fields, part_vals)
+    else:
+        yield from _file_rows(spec["path"], fields, part_vals)
 
 
 def make_versioned_table_source():
