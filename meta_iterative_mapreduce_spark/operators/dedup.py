@@ -913,11 +913,26 @@ def q_dedup_simhash_pairs_cert(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("b.doc_id").alias("doc_b"),
             )
         )
-        sym_diff = (
-            blocked.exceptAll(brute).count()
-            + brute.exceptAll(blocked).count()
+        # set equality in ONE job (optimization r14, same move as
+        # q_dedup_incremental_cert): tag blocked +1 / brute -1, group
+        # by the pair — equal iff every group sums to zero; the
+        # sampled doc count rides the same job via crossJoin of the
+        # two 1-row aggregates (was 3 jobs: two exceptAll counts + a
+        # count).
+        tagged = blocked.withColumn("w", F.lit(1)).unionByName(
+            brute.withColumn("w", F.lit(-1))
         )
-        n_sample = sample.count()
+        mism = (
+            tagged.groupBy("doc_a", "doc_b")
+            .agg(F.sum("w").alias("s"))
+            .filter(F.col("s") != 0)
+            .agg(F.count(F.lit(1)).alias("sym_diff"))
+        )
+        row = mism.crossJoin(
+            sample.agg(F.count(F.lit(1)).alias("n_sample"))
+        ).collect()[0]
+        sym_diff = int(row["sym_diff"])
+        n_sample = int(row["n_sample"])
     finally:
         fp.unpersist()
     return spark.createDataFrame(

@@ -78,6 +78,11 @@ def test_relational_plans_stay_jvm_side(spark, sf_dir):
         # test_distrank.py for the plan pins
         "q_events_rfm",
         "q_window_ntile",
+        # dense X^T X runs BLAS-side by design (optimization r14,
+        # guide §4.2: matrix products are the one workload JVM codegen
+        # cannot match — 93.8 s declarative vs 9.8 s BLAS at 2M x 64);
+        # the declarative twin stays pinned equal in test_clustering
+        "q_embed_gram",
     )
     for name, fn in qs.items():
         plan = _plan(fn(spark, sf_dir))

@@ -760,7 +760,15 @@ def test_cdc_admission_splits_inserts_keeps_diffs_atomic(spark, tmp_path):
         out = []
         for spec in _plan_cdc_versions(table, a, b, "k", r.fields):
             fn = _read_cdc_spec if spec.get("kind") in ("insert", "diff") else _read_spec
-            out.extend(fn(spec))
+            for item in fn(spec):
+                if hasattr(item, "to_pylist"):
+                    # r14: read paths may yield pyarrow RecordBatches
+                    # (what Spark consumes); expand to row tuples here
+                    out.extend(
+                        tuple(d.values()) for d in item.to_pylist()
+                    )
+                else:
+                    out.append(tuple(item))
         return out
 
     paced = []
