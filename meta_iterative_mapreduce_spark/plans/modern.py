@@ -55,6 +55,13 @@ def q_cte_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b")
         .persist()
     )
+    # populate the cache DETERMINISTICALLY before the recursive
+    # executor fans out over the view: the recursion's per-level scans
+    # otherwise race to compute the unpopulated cache concurrently and
+    # can re-run the whole token-explode pair pipeline per level
+    # (measured 1.9 s typical but 13.2 s on a bad race at sf0.1 —
+    # the q_graph_triangles fix, VERDICT r8 item 7, applied here)
+    pairs.count()
     pairs.createOrReplaceTempView("mimr_pair_edges")
     return spark.sql(
         """
