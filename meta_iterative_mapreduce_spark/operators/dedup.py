@@ -12,12 +12,19 @@ Four tiers, cheap→thorough, all shuffle-frugal:
 
 MinHash/SimHash use Spark's xxhash64 (engine-specific, 64-bit — a
 32-bit shingle hash has a measurable collision floor at tens of
-millions of shingles), so their raw pair/estimate surfaces are
-rows-only checks; each carries a `q_*_cert` certification twin
-(VERDICT r13 item 1) whose flag-bearing hash oracle proves the
-blocking/estimation claims on budget-bounded samples, keeping the
-benched production queries on the lean scale-path plans. The exact
-tiers are DuckDB-oracle-checked directly.
+millions of shingles), so no SQL oracle can recompute their raw
+pair/estimate values. Every production query is still fully
+hash-oracled (VERDICT r14 item 1): each lean pipeline returns a
+flag-bearing summary whose doc counts DuckDB pins exactly and whose
+structural flags (pair ordering, estimate range, band agreement,
+hamming bound) are recomputed in-query from the pipeline's own
+output — the q_dedup_simhash pattern. The heavyweight brute-force /
+exact-recall arms stay in the `q_*_cert` certification twins so the
+benched production plans remain the lean scale paths; the raw pair
+surfaces remain exposed via the module-level helpers
+(minhash_band_pairs, simhash_hamming_pairs, incremental_band_pairs)
+and are property-tested in tests/test_dedup.py. The exact tiers are
+DuckDB-oracle-checked directly.
 """
 
 from __future__ import annotations
@@ -382,29 +389,90 @@ def shingle_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_dedup_near_minhash")  # rows-only: xxhash64-based signature
-# estimates; the hash certification lives in q_dedup_near_minhash_cert
+# Band floor for the agreement estimate: an LSH candidate pair agrees
+# on at least one FULL band of _N_HASHES/_N_BANDS consecutive signature
+# positions, so jaccard_est >= rows_per_band / n_hashes — an exact
+# binary fraction, engine-safe to threshold on.
+_BAND_EST_FLOOR = (_N_HASHES // _N_BANDS) / float(_N_HASHES)
+
+
+@register(
+    "q_dedup_near_minhash",
+    oracle="""
+    SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+           TRUE AS pairs_ordered,
+           TRUE AS est_in_band_range,
+           TRUE AS band_agreement
+    """,
+)
 def q_dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + LSH banding near-dup detection, the 100 TB path:
     shingle → 32 minhashes → 8 bands of 4 → band-bucket groupBy →
-    candidate pairs → signature-agreement estimate of Jaccard.
+    candidate pairs → signature-agreement estimate of Jaccard. The
+    only data-proportional shuffle is on (band_id, band_signature);
+    the quadratic pair expansion happens strictly within buckets.
 
-    The only shuffle is on (band_id, band_signature); the quadratic
-    pair expansion happens strictly within buckets. This is the
-    PRODUCTION plan the bench measures (VERDICT r13 item 1: the exact
-    shingle-Jaccard recall arm lives in q_dedup_near_minhash_cert so
-    the benched query stays the scale path)."""
+    Signature values are xxhash64-based, so no SQL oracle can
+    recompute the raw pair rows — the query therefore returns a
+    flag-bearing summary of the FULL candidate pair set (VERDICT r14
+    item 1, the q_dedup_simhash pattern), all pipeline work still
+    benched, with structural invariants recomputed from the pairs
+    themselves:
+
+    - pairs_ordered: every candidate satisfies doc_a < doc_b (the
+      bucket self-join's ordering predicate held);
+    - est_in_band_range: every jaccard_est ∈ [4/32, 1] — the LOWER
+      bound is the banding theorem (a candidate shares >= 1 full band
+      of 4 positions), so a broken estimator OR a join emitting
+      non-band pairs flips it;
+    - band_agreement: re-derived per pair from the signature arrays
+      (some band b has slice(sig_a) == slice(sig_b)) — pins the
+      band_sig string encoding against collisions/mangling.
+
+    DuckDB pins the exact corpus doc count and TRUE flags; empty pair
+    sets certify vacuously (coalesce TRUE). The exact shingle-Jaccard
+    recall arm lives in q_dedup_near_minhash_cert; the raw pair
+    surface stays exposed via minhash_band_pairs for tests and the
+    1M-doc recall smoke."""
     d = load_table(spark, sf_dir, "documents")
     # Materialize signatures once: without the persist, Catalyst's
     # project-collapse inlines the 32-permutation shingle subtree into
     # every downstream reference AND recomputes it for both sides of
     # the self-join (O(64×) work). The signature table is tiny
     # (n_docs × 32 bigints), so caching is the scale-correct plan too.
+    # try/finally + eager 1-row localCheckpoint: the cache is released
+    # before return (VERDICT r14 item 9 — the old lazy form leaked the
+    # persisted signature table into long-lived sessions).
     sigs = minhash_signatures(d).persist()
-    pairs = minhash_band_pairs(sigs)
-    return pairs.select(
-        "doc_a", "doc_b", F.round("jaccard_est", 4).alias("jaccard_est")
-    ).orderBy("doc_a", "doc_b")
+    try:
+        pairs = minhash_band_pairs(sigs, with_sigs=True)
+        rpb = _N_HASHES // _N_BANDS
+        shares_band: F.Column = F.lit(False)
+        for b in range(_N_BANDS):
+            shares_band = shares_band | (
+                F.slice("sig_a", b * rpb + 1, rpb)
+                == F.slice("sig_b", b * rpb + 1, rpb)
+            )
+        flags = pairs.agg(
+            F.coalesce(
+                F.bool_and(F.col("doc_a") < F.col("doc_b")), F.lit(True)
+            ).alias("pairs_ordered"),
+            F.coalesce(
+                F.bool_and(
+                    (F.col("jaccard_est") >= F.lit(_BAND_EST_FLOOR))
+                    & (F.col("jaccard_est") <= F.lit(1.0))
+                ),
+                F.lit(True),
+            ).alias("est_in_band_range"),
+            F.coalesce(F.bool_and(shares_band), F.lit(True)).alias(
+                "band_agreement"
+            ),
+        )
+        head = d.agg(F.count(F.lit(1)).alias("n_docs"))
+        out = head.crossJoin(flags).localCheckpoint(eager=True)
+    finally:
+        sigs.unpersist()
+    return out
 
 
 @register(
@@ -497,13 +565,15 @@ def band_rows(sigs: DataFrame) -> DataFrame:
     )
 
 
-def minhash_band_pairs(sigs: DataFrame) -> DataFrame:
+def minhash_band_pairs(sigs: DataFrame, with_sigs: bool = False) -> DataFrame:
     """LSH banding over a persisted (doc_id, sig) table: 8 bands of 4
     rows -> band-bucket self-join -> per-pair signature-agreement
     Jaccard estimate. The ONLY data-proportional exchange is on
     (band_id, band_sig); quadratic expansion happens strictly within
     buckets. Reused by q_dedup_near_minhash and the 1M-doc recall
-    smoke (tools/scale_smoke.py)."""
+    smoke (tools/scale_smoke.py). `with_sigs=True` additionally keeps
+    the sig_a/sig_b arrays so the caller can re-verify band agreement
+    per pair (the production summary's band_agreement flag)."""
     banded = band_rows(sigs)
     a = banded.alias("a")
     b = banded.alias("b")
@@ -528,7 +598,8 @@ def minhash_band_pairs(sigs: DataFrame) -> DataFrame:
             lambda m: m,
         )
     ).cast("double") / F.lit(float(_N_HASHES))
-    return pairs.select("doc_a", "doc_b", est.alias("jaccard_est"))
+    cols = ["doc_a", "doc_b", *(["sig_a", "sig_b"] if with_sigs else [])]
+    return pairs.select(*cols, est.alias("jaccard_est"))
 
 
 # 60-bit fingerprint: wide enough that 15-bit pigeonhole blocks give
@@ -763,6 +834,29 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def simhash_blocked_rows(fp: DataFrame) -> DataFrame:
+    """(doc_id, simhash, block_id, block_val): each fingerprint
+    exploded into its 4 pigeonhole block keys — the bucket table the
+    Hamming join self-joins. Split out (optimization r15) so callers
+    own the persist/unpersist of the dual-consumed table instead of
+    simhash_hamming_pairs leaking a cache entry per call."""
+    block_mask = (1 << _SIMHASH_BLOCK_BITS) - 1
+    return fp.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("simhash"), _SIMHASH_BLOCK_BITS * b)
+                    .bitwiseAND(F.lit(block_mask))
+                    .cast("int")
+                    for b in range(_SIMHASH_N_BLOCKS)
+                ]
+            )
+        ).alias("block_id", "block_val"),
+    )
+
+
 def simhash_hamming_pairs(
     fp: DataFrame, max_hamming: int = _SIMHASH_MAX_HAMMING
 ) -> DataFrame:
@@ -780,7 +874,20 @@ def simhash_hamming_pairs(
     is n/32768 and a hot block value is the skew bound, not n².
 
     Requires max_hamming < n_blocks for the pigeonhole guarantee.
+    The blocked table feeds both self-join sides, so it is persisted
+    here; callers that need cache hygiene (the registered queries)
+    build simhash_blocked_rows themselves and release it.
     """
+    blocked = simhash_blocked_rows(fp).persist()
+    return simhash_pairs_from_blocked(blocked, max_hamming)
+
+
+def simhash_pairs_from_blocked(
+    blocked: DataFrame, max_hamming: int = _SIMHASH_MAX_HAMMING
+) -> DataFrame:
+    """The Hamming join itself, over a caller-owned (ideally persisted)
+    simhash_blocked_rows table — see simhash_hamming_pairs for the
+    pigeonhole recall argument."""
     if max_hamming >= _SIMHASH_N_BLOCKS:
         # real ValueError, not assert (survives python -O): beyond the
         # pigeonhole bound the block join silently MISSES qualifying
@@ -789,21 +896,6 @@ def simhash_hamming_pairs(
             f"max_hamming={max_hamming} breaks the pigeonhole "
             f"guarantee: must be < {_SIMHASH_N_BLOCKS} blocks"
         )
-    block_mask = (1 << _SIMHASH_BLOCK_BITS) - 1
-    blocked = fp.select(
-        "doc_id",
-        "simhash",
-        F.posexplode(
-            F.array(
-                *[
-                    F.shiftright(F.col("simhash"), _SIMHASH_BLOCK_BITS * b)
-                    .bitwiseAND(F.lit(block_mask))
-                    .cast("int")
-                    for b in range(_SIMHASH_N_BLOCKS)
-                ]
-            )
-        ).alias("block_id", "block_val"),
-    ).persist()
     a, b = blocked.alias("a"), blocked.alias("b")
     hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
     return (
@@ -825,17 +917,74 @@ def simhash_hamming_pairs(
     )
 
 
-@register("q_dedup_simhash_pairs")  # rows-only: xxhash64-based
-# fingerprints; the hash certification lives in q_dedup_simhash_pairs_cert
+@register(
+    "q_dedup_simhash_pairs",
+    oracle="""
+    SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+           TRUE AS pairs_ordered,
+           TRUE AS hamming_within_bound,
+           TRUE AS fingerprints_in_range
+    """,
+)
 def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup candidates: ALL document pairs whose 60-bit
     fingerprints are within Hamming distance 3, via exact-recall
     pigeonhole blocking on 4×15-bit fingerprint blocks (see
     simhash_hamming_pairs; property-tested against brute force, and
     sample-certified by q_dedup_simhash_pairs_cert). This is the
-    PRODUCTION plan the bench measures — no brute-force arm."""
+    PRODUCTION plan the bench measures — no brute-force arm.
+
+    Fingerprint values are xxhash64-based, so no SQL oracle can
+    recompute the raw pair rows — the query returns a flag-bearing
+    summary of the FULL blocked pair set (VERDICT r14 item 1, the
+    q_dedup_simhash pattern), all pipeline work still benched:
+    DuckDB pins the exact corpus doc count plus TRUE flags for
+    pairs_ordered (doc_a < doc_b everywhere), hamming_within_bound
+    (every emitted pair's recomputed popcount distance ∈ [0, 3]) and
+    fingerprints_in_range (every fingerprint ∈ [0, 2^60), checked
+    corpus-wide from the same blocked table the join consumes). Empty
+    pair sets certify vacuously (coalesce TRUE)."""
     fp = simhash_fingerprints(load_table(spark, sf_dir, "documents"))
-    return simhash_hamming_pairs(fp).orderBy("doc_a", "doc_b")
+    # blocked feeds both self-join sides AND the corpus-wide head agg;
+    # persist + try/finally so no cache survives the return (VERDICT
+    # r14 item 9).
+    blocked = simhash_blocked_rows(fp).persist()
+    try:
+        pairs = simhash_pairs_from_blocked(blocked)
+        flags = pairs.agg(
+            F.coalesce(
+                F.bool_and(F.col("doc_a") < F.col("doc_b")), F.lit(True)
+            ).alias("pairs_ordered"),
+            F.coalesce(
+                F.bool_and(
+                    (F.col("hamming") >= 0)
+                    & (F.col("hamming") <= _SIMHASH_MAX_HAMMING)
+                ),
+                F.lit(True),
+            ).alias("hamming_within_bound"),
+        )
+        # one row per doc (block 0): corpus count + range flag without
+        # a second fingerprint pass
+        head = blocked.filter(F.col("block_id") == 0).agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.bool_and(
+                (F.col("simhash") >= 0)
+                & (F.col("simhash") < F.lit(1 << _SIMHASH_BITS))
+            ).alias("fingerprints_in_range"),
+        )
+        out = (
+            head.crossJoin(flags)
+            .select(
+                "n_docs",
+                "pairs_ordered",
+                "hamming_within_bound",
+                "fingerprints_in_range",
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        blocked.unpersist()
+    return out
 
 
 _SIMHASH_CERT_PAIR_BUDGET = 20_000  # brute-force pair budget for the
@@ -889,6 +1038,7 @@ def q_dedup_simhash_pairs_cert(spark: SparkSession, sf_dir: str) -> DataFrame:
         simhash_fingerprints(load_table(spark, sf_dir, "documents"))
         .persist()
     )
+    blocked_rows_t = None
     try:
         in_range = fp.agg(
             F.bool_and(
@@ -899,7 +1049,10 @@ def q_dedup_simhash_pairs_cert(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).collect()[0]
         mod = simhash_cert_mod(int(in_range["n"]))
         sample = fp.filter(F.col("doc_id") % mod == 0)
-        blocked = simhash_hamming_pairs(sample).select("doc_a", "doc_b")
+        blocked_rows_t = simhash_blocked_rows(sample).persist()
+        blocked = simhash_pairs_from_blocked(blocked_rows_t).select(
+            "doc_a", "doc_b"
+        )
         a = sample.alias("a")
         b = sample.alias("b")
         ham = F.bit_count(
@@ -934,6 +1087,8 @@ def q_dedup_simhash_pairs_cert(spark: SparkSession, sf_dir: str) -> DataFrame:
         sym_diff = int(row["sym_diff"])
         n_sample = int(row["n_sample"])
     finally:
+        if blocked_rows_t is not None:
+            blocked_rows_t.unpersist()
         fp.unpersist()
     return spark.createDataFrame(
         [
@@ -1221,8 +1376,18 @@ def ensure_minhash_band_log(spark: SparkSession, sf_dir: str) -> str:
     return table
 
 
-@register("q_dedup_incremental")  # rows-only: xxhash64-based signature
-# estimates; the hash certification lives in q_dedup_incremental_cert
+@register(
+    "q_dedup_incremental",
+    oracle="""
+    SELECT (SELECT CAST(SUM(CASE WHEN doc_id % 4 != 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) FROM documents) AS n_base_docs,
+           (SELECT CAST(SUM(CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) FROM documents) AS n_batch_docs,
+           TRUE AS pairs_ordered,
+           TRUE AS batch_in_every_pair,
+           TRUE AS est_in_band_range
+    """,
+)
 def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch-incremental near-dup detection WITHOUT a corpus rescan:
     the base corpus's LSH band table lives in the versioned log
@@ -1230,22 +1395,63 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     new batch (doc_id % 4 == 0) computes only ITS signatures and joins
     them against the persisted bands, at per-batch cost independent of
     corpus size — the only sustainable dedup shape for a growing
-    100 TB corpus. This is the PRODUCTION plan the bench measures
-    (VERDICT r13 item 1); the union-equals-full-recompute contract is
-    certified by q_dedup_incremental_cert and pytest-pinned by
-    tests/test_dedup.py::test_incremental_dedup_equals_full_recompute."""
+    100 TB corpus. This is the PRODUCTION plan the bench measures;
+    the union-equals-full-recompute contract is certified by
+    q_dedup_incremental_cert and pytest-pinned by
+    tests/test_dedup.py::test_incremental_dedup_equals_full_recompute.
+
+    Signature values are xxhash64-based, so no SQL oracle can
+    recompute the raw pair rows — the query returns a flag-bearing
+    summary of the FULL incremental pair set (VERDICT r14 item 1, the
+    q_dedup_simhash pattern), all pipeline work still benched: DuckDB
+    pins the exact base/batch doc counts (same %4 split formula) plus
+    TRUE flags for pairs_ordered (the lo/hi normalization held),
+    batch_in_every_pair (every pair involves >= 1 batch doc — the
+    defining claim that the join's left leg is always the batch, never
+    corpus-internal) and est_in_band_range (jaccard_est ∈ [4/32, 1] —
+    the banding floor). Empty pair sets certify vacuously."""
     from meta_iterative_mapreduce_spark.sources import versioned
 
     table = ensure_minhash_band_log(spark, sf_dir)
     corpus_bands = versioned.read_version(spark, table)
-    batch = load_table(spark, sf_dir, "documents").filter(
-        F.col("doc_id") % 4 == 0
-    )
-    new_bands = band_rows(minhash_signatures(batch))
-    pairs = incremental_band_pairs(new_bands, corpus_bands)
-    return pairs.select(
-        "doc_a", "doc_b", F.round("jaccard_est", 4).alias("jaccard_est")
-    ).orderBy("doc_a", "doc_b")
+    d = load_table(spark, sf_dir, "documents")
+    batch = d.filter(F.col("doc_id") % 4 == 0)
+    # The batch band table feeds TWO legs of incremental_band_pairs
+    # (the left join side and the corpus∪batch union) — persist so the
+    # batch's shingle/signature pass runs once, released before return.
+    new_bands = band_rows(minhash_signatures(batch)).persist()
+    try:
+        pairs = incremental_band_pairs(new_bands, corpus_bands)
+        flags = pairs.agg(
+            F.coalesce(
+                F.bool_and(F.col("doc_a") < F.col("doc_b")), F.lit(True)
+            ).alias("pairs_ordered"),
+            F.coalesce(
+                F.bool_and(
+                    (F.col("doc_a") % 4 == 0) | (F.col("doc_b") % 4 == 0)
+                ),
+                F.lit(True),
+            ).alias("batch_in_every_pair"),
+            F.coalesce(
+                F.bool_and(
+                    (F.col("jaccard_est") >= F.lit(_BAND_EST_FLOOR))
+                    & (F.col("jaccard_est") <= F.lit(1.0))
+                ),
+                F.lit(True),
+            ).alias("est_in_band_range"),
+        )
+        counts = d.agg(
+            F.sum(F.when(F.col("doc_id") % 4 != 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_base_docs"),
+            F.sum(F.when(F.col("doc_id") % 4 == 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_batch_docs"),
+        )
+        out = counts.crossJoin(flags).localCheckpoint(eager=True)
+    finally:
+        new_bands.unpersist()
+    return out
 
 
 _INC_CERT_DOC_BUDGET = 20_000  # doc budget for the from-scratch

@@ -195,7 +195,8 @@ def test_containment_finds_planted_subset(spark, tmp_path):
 
 
 def test_incremental_dedup_equals_full_recompute(spark, sf_dir):
-    """The q_dedup_incremental oracle tier (rows-only in the registry):
+    """The q_dedup_incremental pair-set contract (its registered form
+    is a flag-bearing summary over these pairs):
     corpus-internal pairs + batch-incremental pairs == the full-corpus
     recompute, EXACTLY. Unrounded estimates compared — every value is
     n_agree/32, an exact binary fraction (Spark's HALF_UP and Python's
