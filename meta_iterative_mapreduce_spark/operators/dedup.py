@@ -273,7 +273,15 @@ def minhash_signatures(d: DataFrame, shingle_width: int = 3) -> DataFrame:
     hash-aggregate pass (map-side partial agg ⇒ the shuffle carries
     ~one row per doc per partition). The naive all-array form
     re-evaluates the shingle subtree once per permutation — 32× the
-    work — because Catalyst's project collapse inlines it.
+    work — because Catalyst's project collapse inlines it. A per-row
+    zip_with(least) FOLD over the shingle-hash array (the
+    simhash_votes move) was tried in optimization r15 and measured
+    WORSE (near_minhash 2.6 → 3.0 s, incremental 2.2 → 5.8 s at
+    sf0.1): nested higher-order lambdas evaluate interpreted with two
+    array allocations per shingle, while the 32 MIN aggregates ride
+    whole-stage codegen — simhash won from that move only because its
+    cost was the 60-aggregate ANALYSIS round, which minhash's 32
+    cheaper aggregates never paid.
     """
     hashed = d.select(
         "doc_id",
@@ -396,6 +404,50 @@ def shingle_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BAND_EST_FLOOR = (_N_HASHES // _N_BANDS) / float(_N_HASHES)
 
 
+def _violations(cond: F.Column) -> F.Column:
+    """Aggregate counting rows where `cond` is false/null — the
+    summary queries' flag primitive: `_violations(c) == 0` is
+    bool_and(c) with vacuous truth on empty inputs (coalesce 0), but
+    SUM keeps the aggregate HASH-based with map-side partials where
+    bool_and over array-carrying rows planned a Sort + SortAggregate."""
+    return F.coalesce(F.sum(F.when(~cond, 1).otherwise(0)), F.lit(0))
+
+
+def near_minhash_summary(sigs: DataFrame) -> DataFrame:
+    """LAZY 1-row flag summary over the LSH candidate pairs of a
+    (persisted) signature table — the plan q_dedup_near_minhash
+    checkpoints; see its docstring for the flag semantics. deduped=
+    False: the universally-quantified flags are multiplicity-
+    insensitive, so the pair dedup's Exchange + sort-based first()
+    aggregate would be pure overhead."""
+    pairs = minhash_band_pairs(sigs, with_sigs=True, deduped=False)
+    rpb = _N_HASHES // _N_BANDS
+    shares_band: F.Column = F.lit(False)
+    for b in range(_N_BANDS):
+        shares_band = shares_band | (
+            F.slice("sig_a", b * rpb + 1, rpb)
+            == F.slice("sig_b", b * rpb + 1, rpb)
+        )
+    flags = pairs.agg(
+        (_violations(F.col("doc_a") < F.col("doc_b")) == 0).alias(
+            "pairs_ordered"
+        ),
+        (
+            _violations(
+                (F.col("jaccard_est") >= F.lit(_BAND_EST_FLOOR))
+                & (F.col("jaccard_est") <= F.lit(1.0))
+            )
+            == 0
+        ).alias("est_in_band_range"),
+        (_violations(shares_band) == 0).alias("band_agreement"),
+    )
+    # minhash_signatures emits exactly one row per document (every doc
+    # has >= 1 shingle), so the corpus count rides the already
+    # persisted signature table instead of a second parquet scan.
+    head = sigs.agg(F.count(F.lit(1)).alias("n_docs"))
+    return head.crossJoin(flags)
+
+
 @register(
     "q_dedup_near_minhash",
     oracle="""
@@ -445,31 +497,7 @@ def q_dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # persisted signature table into long-lived sessions).
     sigs = minhash_signatures(d).persist()
     try:
-        pairs = minhash_band_pairs(sigs, with_sigs=True)
-        rpb = _N_HASHES // _N_BANDS
-        shares_band: F.Column = F.lit(False)
-        for b in range(_N_BANDS):
-            shares_band = shares_band | (
-                F.slice("sig_a", b * rpb + 1, rpb)
-                == F.slice("sig_b", b * rpb + 1, rpb)
-            )
-        flags = pairs.agg(
-            F.coalesce(
-                F.bool_and(F.col("doc_a") < F.col("doc_b")), F.lit(True)
-            ).alias("pairs_ordered"),
-            F.coalesce(
-                F.bool_and(
-                    (F.col("jaccard_est") >= F.lit(_BAND_EST_FLOOR))
-                    & (F.col("jaccard_est") <= F.lit(1.0))
-                ),
-                F.lit(True),
-            ).alias("est_in_band_range"),
-            F.coalesce(F.bool_and(shares_band), F.lit(True)).alias(
-                "band_agreement"
-            ),
-        )
-        head = d.agg(F.count(F.lit(1)).alias("n_docs"))
-        out = head.crossJoin(flags).localCheckpoint(eager=True)
+        out = near_minhash_summary(sigs).localCheckpoint(eager=True)
     finally:
         sigs.unpersist()
     return out
@@ -565,7 +593,9 @@ def band_rows(sigs: DataFrame) -> DataFrame:
     )
 
 
-def minhash_band_pairs(sigs: DataFrame, with_sigs: bool = False) -> DataFrame:
+def minhash_band_pairs(
+    sigs: DataFrame, with_sigs: bool = False, deduped: bool = True
+) -> DataFrame:
     """LSH banding over a persisted (doc_id, sig) table: 8 bands of 4
     rows -> band-bucket self-join -> per-pair signature-agreement
     Jaccard estimate. The ONLY data-proportional exchange is on
@@ -573,7 +603,13 @@ def minhash_band_pairs(sigs: DataFrame, with_sigs: bool = False) -> DataFrame:
     buckets. Reused by q_dedup_near_minhash and the 1M-doc recall
     smoke (tools/scale_smoke.py). `with_sigs=True` additionally keeps
     the sig_a/sig_b arrays so the caller can re-verify band agreement
-    per pair (the production summary's band_agreement flag)."""
+    per pair (the production summary's band_agreement flag).
+    `deduped=False` skips the (doc_a, doc_b) dropDuplicates — a pair
+    agreeing on k bands then appears k times; correct for consumers
+    whose aggregates are multiplicity-insensitive (the production
+    summary's universally-quantified flags), and it removes a whole
+    Exchange + SortAggregate (first() over the sig arrays is not
+    hash-aggregable, so the dedup plans sort-based)."""
     banded = band_rows(sigs)
     a = banded.alias("a")
     b = banded.alias("b")
@@ -590,8 +626,9 @@ def minhash_band_pairs(sigs: DataFrame, with_sigs: bool = False) -> DataFrame:
             F.col("a.sig").alias("sig_a"),
             F.col("b.sig").alias("sig_b"),
         )
-        .dropDuplicates(["doc_a", "doc_b"])
     )
+    if deduped:
+        pairs = pairs.dropDuplicates(["doc_a", "doc_b"])
     est = F.size(
         F.filter(
             F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
@@ -615,45 +652,62 @@ _SIMHASH_BLOCK_BITS = _SIMHASH_BITS // _SIMHASH_N_BLOCKS  # 15
 _SIMHASH_MASK = (1 << _SIMHASH_BITS) - 1
 
 
+def _simhash_powers() -> F.Column:
+    """bit-value literals 2^0..2^59, shared by the vote and fingerprint
+    folds (bitwiseAND against these replaces shiftright, whose PySpark
+    form only takes a Python-int shift count, not a lambda variable).
+    A function, not a module constant: building Columns needs an active
+    SparkContext, which import time doesn't have."""
+    return F.array(*[F.lit(1 << bit) for bit in range(_SIMHASH_BITS)])
+
+
 def simhash_votes(docs: DataFrame) -> DataFrame:
-    """(doc_id, v0..v59) per-bit vote sums over each doc's DISTINCT
-    token set: one (doc_id, token-hash) row per distinct token, then
-    all 60 bit votes as SUM aggregates in a single hash-agg pass (same
-    shape rationale as minhash_signatures)."""
-    hashed = docs.select(
-        "doc_id",
-        F.explode(
-            F.transform(
-                F.array_distinct(F.split("text", " ")),
-                lambda t: F.xxhash64(t).bitwiseAND(F.lit(_SIMHASH_MASK)),
-            )
-        ).alias("h"),
+    """(doc_id, votes: array<int>[60]) per-bit vote sums over each
+    doc's DISTINCT token set.
+
+    Shape (optimization r15, VERDICT r14 item 3): votes are a SINGLE
+    array-typed column computed per row — fold the doc's token-hash
+    array with a zip_with accumulator (each hash contributes ±1 per
+    bit) — instead of exploding to (doc_id, h) rows and re-collecting
+    with 60 named SUM aggregates. The vote sums are per-doc pure
+    functions, so the explode + groupBy exchange bought nothing, and
+    the 60-aggregate form cost a full Catalyst analysis/codegen round
+    per arm (two arms in q_dedup_simhash ≈ half the query's wall
+    clock). Integer addition is commutative, so the folded sums are
+    bit-identical to the aggregate form's. The token-hash array is an
+    ARGUMENT of the fold (evaluated once per row), never referenced
+    inside a lambda body — the word_shingles O(len²) inlining lesson."""
+    hs = F.transform(
+        F.array_distinct(F.split("text", " ")),
+        lambda t: F.xxhash64(t).bitwiseAND(F.lit(_SIMHASH_MASK)),
     )
-    votes = [
-        F.sum(
-            F.when(F.shiftright(F.col("h"), bit) % 2 == 1, F.lit(1)).otherwise(
-                F.lit(-1)
-            )
-        ).alias(f"v{bit}")
-        for bit in range(_SIMHASH_BITS)
-    ]
-    return hashed.groupBy("doc_id").agg(*votes)
+    zeros = F.array_repeat(F.lit(0), _SIMHASH_BITS)
+    votes = F.aggregate(
+        hs,
+        zeros,
+        lambda acc, h: F.zip_with(
+            acc,
+            F.transform(
+                _simhash_powers(),
+                lambda p: F.when(h.bitwiseAND(p) != 0, F.lit(1)).otherwise(
+                    F.lit(-1)
+                ),
+            ),
+            lambda a, x: a + x,
+        ),
+    )
+    return docs.select("doc_id", votes.alias("votes"))
 
 
-def _fingerprint_expr() -> F.Column:
-    """60-bit fingerprint column from v0..v59 vote columns: bit = 1
-    iff the vote sum is positive. Folded via F.aggregate over a flat
-    60-element array — a chained `+ when(...)` builds a 60-DEEP Add
-    tree whose Catalyst analysis cost dominated the whole query
-    (BENCH r14 dry run: ~10x), where the array form is depth ~2 for
-    identical arithmetic."""
-    bits = F.array(
-        *[
-            F.when(F.col(f"v{bit}") > 0, F.lit(1 << bit)).otherwise(
-                F.lit(0)
-            )
-            for bit in range(_SIMHASH_BITS)
-        ]
+def _fingerprint_expr(votes_col: str = "votes") -> F.Column:
+    """60-bit fingerprint from the votes array: bit b contributes 2^b
+    iff its vote sum is positive — one zip_with against the power
+    literals plus a flat sum fold (constant expression depth; the
+    named-column chained-Add form cost a 60-deep analysis tree)."""
+    bits = F.zip_with(
+        F.col(votes_col),
+        _simhash_powers(),
+        lambda v, p: F.when(v > 0, p).otherwise(F.lit(0)),
     )
     return F.aggregate(
         bits, F.lit(0).cast("bigint"), lambda acc, x: acc + x
@@ -665,7 +719,7 @@ def simhash_fingerprints(docs: DataFrame) -> DataFrame:
     hash bit votes (xxhash64 masked to 60 bits so all arithmetic stays
     in positive bigint range). Docs whose fingerprints agree on most
     bits are near-dups; q_dedup_simhash_pairs blocks them for the
-    join."""
+    join. One narrow per-row expression — no explode, no exchange."""
     return simhash_votes(docs).select(
         "doc_id", _fingerprint_expr().alias("simhash")
     )
@@ -762,20 +816,14 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " ",
             ).alias("text"),
         )
-        # flat-array fold, same rationale as _fingerprint_expr
-        margin = F.aggregate(
-            F.array(
-                *[
-                    F.when(F.abs(F.col(f"v{bit}")) <= 2, 1).otherwise(0)
-                    for bit in range(_SIMHASH_BITS)
-                ]
-            ),
-            F.lit(0),
-            lambda acc, x: acc + x,
+        # bits whose original |vote| <= 2 are the only ones a one-token
+        # substitution can flip — count them straight off the votes array
+        margin = F.size(
+            F.filter(F.col("votes"), lambda v: F.abs(v) <= 2)
         )
         # ONE variant fingerprint pipeline for clone + mutant (doc_id
         # is tagged even/odd) — two separate simhash_votes plans cost
-        # a second 60-aggregate analysis/codegen round for no data win
+        # a second analysis/codegen round for no data win
         variants = clone.select(
             (F.col("doc_id") * 2).alias("doc_id"), "text"
         ).unionByName(
@@ -883,11 +931,16 @@ def simhash_hamming_pairs(
 
 
 def simhash_pairs_from_blocked(
-    blocked: DataFrame, max_hamming: int = _SIMHASH_MAX_HAMMING
+    blocked: DataFrame,
+    max_hamming: int = _SIMHASH_MAX_HAMMING,
+    deduped: bool = True,
 ) -> DataFrame:
     """The Hamming join itself, over a caller-owned (ideally persisted)
     simhash_blocked_rows table — see simhash_hamming_pairs for the
-    pigeonhole recall argument."""
+    pigeonhole recall argument. `deduped=False` keeps a pair once per
+    agreeing block (multiplicity k <= 4) and skips the pair-key
+    exchange — correct for multiplicity-insensitive consumers (the
+    production summary's flags)."""
     if max_hamming >= _SIMHASH_N_BLOCKS:
         # real ValueError, not assert (survives python -O): beyond the
         # pigeonhole bound the block join silently MISSES qualifying
@@ -898,7 +951,7 @@ def simhash_pairs_from_blocked(
         )
     a, b = blocked.alias("a"), blocked.alias("b")
     hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
-    return (
+    out = (
         a.join(
             b,
             (F.col("a.block_id") == F.col("b.block_id"))
@@ -911,10 +964,12 @@ def simhash_pairs_from_blocked(
             hamming.cast("int").alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
+    )
+    if deduped:
         # a pair agreeing on k blocks appears k times — one exchange on
         # the (doc_a, doc_b) key dedups
-        .dropDuplicates(["doc_a", "doc_b"])
-    )
+        out = out.dropDuplicates(["doc_a", "doc_b"])
+    return out
 
 
 @register(
@@ -950,41 +1005,48 @@ def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # r14 item 9).
     blocked = simhash_blocked_rows(fp).persist()
     try:
-        pairs = simhash_pairs_from_blocked(blocked)
-        flags = pairs.agg(
-            F.coalesce(
-                F.bool_and(F.col("doc_a") < F.col("doc_b")), F.lit(True)
-            ).alias("pairs_ordered"),
-            F.coalesce(
-                F.bool_and(
-                    (F.col("hamming") >= 0)
-                    & (F.col("hamming") <= _SIMHASH_MAX_HAMMING)
-                ),
-                F.lit(True),
-            ).alias("hamming_within_bound"),
-        )
-        # one row per doc (block 0): corpus count + range flag without
-        # a second fingerprint pass
-        head = blocked.filter(F.col("block_id") == 0).agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.bool_and(
-                (F.col("simhash") >= 0)
-                & (F.col("simhash") < F.lit(1 << _SIMHASH_BITS))
-            ).alias("fingerprints_in_range"),
-        )
-        out = (
-            head.crossJoin(flags)
-            .select(
-                "n_docs",
-                "pairs_ordered",
-                "hamming_within_bound",
-                "fingerprints_in_range",
-            )
-            .localCheckpoint(eager=True)
-        )
+        out = simhash_pairs_summary(blocked).localCheckpoint(eager=True)
     finally:
         blocked.unpersist()
     return out
+
+
+def simhash_pairs_summary(blocked: DataFrame) -> DataFrame:
+    """LAZY 1-row flag summary over the blocked Hamming pairs of a
+    (persisted) simhash_blocked_rows table — the plan
+    q_dedup_simhash_pairs checkpoints. deduped=False + violation-count
+    flags: same rationale as near_minhash_summary."""
+    pairs = simhash_pairs_from_blocked(blocked, deduped=False)
+    flags = pairs.agg(
+        (_violations(F.col("doc_a") < F.col("doc_b")) == 0).alias(
+            "pairs_ordered"
+        ),
+        (
+            _violations(
+                (F.col("hamming") >= 0)
+                & (F.col("hamming") <= _SIMHASH_MAX_HAMMING)
+            )
+            == 0
+        ).alias("hamming_within_bound"),
+    )
+    # one row per doc (block 0): corpus count + range flag without a
+    # second fingerprint pass
+    head = blocked.filter(F.col("block_id") == 0).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (
+            _violations(
+                (F.col("simhash") >= 0)
+                & (F.col("simhash") < F.lit(1 << _SIMHASH_BITS))
+            )
+            == 0
+        ).alias("fingerprints_in_range"),
+    )
+    return head.crossJoin(flags).select(
+        "n_docs",
+        "pairs_ordered",
+        "hamming_within_bound",
+        "fingerprints_in_range",
+    )
 
 
 _SIMHASH_CERT_PAIR_BUDGET = 20_000  # brute-force pair budget for the
@@ -1308,7 +1370,7 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def incremental_band_pairs(
-    new_bands: DataFrame, corpus_bands: DataFrame
+    new_bands: DataFrame, corpus_bands: DataFrame, deduped: bool = True
 ) -> DataFrame:
     """Candidate near-dup pairs INVOLVING the new batch: join the
     batch's band rows against (corpus ∪ batch) band rows on the LSH
@@ -1340,8 +1402,9 @@ def incremental_band_pairs(
             hi["doc_id"].alias("doc_b"),
             hi["sig"].alias("sig_b"),
         )
-        .dropDuplicates(["doc_a", "doc_b"])
     )
+    if deduped:
+        pairs = pairs.dropDuplicates(["doc_a", "doc_b"])
     est = F.size(
         F.filter(
             F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
@@ -1421,37 +1484,49 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     # batch's shingle/signature pass runs once, released before return.
     new_bands = band_rows(minhash_signatures(batch)).persist()
     try:
-        pairs = incremental_band_pairs(new_bands, corpus_bands)
-        flags = pairs.agg(
-            F.coalesce(
-                F.bool_and(F.col("doc_a") < F.col("doc_b")), F.lit(True)
-            ).alias("pairs_ordered"),
-            F.coalesce(
-                F.bool_and(
-                    (F.col("doc_a") % 4 == 0) | (F.col("doc_b") % 4 == 0)
-                ),
-                F.lit(True),
-            ).alias("batch_in_every_pair"),
-            F.coalesce(
-                F.bool_and(
-                    (F.col("jaccard_est") >= F.lit(_BAND_EST_FLOOR))
-                    & (F.col("jaccard_est") <= F.lit(1.0))
-                ),
-                F.lit(True),
-            ).alias("est_in_band_range"),
+        out = incremental_summary(d, new_bands, corpus_bands).localCheckpoint(
+            eager=True
         )
-        counts = d.agg(
-            F.sum(F.when(F.col("doc_id") % 4 != 0, 1).otherwise(0))
-            .cast("bigint")
-            .alias("n_base_docs"),
-            F.sum(F.when(F.col("doc_id") % 4 == 0, 1).otherwise(0))
-            .cast("bigint")
-            .alias("n_batch_docs"),
-        )
-        out = counts.crossJoin(flags).localCheckpoint(eager=True)
     finally:
         new_bands.unpersist()
     return out
+
+
+def incremental_summary(
+    d: DataFrame, new_bands: DataFrame, corpus_bands: DataFrame
+) -> DataFrame:
+    """LAZY 1-row flag summary over the incremental band pairs of a
+    (persisted) batch band table vs the corpus band log — the plan
+    q_dedup_incremental checkpoints. deduped=False + violation-count
+    flags: same rationale as near_minhash_summary."""
+    pairs = incremental_band_pairs(new_bands, corpus_bands, deduped=False)
+    flags = pairs.agg(
+        (_violations(F.col("doc_a") < F.col("doc_b")) == 0).alias(
+            "pairs_ordered"
+        ),
+        (
+            _violations(
+                (F.col("doc_a") % 4 == 0) | (F.col("doc_b") % 4 == 0)
+            )
+            == 0
+        ).alias("batch_in_every_pair"),
+        (
+            _violations(
+                (F.col("jaccard_est") >= F.lit(_BAND_EST_FLOOR))
+                & (F.col("jaccard_est") <= F.lit(1.0))
+            )
+            == 0
+        ).alias("est_in_band_range"),
+    )
+    counts = d.agg(
+        F.sum(F.when(F.col("doc_id") % 4 != 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_base_docs"),
+        F.sum(F.when(F.col("doc_id") % 4 == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_batch_docs"),
+    )
+    return counts.crossJoin(flags)
 
 
 _INC_CERT_DOC_BUDGET = 20_000  # doc budget for the from-scratch
