@@ -306,7 +306,23 @@ def copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     C(#lines, 2) either way — bounded by order size, never global —
     and the collect_set array is one order's parts, small by the same
     bound (a hub "order" at 100 TB would need the join form plus
-    salting; order-shaped keys don't hub)."""
+    salting; order-shaped keys don't hub).
+
+    Dedup + partitioning (optimization r15, VERDICT r14 item 6): both
+    orientations are emitted INLINE from the sorted set and the edge
+    table is deduplicated under ONE exchange keyed by u —
+    repartition("u") followed by dropDuplicates([u, v]), whose
+    aggregate reuses the u-partitioning (hash partitioning on a
+    subset of the grouping keys satisfies the clustered-distribution
+    requirement). The old shape paid a (u, v)-keyed distinct exchange
+    AND a second repartition("u") in every iterative consumer; now the
+    returned edges are ALREADY hash-partitioned by u, so pagerank/bfs
+    persist them as-is and the per-iteration joins are co-partitioned
+    for free, and link_predict's groupBy("u") neighbor aggregate needs
+    no exchange at all. (Within-order combinations are unique, so the
+    old distinct's map-side partial dedup bought almost nothing — the
+    cross-order duplicates it caught still need the exchange either
+    way.)"""
     per_order = (
         load_table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
@@ -314,20 +330,17 @@ def copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sort_array(F.collect_set("l_partkey")).alias("ps"))
         .filter(F.size("ps") >= 2)
     )
-    pairs = (
-        per_order.select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(ps, (x, i) -> "
-                    "transform(slice(ps, i + 2, size(ps) - i - 1), "
-                    "y -> struct(x AS u, y AS v))))"
-                )
-            ).alias("e")
-        )
-        .select("e.u", "e.v")
-        .distinct()
-    )
-    return pairs.unionAll(pairs.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    sym = per_order.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ps, (x, i) -> "
+                "flatten(transform(slice(ps, i + 2, size(ps) - i - 1), "
+                "y -> array(struct(x AS u, y AS v), "
+                "struct(y AS u, x AS v))))))"
+            )
+        ).alias("e")
+    ).select("e.u", "e.v")
+    return sym.repartition("u").dropDuplicates(["u", "v"])
 
 
 def pagerank(edges_sym: DataFrame, n_iter: int = 3, damping: float = 0.85) -> DataFrame:
@@ -350,13 +363,14 @@ def pagerank(edges_sym: DataFrame, n_iter: int = 3, damping: float = 0.85) -> Da
     the same exact integer both engines derive, mirroring the rank-0
     convergence scalars of the reference loop).
     """
-    # hash-partition the cached edge table by the join key ONCE: every
-    # iteration joins on u, and a plain persist leaves the planner
-    # re-exchanging the (large) edge side per unrolled iteration —
-    # partition-once-iterate-co-partitioned is the guide §2.4 shape
-    # (measured 12.5 → 4.8 s at sf0.1 for the 3-iteration query; at
-    # scale it removes n_iter-1 edge-table shuffles).
-    edges_sym = edges_sym.repartition("u").persist()
+    # the cached edge table must be hash-partitioned by the join key
+    # ONCE so the unrolled iterations stop re-exchanging the (large)
+    # edge side — partition-once-iterate-co-partitioned, guide §2.4
+    # (measured 12.5 → 4.8 s at sf0.1 in r14). copurchase_edges now
+    # RETURNS u-partitioned edges (its dedup rides the same exchange),
+    # so no repartition here: a caller passing unpartitioned edges
+    # still gets correct results, just per-iteration exchanges.
+    edges_sym = edges_sym.persist()
     deg = edges_sym.groupBy("u").agg(F.count(F.lit(1)).alias("d")).persist()
     n = deg.count()
     ranks = deg.select("u", F.lit(1.0 / n).alias("pr"))
@@ -442,20 +456,21 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     whose highest-degree node produces a quadratic wedge set. Each
     triangle has exactly one vertex with two out-edges under this
     acyclic orientation, so COUNT is exact with no deduplication.
-    `oriented` is persisted because it feeds all three join legs
-    (Catalyst would re-inline the distinct+join pipeline 3x).
+    `oriented` is persisted because it feeds both the adjacency
+    aggregate and the edge-stream probe (Catalyst would re-inline the
+    orientation pipeline per leg).
 
-    The closure join's left input is the WEDGE stream — |wedges| =
-    sum over nodes of out-degree² dwarfs |edges| (49M wedges vs 1.2M
-    edges at sf0.1) — so shuffling it is the whole cost of the query.
-    When the edge list itself is broadcastable we hint both probe
-    legs broadcast, which turns wedge generation + closure into one
-    shuffle-free stage streaming over the cached edges (9× faster at
-    sf0.1: 45.7s → 5.1s measured); past _BCAST_EDGE_LIMIT edges the
-    code falls back to the shuffle plan, which is the correct
-    MapReduce triangle algorithm at 100 TB (wedge shuffle is the
-    known dominant term; degree orientation keeps it
-    O(E^1.5) total)."""
+    EDGE-ITERATOR closure (r14): each oriented edge (s, t) contributes
+    |N⁺(s) ∩ N⁺(t)| triangles, so the count is one join of the EDGE
+    stream (|E| rows) against the sorted out-adjacency arrays on each
+    endpoint plus an array_intersect — the wedge stream (Σ d_out²
+    rows, 49M at sf0.1 vs 1.2M edges) is never materialized or
+    joined. Intersect work totals Σ(d_out(s)+d_out(t)) = O(E^1.5),
+    the same bound as the classic wedge shuffle, but it streams
+    inside one stage. Below _BCAST_EDGE_LIMIT edges the adjacency
+    table is broadcast (O(E) longs) and the closure is shuffle-free;
+    past it the same joins run as shuffles — still the correct
+    MapReduce triangle shape at 100 TB."""
     pairs = (
         copurchase_edges(spark, sf_dir)
         .filter(F.col("u") < F.col("v"))
@@ -570,8 +585,11 @@ def q_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     path enumeration, no hub blowup."""
     # partitioned by the per-round join key before caching — same
     # partition-once-iterate-co-partitioned move as pagerank (5.2 →
-    # 3.0 s warm at sf0.1; saves max_hops-1 edge shuffles at scale)
-    edges = copurchase_edges(spark, sf_dir).repartition("u").persist()
+    # 3.0 s warm at sf0.1; saves max_hops-1 edge shuffles at scale).
+    # copurchase_edges already returns u-partitioned edges, so the
+    # explicit repartition (one extra exchange of the full symmetric
+    # edge set) is gone (optimization r15).
+    edges = copurchase_edges(spark, sf_dir).persist()
     return bfs_hop_histogram(edges, _BFS_MAX_HOPS)
 
 
@@ -660,7 +678,13 @@ def link_predict_pairs(
     """Common-neighbor Jaccard link prediction over a symmetric (u, v)
     edge list — see q_graph_link_predict. Returns non-adjacent pairs
     with >= 2 common neighbors through centers of degree <= center_cap,
-    scored in integer basis points."""
+    scored in integer basis points.
+
+    Cache ownership (ADVICE r14): the returned (lazy) DataFrame reads
+    the persisted `edges`/`nbrs` tables, so this function cannot
+    unpersist them — CALLERS own cache release once the result is
+    materialized (`spark.catalog.clearCache()` or unpersisting via
+    their own references); bench.py clears caches between queries."""
     # edges feeds the neighbor aggregate AND the adjacency anti-join;
     # unpersisted, the whole upstream pair pipeline recomputes per leg
     # (same rationale as q_graph_triangles' persisted `pairs`).
