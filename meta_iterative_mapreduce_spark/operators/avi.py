@@ -230,7 +230,7 @@ def q_multimodal_frame_sample_avi(spark: SparkSession, sf_dir: str) -> DataFrame
     from meta_iterative_mapreduce_spark.operators.multimodal import (
         _spread,
         decode_jpeg_color,
-        encode_jpeg_color,
+        encode_jpeg_color_batch,
     )
 
     d = load_table(spark, sf_dir, "documents")
@@ -248,23 +248,26 @@ def q_multimodal_frame_sample_avi(spark: SparkSession, sf_dir: str) -> DataFrame
                 n_frames = len(data) // fb
                 if n_frames == 0:
                     continue
-                planes = [
-                    np.frombuffer(
-                        data[f * fb : (f + 1) * fb], dtype=np.uint8
-                    ).astype(np.int64)
-                    for f in range(n_frames)
-                ]
-                jpegs = []
-                for gray in planes:
-                    rgb = (
-                        np.stack(
-                            [gray, (2 * gray + 7) % 256, (5 * gray + 11) % 256],
-                            axis=1,
-                        )
-                        .astype(np.uint8)
-                        .reshape(_AVI_FRAME_H, w, 3)
+                # all frames of the doc synthesized and JPEG-encoded in
+                # ONE batched numpy pass (optimization r15 — the
+                # per-frame encoder paid numpy's fixed call overhead on
+                # every 12-block frame; byte-identical, pinned by the
+                # encode_jpeg_color_batch A/B test)
+                gray = (
+                    np.frombuffer(data, dtype=np.uint8, count=n_frames * fb)
+                    .astype(np.int64)
+                    .reshape(n_frames, fb)
+                )
+                rgb = (
+                    np.stack(
+                        [gray, (2 * gray + 7) % 256, (5 * gray + 11) % 256],
+                        axis=2,
                     )
-                    jpegs.append(encode_jpeg_color(w, _AVI_FRAME_H, rgb.tobytes()))
+                    .astype(np.uint8)
+                    .reshape(n_frames, _AVI_FRAME_H, w, 3)
+                )
+                jpegs = encode_jpeg_color_batch(w, _AVI_FRAME_H, rgb)
+                src_means = gray.mean(axis=1)
                 avi = encode_avi_mjpeg(jpegs, w, _AVI_FRAME_H)
 
                 parsed = split_avi_mjpeg(avi)
@@ -281,7 +284,7 @@ def q_multimodal_frame_sample_avi(spark: SparkSession, sf_dir: str) -> DataFrame
                     r_mean = float(
                         dec["pixels"][..., 0].astype(np.float64).mean()
                     )
-                    src_mean = float(planes[f].mean())
+                    src_mean = float(src_means[f])
                     o_doc.append(doc_id)
                     o_n.append(n_frames)
                     o_idx.append(f)

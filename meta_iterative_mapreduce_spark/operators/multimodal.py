@@ -1464,17 +1464,228 @@ def _amplitude(v, size):
     return v if v >= 0 else v + (1 << size) - 1
 
 
+def _enc_arrays(enc, size):
+    """Huffman dict {val: (code, len)} -> (code, len) int64 lookup
+    arrays for the vectorized entropy coder."""
+    code = np.zeros(size, dtype=np.int64)
+    ln = np.zeros(size, dtype=np.int64)
+    for k, (c, l) in enc.items():
+        code[k] = c
+        ln[k] = l
+    return code, ln
+
+
+def _bit_length_i64(x):
+    """Vectorized int bit_length for non-negative int64 < 2^53 (JPEG
+    coefficients are tiny): frexp's exponent IS the bit length and is
+    exact for integers in float64 range."""
+    _, e = np.frexp(x.astype(np.float64))
+    return np.where(x == 0, 0, e).astype(np.int64)
+
+
+def _component_symbols(zz, tabs, slot, reset_mask=None):
+    """Vectorized JPEG entropy SYMBOL stream for one component.
+
+    zz: (nb, 64) int64 zigzag blocks in the component's emission
+    order; tabs: (dc_code, dc_len, ac_code, ac_len) lookup arrays;
+    slot: (nb,) global interleave slot per block (MCU-ordered so a
+    later lexsort can interleave components). Returns five int64
+    arrays (codes, lens, key_slot, key_pos, key_sub): one row per
+    emitted bit-string — DC huffman code + optional DC amplitude, per
+    nonzero AC its ZRL runs + run/size code + amplitude, and the EOB
+    — keyed so that lexsort((sub, pos, slot)) reproduces exactly the
+    scalar _entropy_encode_block emission order (DC pos=-1; ZRLs sort
+    before their AC code via sub 0..3 < 50 < 51; EOB pos=63)."""
+    dc_code, dc_len, ac_code, ac_len = tabs
+    nb = zz.shape[0]
+    i64 = np.int64
+    dc = zz[:, 0]
+    if reset_mask is None:
+        diff = np.diff(dc, prepend=i64(0))
+    else:
+        # batched multi-frame form: the DC predictor restarts at the
+        # first block of every frame
+        prev = np.empty(nb, i64)
+        prev[0] = 0
+        prev[1:] = dc[:-1]
+        prev[reset_mask] = 0
+        diff = dc - prev
+    s = _bit_length_i64(np.abs(diff))
+    damp = np.where(diff >= 0, diff, diff + (i64(1) << s) - 1)
+    havamp = s > 0
+    na = int(havamp.sum())
+    parts = [
+        (dc_code[s], dc_len[s], slot, np.full(nb, -1, i64),
+         np.zeros(nb, i64)),
+        (damp[havamp], s[havamp], slot[havamp], np.full(na, -1, i64),
+         np.ones(na, i64)),
+    ]
+    ac = zz[:, 1:]
+    nzb, nzp = np.nonzero(ac)
+    if len(nzb):
+        vals = ac[nzb, nzp]
+        first = np.empty(len(nzb), dtype=bool)
+        first[0] = True
+        first[1:] = np.diff(nzb) != 0
+        prevp = np.where(first, i64(-1), np.concatenate(([i64(0)], nzp[:-1])))
+        run = nzp - prevp - 1
+        n_zrl = run // 16
+        rem = run - 16 * n_zrl
+        c = _bit_length_i64(np.abs(vals))
+        aamp = np.where(vals >= 0, vals, vals + (i64(1) << c) - 1)
+        sym = (rem << 4) | c
+        tot_zrl = int(n_zrl.sum())
+        if tot_zrl:
+            zi = np.repeat(np.arange(len(nzb)), n_zrl)
+            sub = np.arange(tot_zrl, dtype=i64) - np.repeat(
+                np.cumsum(n_zrl) - n_zrl, n_zrl
+            )
+            parts.append(
+                (
+                    np.full(tot_zrl, ac_code[0xF0], i64),
+                    np.full(tot_zrl, ac_len[0xF0], i64),
+                    slot[nzb][zi],
+                    nzp[zi].astype(i64),
+                    sub,
+                )
+            )
+        nnz = len(nzb)
+        parts.append(
+            (ac_code[sym], ac_len[sym], slot[nzb], nzp.astype(i64),
+             np.full(nnz, 50, i64))
+        )
+        parts.append(
+            (aamp, c, slot[nzb], nzp.astype(i64), np.full(nnz, 51, i64))
+        )
+    last = np.full(nb, -1, i64)
+    if len(nzb):
+        # row-major nonzeros: the final assignment per block is its
+        # maximal AC position
+        last[nzb] = nzp
+    eob = last < 62
+    ne = int(eob.sum())
+    parts.append(
+        (
+            np.full(ne, ac_code[0x00], i64),
+            np.full(ne, ac_len[0x00], i64),
+            slot[eob],
+            np.full(ne, 63, i64),
+            np.zeros(ne, i64),
+        )
+    )
+    return tuple(
+        np.concatenate([p[k] for p in parts]) for k in range(5)
+    )
+
+
+def _pack_entropy_batch(streams, n_slots, n_frames):
+    """Multi-frame variant of _pack_entropy: symbols from a whole
+    STACK of same-geometry JPEG frames (global slot = frame * n_slots
+    + in-frame slot) are ordered by one lexsort, placed into a single
+    bit buffer with per-frame byte alignment (padding bits default to
+    the 1s JPEG flush emits), packed and byte-stuffed once, and split
+    at stuffing-adjusted frame offsets. Returns a list of n_frames
+    entropy byte strings, each byte-identical to the per-frame
+    scalar/_pack_entropy output — amortizes numpy's fixed per-call
+    cost across every frame of a video payload."""
+    codes = np.concatenate([s[0] for s in streams])
+    lens = np.concatenate([s[1] for s in streams])
+    kslot = np.concatenate([s[2] for s in streams])
+    kpos = np.concatenate([s[3] for s in streams])
+    ksub = np.concatenate([s[4] for s in streams])
+    order = np.lexsort((ksub, kpos, kslot))
+    codes, lens, kslot = codes[order], lens[order], kslot[order]
+    frame = kslot // n_slots
+    tbits = np.bincount(frame, weights=lens, minlength=n_frames).astype(
+        np.int64
+    )
+    pbytes = (tbits + 7) // 8
+    pbits = pbytes * 8
+    base = np.concatenate(([np.int64(0)], np.cumsum(pbits)[:-1]))
+    byte_off = np.concatenate(([np.int64(0)], np.cumsum(pbytes)))
+    ends = np.cumsum(lens)
+    starts = ends - lens
+    first_idx = np.searchsorted(frame, np.arange(n_frames), side="left")
+    frame_start_bits = starts[first_idx]
+    within = starts - frame_start_bits[frame]
+    gstart = base[frame] + within
+    total_padded = int(pbits.sum())
+    buf = np.ones(total_padded, np.uint8)
+    sym_of_bit = np.repeat(np.arange(len(lens)), lens)
+    seq = np.arange(int(lens.sum()), dtype=np.int64) - np.repeat(
+        starts, lens
+    )
+    pos = np.repeat(gstart, lens) + seq
+    buf[pos] = (
+        (codes[sym_of_bit] >> (lens[sym_of_bit] - 1 - seq)) & 1
+    ).astype(np.uint8)
+    by = np.packbits(buf)
+    ff = np.nonzero(by == 0xFF)[0]
+    if len(ff):
+        by = np.insert(by, ff + 1, np.uint8(0))
+        byte_off = byte_off + np.searchsorted(ff, byte_off, side="left")
+    raw = by.tobytes()
+    return [
+        raw[byte_off[f]: byte_off[f + 1]] for f in range(n_frames)
+    ]
+
+
+def _pack_entropy(streams) -> bytes:
+    """Order the symbol streams (lexsort by slot, pos, sub), expand
+    every code to its bits, pack to bytes with 1-padding, and apply
+    JPEG byte stuffing (0x00 after every 0xFF) — byte-identical to
+    the scalar _BitWriter path, but one numpy pass per plane instead
+    of a Python call per symbol."""
+    codes = np.concatenate([s[0] for s in streams])
+    lens = np.concatenate([s[1] for s in streams])
+    kslot = np.concatenate([s[2] for s in streams])
+    kpos = np.concatenate([s[3] for s in streams])
+    ksub = np.concatenate([s[4] for s in streams])
+    order = np.lexsort((ksub, kpos, kslot))
+    codes, lens = codes[order], lens[order]
+    total = int(lens.sum())
+    starts = np.cumsum(lens) - lens
+    sym_of_bit = np.repeat(np.arange(len(lens)), lens)
+    bitpos = np.arange(total, dtype=np.int64) - starts[sym_of_bit]
+    bits = (
+        (codes[sym_of_bit] >> (lens[sym_of_bit] - 1 - bitpos)) & 1
+    ).astype(np.uint8)
+    pad = (-total) % 8
+    if pad:
+        bits = np.concatenate([bits, np.ones(pad, np.uint8)])
+    by = np.packbits(bits)
+    ff = np.nonzero(by == 0xFF)[0]
+    if len(ff):
+        by = np.insert(by, ff + 1, np.uint8(0))
+    return by.tobytes()
+
+
+# Huffman lookup arrays for the vectorized entropy coder
+# (value -> code/len), one pair per table: luma DC(12)/AC(256) and
+# chroma DC/AC.
+_LUMA_TABS = (*_enc_arrays(DC_ENC, 12), *_enc_arrays(AC_ENC, 256))
+_CHROMA_TABS = (*_enc_arrays(CDC_ENC, 12), *_enc_arrays(CAC_ENC, 256))
+
+
 def _quantized_zigzag_blocks(plane, qtab):
     """FDCT + quantize + zigzag EVERY 8x8 block of a level-shifted
     plane in one vectorized einsum (plane dims must be multiples of
     8). Returns int64 array of shape (nby, nbx, 64) — the per-block
     numpy matmuls were the measured encoder hotspot; batching them
     leaves only entropy coding in the Python loop."""
-    h, w = plane.shape
-    blocks = plane.reshape(h // 8, 8, w // 8, 8).transpose(0, 2, 1, 3)
-    coefs = np.einsum("ij,xyjk,lk->xyil", _D, blocks, _D, optimize=True)
+    h, w = plane.shape[-2:]
+    lead = plane.shape[:-2]
+    blocks = np.moveaxis(
+        plane.reshape(*lead, h // 8, 8, w // 8, 8), -3, -2
+    )
+    # D @ B @ D.T via two broadcast matmuls — identical contraction to
+    # einsum("ij,xyjk,lk->xyil") but without einsum's per-call path
+    # optimization, which cost more than the arithmetic on these tiny
+    # 8x8 operands (36% of encode time in the frame-sample profile).
+    # Leading dims broadcast, so a (n_frames, H, W) stack batches.
+    coefs = np.matmul(np.matmul(_D, blocks), _D.T)
     q = np.floor(coefs / qtab + 0.5).astype(np.int64)
-    return q.reshape(h // 8, w // 8, 64)[..., ZIGZAG]
+    return q.reshape(*lead, h // 8, w // 8, 64)[..., ZIGZAG]
 
 
 def _entropy_encode_block(bw, zz, prev_dc, dc_enc, ac_enc):
@@ -1513,14 +1724,18 @@ def encode_jpeg_gray(w, h, pix):
     H8, W8 = -(-h // 8) * 8, -(-w // 8) * 8
     padded = np.pad(img, ((0, H8-h), (0, W8-w)), mode="edge") - 128.0
     zz = _quantized_zigzag_blocks(padded, QTAB)
-    bw = _BitWriter()
-    prev_dc = 0
-    for by in range(H8 // 8):
-        for bx in range(W8 // 8):
-            prev_dc = _entropy_encode_block(
-                bw, zz[by, bx], prev_dc, DC_ENC, AC_ENC
+    # vectorized entropy pass (optimization r15): symbol streams and
+    # bit packing in numpy, byte-identical to the scalar _BitWriter
+    # loop (pinned by tests/test_multimodal.py round trips and the
+    # scalar-vs-vector A/B in test_jpeg_entropy_vectorized)
+    flat = zz.reshape(-1, 64)
+    data = _pack_entropy(
+        [
+            _component_symbols(
+                flat, _LUMA_TABS, np.arange(flat.shape[0], dtype=np.int64)
             )
-    data = bw.flush()
+        ]
+    )
 
     def seg(marker, payload):
         return struct.pack(">HH", marker, len(payload) + 2) + payload
@@ -1538,9 +1753,10 @@ def encode_jpeg_gray(w, h, pix):
 
 
 def _box2x2(plane):
-    """2x2 box average (the 4:2:0 chroma downsample); plane dims even."""
-    return (plane[0::2, 0::2] + plane[0::2, 1::2]
-            + plane[1::2, 0::2] + plane[1::2, 1::2]) / 4.0
+    """2x2 box average (the 4:2:0 chroma downsample); plane dims even.
+    Operates on the trailing two axes, so frame stacks batch."""
+    return (plane[..., 0::2, 0::2] + plane[..., 0::2, 1::2]
+            + plane[..., 1::2, 0::2] + plane[..., 1::2, 1::2]) / 4.0
 
 
 def encode_jpeg_color(w, h, rgb, restart_interval=0):
@@ -1565,27 +1781,74 @@ def encode_jpeg_color(w, h, rgb, restart_interval=0):
     yzz = _quantized_zigzag_blocks(yp, QTAB)
     cbzz = _quantized_zigzag_blocks(cbp, CQTAB)
     crzz = _quantized_zigzag_blocks(crp, CQTAB)
-    bw = _BitWriter()
-    prev = [0, 0, 0]
-    mcu_i = 0
-    for my in range(H16 // 16):
-        for mx in range(W16 // 16):
-            if restart_interval and mcu_i and mcu_i % restart_interval == 0:
-                bw.restart_marker(mcu_i // restart_interval - 1)
-                prev = [0, 0, 0]
-            mcu_i += 1
-            for dy, dx in ((0, 0), (0, 1), (1, 0), (1, 1)):
-                prev[0] = _entropy_encode_block(
-                    bw, yzz[2 * my + dy, 2 * mx + dx],
-                    prev[0], DC_ENC, AC_ENC,
+    if restart_interval:
+        # restart markers reset the DC predictors mid-stream, which
+        # breaks the per-component diff chain the vectorized coder
+        # relies on — the scalar loop stays for this (rare) mode
+        bw = _BitWriter()
+        prev = [0, 0, 0]
+        mcu_i = 0
+        for my in range(H16 // 16):
+            for mx in range(W16 // 16):
+                if mcu_i and mcu_i % restart_interval == 0:
+                    bw.restart_marker(mcu_i // restart_interval - 1)
+                    prev = [0, 0, 0]
+                mcu_i += 1
+                for dy, dx in ((0, 0), (0, 1), (1, 0), (1, 1)):
+                    prev[0] = _entropy_encode_block(
+                        bw, yzz[2 * my + dy, 2 * mx + dx],
+                        prev[0], DC_ENC, AC_ENC,
+                    )
+                prev[1] = _entropy_encode_block(
+                    bw, cbzz[my, mx], prev[1], CDC_ENC, CAC_ENC
                 )
-            prev[1] = _entropy_encode_block(
-                bw, cbzz[my, mx], prev[1], CDC_ENC, CAC_ENC
-            )
-            prev[2] = _entropy_encode_block(
-                bw, crzz[my, mx], prev[2], CDC_ENC, CAC_ENC
-            )
-    data = bw.flush()
+                prev[2] = _entropy_encode_block(
+                    bw, crzz[my, mx], prev[2], CDC_ENC, CAC_ENC
+                )
+        data = bw.flush()
+    else:
+        # vectorized entropy pass (optimization r15): per component,
+        # blocks are gathered in MCU emission order (Y: the four
+        # 16x16-MCU sub-blocks; Cb/Cr: natural row-major), symbol
+        # streams generated in numpy, and a slot key per block lets
+        # one lexsort interleave the three components exactly as the
+        # scalar MCU loop did. Byte-identical (A/B pinned in tests).
+        mbx = W16 // 16
+        nbx = W16 // 8
+        n_mcu = (H16 // 16) * mbx
+        m_idx = np.arange(n_mcu, dtype=np.int64)
+        my_, mx_ = m_idx // mbx, m_idx % mbx
+        yorder = np.stack(
+            [
+                (2 * my_ + dy) * nbx + (2 * mx_ + dx)
+                for dy, dx in ((0, 0), (0, 1), (1, 0), (1, 1))
+            ],
+            axis=1,
+        ).reshape(-1)
+        k = np.arange(len(yorder), dtype=np.int64)
+        data = _pack_entropy(
+            [
+                _component_symbols(
+                    yzz.reshape(-1, 64)[yorder],
+                    _LUMA_TABS,
+                    (k // 4) * 6 + k % 4,
+                ),
+                _component_symbols(
+                    cbzz.reshape(-1, 64), _CHROMA_TABS, m_idx * 6 + 4
+                ),
+                _component_symbols(
+                    crzz.reshape(-1, 64), _CHROMA_TABS, m_idx * 6 + 5
+                ),
+            ]
+        )
+
+    return _jfif_color_header(w, h, restart_interval) + data + b"\xFF\xD9"
+
+
+def _jfif_color_header(w, h, restart_interval=0):
+    """Everything before the entropy data of the baseline color
+    stream (SOI..SOS) — shared by encode_jpeg_color and the batch
+    encoder, which reuses one header across a frame stack."""
 
     def seg(marker, payload):
         return struct.pack(">HH", marker, len(payload) + 2) + payload
@@ -1607,38 +1870,169 @@ def encode_jpeg_color(w, h, rgb, restart_interval=0):
     if restart_interval:
         out += seg(0xFFDD, struct.pack(">H", restart_interval))
     out += seg(0xFFDA, b"\x03\x01\x00\x02\x11\x03\x11\x00\x3F\x00")
-    out += data + b"\xFF\xD9"
     return out
 
 
+def encode_jpeg_color_batch(w, h, rgb_stack):
+    """Encode a uint8 (n, h, w, 3) frame STACK; returns a list of n
+    baseline JFIF byte strings, each byte-for-byte identical to
+    encode_jpeg_color(w, h, frame.tobytes()) (A/B pinned in
+    tests/test_multimodal.py). One numpy pass per STACK — color
+    transform, padding, 4:2:0 subsampling, DCT/quantize, entropy
+    symbols and bit packing all batch across frames with a
+    frame-major slot key, amortizing numpy's fixed per-call overhead
+    that dominates on tiny video frames (the q_multimodal_frame_
+    sample_avi shape: dozens of 12-block frames per document)."""
+    n = rgb_stack.shape[0]
+    if n == 0:
+        return []
+    img = rgb_stack.astype(np.float64)
+    r, g, b = img[..., 0], img[..., 1], img[..., 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    H16, W16 = -(-h // 16) * 16, -(-w // 16) * 16
+    pad = ((0, 0), (0, H16 - h), (0, W16 - w))
+    yp = np.pad(y, pad, mode="edge") - 128.0
+    cbp = _box2x2(np.pad(cb, pad, mode="edge")) - 128.0
+    crp = _box2x2(np.pad(cr, pad, mode="edge")) - 128.0
+    yzz = _quantized_zigzag_blocks(yp, QTAB)
+    cbzz = _quantized_zigzag_blocks(cbp, CQTAB)
+    crzz = _quantized_zigzag_blocks(crp, CQTAB)
+    mbx = W16 // 16
+    nbx = W16 // 8
+    n_mcu = (H16 // 16) * mbx
+    n_slots = 6 * n_mcu
+    m_idx = np.arange(n_mcu, dtype=np.int64)
+    my_, mx_ = m_idx // mbx, m_idx % mbx
+    yorder = np.stack(
+        [
+            (2 * my_ + dy) * nbx + (2 * mx_ + dx)
+            for dy, dx in ((0, 0), (0, 1), (1, 0), (1, 1))
+        ],
+        axis=1,
+    ).reshape(-1)
+    nyb = len(yorder)
+    k = np.arange(nyb, dtype=np.int64)
+    yslot_f = (k // 4) * 6 + k % 4
+    fr_y = np.repeat(np.arange(n, dtype=np.int64), nyb)
+    yslot = fr_y * n_slots + np.tile(yslot_f, n)
+    yreset = np.zeros(n * nyb, dtype=bool)
+    yreset[::nyb] = True
+    fr_c = np.repeat(np.arange(n, dtype=np.int64), n_mcu)
+    creset = np.zeros(n * n_mcu, dtype=bool)
+    creset[::n_mcu] = True
+    datas = _pack_entropy_batch(
+        [
+            _component_symbols(
+                yzz.reshape(n, -1, 64)[:, yorder].reshape(-1, 64),
+                _LUMA_TABS,
+                yslot,
+                yreset,
+            ),
+            _component_symbols(
+                cbzz.reshape(-1, 64),
+                _CHROMA_TABS,
+                fr_c * n_slots + np.tile(m_idx * 6 + 4, n),
+                creset,
+            ),
+            _component_symbols(
+                crzz.reshape(-1, 64),
+                _CHROMA_TABS,
+                fr_c * n_slots + np.tile(m_idx * 6 + 5, n),
+                creset,
+            ),
+        ],
+        n_slots,
+        n,
+    )
+    header = _jfif_color_header(w, h)
+    return [header + d + b"\xFF\xD9" for d in datas]
+
+
 class _BitReader:
+    """Entropy-stream bit reader with a multi-byte accumulator
+    (optimization r15). The old form refilled one byte at a time and
+    walked Huffman codes BIT BY BIT with a dict probe per length —
+    ~8 Python calls per symbol; this one peeks a 16-bit window and
+    resolves any code in ONE flat-table lookup (_huff_decode_table's
+    window table). Hitting a marker or the end of data pads the window
+    with virtual 1-bits (JPEG's flush padding), and padding is only an
+    error if a symbol actually CONSUMES it — identical outcomes on
+    well-formed streams, ValueError('truncated entropy data') on
+    truncated ones."""
+
+    __slots__ = ("data", "pos", "acc", "n", "pad")
+
     def __init__(self, data):
         self.data = data
         self.pos = 0
         self.acc = 0
         self.n = 0
+        self.pad = 0
+
+    def _fill(self, k):
+        while self.n < k:
+            if self.pos < len(self.data):
+                b = self.data[self.pos]
+                if b == 0xFF:
+                    if (
+                        self.pos + 1 < len(self.data)
+                        and self.data[self.pos + 1] == 0x00
+                    ):
+                        self.pos += 2  # stuffed data byte
+                    else:
+                        # marker (e.g. RSTn/EOI) or truncation: pad
+                        self.acc = (self.acc << 8) | 0xFF
+                        self.n += 8
+                        self.pad += 8
+                        continue
+                else:
+                    self.pos += 1
+                self.acc = (self.acc << 8) | b
+                self.n += 8
+            else:
+                self.acc = (self.acc << 8) | 0xFF
+                self.n += 8
+                self.pad += 8
+
+    def _skip(self, k):
+        if k > self.n - self.pad:
+            raise ValueError("truncated entropy data")
+        self.n -= k
+        self.acc &= (1 << self.n) - 1
+
     def bit(self):
-        if self.n == 0:
-            if self.pos >= len(self.data):
-                raise ValueError("truncated entropy data")
-            b = self.data[self.pos]; self.pos += 1
-            if b == 0xFF:
-                if self.pos >= len(self.data) or self.data[self.pos] != 0x00:
-                    raise ValueError("unexpected marker in entropy data")
-                self.pos += 1
-            self.acc = b
-            self.n = 8
-        self.n -= 1
-        return (self.acc >> self.n) & 1
-    def bits(self, k):
-        v = 0
-        for _ in range(k):
-            v = (v << 1) | self.bit()
+        self._fill(1)
+        v = (self.acc >> (self.n - 1)) & 1
+        self._skip(1)
         return v
+
+    def bits(self, k):
+        if k == 0:
+            return 0
+        self._fill(k)
+        v = (self.acc >> (self.n - k)) & ((1 << k) - 1)
+        self._skip(k)
+        return v
+
+    def read_huff(self, window_table):
+        """Decode one Huffman symbol via the 16-bit window table."""
+        self._fill(16)
+        e = window_table[(self.acc >> (self.n - 16)) & 0xFFFF]
+        ln = e & 31
+        if not ln:
+            raise ValueError("invalid huffman code")
+        self._skip(ln)
+        return e >> 5
+
     def consume_restart(self):
-        """At a restart boundary: discard the current byte's remaining
-        pad bits, then consume the RSTn marker (FF D0-D7)."""
+        """At a restart boundary: discard buffered pad bits (the
+        accumulator never holds bytes past a marker, because _fill
+        stops there), then consume the RSTn marker (FF D0-D7)."""
+        self.acc = 0
         self.n = 0
+        self.pad = 0
         if (
             self.pos + 1 >= len(self.data)
             or self.data[self.pos] != 0xFF
@@ -1652,19 +2046,24 @@ _HUFF_TABLE_CACHE: dict = {}
 
 
 def _huff_decode_table(bits, vals):
-    """(code,length) -> val map for decoding. Memoized on the table
+    """16-bit-window Huffman decode table: entry w = (val << 5) | len
+    for the unique code prefixing window w, 0 for invalid prefixes —
+    one list lookup decodes any symbol. Memoized on the table
     definition — decoders rebuild the same 4 standard tables for every
     payload in a batch."""
     key = (tuple(bits), tuple(vals))
     cached = _HUFF_TABLE_CACHE.get(key)
     if cached is not None:
         return cached
-    out = {}
+    out = [0] * 65536
     code = 0
     k = 0
     for length in range(1, 17):
-        for _ in range(bits[length-1]):
-            out[(length, code)] = vals[k]
+        for _ in range(bits[length - 1]):
+            packed = (vals[k] << 5) | length
+            lo = code << (16 - length)
+            hi = (code + 1) << (16 - length)
+            out[lo:hi] = [packed] * (hi - lo)
             code += 1
             k += 1
         code <<= 1
@@ -1673,13 +2072,8 @@ def _huff_decode_table(bits, vals):
     return out
 
 
-def _read_huff_symbol(br, table):
-    code = 0
-    for length in range(1, 17):
-        code = (code << 1) | br.bit()
-        if (length, code) in table:
-            return table[(length, code)]
-    raise ValueError("invalid huffman code")
+def _read_huff_symbol(br, window_table):
+    return br.read_huff(window_table)
 
 
 def _extend(v, size):
@@ -1795,17 +2189,17 @@ def _decode_entropy_block(br, dct, act, prev_dc):
 
 
 def _batch_idct(zzs, q):
-    """Dequantize + IDCT a stack of zigzag vectors in one einsum.
-    zzs: int64 (n, 64) in zigzag order; q: the stream's quant table
-    (zigzag order). Returns float64 (n, 8, 8) level-shifted blocks."""
+    """Dequantize + IDCT a stack of zigzag vectors in one batched
+    matmul. zzs: int64 (n, 64) in zigzag order; q: the stream's quant
+    table (zigzag order). Returns float64 (n, 8, 8) level-shifted
+    blocks. D.T @ C @ D via two broadcast matmuls — identical
+    contraction to einsum("ji,njk,kl->nil") but without einsum's
+    per-call path optimization, which dominated on 8x8 operands (same
+    fix as _quantized_zigzag_blocks)."""
     coef = np.zeros((len(zzs), 64), dtype=np.int64)
     coef[:, ZIGZAG] = zzs * q.astype(np.int64)[None, :]
-    return np.einsum(
-        "ji,njk,kl->nil",
-        _D,
-        coef.reshape(-1, 8, 8).astype(np.float64),
-        _D,
-        optimize=True,
+    return np.matmul(
+        np.matmul(_D.T, coef.reshape(-1, 8, 8).astype(np.float64)), _D
     )
 
 

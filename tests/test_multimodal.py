@@ -499,3 +499,47 @@ def test_png_adam7_truncated_pass_detected():
     )
     with pytest.raises(ValueError, match="Adam7"):
         decode_png_gray8(bad)
+
+
+def test_jpeg_entropy_vectorized():
+    """The r15 vectorized entropy coder (symbol streams + one numpy
+    bit-packing pass) must be byte-identical to the scalar
+    _BitWriter/_entropy_encode_block path it replaced, and the
+    frame-stack batch encoder to the per-frame encoder."""
+    import numpy as np
+
+    from meta_iterative_mapreduce_spark.operators import multimodal as M
+
+    rng = np.random.RandomState(5)
+    for _ in range(12):
+        w, h = int(rng.randint(1, 40)), int(rng.randint(1, 40))
+        pix = rng.randint(0, 256, size=w * h, dtype=np.uint8)
+        img = pix.reshape(h, w).astype(np.float64)
+        H8, W8 = -(-h // 8) * 8, -(-w // 8) * 8
+        padded = np.pad(img, ((0, H8 - h), (0, W8 - w)), mode="edge") - 128.0
+        zz = M._quantized_zigzag_blocks(padded, M.QTAB)
+        bw = M._BitWriter()
+        prev = 0
+        for by in range(H8 // 8):
+            for bx in range(W8 // 8):
+                prev = M._entropy_encode_block(
+                    bw, zz[by, bx], prev, M.DC_ENC, M.AC_ENC
+                )
+        scalar = bw.flush()
+        flat = zz.reshape(-1, 64)
+        vec = M._pack_entropy(
+            [
+                M._component_symbols(
+                    flat, M._LUMA_TABS,
+                    np.arange(flat.shape[0], dtype=np.int64),
+                )
+            ]
+        )
+        assert vec == scalar
+    stack = rng.randint(0, 256, size=(7, 19, 11, 3), dtype=np.uint8)
+    assert M.encode_jpeg_color_batch(11, 19, stack) == [
+        M.encode_jpeg_color(11, 19, f.tobytes()) for f in stack
+    ]
+    # and the decoder round-trips the vectorized stream exactly
+    d = M.decode_jpeg_color(M.encode_jpeg_color_batch(11, 19, stack)[3])
+    assert (d["width"], d["height"]) == (11, 19)
