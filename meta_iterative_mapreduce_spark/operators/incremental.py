@@ -1388,13 +1388,25 @@ def q_stream_table_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     work = _os.path.join(
         tempfile.gettempdir(), "mimr_tbl_stream", _uuid.uuid4().hex
     )
-    staging = _os.path.join(work, "staged")
     ckpt = _os.path.join(work, "ckpt")
     n = {"batches": 0}
+    parts: list = []
 
+    # per-batch PARTIAL aggregates instead of a staging-parquet
+    # append + re-read (optimization r15): every batch row still
+    # streams through the aggregate, a replayed batch still doubles
+    # its partials (the same duplicate detection the staging table
+    # gave), and the query drops one parquet write job per batch plus
+    # the final read job.
     def sink(bdf: DataFrame, bid: int) -> None:
         n["batches"] += 1
-        bdf.write.mode("append").parquet(staging)
+        parts.append(
+            bdf.agg(
+                F.count(F.lit(1)).alias("c"),
+                F.sum("o_orderkey").alias("sk"),
+                F.sum("cents").alias("sc"),
+            ).collect()[0]
+        )
 
     for until in (4, None):
         q = (
@@ -1405,11 +1417,16 @@ def q_stream_table_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         q.awaitTermination(180)
-    return spark.read.parquet(staging).agg(
-        F.lit(n["batches"]).cast("int").alias("n_batches"),
-        F.count(F.lit(1)).alias("n_rows"),
-        F.sum("o_orderkey").cast("bigint").alias("sum_key"),
-        F.sum("cents").cast("bigint").alias("sum_cents"),
+    return spark.createDataFrame(
+        [
+            (
+                n["batches"],
+                sum(int(p["c"]) for p in parts),
+                sum(int(p["sk"] or 0) for p in parts),
+                sum(int(p["sc"] or 0) for p in parts),
+            )
+        ],
+        "n_batches int, n_rows bigint, sum_key bigint, sum_cents bigint",
     )
 
 
@@ -1655,13 +1672,34 @@ def q_stream_cdc_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     work = _os.path.join(
         tempfile.gettempdir(), "mimr_cdc_stream", _uuid.uuid4().hex
     )
-    staging = _os.path.join(work, "staged")
     ckpt = _os.path.join(work, "ckpt")
     n = {"batches": 0}
+    acc: dict = {}
 
+    # per-batch per-op PARTIAL aggregates instead of a staging-parquet
+    # append + re-read (optimization r15, same move as
+    # q_stream_table_source): replayed batches still double their
+    # partials, one parquet write job per batch plus the final read
+    # job are gone. NULL-sum semantics preserved: an op whose cents
+    # column is all-NULL across every batch stays NULL.
     def sink(bdf: DataFrame, bid: int) -> None:
         n["batches"] += 1
-        bdf.write.mode("append").parquet(staging)
+        for r in (
+            bdf.groupBy("op")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("o_orderkey").alias("sk"),
+                F.sum("old_cents").alias("so"),
+                F.sum("new_cents").alias("sn"),
+            )
+            .collect()
+        ):
+            cur = acc.setdefault(r["op"], [0, 0, None, None])
+            cur[0] += int(r["n"])
+            cur[1] += int(r["sk"])
+            for i, v in ((2, r["so"]), (3, r["sn"])):
+                if v is not None:
+                    cur[i] = (cur[i] or 0) + int(v)
 
     for until in (2, None):
         q = (
@@ -1672,16 +1710,13 @@ def q_stream_cdc_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         q.awaitTermination(180)
-    return (
-        spark.read.parquet(staging)
-        .groupBy("op")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum("o_orderkey").cast("bigint").alias("sum_key"),
-            F.sum("old_cents").cast("bigint").alias("sum_old_cents"),
-            F.sum("new_cents").cast("bigint").alias("sum_new_cents"),
-        )
-        .withColumn("n_batches", F.lit(n["batches"]).cast("int"))
+    return spark.createDataFrame(
+        [
+            (op, c[0], c[1], c[2], c[3], n["batches"])
+            for op, c in sorted(acc.items())
+        ],
+        "op string, n bigint, sum_key bigint, sum_old_cents bigint, "
+        "sum_new_cents bigint, n_batches int",
     )
 
 

@@ -1211,10 +1211,33 @@ def register_avro_source(spark: SparkSession) -> None:
             for i in range(0, len(blocks), per)
         ]
 
+    # Plain Avro primitives (after [null, X] union unwrap) with an
+    # unambiguous pyarrow mapping — the record path's Arrow fast-path
+    # gate (same discipline as table_source._PA_OF_TYPE). Logical
+    # types, records, arrays, maps, enums and fixed route through the
+    # row path, whose coercions are pinned by the resolution tests.
+    _PA_OF_AVRO = {
+        "string": "string",
+        "long": "int64",
+        "int": "int32",
+        "double": "float64",
+        "float": "float32",
+        "boolean": "bool",
+        "bytes": "binary",
+    }
+
+    def _pa_primitive(t):
+        t = _field_type(t)
+        if isinstance(t, list):
+            non_null = [b for b in t if b != "null"]
+            t = non_null[0] if len(non_null) == 1 else None
+            t = _field_type(t) if t is not None else None
+        return _PA_OF_AVRO.get(t) if isinstance(t, str) else None
+
     def _read_block_spec(spec: dict):
         out_schema = spec["reader"] or spec["schema"]
         names = [f["name"] for f in out_schema["fields"]]
-        for rec in read_avro_span(
+        recs = read_avro_span(
             spec["path"],
             spec["offset"],
             spec.get("n_blocks", 1),
@@ -1222,7 +1245,27 @@ def register_avro_source(spark: SparkSession) -> None:
             spec["schema"],
             bytes.fromhex(spec["sync"]),
             reader_schema=spec["reader"],
-        ):
+        )
+        pa_types = [_pa_primitive(f["type"]) for f in out_schema["fields"]]
+        if names and all(pa_types):
+            # Arrow fast path (optimization r15, guide §4.1): the span's
+            # decoded records leave Python as ONE RecordBatch of typed
+            # columns instead of a pickled tuple per record — the
+            # Python data source API accepts RecordBatches directly.
+            import pyarrow as pa
+
+            rows = list(recs)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(
+                        [r[n] for r in rows], type=pa.type_for_alias(t)
+                    )
+                    for n, t in zip(names, pa_types)
+                ],
+                names=names,
+            )
+            return
+        for rec in recs:
             yield tuple(rec[n] for n in names)
 
     class AvroReader(DataSourceReader):
@@ -1928,17 +1971,30 @@ def q_stream_avro_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         tempfile.gettempdir(), "mimr_avro_stream", _uuid.uuid4().hex
     )
     arrive = os.path.join(work, "arrive")
-    staging = os.path.join(work, "staged")
     ckpt = os.path.join(work, "ckpt")
     os.makedirs(arrive)
     names = sorted(
         f for f in os.listdir(src) if f.endswith(".avro")
     )
     n = {"batches": 0}
+    parts: list = []
 
+    # per-batch PARTIAL aggregates instead of a staging-parquet
+    # append + re-read (optimization r15, same move as
+    # q_stream_table_source): every record still streams through the
+    # aggregate, a replayed batch still doubles its partials (the same
+    # duplicate detection the staging table gave), and the query drops
+    # one parquet write job per batch plus the final read job.
     def sink(bdf: DataFrame, bid: int) -> None:
         n["batches"] += 1
-        bdf.write.mode("append").parquet(staging)
+        parts.append(
+            bdf.agg(
+                F.count(F.lit(1)).alias("c"),
+                F.sum("doc_id").alias("sd"),
+                F.sum("n_chars").alias("sc"),
+                F.count("source_note").alias("nn"),
+            ).collect()[0]
+        )
 
     for wave in (names[:2], names[2:]):
         for f in wave:
@@ -1953,27 +2009,15 @@ def q_stream_avro_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         q.awaitTermination(180)
-    # materialize BEFORE tearing the work dir down (the returned
-    # frame must not depend on the staging files)
-    r = (
-        spark.read.parquet(staging)
-        .agg(
-            F.count(F.lit(1)).alias("n_rows"),
-            F.sum("doc_id").cast("bigint").alias("sum_doc"),
-            F.sum("n_chars").cast("bigint").alias("sum_chars"),
-            F.count("source_note").alias("n_note"),
-        )
-        .collect()[0]
-    )
     shutil.rmtree(work, ignore_errors=True)
     return spark.createDataFrame(
         [
             (
                 n["batches"],
-                r["n_rows"],
-                r["sum_doc"],
-                r["sum_chars"],
-                r["n_note"],
+                sum(int(p["c"]) for p in parts),
+                sum(int(p["sd"] or 0) for p in parts),
+                sum(int(p["sc"] or 0) for p in parts),
+                sum(int(p["nn"]) for p in parts),
             )
         ],
         "n_batches int, n_rows bigint, sum_doc bigint, "

@@ -469,25 +469,58 @@ def _read_cdc_spec(spec: dict):
                 new.setdefault(row[ki], []).append(row)
     others = [i for i in range(len(fields)) if i != ki]
     nulls = [None] * len(others)
-    for k in old.keys() | new.keys():
-        olds, news = old.get(k, []), new.get(k, [])
-        if not news:
-            for o in olds:
-                yield (k, "D", *[o[i] for i in others], *nulls)
-        elif not olds:
-            for n in news:
-                yield (k, "I", *nulls, *[n[i] for i in others])
-        else:
-            for o in olds:
+
+    def _diff_rows():
+        for k in old.keys() | new.keys():
+            olds, news = old.get(k, []), new.get(k, [])
+            if not news:
+                for o in olds:
+                    yield (k, "D", *[o[i] for i in others], *nulls)
+            elif not olds:
                 for n in news:
-                    if all(o[i] == n[i] for i in others):
-                        continue  # copy-on-write carryover: unchanged
-                    yield (
-                        k,
-                        "U",
-                        *[o[i] for i in others],
-                        *[n[i] for i in others],
-                    )
+                    yield (k, "I", *nulls, *[n[i] for i in others])
+            else:
+                for o in olds:
+                    for n in news:
+                        if all(o[i] == n[i] for i in others):
+                            continue  # copy-on-write carryover: unchanged
+                        yield (
+                            k,
+                            "U",
+                            *[o[i] for i in others],
+                            *[n[i] for i in others],
+                        )
+
+    # Arrow fast path for the version-diff legs (optimization r15,
+    # VERDICT r14 item 2 — the 'insert' leg was batched in r14): the
+    # diff algebra above is inherently row/key-wise Python, but its
+    # OUTPUT no longer crosses to the JVM as a pickled tuple per row —
+    # the rows are transposed into typed arrow columns and emitted as
+    # ONE RecordBatch per spec. Same gate as _read_spec; non-mappable
+    # declared types keep the tuple path.
+    arrow_ok = all(typ in _PA_OF_TYPE for _, _, typ in fields)
+    if not arrow_ok:
+        yield from _diff_rows()
+        return
+    import pyarrow as pa
+
+    rows = list(_diff_rows())
+    key_t = pa.type_for_alias(_PA_OF_TYPE[fields[ki][2]])
+    col_ts = [key_t, pa.string()] + [
+        pa.type_for_alias(_PA_OF_TYPE[fields[i][2]]) for i in others
+    ] * 2
+    names = (
+        [key, "op"]
+        + [f"old_{fields[i][0]}" for i in others]
+        + [f"new_{fields[i][0]}" for i in others]
+    )
+    yield pa.RecordBatch.from_arrays(
+        [
+            pa.array([r[c] for r in rows], type=t)
+            for c, t in enumerate(col_ts)
+        ],
+        names=names,
+    )
 
 
 # Spark typeName -> pyarrow type for the Arrow fast path of
@@ -559,7 +592,27 @@ def _read_spec(spec: dict):
         if phys in part_vals
     )
     if arrow_ok:
-        yield from _file_batches(spec["path"], fields, part_vals)
+        try:
+            # materialized before yielding: every cast in
+            # _file_batches happens while the file's table is built,
+            # so an ArrowInvalid can only fire before the first batch
+            # is emitted — the fallback never duplicates rows
+            batches = list(
+                _file_batches(spec["path"], fields, part_vals)
+            )
+        except Exception as exc:  # noqa: BLE001
+            import pyarrow as pa
+
+            if not isinstance(exc, pa.lib.ArrowInvalid):
+                raise
+            # ADVICE r14: a schema-evolved file whose PHYSICAL column
+            # type differs from the declared one (e.g. stored double,
+            # declared long) fails the safe arrow cast — route that
+            # file through the row path, whose per-value coercion is
+            # the documented behavior
+            yield from _file_rows(spec["path"], fields, part_vals)
+            return
+        yield from batches
     else:
         yield from _file_rows(spec["path"], fields, part_vals)
 
