@@ -113,7 +113,29 @@ def connected_components(
             F.count(F.lit(1)).alias("n"),
             F.bit_xor(F.xxhash64("u", "v")).alias("h"),
         ).localCheckpoint(eager=True)
-        m = obs.get
+        # ADVICE r14: obs.get blocks until the QueryExecutionListener
+        # posts the checkpoint job's metrics; on a runtime where the
+        # checkpoint action never fires the listener (e.g. Spark
+        # Connect) that wait would hang the CC loop silently. Fetch on
+        # a daemon thread with a generous deadline so a listener miss
+        # fails LOUDLY instead.
+        import threading
+
+        holder: dict = {}
+
+        def _fetch() -> None:
+            holder["m"] = obs.get
+
+        t = threading.Thread(target=_fetch, daemon=True)
+        t.start()
+        t.join(60)
+        if "m" not in holder:
+            raise RuntimeError(
+                "connected_components: observed metrics not posted "
+                "within 60s of the eager localCheckpoint — the "
+                "runtime did not fire the observation listener"
+            )
+        m = holder["m"]
         return d, (m["n"] or 0, m["h"] or 0)
 
     e, prev_sig = _ckpt_with_sig(

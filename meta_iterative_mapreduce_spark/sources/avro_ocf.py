@@ -981,16 +981,23 @@ def read_avro(
 # is exact; it spares the DRIVER an O(blocks) header walk per plan —
 # every bench trial and every stream micro-batch re-plans the same
 # files (guide §6: cache file listings/metadata, not results).
+# (path, size, mtime_ns) -> immutable block index. Bounded (ADVICE
+# r14): FIFO eviction at _BLOCK_INDEX_CACHE_MAX entries so a
+# long-running driver scanning many (or replaced) files cannot grow it
+# without bound; `blocks` is stored as a TUPLE so a caller cannot
+# corrupt later plans by mutating the shared index.
 _BLOCK_INDEX_CACHE: dict[tuple[str, int, int], dict] = {}
+_BLOCK_INDEX_CACHE_MAX = 256
 
 
 def index_avro_blocks(path: str) -> dict:
     """Block index with ZERO payload I/O: per block, read the two
     header varints, seek past the payload, verify the 16 sync bytes.
-    Returns {schema, codec, sync, blocks: [(offset, n_records,
-    byte_size)]} where offset addresses the block's count varint —
+    Returns {schema, codec, sync, blocks: ((offset, n_records,
+    byte_size), ...)} where offset addresses the block's count varint —
     exactly what a split reader seeks to. Memoized on (path, size,
-    mtime) — stat changes invalidate."""
+    mtime) — stat changes invalidate; the cached blocks tuple is
+    immutable and the cache is size-bounded (ADVICE r14)."""
     st = os.stat(path)
     key = (path, st.st_size, st.st_mtime_ns)
     hit = _BLOCK_INDEX_CACHE.get(key)
@@ -1007,8 +1014,12 @@ def index_avro_blocks(path: str) -> dict:
                     "schema": schema,
                     "codec": codec,
                     "sync": sync,
-                    "blocks": blocks,
+                    "blocks": tuple(blocks),
                 }
+                while len(_BLOCK_INDEX_CACHE) >= _BLOCK_INDEX_CACHE_MAX:
+                    _BLOCK_INDEX_CACHE.pop(
+                        next(iter(_BLOCK_INDEX_CACHE))
+                    )
                 _BLOCK_INDEX_CACHE[key] = idx
                 return idx
             f.seek(-1, os.SEEK_CUR)

@@ -203,3 +203,42 @@ def test_ivfpq_probe_is_partition_pruned_and_recalls(spark, sf_dir):
     row = q_sim_ivf_pq(spark, sf_dir).collect()[0]
     assert row["probe_pruned"] and row["probe_share_ok"]
     assert row["adc_triangle_ok"] and row["hits_le_k"]
+
+
+def test_gram_blas_relative_error_at_scale(spark):
+    """VERDICT r14 item 10: the q_embed_gram hash oracle leans on
+    ROUND(,4), whose absolute window stops absorbing float64
+    summation-order differences as n grows. Certify the BLAS path with
+    a RELATIVE bound (|blas - truth| <= 1e-9 * max(1, |truth|)) at a
+    row count two orders above the sf0.1 fixture, against an
+    independently accumulated numpy ground truth. The embedding values
+    are exact dyadic rationals (k/64) computed from the row id by the
+    same formula in both engines, so the inputs are bit-identical and
+    only accumulation order differs."""
+    import numpy as np
+
+    from meta_iterative_mapreduce_spark.operators.similarity import (
+        gram_matrix_blas,
+    )
+
+    n, d = 400_000, 16
+    ids = np.arange(n, dtype=np.int64)[:, None]
+    cols = np.arange(d, dtype=np.int64)[None, :]
+    X = (((ids * d + cols) % 1000) - 500) / 64.0
+    truth = X.T @ X
+    df = spark.range(n).select(
+        F.expr(
+            f"transform(sequence(0, {d - 1}), c -> "
+            f"(CAST((id * {d} + c) % 1000 AS DOUBLE) - 500.0) / 64.0)"
+        ).alias("embedding")
+    )
+    rows = gram_matrix_blas(df).collect()
+    assert len(rows) == d * (d + 1) // 2
+    for r in rows:
+        t = truth[r["i"] - 1, r["j"] - 1]
+        assert abs(r["gram"] - t) <= 1e-9 * max(1.0, abs(t)), (
+            r["i"],
+            r["j"],
+            r["gram"],
+            t,
+        )
