@@ -343,11 +343,17 @@ _SHINGLE_JACCARD_CTE = f"""
 """
 
 
-def shingle_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def shingle_jaccard_pairs(
+    spark: SparkSession, sf_dir: str, caches: list | None = None
+) -> DataFrame:
     """(doc_a, doc_b, jaccard) under EXACT word-3-shingle Jaccard with
     the df cutoff — the ground-truth tier the minhash containment
     certification compares against (must mirror _SHINGLE_JACCARD_CTE
-    and minhash_signatures' shingle definition exactly)."""
+    and minhash_signatures' shingle definition exactly). The filtered
+    shingle table is persisted (it feeds sizes + both self-join
+    sides); pass `caches` to receive the persisted DataFrame so the
+    caller can release it once the result is materialized (the cert
+    twin's try/finally) — without it the caller owns cache release."""
     d = load_table(spark, sf_dir, "documents")
     ex = d.select(
         "doc_id",
@@ -362,6 +368,8 @@ def shingle_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # persisted: feeds sizes + both self-join sides (same rationale as
     # jaccard_pairs)
     t = ex.join(keep, "sh", "left_semi").persist()
+    if caches is not None:
+        caches.append(t)
     sizes = t.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = t.alias("a")
     b = t.alias("b")
@@ -537,9 +545,10 @@ def q_dedup_near_minhash_cert(spark: SparkSession, sf_dir: str) -> DataFrame:
     pinned by tests/test_dedup.py."""
     d = load_table(spark, sf_dir, "documents")
     sigs = minhash_signatures(d).persist()
+    caches: list = []
     try:
         cands = minhash_band_pairs(sigs).select("doc_a", "doc_b")
-        high = shingle_jaccard_pairs(spark, sf_dir).filter(
+        high = shingle_jaccard_pairs(spark, sf_dir, caches).filter(
             F.col("jaccard") >= _MINHASH_RECALL_J
         )
         out = (
@@ -563,6 +572,8 @@ def q_dedup_near_minhash_cert(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = out.localCheckpoint(eager=True)
     finally:
         sigs.unpersist()
+        for c in caches:
+            c.unpersist()
     return out
 
 
