@@ -257,19 +257,44 @@ def q_graph_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
     collapse monotonically. All-integer output: no float hygiene
     needed.
 
-    Edge build (optimization r15): the SHARED copurchase_edges plan —
-    per-order sorted-set combinations exploded inline, both
-    orientations, deduplicated under one u-keyed exchange — replaces
-    this query's private items-self-join + two distincts (three
-    exchanges and a join). The edge SET is identical (distinct
-    symmetric co-purchase pairs), so the degree histogram is
-    unchanged; the symmetric orientation also means each node's
-    degree is simply its row count as `u` — no endpoint explode at
-    all, and the degree aggregate reuses the u-partitioning with no
-    further exchange."""
+    Both edge endpoints are emitted by ONE explode over the
+    deduplicated edge set — NOT unionAll(edges.pa, edges.pb), which
+    references the edges subtree twice and makes Spark recompute the
+    whole scan→distinct→join→distinct pipeline per branch (the r6
+    BENCH flagged exactly that shape drifting 1.7x with cache state:
+    double-computed subtrees are twice as exposed to page-cache and
+    scheduler noise, and at 100 TB the second compute is a real
+    rescan).
+
+    Tried and REJECTED in optimization r15 (measured): building the
+    edges via the shared copurchase_edges combination-explode (halves
+    the real exchange count to 3 and makes degree a row count per u).
+    The bench showed 2.0 → 3.1 s with clean system evidence — at this
+    scale the per-order collect_set ObjectHashAggregate plus the 2×
+    symmetric explode cost more than the extra broadcast-sized
+    exchanges they remove; the iterative consumers (pagerank, bfs,
+    link_predict) keep the shared build because they amortize it over
+    per-iteration co-partitioned joins, which degree has none of."""
+    items = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = items.alias("a"), items.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
+        )
+        .distinct()
+    )
     deg = (
-        copurchase_edges(spark, sf_dir)
-        .groupBy("u")
+        edges.select(F.explode(F.array("pa", "pb")).alias("p"))
+        .groupBy("p")
         .agg(F.count(F.lit(1)).alias("degree"))
     )
     return deg.groupBy("degree").agg(F.count(F.lit(1)).alias("n_parts"))
