@@ -124,12 +124,19 @@ def connected_components(
         holder: dict = {}
 
         def _fetch() -> None:
-            holder["m"] = obs.get
+            try:
+                holder["m"] = obs.get
+            except BaseException as exc:  # noqa: BLE001 — re-raised below
+                holder["err"] = exc
 
         t = threading.Thread(target=_fetch, daemon=True)
         t.start()
         t.join(60)
+        if "err" in holder:
+            raise holder["err"]  # the REAL failure, not a fake timeout
         if "m" not in holder:
+            # the daemon fetch thread stays parked in obs.get, but the
+            # loop dies loudly here instead of hanging the session
             raise RuntimeError(
                 "connected_components: observed metrics not posted "
                 "within 60s of the eager localCheckpoint — the "

@@ -413,12 +413,16 @@ _BAND_EST_FLOOR = (_N_HASHES // _N_BANDS) / float(_N_HASHES)
 
 
 def _violations(cond: F.Column) -> F.Column:
-    """Aggregate counting rows where `cond` is false/null — the
+    """Aggregate counting rows where `cond` is false OR NULL — the
     summary queries' flag primitive: `_violations(c) == 0` is
     bool_and(c) with vacuous truth on empty inputs (coalesce 0), but
     SUM keeps the aggregate HASH-based with map-side partials where
-    bool_and over array-carrying rows planned a Sort + SortAggregate."""
-    return F.coalesce(F.sum(F.when(~cond, 1).otherwise(0)), F.lit(0))
+    bool_and over array-carrying rows planned a Sort + SortAggregate.
+    Shape matters: when(cond, 0).otherwise(1) — NOT when(~cond, 1)
+    .otherwise(0), whose NULL condition falls into otherwise(0) and
+    silently counts a NULL (e.g. a corrupted sig array making
+    jaccard_est NULL) as satisfied."""
+    return F.coalesce(F.sum(F.when(cond, 0).otherwise(1)), F.lit(0))
 
 
 def near_minhash_summary(sigs: DataFrame) -> DataFrame:
@@ -917,7 +921,9 @@ def simhash_blocked_rows(fp: DataFrame) -> DataFrame:
 
 
 def simhash_hamming_pairs(
-    fp: DataFrame, max_hamming: int = _SIMHASH_MAX_HAMMING
+    fp: DataFrame,
+    max_hamming: int = _SIMHASH_MAX_HAMMING,
+    caches: list | None = None,
 ) -> DataFrame:
     """EXACT-recall blocked Hamming join over (doc_id, simhash).
 
@@ -934,10 +940,14 @@ def simhash_hamming_pairs(
 
     Requires max_hamming < n_blocks for the pigeonhole guarantee.
     The blocked table feeds both self-join sides, so it is persisted
-    here; callers that need cache hygiene (the registered queries)
-    build simhash_blocked_rows themselves and release it.
+    here; pass `caches` to receive the persisted DataFrame for
+    release once the result is materialized (the shingle_jaccard_pairs
+    convention) — the registered queries instead build
+    simhash_blocked_rows themselves under try/finally.
     """
     blocked = simhash_blocked_rows(fp).persist()
+    if caches is not None:
+        caches.append(blocked)
     return simhash_pairs_from_blocked(blocked, max_hamming)
 
 

@@ -267,6 +267,9 @@ def q_sketch_kll_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("median_ok"),
         (
             (F.col("le99") * 100 >= F.col("n_cnt") * 97)
-            & (F.col("lt99") < F.col("n_cnt"))
+            & (
+                (F.col("lt99") < F.col("n_cnt"))
+                | (F.col("n_cnt") == 0)  # vacuous truth on empty input
+            )
         ).alias("p99_ok"),
     )

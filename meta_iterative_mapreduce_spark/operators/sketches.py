@@ -313,7 +313,10 @@ def q_sketch_kll(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("median_ok"),
         (
             (F.col("le99") * 100 >= F.col("n_rows") * 97)
-            & (F.col("lt99") < F.col("n_rows"))
+            & (
+                (F.col("lt99") < F.col("n_rows"))
+                | (F.col("n_rows") == 0)  # vacuous truth on empty input
+            )
         ).alias("p99_ok"),
     )
 

@@ -407,18 +407,32 @@ def _read_cdc_spec(spec: dict):
                 + [f"old_{fields[i][0]}" for i in others]
                 + [f"new_{fields[i][0]}" for i in others]
             )
-            for b in _file_batches(spec["path"], fields, part_vals):
-                n = b.num_rows
-                cols = (
-                    [b.column(ki), pa.array(["I"] * n, type=pa.string())]
-                    + [
-                        pa.nulls(n, type=b.schema.field(i).type)
-                        for i in others
-                    ]
-                    + [b.column(i) for i in others]
-                )
-                yield pa.RecordBatch.from_arrays(cols, names=names)
-            return
+            try:
+                # materialized before yielding (same reasoning as
+                # _read_spec): the casts fire while the file's batches
+                # are built, so the row-path fallback below cannot
+                # duplicate rows
+                out_batches = []
+                for b in _file_batches(spec["path"], fields, part_vals):
+                    n = b.num_rows
+                    cols = (
+                        [b.column(ki), pa.array(["I"] * n, type=pa.string())]
+                        + [
+                            pa.nulls(n, type=b.schema.field(i).type)
+                            for i in others
+                        ]
+                        + [b.column(i) for i in others]
+                    )
+                    out_batches.append(
+                        pa.RecordBatch.from_arrays(cols, names=names)
+                    )
+            except pa.lib.ArrowInvalid:
+                # physical/declared type mismatch (ADVICE r14): route
+                # this file through the row path's per-value coercion
+                pass
+            else:
+                yield from out_batches
+                return
         for row in _file_rows(spec["path"], fields, spec["part_vals"]):
             yield (
                 row[ki],
@@ -514,13 +528,22 @@ def _read_cdc_spec(spec: dict):
         + [f"old_{fields[i][0]}" for i in others]
         + [f"new_{fields[i][0]}" for i in others]
     )
-    yield pa.RecordBatch.from_arrays(
-        [
-            pa.array([r[c] for r in rows], type=t)
-            for c, t in enumerate(col_ts)
-        ],
-        names=names,
-    )
+    try:
+        batch = pa.RecordBatch.from_arrays(
+            [
+                pa.array([r[c] for r in rows], type=t)
+                for c, t in enumerate(col_ts)
+            ],
+            names=names,
+        )
+    except pa.lib.ArrowInvalid:
+        # a schema-evolved file fed _file_rows values whose physical
+        # type defeats the declared-type array build (ADVICE r14
+        # class): fall back to the pickled-tuple path, whose per-value
+        # coercion is the documented behavior
+        yield from rows
+        return
+    yield batch
 
 
 # Spark typeName -> pyarrow type for the Arrow fast path of
